@@ -1,0 +1,166 @@
+"""ETL pipeline orchestration + CLI (reference src/etl_pipeline.py).
+
+Phases: extract → transform → load, with the reference's observable
+contract — per-phase counts, custom exception hierarchy, dry-run /
+validate-only modes, summary printer, exit codes (0 success / 1 failure /
+130 interrupt; reference src/etl_pipeline.py:628-658).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from .config import EngineConfig
+from .operators.transform import TransformError, transform_transactions
+from .sources.extract import ExtractError, extract_transactions, profile_dataframe
+from .warehouse import LoadError, Warehouse
+
+
+# Reference error hierarchy (src/etl_pipeline.py:36-58)
+class ETLError(Exception):
+    pass
+
+
+class PipelineExtractError(ETLError):
+    pass
+
+
+class PipelineTransformError(ETLError):
+    pass
+
+
+class PipelineLoadError(ETLError):
+    pass
+
+
+@dataclass
+class PipelineResult:
+    status: str = "pending"
+    file_path: str = ""
+    extracted_rows: int = 0
+    transformed_rows: int = 0
+    loaded_rows: int = 0
+    skipped_rows: int = 0
+    issue_counts: dict = field(default_factory=dict)
+    dims_inserted: dict = field(default_factory=dict)
+    phase_times: dict = field(default_factory=dict)
+    total_time: float = 0.0
+    error: str | None = None
+
+
+def run_etl_pipeline(
+    spark: SparkSession,
+    file_path: str,
+    cfg: EngineConfig | None = None,
+    dry_run: bool = False,
+    validate_only: bool = False,
+) -> PipelineResult:
+    """Reference src/etl_pipeline.py:190-398 contract."""
+    cfg = cfg or EngineConfig()
+    res = PipelineResult(file_path=file_path)
+    t0 = time.time()
+    try:
+        # PHASE 1 — extract
+        t = time.time()
+        try:
+            raw = extract_transactions(spark, file_path)
+            res.extracted_rows = raw.count()
+        except ExtractError as e:
+            raise PipelineExtractError(str(e)) from e
+        res.phase_times["extract"] = time.time() - t
+
+        # PHASE 2 — transform
+        t = time.time()
+        try:
+            tr = transform_transactions(raw, cfg.validation)
+        except TransformError as e:
+            raise PipelineTransformError(str(e)) from e
+        res.transformed_rows = tr.valid_rows
+        res.issue_counts = tr.issue_counts
+        res.phase_times["transform"] = time.time() - t
+
+        if validate_only or dry_run:
+            res.status = "dry_run" if dry_run else "validated"
+            res.total_time = time.time() - t0
+            return res
+
+        # PHASE 3 — load
+        t = time.time()
+        try:
+            wh = Warehouse(spark, cfg.warehouse)
+            stats = wh.load_warehouse(tr.tables)
+        except LoadError as e:
+            raise PipelineLoadError(str(e)) from e
+        res.loaded_rows = stats.fact_inserted
+        res.skipped_rows = stats.fact_skipped
+        res.dims_inserted = stats.dims_inserted
+        res.phase_times["load"] = time.time() - t
+
+        res.status = "success"
+    except ETLError as e:
+        res.status = "failed"
+        res.error = str(e)
+    res.total_time = time.time() - t0
+    return res
+
+
+def print_pipeline_summary(res: PipelineResult) -> None:
+    """Reference src/etl_pipeline.py:405-468."""
+    print("=" * 60)
+    print("ETL PIPELINE SUMMARY")
+    print("=" * 60)
+    print(f"Status:            {res.status}")
+    print(f"Source file:       {res.file_path}")
+    print(f"Rows extracted:    {res.extracted_rows}")
+    print(f"Rows valid:        {res.transformed_rows}")
+    print(f"Rows loaded:       {res.loaded_rows}")
+    print(f"Rows skipped:      {res.skipped_rows}")
+    if res.issue_counts:
+        shown = {k: v for k, v in res.issue_counts.items() if v}
+        if shown:
+            print(f"Validation issues: {shown}")
+    for phase, secs in res.phase_times.items():
+        print(f"  {phase:<10} {secs:6.2f}s")
+    print(f"Total time:        {res.total_time:.2f}s")
+    if res.error:
+        print(f"Error:             {res.error}")
+    print("=" * 60)
+
+
+def parse_arguments(argv=None):
+    """Reference src/etl_pipeline.py:475-542 flags."""
+    p = argparse.ArgumentParser(description="PySpark ETL pipeline")
+    p.add_argument("--file", required=True, help="transactions CSV path")
+    p.add_argument("--warehouse", default="/tmp/spark_warehouse")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--validate-only", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    from .session import get_spark
+    from .config import WarehouseConfig, ValidationConfig
+
+    args = parse_arguments(argv)
+    spark = get_spark("etl_pipeline")
+    if args.verbose:
+        spark.sparkContext.setLogLevel("INFO")
+    cfg = EngineConfig(warehouse=WarehouseConfig(path=args.warehouse))
+    try:
+        res = run_etl_pipeline(
+            spark, args.file, cfg, dry_run=args.dry_run, validate_only=args.validate_only
+        )
+    except KeyboardInterrupt:
+        return 130
+    print_pipeline_summary(res)
+    return 0 if res.status in ("success", "dry_run", "validated") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
