@@ -1,0 +1,577 @@
+"""The analytics query library (SURVEY §2.9 Q1-Q20), expressed over the
+driver's TPC-H-ish test tables.
+
+The reference ships 20 named analytics queries over its transactions
+star schema (sql/queries.sql + src/load.py:1006-1023). The test corpus
+here reproduces every operator shape — UNION ALL count probes, NOT
+EXISTS orphan checks, HAVING dup detection, percentile quality stats,
+calendar rollups, percent-of-total scalar subqueries, conditional
+pivots, top-k with deterministic tie-breaks, IN-subquery semi joins,
+LAG growth, running-total windows, z-score anomaly CTEs, and the 5-way
+star join — mapped onto the star schema the driver provides:
+
+    fact lineitem → dims part, supplier, orders→customer→nation→region
+    calendar attributes derived from o_orderdate (the dim_date analog)
+
+Determinism rules (oracle hash-matching):
+- Money aggregates go through DECIMAL(18,2): exact, order-independent
+  summation in both Spark and DuckDB, then cast to DOUBLE — identical
+  bits on both sides. Plain double SUM is order-dependent and would
+  flake the hash.
+- AVG is computed as exact-decimal SUM / COUNT in double, rounded —
+  engine-native AVG over decimal returns different types/scales.
+- Every LIMIT query orders by a unique tie-break key.
+- Every computed column is explicitly aliased AND cast; calendar parts
+  are INT, counts BIGINT, money DOUBLE.
+
+Scale notes: every query is a declarative DataFrame plan — Catalyst
+pushes filters/prunes columns into the parquet scan; dims (part,
+supplier, customer, nation, region) are broadcast; only fact-side
+groupBys shuffle. Window queries operate on pre-aggregated frames
+(months × groups), never on raw fact rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read nanos as long and truncate to micros
+        # (DuckDB's native precision, so the oracle sees the same values).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- determinism helpers ---------------------------------------------------
+
+def dec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact money sum → double (order-independent)."""
+    return F.sum(dec(col)).cast("double")
+
+
+def davg(col: Column | str, nd: int = 6) -> Column:
+    """Exact-sum average → double rounded to ``nd`` places."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(dec(c)).cast("double") / F.count(c), nd)
+
+
+def iso_dow(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.weekday(c) + F.lit(1)).cast("int")
+
+
+def with_calendar(df: DataFrame, ts: str) -> DataFrame:
+    """Calendar attributes of a timestamp column (the dim_date analog —
+    F8-F12 of SURVEY §2.4)."""
+    d = F.col(ts)
+    return (
+        df.withColumn("year", F.year(d).cast("int"))
+        .withColumn("quarter", F.quarter(d).cast("int"))
+        .withColumn("month", F.month(d).cast("int"))
+        .withColumn("month_name", F.date_format(d, "MMMM"))
+        .withColumn("day_of_week", iso_dow(d))
+        .withColumn("day_name", F.date_format(d, "EEEE"))
+        .withColumn("is_weekend", iso_dow(d).isin(6, 7))
+    )
+
+
+# --- Q1: record_counts (6-way UNION ALL; reference sql/queries.sql:22-35) --
+
+def q01_record_counts(spark: SparkSession, sf: str) -> DataFrame:
+    parts = None
+    for t in ("customer", "supplier", "part", "orders", "lineitem", "nation"):
+        one = load(spark, sf, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("record_count")
+        )
+        parts = one if parts is None else parts.unionAll(one)
+    return parts.orderBy("table_name")
+
+
+# --- Q2: orphaned_records (NOT EXISTS ×5; sql/queries.sql:38-46) -----------
+
+def q02_orphaned_records(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    part = load(spark, sf, "part")
+    supp = load(spark, sf, "supplier")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+
+    def orphans(name, left, right, lk, rk):
+        return left.join(
+            right.select(F.col(rk).alias(lk)), lk, "left_anti"
+        ).agg(F.lit(name).alias("check_name"), F.count(F.lit(1)).alias("orphans"))
+
+    checks = [
+        orphans("lineitem_no_order", li, orders, "l_orderkey", "o_orderkey"),
+        orphans("lineitem_no_part", li, part, "l_partkey", "p_partkey"),
+        orphans("lineitem_no_supplier", li, supp, "l_suppkey", "s_suppkey"),
+        orphans("orders_no_customer", orders, cust, "o_custkey", "c_custkey"),
+        orphans("customer_no_nation", cust, nation, "c_nationkey", "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")
+
+
+# --- Q3: duplicate detection (HAVING COUNT>1; sql/queries.sql:49-54) -------
+
+def q03_multi_line_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("line_count"))
+        .filter(F.col("line_count") > 1)
+        .orderBy(F.desc("line_count"), "l_orderkey")
+        .limit(20)
+    )
+
+
+# --- Q4: amount_quality (COUNT/MIN/MAX/AVG/median; sql/queries.sql:57-65) --
+
+def q04_amount_quality(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.agg(
+        F.count("l_extendedprice").alias("total_count"),
+        F.min(dec("l_extendedprice")).cast("double").alias("min_amount"),
+        F.max(dec("l_extendedprice")).cast("double").alias("max_amount"),
+        davg("l_extendedprice").alias("avg_amount"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_amount"),
+    )
+
+
+# --- Q5: monthly_trends (sql/queries.sql:72-84) ----------------------------
+
+def q05_monthly_trends(spark: SparkSession, sf: str) -> DataFrame:
+    o = with_calendar(load(spark, sf, "orders"), "o_orderdate")
+    return (
+        o.groupBy("year", "month", "month_name")
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            dsum("o_totalprice").alias("total_amount"),
+            davg("o_totalprice").alias("avg_amount"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+# --- Q6: quarterly_comparison (sql/queries.sql:87-97) ----------------------
+
+def q06_quarterly_comparison(spark: SparkSession, sf: str) -> DataFrame:
+    o = with_calendar(load(spark, sf, "orders"), "o_orderdate")
+    return (
+        o.groupBy("year", "quarter")
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            dsum("o_totalprice").alias("total_amount"),
+        )
+        .orderBy("year", "quarter")
+    )
+
+
+# --- Q7: day_of_week_patterns (sql/queries.sql:100-111) --------------------
+
+def q07_day_of_week_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    o = with_calendar(load(spark, sf, "orders"), "o_orderdate")
+    return (
+        o.groupBy("day_name", "day_of_week")
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            dsum("o_totalprice").alias("total_amount"),
+            davg("o_totalprice").alias("avg_amount"),
+        )
+        .orderBy("day_of_week")
+    )
+
+
+# --- Q8: weekend_vs_weekday (CASE label; sql/queries.sql:114-124) ----------
+
+def q08_weekend_vs_weekday(spark: SparkSession, sf: str) -> DataFrame:
+    o = with_calendar(load(spark, sf, "orders"), "o_orderdate")
+    return (
+        o.withColumn(
+            "day_type",
+            F.when(F.col("is_weekend"), F.lit("Weekend")).otherwise(F.lit("Weekday")),
+        )
+        .groupBy("day_type")
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            dsum("o_totalprice").alias("total_amount"),
+            davg("o_totalprice").alias("avg_amount"),
+        )
+        .orderBy("day_type")
+    )
+
+
+# --- Q9: top categories w/ percent-of-total (sql/queries.sql:131-142) ------
+
+def q09_top_types_pct(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    per_type = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            F.sum(dec("l_extendedprice")).alias("__total_dec"),
+        )
+    )
+    grand = per_type.agg(F.sum("__total_dec").alias("__grand"))
+    return (
+        per_type.crossJoin(F.broadcast(grand))
+        .select(
+            "p_type",
+            "transaction_count",
+            F.col("__total_dec").cast("double").alias("total_amount"),
+            F.round(
+                F.col("__total_dec").cast("double") * 100.0 / F.col("__grand").cast("double"), 2
+            ).alias("pct_of_total"),
+        )
+        .orderBy(F.desc("total_amount"), "p_type")
+    )
+
+
+# --- Q10: conditional pivot by month (sql/queries.sql:145-158) -------------
+
+def q10_priority_by_month_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    o = with_calendar(load(spark, sf, "orders"), "o_orderdate")
+
+    def bucket(prio, alias):
+        return F.coalesce(
+            F.sum(F.when(F.col("o_orderpriority") == prio, dec("o_totalprice"))),
+            F.lit(0).cast("decimal(18,2)"),
+        ).cast("double").alias(alias)
+
+    return (
+        o.groupBy("year", "month")
+        .agg(
+            bucket("1-URGENT", "urgent_amount"),
+            bucket("2-HIGH", "high_amount"),
+            bucket("3-MEDIUM", "medium_amount"),
+            bucket("5-LOW", "low_amount"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+# --- Q11: top-20 suppliers (sql/queries.sql:165-178) -----------------------
+
+def q11_top20_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            dsum("l_extendedprice").alias("total_amount"),
+            davg("l_extendedprice").alias("avg_amount"),
+        )
+        .orderBy(F.desc("total_amount"), "s_name")
+        .limit(20)
+    )
+
+
+# --- Q12: supplier frequency by distinct customers (sql/queries.sql:181-192)
+
+def q12_supplier_customer_reach(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    supp = load(spark, sf, "supplier")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            dsum("l_extendedprice").alias("total_amount"),
+        )
+        .orderBy(F.desc("unique_customers"), "s_name")
+        .limit(15)
+    )
+
+
+# --- Q13: priority usage pct (sql/queries.sql:199-210) ---------------------
+
+def q13_priority_usage(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("transaction_count"),
+        dsum("o_totalprice").alias("total_amount"),
+        davg("o_totalprice").alias("avg_amount"),
+    )
+    grand = o.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        per.crossJoin(F.broadcast(grand))
+        .select(
+            "o_orderpriority",
+            "transaction_count",
+            F.round(F.col("transaction_count") * 100.0 / F.col("__n"), 2).alias(
+                "pct_of_transactions"
+            ),
+            "total_amount",
+            "avg_amount",
+        )
+        .orderBy(F.desc("transaction_count"), "o_orderpriority")
+    )
+
+
+# --- Q14: status × priority (sql/queries.sql:213-224) ----------------------
+
+def q14_status_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            dsum("o_totalprice").alias("total_amount"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# --- Q15: top-10 customers (sql/queries.sql:231-243) -----------------------
+
+def q15_top10_customers(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(cust.select("c_custkey", "c_name")), o.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            dsum("o_totalprice").alias("total_amount"),
+            davg("o_totalprice").alias("avg_amount"),
+            F.max(dec("o_totalprice")).cast("double").alias("max_amount"),
+        )
+        .orderBy(F.desc("total_amount"), "c_custkey")
+        .limit(10)
+    )
+
+
+# --- Q16: top-5 customers by part type (IN-subquery; sql/queries.sql:246-266)
+
+def q16_top5_customers_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    top5 = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("__spend"))
+        .orderBy(F.desc("__spend"), "o_custkey")
+        .limit(5)
+        .select("o_custkey")
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(top5), "o_custkey", "left_semi")
+        .join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == part.p_partkey)
+        .groupBy("o_custkey", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            dsum("l_extendedprice").alias("total_amount"),
+        )
+        .orderBy("o_custkey", F.desc("total_amount"), "p_type")
+    )
+
+
+# --- Q17: month-over-month growth (CTE + LAG; sql/queries.sql:273-296) -----
+
+def q17_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
+    o = with_calendar(load(spark, sf, "orders"), "o_orderdate")
+    monthly = o.groupBy("year", "month").agg(
+        F.sum(dec("o_totalprice")).alias("__total_dec")
+    )
+    w = Window.orderBy("year", "month")
+    total = F.col("__total_dec").cast("double")
+    prev = F.lag("__total_dec").over(w).cast("double")
+    return (
+        monthly.withColumn("__prev", prev)
+        .select(
+            "year",
+            "month",
+            total.alias("total_spending"),
+            F.col("__prev").alias("prev_month_spending"),
+            F.round(total - F.col("__prev"), 2).alias("mom_change"),
+            F.round(
+                (total - F.col("__prev")) * 100.0 / F.nullif(F.col("__prev"), F.lit(0.0)), 2
+            ).alias("mom_pct_change"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+# --- Q18: running total per group (window SUM; sql/queries.sql:299-313) ----
+
+def q18_running_total_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = with_calendar(load(spark, sf, "orders"), "o_orderdate")
+    monthly = o.groupBy("o_orderpriority", "year", "month").agg(
+        F.sum(dec("o_totalprice")).alias("__total_dec")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("year", "month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        monthly.withColumn("__run", F.sum("__total_dec").over(w))
+        .select(
+            "o_orderpriority",
+            "year",
+            "month",
+            F.col("__total_dec").cast("double").alias("monthly_amount"),
+            F.col("__run").cast("double").alias("running_total"),
+        )
+        .orderBy("o_orderpriority", "year", "month")
+    )
+
+
+# --- Q19: anomalous amounts (z-score CTE; sql/queries.sql:316-340) ---------
+
+def q19_anomalous_lineitems(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == part.p_partkey
+    )
+    stats = joined.groupBy("p_type").agg(
+        davg("l_extendedprice", 10).alias("__avg"),
+        F.stddev("l_extendedprice").alias("__std"),
+    )
+    return (
+        joined.join(F.broadcast(stats), "p_type")
+        .filter(F.col("l_extendedprice") > F.col("__avg") * 1.5)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_type",
+            dec("l_extendedprice").cast("double").alias("amount"),
+            F.round(F.col("__avg"), 2).alias("type_avg"),
+            F.round(
+                (F.col("l_extendedprice") - F.col("__avg"))
+                / F.nullif(F.col("__std"), F.lit(0.0)),
+                2,
+            ).alias("z_score"),
+        )
+        .orderBy(F.desc("amount"), "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+# --- Q20: 5-way star join sample (src/load.py:1006-1023) -------------------
+
+def q20_star_join_sample(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    supp = load(spark, sf, "supplier")
+    part = load(spark, sf, "part")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "c_name",
+            "n_name",
+            "r_name",
+            "s_name",
+            "p_name",
+            dec("l_extendedprice").cast("double").alias("amount"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(5)
+    )
+
+
+# --- events: hourly rollup + sessionization --------------------------------
+
+def q21_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q22_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session. lag + cumulative
+    sum over a per-user window — the batch form of session_window."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.withColumn("__new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("session_count"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .orderBy("user_id")
+    )
+
+
+RELATIONAL_QUERIES = {
+    "q01_record_counts": q01_record_counts,
+    "q02_orphaned_records": q02_orphaned_records,
+    "q03_multi_line_orders": q03_multi_line_orders,
+    "q04_amount_quality": q04_amount_quality,
+    "q05_monthly_trends": q05_monthly_trends,
+    "q06_quarterly_comparison": q06_quarterly_comparison,
+    "q07_day_of_week_patterns": q07_day_of_week_patterns,
+    "q08_weekend_vs_weekday": q08_weekend_vs_weekday,
+    "q09_top_types_pct": q09_top_types_pct,
+    "q10_priority_by_month_pivot": q10_priority_by_month_pivot,
+    "q11_top20_suppliers": q11_top20_suppliers,
+    "q12_supplier_customer_reach": q12_supplier_customer_reach,
+    "q13_priority_usage": q13_priority_usage,
+    "q14_status_by_priority": q14_status_by_priority,
+    "q15_top10_customers": q15_top10_customers,
+    "q16_top5_customers_by_type": q16_top5_customers_by_type,
+    "q17_mom_growth": q17_mom_growth,
+    "q18_running_total_by_priority": q18_running_total_by_priority,
+    "q19_anomalous_lineitems": q19_anomalous_lineitems,
+    "q20_star_join_sample": q20_star_join_sample,
+    "q21_events_hourly": q21_events_hourly,
+    "q22_user_sessions": q22_user_sessions,
+}

@@ -1,0 +1,300 @@
+"""DuckDB oracle SQL — one ANSI-SQL twin per query in
+``plans.analytics`` (and the text/dedup/similarity query wrappers).
+
+Maintained in lockstep with the DataFrame implementations: same column
+names, same explicit casts (counts BIGINT, calendar INT, money through
+DECIMAL(18,2) → DOUBLE), same deterministic tie-breaks. See
+analytics.py's module docstring for the determinism rules.
+"""
+
+from __future__ import annotations
+
+# Exact money aggregation (matches analytics.dec/dsum/davg)
+_DEC = "CAST({col} AS DECIMAL(18,2))"
+
+
+def _dsum(col: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def _davg(col: str, nd: int = 6) -> str:
+    return f"ROUND(CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col}), {nd})"
+
+
+RELATIONAL_ORACLE: dict[str, str] = {}
+
+RELATIONAL_ORACLE["q01_record_counts"] = """
+SELECT * FROM (
+  SELECT 'customer' AS table_name, COUNT(*) AS record_count FROM customer
+  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+  UNION ALL SELECT 'part', COUNT(*) FROM part
+  UNION ALL SELECT 'orders', COUNT(*) FROM orders
+  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+  UNION ALL SELECT 'nation', COUNT(*) FROM nation
+) ORDER BY table_name
+"""
+
+RELATIONAL_ORACLE["q02_orphaned_records"] = """
+SELECT * FROM (
+  SELECT 'lineitem_no_order' AS check_name, COUNT(*) AS orphans FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL SELECT 'lineitem_no_part', COUNT(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+  UNION ALL SELECT 'lineitem_no_supplier', COUNT(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+  UNION ALL SELECT 'orders_no_customer', COUNT(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL SELECT 'customer_no_nation', COUNT(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+) ORDER BY check_name
+"""
+
+RELATIONAL_ORACLE["q03_multi_line_orders"] = """
+SELECT l_orderkey, COUNT(*) AS line_count
+FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+ORDER BY line_count DESC, l_orderkey LIMIT 20
+"""
+
+RELATIONAL_ORACLE["q04_amount_quality"] = f"""
+SELECT COUNT(l_extendedprice) AS total_count,
+       CAST(MIN({_DEC.format(col='l_extendedprice')}) AS DOUBLE) AS min_amount,
+       CAST(MAX({_DEC.format(col='l_extendedprice')}) AS DOUBLE) AS max_amount,
+       {_davg('l_extendedprice')} AS avg_amount,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 6) AS median_amount
+FROM lineitem
+"""
+
+_CAL = """
+  CAST(YEAR(o_orderdate) AS INT) AS year,
+  CAST(QUARTER(o_orderdate) AS INT) AS quarter,
+  CAST(MONTH(o_orderdate) AS INT) AS month,
+  MONTHNAME(o_orderdate) AS month_name,
+  CAST(ISODOW(o_orderdate) AS INT) AS day_of_week,
+  DAYNAME(o_orderdate) AS day_name,
+  ISODOW(o_orderdate) IN (6, 7) AS is_weekend
+"""
+
+RELATIONAL_ORACLE["q05_monthly_trends"] = f"""
+WITH o AS (SELECT o_totalprice, {_CAL} FROM orders)
+SELECT year, month, month_name,
+       COUNT(*) AS transaction_count,
+       {_dsum('o_totalprice')} AS total_amount,
+       {_davg('o_totalprice')} AS avg_amount
+FROM o GROUP BY year, month, month_name ORDER BY year, month
+"""
+
+RELATIONAL_ORACLE["q06_quarterly_comparison"] = f"""
+WITH o AS (SELECT o_totalprice, {_CAL} FROM orders)
+SELECT year, quarter,
+       COUNT(*) AS transaction_count,
+       {_dsum('o_totalprice')} AS total_amount
+FROM o GROUP BY year, quarter ORDER BY year, quarter
+"""
+
+RELATIONAL_ORACLE["q07_day_of_week_patterns"] = f"""
+WITH o AS (SELECT o_totalprice, {_CAL} FROM orders)
+SELECT day_name, day_of_week,
+       COUNT(*) AS transaction_count,
+       {_dsum('o_totalprice')} AS total_amount,
+       {_davg('o_totalprice')} AS avg_amount
+FROM o GROUP BY day_name, day_of_week ORDER BY day_of_week
+"""
+
+RELATIONAL_ORACLE["q08_weekend_vs_weekday"] = f"""
+WITH o AS (SELECT o_totalprice, {_CAL} FROM orders)
+SELECT CASE WHEN is_weekend THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+       COUNT(*) AS transaction_count,
+       {_dsum('o_totalprice')} AS total_amount,
+       {_davg('o_totalprice')} AS avg_amount
+FROM o GROUP BY day_type ORDER BY day_type
+"""
+
+RELATIONAL_ORACLE["q09_top_types_pct"] = """
+WITH per_type AS (
+  SELECT p_type, COUNT(*) AS transaction_count,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS td
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type
+)
+SELECT p_type, transaction_count,
+       CAST(td AS DOUBLE) AS total_amount,
+       ROUND(CAST(td AS DOUBLE) * 100.0 /
+             CAST((SELECT SUM(td) FROM per_type) AS DOUBLE), 2) AS pct_of_total
+FROM per_type ORDER BY total_amount DESC, p_type
+"""
+
+RELATIONAL_ORACLE["q10_priority_by_month_pivot"] = """
+WITH o AS (SELECT o_totalprice, o_orderpriority,
+                  CAST(YEAR(o_orderdate) AS INT) AS year,
+                  CAST(MONTH(o_orderdate) AS INT) AS month
+           FROM orders)
+SELECT year, month,
+  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS urgent_amount,
+  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS high_amount,
+  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS medium_amount,
+  CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS low_amount
+FROM o GROUP BY year, month ORDER BY year, month
+"""
+
+RELATIONAL_ORACLE["q11_top20_suppliers"] = f"""
+SELECT s_name, n_name,
+       COUNT(*) AS transaction_count,
+       {_dsum('l_extendedprice')} AS total_amount,
+       {_davg('l_extendedprice')} AS avg_amount
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_name, n_name
+ORDER BY total_amount DESC, s_name LIMIT 20
+"""
+
+RELATIONAL_ORACLE["q12_supplier_customer_reach"] = f"""
+SELECT s_name,
+       COUNT(*) AS transaction_count,
+       COUNT(DISTINCT o_custkey) AS unique_customers,
+       {_dsum('l_extendedprice')} AS total_amount
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY unique_customers DESC, s_name LIMIT 15
+"""
+
+RELATIONAL_ORACLE["q13_priority_usage"] = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS transaction_count,
+       ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders), 2) AS pct_of_transactions,
+       {_dsum('o_totalprice')} AS total_amount,
+       {_davg('o_totalprice')} AS avg_amount
+FROM orders GROUP BY o_orderpriority
+ORDER BY transaction_count DESC, o_orderpriority
+"""
+
+RELATIONAL_ORACLE["q14_status_by_priority"] = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS transaction_count,
+       {_dsum('o_totalprice')} AS total_amount
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+RELATIONAL_ORACLE["q15_top10_customers"] = f"""
+SELECT c_custkey, c_name,
+       COUNT(*) AS transaction_count,
+       {_dsum('o_totalprice')} AS total_amount,
+       {_davg('o_totalprice')} AS avg_amount,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_amount
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_amount DESC, c_custkey LIMIT 10
+"""
+
+RELATIONAL_ORACLE["q16_top5_customers_by_type"] = f"""
+SELECT o_custkey, p_type,
+       COUNT(*) AS transaction_count,
+       {_dsum('l_extendedprice')} AS total_amount
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE o_custkey IN (
+  SELECT o_custkey FROM orders GROUP BY o_custkey
+  ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, o_custkey LIMIT 5
+)
+GROUP BY o_custkey, p_type
+ORDER BY o_custkey, total_amount DESC, p_type
+"""
+
+RELATIONAL_ORACLE["q17_mom_growth"] = """
+WITH monthly AS (
+  SELECT CAST(YEAR(o_orderdate) AS INT) AS year,
+         CAST(MONTH(o_orderdate) AS INT) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS td
+  FROM orders GROUP BY 1, 2
+), lagged AS (
+  SELECT year, month, td, LAG(td) OVER (ORDER BY year, month) AS prev_td
+  FROM monthly
+)
+SELECT year, month,
+       CAST(td AS DOUBLE) AS total_spending,
+       CAST(prev_td AS DOUBLE) AS prev_month_spending,
+       ROUND(CAST(td AS DOUBLE) - CAST(prev_td AS DOUBLE), 2) AS mom_change,
+       ROUND((CAST(td AS DOUBLE) - CAST(prev_td AS DOUBLE)) * 100.0 /
+             NULLIF(CAST(prev_td AS DOUBLE), 0), 2) AS mom_pct_change
+FROM lagged ORDER BY year, month
+"""
+
+RELATIONAL_ORACLE["q18_running_total_by_priority"] = """
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(YEAR(o_orderdate) AS INT) AS year,
+         CAST(MONTH(o_orderdate) AS INT) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS td
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority, year, month,
+       CAST(td AS DOUBLE) AS monthly_amount,
+       CAST(SUM(td) OVER (PARTITION BY o_orderpriority ORDER BY year, month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM monthly ORDER BY o_orderpriority, year, month
+"""
+
+RELATIONAL_ORACLE["q19_anomalous_lineitems"] = """
+WITH joined AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), stats AS (
+  SELECT p_type,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(l_extendedprice), 10) AS a,
+         STDDEV(l_extendedprice) AS s
+  FROM joined GROUP BY p_type
+)
+SELECT l_orderkey, l_linenumber, j.p_type,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       ROUND(a, 2) AS type_avg,
+       ROUND((l_extendedprice - a) / NULLIF(s, 0), 2) AS z_score
+FROM joined j JOIN stats USING (p_type)
+WHERE l_extendedprice > a * 1.5
+ORDER BY amount DESC, l_orderkey, l_linenumber LIMIT 50
+"""
+
+RELATIONAL_ORACLE["q20_star_join_sample"] = """
+SELECT l_orderkey, l_linenumber, c_name, n_name, r_name, s_name, p_name,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+ORDER BY l_orderkey, l_linenumber LIMIT 5
+"""
+
+RELATIONAL_ORACLE["q21_events_hourly"] = f"""
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       COUNT(*) AS event_count,
+       {_dsum('value')} AS total_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+RELATIONAL_ORACLE["q22_user_sessions"] = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL OR DATE_DIFF('second', prev, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), sessions AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS session_count,
+       COUNT(*) AS event_count
+FROM sessions GROUP BY user_id ORDER BY user_id
+"""
