@@ -1,0 +1,437 @@
+"""Driver-contract wrappers for the training-data extension operators:
+text analysis, exact/fuzzy dedup, similarity search, multimodal
+plumbing — each a (spark, sf_dir) -> DataFrame callable plus a DuckDB
+oracle twin.
+
+The oracle SQL mirrors the Spark expressions operation-for-operation
+(same hash construction, same double-precision fold order, same
+rounding) so results are bit-identical — see functions/dedup.py and
+functions/similarity.py for the determinism constraints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.analytics import load
+from . import dedup as dd
+from . import similarity as sim
+from . import text as tx
+from .multimodal import documents_as_media, extract_metadata
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+
+
+def _docs_words(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "documents").withColumn("__words", tx.words("text"))
+
+
+# --- text analysis ---------------------------------------------------------
+
+def tx01_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(
+            "source",
+            tx.token_count("text").alias("__tok"),
+            tx.subword_count("text").alias("__sub"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+            F.sum("__sub").alias("total_subwords"),
+            F.round(F.sum("__tok").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def tx02_quality_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    scored = docs.select(
+        "lang",
+        tx.quality_score("text").alias("__q"),
+        tx.mean_word_length("text").alias("__mwl"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # per-doc scores are 4dp-rounded doubles; summing via
+            # decimal keeps the aggregate order-independent
+            F.round(
+                F.sum(F.col("__q").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_quality"),
+            F.round(
+                F.sum(F.col("__mwl").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_word_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+def tx03_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select("lang", tx.lang_id("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def tx04_fingerprint_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select("source", tx.fingerprint("text").alias("__fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__fp").alias("n_unique_fingerprints"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- deduplication ---------------------------------------------------------
+
+def dd01_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup accounting: hash-groupBy on md5(text) per source."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select("source", F.md5("text").alias("__h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.countDistinct("__h").alias("kept_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("__h")).alias("removed_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def dd02_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """3-gram Jaccard over consecutive doc-id pairs — the exact
+    similarity kernel on a linear pair list."""
+    docs = _docs_words(spark, sf).select(
+        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    return (
+        a.join(b, a.id_a + 1 == b.id_b)
+        .select("id_a", "id_b", dd.jaccard(F.col("__sa"), F.col("__sb")).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "id_a")
+        .limit(20)
+    )
+
+
+def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, verified with exact Jaccard."""
+    docs = _docs_words(spark, sf).select(
+        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
+    )
+    sigs = dd.minhash_signatures(docs, "doc_id", "__sh", k=MINHASH_K)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", k=MINHASH_K, bands=MINHASH_BANDS)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", dd.jaccard(F.col("__sa"), F.col("__sb")).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(50)
+    )
+
+
+def dd04_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs_words(spark, sf)
+    return docs.select(
+        "doc_id", dd.simhash32(F.col("__words")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+# --- similarity search -----------------------------------------------------
+
+def es01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return sim.cosine_topk(load(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def es02_consecutive_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
+    return (
+        a.join(b, a.id_a + 1 == b.id_b)
+        .select(
+            "id_a", "id_b", sim.cosine(F.col("__ea"), F.col("__eb")).alias("cosine_sim")
+        )
+        .orderBy("id_a")
+    )
+
+
+def es03_bucketed_ann(spark: SparkSession, sf: str) -> DataFrame:
+    return sim.bucketed_ann_topk(
+        load(spark, sf, "embeddings"), query_vec_id=0, k=10, nbits=4
+    )
+
+
+# --- multimodal ------------------------------------------------------------
+
+def mm01_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column metadata extraction via Arrow-batched mapInPandas
+    (documents' utf-8 bytes standing in for media payloads)."""
+    media = documents_as_media(load(spark, sf, "documents"))
+    meta = extract_metadata(media)
+    return (
+        meta.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("header_byte").cast("bigint").alias("header_byte_sum"),
+            F.sum(F.col("is_empty").cast("long")).alias("n_empty"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- oracle twins ----------------------------------------------------------
+
+_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _sql_shingles(words: str) -> str:
+    return (
+        f"CASE WHEN len({words}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({words}) - 1), i -> array_to_string({words}[i:i+2], ' ')))"
+        f" ELSE [] END"
+    )
+
+
+_QUALITY = """
+  ROUND(
+    (CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 20 THEN 0.25
+          ELSE CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 80.0 END)
+    + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN swr >= 0.05 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN pr <= 0.1 THEN 0.25 ELSE 0.0 END), 4)
+"""
+
+_MWL = (
+    "ROUND(CAST(list_sum(list_transform({w}, x -> length(x))) AS DOUBLE)"
+    " / CAST(NULLIF(len({w}), 0) AS DOUBLE), 4)"
+)
+_SWR = (
+    "ROUND(CAST(len(list_filter({w}, x -> list_contains("
+    "['the','a','an','and','of','to','in','is','it','for'], x))) AS DOUBLE)"
+    " / CAST(NULLIF(len({w}), 0) AS DOUBLE), 6)"
+)
+_PR = (
+    "ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)"
+    " / CAST(NULLIF(length(text), 0) AS DOUBLE), 6)"
+)
+
+EXTENSION_ORACLE: dict[str, str] = {}
+
+EXTENSION_ORACLE["tx01_token_stats"] = """
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS sub
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(sub) AS BIGINT) AS total_subwords,
+       ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+FROM t GROUP BY source ORDER BY source
+"""
+
+EXTENSION_ORACLE["tx02_quality_by_lang"] = f"""
+WITH base AS (
+  SELECT lang, text, {_WORDS} AS w FROM documents
+), feats AS (
+  SELECT lang, text,
+         {_MWL.format(w='w')} AS mwl,
+         {_SWR.format(w='w')} AS swr,
+         {_PR} AS pr
+  FROM base
+), scored AS (
+  SELECT lang, {_QUALITY} AS q, mwl FROM feats
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_quality,
+       ROUND(CAST(SUM(CAST(mwl AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_word_len
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+_LANG_SCORES = """
+  len(list_filter(w, x -> list_contains(['the','and','of','is','to'], x))) AS s_en,
+  len(list_filter(w, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
+  len(list_filter(w, x -> list_contains(['le','les','et','est','une'], x))) AS s_fr,
+  len(list_filter(w, x -> list_contains(['el','los','y','es','una'], x))) AS s_es
+"""
+
+EXTENSION_ORACLE["tx03_langid_confusion"] = f"""
+WITH base AS (
+  SELECT lang, {_WORDS} AS w FROM documents
+), scores AS (
+  SELECT lang, {_LANG_SCORES} FROM base
+), pred AS (
+  SELECT lang,
+         CASE WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de > 0 AND s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es > 0 AND s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+              ELSE 'unknown' END AS predicted_lang
+  FROM scores
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang
+"""
+
+EXTENSION_ORACLE["tx04_fingerprint_stats"] = """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))) AS n_unique_fingerprints
+FROM documents GROUP BY source ORDER BY source
+"""
+
+EXTENSION_ORACLE["dd01_exact_dedup"] = """
+SELECT source, COUNT(*) AS total_docs,
+       COUNT(DISTINCT md5(text)) AS kept_docs,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS removed_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+_JACCARD = (
+    "ROUND(CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "
+    "CAST(NULLIF(len({a}) + len({b}) - len(list_intersect({a}, {b})), 0) AS DOUBLE), 6)"
+)
+
+EXTENSION_ORACLE["dd02_ngram_jaccard_pairs"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {_JACCARD.format(a='a.s', b='b.s')} AS jaccard
+FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+ORDER BY jaccard DESC, id_a LIMIT 20
+"""
+
+EXTENSION_ORACLE["dd03_minhash_lsh_pairs"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, {_JACCARD.format(a='sa.s', b='sb.s')} AS jaccard
+FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+ORDER BY jaccard DESC, id_a, id_b LIMIT 50
+"""
+
+
+def _simhash_sql() -> str:
+    hashes = (
+        f"list_transform(list_distinct({_WORDS}), w -> "
+        f"{_H60.format(x='w')} % 2147483648)"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+WITH hs_t AS (SELECT doc_id, {hashes} AS hs FROM documents)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+FROM hs_t ORDER BY doc_id
+"""
+
+
+EXTENSION_ORACLE["dd04_simhash"] = _simhash_sql()
+
+# double-precision sequential fold, identical to similarity.dot/norm
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_COS = (
+    f"ROUND({_DOT} / NULLIF({_NORM.format(a='{a}')} * {_NORM.format(a='{b}')}, 0.0), 4)"
+)
+
+EXTENSION_ORACLE["es01_cosine_topk"] = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {_COS.format(a='embedding', b='qe')} AS cosine_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+EXTENSION_ORACLE["es02_consecutive_cosine"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS.format(a='a.embedding', b='b.embedding')} AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+ORDER BY id_a
+"""
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN {{e}}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(4)
+)
+
+EXTENSION_ORACLE["es03_bucketed_ann"] = f"""
+WITH wb AS (
+  SELECT vec_id, embedding, CAST({_BUCKET.format(e='embedding')} AS INT) AS bucket
+  FROM embeddings
+), q AS (SELECT embedding AS qe, bucket AS qb FROM wb WHERE vec_id = 0)
+SELECT vec_id, {_COS.format(a='embedding', b='qe')} AS cosine_sim
+FROM wb, q WHERE bucket = qb AND vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+EXTENSION_ORACLE["mm01_media_metadata"] = """
+SELECT source, COUNT(*) AS n_items,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM(ascii(substr(text, 1, 1))) AS BIGINT) AS header_byte_sum,
+       CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+EXTENSION_QUERIES = {
+    "tx01_token_stats": tx01_token_stats,
+    "tx02_quality_by_lang": tx02_quality_by_lang,
+    "tx03_langid_confusion": tx03_langid_confusion,
+    "tx04_fingerprint_stats": tx04_fingerprint_stats,
+    "dd01_exact_dedup": dd01_exact_dedup,
+    "dd02_ngram_jaccard_pairs": dd02_ngram_jaccard_pairs,
+    "dd03_minhash_lsh_pairs": dd03_minhash_lsh_pairs,
+    "dd04_simhash": dd04_simhash,
+    "es01_cosine_topk": es01_cosine_topk,
+    "es02_consecutive_cosine": es02_consecutive_cosine,
+    "es03_bucketed_ann": es03_bucketed_ann,
+    "mm01_media_metadata": mm01_media_metadata,
+}

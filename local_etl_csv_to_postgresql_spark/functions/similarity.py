@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the exactness baseline. zip_with dot
+  product in double precision — all JVM-side higher-order functions, no
+  Python. O(n) per query; at cluster scale the query vector broadcasts
+  and the scan parallelizes over partitions.
+- Sign-LSH bucketed ANN: the scale path. Bucket key = sign bits of the
+  first ``nbits`` dimensions (a fixed, deterministic hyperplane set);
+  search only the query's bucket. Recall trades off with nbits; the
+  point is that candidate generation becomes an equi-join on the bucket
+  key instead of a full scan.
+
+Cosines are rounded (4 dp) before any ordering so Spark and the DuckDB
+oracle order identically despite float-association differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column, nd: int = 4) -> Column:
+    return F.round(dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0)), nd)
+
+
+def sign_bucket(a: Column, nbits: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the first ``nbits`` dims."""
+    out = None
+    for i in range(nbits):
+        bit = F.when(F.element_at(a, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against the embedding of ``query_vec_id``.
+
+    The 1-row query side is broadcast; the scan side never shuffles —
+    ordering the k smallest is a TakeOrdered, not a global sort.
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("__q")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
+def bucketed_ann_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nbits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's sign-LSH
+    bucket are scored. The bucket equi-join replaces the full scan."""
+    with_bucket = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), nbits))
+    q = with_bucket.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q"), F.col("__bucket")
+    )
+    return (
+        with_bucket.join(F.broadcast(q), "__bucket")
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("__q")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
