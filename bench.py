@@ -1,0 +1,59 @@
+"""Benchmark runner: executes the full query library on one shared
+SparkSession and prints ONE JSON line with per-query wall times.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrypoint  # noqa: E402
+from local_etl_csv_to_postgresql_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warm-up (untimed): JVM/codegen init + parquet footer reads
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(1_000_000).agg({"id": "sum"}).collect()
+
+    queries = entrypoint.queries()
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    t_all = time.time()
+    for name, fn in queries.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            failures[name] = str(e).split("\n")[0][:200]
+    total = round(time.time() - t_all, 3)
+
+    out = {
+        "metric": "query_library_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

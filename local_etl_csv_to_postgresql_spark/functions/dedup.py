@@ -68,59 +68,103 @@ def jaccard(a: Column, b: Column, nd: int = 6) -> Column:
     )
 
 
-def minhash_signatures(
+def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+    """Row-local k-permutation minhash signature (array<bigint>).
+
+    The whole signature is computed inside the row — base-hash each
+    shingle once, then take array_min of each affine permutation. ZERO
+    shuffle and zero data movement: at 100 TB the signature pass is
+    embarrassingly parallel over partitions, which is the entire point
+    of minhash (the only shuffle in the pipeline is the LSH bucket
+    groupBy that follows). Empty shingle sets yield null minhashes.
+    """
+    base = F.transform(shingle_col, lambda s: hash60(s) % F.lit(MINHASH_REDUCE))
+
+    def perm(j: int) -> Column:
+        # factory, NOT a default-arg lambda: F.transform treats a 2-param
+        # lambda as its (element, index) form
+        return F.array_min(
+            F.transform(
+                base,
+                lambda h: (F.lit(minhash_a(j)) * h + F.lit(minhash_b(j)))
+                % F.lit(MINHASH_P),
+            )
+        )
+
+    return F.array(*[perm(j) for j in range(k)])
+
+
+def minhash_signatures_agg(
     doc_shingles: DataFrame, id_col: str, shingle_col: str, k: int = 16
 ) -> DataFrame:
-    """(id, shingle-array) → (id, j, mh): the k-permutation minhash.
+    """(id, shingle-array) → (id, signature array<bigint>) via the
+    codegen fast path: explode shingles, base-hash as a plain column,
+    ONE hash-aggregate with k MIN expressions (map-side combinable — the
+    shuffle carries k ints per doc), then assemble the array.
 
-    Explode → per-permutation affine hash → min per (id, j). The min is
-    map-side combinable, so the shuffle carries k rows per document.
+    ~10x faster than the row-local higher-order version on CPU because
+    every expression stays inside whole-stage codegen; the row-local
+    ``minhash_signature`` remains for cases where avoiding any shuffle
+    matters more than CPU. Docs with empty shingle sets keep a row
+    (explode_outer) with an all-null signature, matching the HOF path.
     """
-    exploded = doc_shingles.select(
-        F.col(id_col), F.explode(F.col(shingle_col)).alias("__sh")
+    ex = doc_shingles.select(
+        F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("__sh")
     )
-    h0 = (hash60(F.col("__sh")) % F.lit(MINHASH_REDUCE)).alias("__h0")
-    exploded = exploded.select(id_col, h0)
-    perms = None
-    for j in range(k):
-        hj = exploded.select(
-            id_col,
-            F.lit(j).alias("j"),
-            ((F.lit(minhash_a(j)) * F.col("__h0") + F.lit(minhash_b(j))) % F.lit(MINHASH_P)).alias(
-                "__hj"
-            ),
-        )
-        perms = hj if perms is None else perms.unionAll(hj)
-    return perms.groupBy(id_col, "j").agg(F.min("__hj").alias("mh"))
+    h = ex.withColumn(
+        "__h0",
+        F.when(
+            F.col("__sh").isNotNull(), hash60(F.col("__sh")) % F.lit(MINHASH_REDUCE)
+        ),
+    )
+    mins = [
+        F.min(
+            (F.lit(minhash_a(j)) * F.col("__h0") + F.lit(minhash_b(j)))
+            % F.lit(MINHASH_P)
+        ).alias(f"__m{j}")
+        for j in range(k)
+    ]
+    agg = h.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{j}") for j in range(k)]).alias("signature"),
+    )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, k: int = 16, bands: int = 4
-) -> DataFrame:
-    """(id, j, mh) → candidate (id_a, id_b) pairs whose signatures agree
-    on at least one full band. Banded bucket-join: group signatures into
-    ``bands`` bands of k/bands rows, key each band by the md5 of its
-    values, and self-join within (band, key) buckets."""
+def band_keys(sig_col: Column, k: int = 16, bands: int = 4) -> Column:
+    """Row-local LSH band keys: md5 over each band's slice of the
+    signature (array<string>, one key per band)."""
     rows = k // bands
-    banded = (
-        # floor-then-cast: DuckDB CAST(double AS INT) rounds while Spark
-        # truncates — FLOOR first keeps the band index identical in both.
-        signatures.withColumn("band", F.floor(F.col("j") / rows).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
+    return F.array(
+        *[
             F.md5(
                 F.concat_ws(
                     ",",
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("j"), F.col("mh")))
-                        ),
-                        lambda s: s["mh"].cast("string"),
+                        F.slice(sig_col, b * rows + 1, rows),
+                        lambda m: m.cast("string"),
                     ),
                 )
-            ).alias("band_key")
-        )
+            )
+            for b in range(bands)
+        ]
     )
+
+
+def lsh_candidate_pairs(
+    doc_signatures: DataFrame, id_col: str, sig_col: str = "signature",
+    k: int = 16, bands: int = 4,
+) -> DataFrame:
+    """(id, signature-array) → candidate (id_a, id_b) pairs whose
+    signatures agree on at least one full band.
+
+    Band keys are computed row-locally (band_keys), then posexploded to
+    (band, band_key) — the self-join on that pair is the ONLY shuffle in
+    the near-dup pipeline, and it is keyed on 32-byte digests, not
+    content."""
+    banded = doc_signatures.select(
+        F.col(id_col), F.posexplode(band_keys(F.col(sig_col), k, bands))
+    ).select(F.col(id_col), F.col("pos").alias("band"), F.col("col").alias("band_key"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -152,3 +196,36 @@ def simhash32(words_col: Column) -> Column:
     for b in range(1, 32):
         out = out + bit(b)
     return out
+
+
+def simhash32_agg(df: DataFrame, id_col: str, words_col: Column) -> DataFrame:
+    """SimHash as a codegen'd explode + hash-aggregate (the fast path:
+    the higher-order ``simhash32`` is interpreted per element and ~10x
+    slower). Explode distinct words, compute 32 ±1 bit-votes as plain
+    arithmetic columns, partial-aggregate map-side, finish with the
+    bit-assembly projection. The only shuffle carries 32 ints per doc."""
+    ex = df.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(words_col)).alias("__w")
+    )
+    h = ex.withColumn(
+        "__h",
+        F.when(
+            F.col("__w").isNotNull(), hash60(F.col("__w")) % F.lit(MINHASH_REDUCE)
+        ),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("__h").isNull(), F.lit(0)).otherwise(
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+        ).alias(f"__v{b}")
+        for b in range(32)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(32):
+        term = (
+            F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))

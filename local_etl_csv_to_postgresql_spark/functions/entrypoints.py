@@ -53,10 +53,27 @@ def tx01_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def tx02_quality_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    scored = docs.select(
+    # staged projections: words/token arrays extracted ONCE per row, then
+    # features derived from the shared columns (CollapseProject keeps
+    # multiply-referenced non-trivial expressions un-inlined)
+    base = docs.select("lang", "text", tx.words("text").alias("__w"))
+    feats = base.select(
         "lang",
-        tx.quality_score("text").alias("__q"),
-        tx.mean_word_length("text").alias("__mwl"),
+        tx.token_count("text").alias("__ntok"),
+        tx.mean_word_length_from(F.col("__w")).alias("__mwl"),
+        F.round(
+            tx.marker_count("text", tx.STOPWORDS).cast("double")
+            / F.nullif(F.size(F.col("__w")), F.lit(0)).cast("double"),
+            6,
+        ).alias("__swr"),
+        tx.punct_ratio("text").alias("__pr"),
+    )
+    scored = feats.select(
+        "lang",
+        tx.quality_from_features(
+            F.col("__ntok"), F.col("__mwl"), F.col("__swr"), F.col("__pr")
+        ).alias("__q"),
+        F.col("__mwl"),
     )
     return (
         scored.groupBy("lang")
@@ -140,8 +157,13 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs_words(spark, sf).select(
         "doc_id", dd.shingles(F.col("__words")).alias("__sh")
     )
-    sigs = dd.minhash_signatures(docs, "doc_id", "__sh", k=MINHASH_K)
-    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", k=MINHASH_K, bands=MINHASH_BANDS)
+    # signatures are row-local (no shuffle); persist so the band join and
+    # the Jaccard verification both reuse them without re-shingling
+    docs = docs.persist()
+    sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
+    )
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
     return (
@@ -155,9 +177,7 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def dd04_simhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs_words(spark, sf)
-    return docs.select(
-        "doc_id", dd.simhash32(F.col("__words")).alias("simhash")
-    ).orderBy("doc_id")
+    return dd.simhash32_agg(docs, "doc_id", F.col("__words")).orderBy("doc_id")
 
 
 # --- similarity search -----------------------------------------------------
@@ -228,12 +248,12 @@ _QUALITY = """
 """
 
 _MWL = (
-    "ROUND(CAST(list_sum(list_transform({w}, x -> length(x))) AS DOUBLE)"
+    "ROUND(CAST(length(array_to_string({w}, '')) AS DOUBLE)"
     " / CAST(NULLIF(len({w}), 0) AS DOUBLE), 4)"
 )
 _SWR = (
-    "ROUND(CAST(len(list_filter({w}, x -> list_contains("
-    "['the','a','an','and','of','to','in','is','it','for'], x))) AS DOUBLE)"
+    "ROUND(CAST(len(regexp_extract_all(lower(text), "
+    "'\\b(the|a|an|and|of|to|in|is|it|for)\\b')) AS DOUBLE)"
     " / CAST(NULLIF(len({w}), 0) AS DOUBLE), 6)"
 )
 _PR = (
@@ -276,17 +296,15 @@ FROM scored GROUP BY lang ORDER BY lang
 """
 
 _LANG_SCORES = """
-  len(list_filter(w, x -> list_contains(['the','and','of','is','to'], x))) AS s_en,
-  len(list_filter(w, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de,
-  len(list_filter(w, x -> list_contains(['le','les','et','est','une'], x))) AS s_fr,
-  len(list_filter(w, x -> list_contains(['el','los','y','es','una'], x))) AS s_es
+  len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b')) AS s_en,
+  len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS s_de,
+  len(regexp_extract_all(lower(text), '\\b(le|les|et|est|une)\\b')) AS s_fr,
+  len(regexp_extract_all(lower(text), '\\b(el|los|y|es|una)\\b')) AS s_es
 """
 
 EXTENSION_ORACLE["tx03_langid_confusion"] = f"""
-WITH base AS (
-  SELECT lang, {_WORDS} AS w FROM documents
-), scores AS (
-  SELECT lang, {_LANG_SCORES} FROM base
+WITH scores AS (
+  SELECT lang, {_LANG_SCORES} FROM documents
 ), pred AS (
   SELECT lang,
          CASE WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'

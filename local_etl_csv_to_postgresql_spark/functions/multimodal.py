@@ -61,15 +61,16 @@ def extract_metadata(media: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
+            # vectorized .str ops (C speed) instead of per-row lambdas
+            n_bytes = content.str.len().fillna(0).astype("int64")
+            header = content.str[0]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "source": pdf["source"],
-                    "n_bytes": content.map(lambda b: 0 if b is None else len(b)),
-                    "header_byte": content.map(
-                        lambda b: None if b is None or len(b) == 0 else int(b[0])
-                    ),
-                    "is_empty": content.map(lambda b: b is None or len(b) == 0),
+                    "n_bytes": n_bytes,
+                    "header_byte": header.astype("Int32"),
+                    "is_empty": (n_bytes == 0) | content.isna(),
                 }
             )
 

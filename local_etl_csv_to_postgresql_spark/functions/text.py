@@ -66,11 +66,23 @@ def words(col: str) -> Column:
     return F.expr(f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)")
 
 
+def _marker_pattern(markers: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(markers) + r")\b"
+
+
+def marker_count(col: str, markers: tuple[str, ...]) -> Column:
+    """Occurrences of any marker word, via regexp_count — codegen'd
+    (higher-order array filters are interpreted and ~10x slower; Java
+    and RE2 agree on \\b over ASCII, so the oracle twin is exact)."""
+    return F.regexp_count(F.lower(F.col(col)), F.lit(_marker_pattern(markers)))
+
+
 def stopword_ratio(col: str) -> Column:
     w = words(col)
-    stop = F.filter(w, lambda x: x.isin(*STOPWORDS))
     return F.round(
-        F.size(stop).cast("double") / F.nullif(F.size(w), F.lit(0)).cast("double"), 6
+        marker_count(col, STOPWORDS).cast("double")
+        / F.nullif(F.size(w), F.lit(0)).cast("double"),
+        6,
     )
 
 
@@ -82,24 +94,26 @@ def punct_ratio(col: str) -> Column:
 
 
 def mean_word_length(col: str) -> Column:
-    w = words(col)
-    total = F.aggregate(
-        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
-    )
+    return mean_word_length_from(words(col))
+
+
+def mean_word_length_from(w: Column) -> Column:
+    # sum of word lengths == length of the separator-less join; array_join
+    # is codegen'd while aggregate/transform are interpreted
     return F.round(
-        total.cast("double") / F.nullif(F.size(w), F.lit(0)).cast("double"), 4
+        F.length(F.array_join(w, "")).cast("double")
+        / F.nullif(F.size(w), F.lit(0)).cast("double"),
+        4,
     )
 
 
-def quality_score(col: str) -> Column:
-    """Composite [0,1] quality heuristic: long enough, words not too
-    short/long, not punctuation-soup, some stopwords (prose-likeness).
-    Weights are arbitrary but fixed — the point is a deterministic,
-    cheap, fully-JVM-side scoring pass."""
-    n_tok = token_count(col)
-    mwl = mean_word_length(col)
-    sw = stopword_ratio(col)
-    pr = punct_ratio(col)
+def quality_from_features(
+    n_tok: Column, mwl: Column, sw: Column, pr: Column
+) -> Column:
+    """Quality formula over precomputed features — lets a pipeline
+    evaluate each regex/word extraction once per row and reuse it
+    (higher-order functions are interpreted, so repeated evaluation is
+    the dominant cost at scale)."""
     score = (
         F.when(n_tok >= 20, F.lit(0.25)).otherwise(n_tok.cast("double") / 80.0)
         + F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(0.25)).otherwise(F.lit(0.0))
@@ -109,18 +123,23 @@ def quality_score(col: str) -> Column:
     return F.round(score, 4)
 
 
+def quality_score(col: str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, words not too
+    short/long, not punctuation-soup, some stopwords (prose-likeness).
+    Weights are arbitrary but fixed — the point is a deterministic,
+    cheap, fully-JVM-side scoring pass."""
+    return quality_from_features(
+        token_count(col), mean_word_length(col), stopword_ratio(col), punct_ratio(col)
+    )
+
+
 def lang_id(col: str) -> Column:
     """Stopword-marker language ID. Scores each candidate language by
     marker-word hits in the normalized word array; argmax with a fixed
     tie-break order (en, de, fr, es, unknown)."""
-    w = words(col)
-
-    def marker_hits(markers: tuple[str, ...]):
-        # one-arg lambda factory: a default-arg lambda would be seen by
-        # F.filter as its two-arg (element, index) variant
-        return F.size(F.filter(w, lambda x: x.isin(*markers)))
-
-    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    scores = {
+        lang: marker_count(col, markers) for lang, markers in LANG_MARKERS.items()
+    }
     best = F.greatest(*scores.values())
     expr = F.lit("unknown")
     # reversed so earlier languages win ties
