@@ -1,0 +1,33 @@
+"""Driver contract surface: entry() smoke + queries()/oracle_sql() key
+coverage (the full value-equivalence gate runs in scripts/check_oracle.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as ep
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata not present")
+def test_entry_returns_rows(spark):
+    df = ep.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_every_query_has_oracle():
+    q, o = ep.queries(), ep.oracle_sql()
+    assert set(o) == set(q)
+    assert len(q) >= 35
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata not present")
+@pytest.mark.parametrize("name", ["q01_record_counts", "q17_mom_growth", "dd01_exact_dedup"])
+def test_query_smoke(spark, name):
+    df = ep.queries()[name](spark, SF)
+    assert df.count() > 0

@@ -1,0 +1,150 @@
+"""Extension operators: dedup sketches, similarity, text analysis,
+multimodal plumbing — semantic checks against independent references
+(numpy / pure Python), not just engine parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_etl_csv_to_postgresql_spark.functions import dedup as dd
+from local_etl_csv_to_postgresql_spark.functions import similarity as sim
+from local_etl_csv_to_postgresql_spark.functions import text as tx
+from local_etl_csv_to_postgresql_spark.functions.multimodal import (
+    documents_as_media,
+    extract_metadata,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs through the green "
+    "field near the old barn every sunny morning without fail"
+)
+NEAR = BASE.replace("sunny", "rainy")
+OTHER = "completely different text about spark query engines and distributed joins"
+
+
+@pytest.fixture(scope="module")
+def shingled(spark):
+    docs = [(0, BASE), (1, NEAR), (2, OTHER)]
+    return (
+        spark.createDataFrame(docs, ["doc_id", "text"])
+        .withColumn("__w", tx.words("text"))
+        .select("doc_id", "text", "__w", dd.shingles(F.col("__w")).alias("__sh"))
+        .persist()
+    )
+
+
+def test_shingles_match_python(spark, shingled):
+    got = shingled.filter("doc_id = 0").first()["__sh"]
+    ws = BASE.split()
+    expected = list(dict.fromkeys(
+        " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+    ))
+    assert got == expected
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",)], ["text"]).withColumn("__w", tx.words("text"))
+    assert df.select(dd.shingles(F.col("__w")).alias("s")).first()["s"] == []
+
+
+def test_jaccard_known_value(spark, shingled):
+    a = shingled.filter("doc_id = 0").select(F.col("__sh").alias("sa"))
+    b = shingled.filter("doc_id = 1").select(F.col("__sh").alias("sb"))
+    j = a.crossJoin(b).select(dd.jaccard(F.col("sa"), F.col("sb")).alias("j")).first()["j"]
+    sa = set(shingled.filter("doc_id = 0").first()["__sh"])
+    sb = set(shingled.filter("doc_id = 1").first()["__sh"])
+    expected = round(len(sa & sb) / len(sa | sb), 6)
+    assert j == expected
+
+
+def test_minhash_paths_agree(spark, shingled):
+    row_local = shingled.select(
+        "doc_id", dd.minhash_signature(F.col("__sh"), k=16).alias("signature")
+    ).collect()
+    agg = dd.minhash_signatures_agg(shingled, "doc_id", "__sh", k=16).collect()
+    assert {r["doc_id"]: r["signature"] for r in row_local} == {
+        r["doc_id"]: r["signature"] for r in agg
+    }
+
+
+def test_lsh_finds_planted_near_dup(spark, shingled):
+    sigs = dd.minhash_signatures_agg(shingled, "doc_id", "__sh", k=16)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", "signature", k=16, bands=4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+
+
+def test_simhash_distance_orders_similarity(spark, shingled):
+    out = {r["doc_id"]: r["simhash"] for r in dd.simhash32_agg(shingled, "doc_id", F.col("__w")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[0], out[1]) < ham(out[0], out[2])
+
+
+def test_cosine_matches_numpy(spark):
+    np = pytest.importorskip("numpy")
+    vecs = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [4.0, 3.0, 2.0, 1.0]), (2, [-1.0, 0.5, 0.25, -2.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["cosine_sim"] for r in sim.cosine_topk(df, 0, k=2).collect()}
+    for vid, v in vecs[1:]:
+        a, b = np.array(vecs[0][1]), np.array(v)
+        expected = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+        assert math.isclose(got[vid], expected, abs_tol=1e-9)
+
+
+def test_bucketed_ann_is_subset_of_bruteforce_bucket(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    exact = {r["vec_id"] for r in sim.cosine_topk(df, 0, k=50).collect()}
+    approx = [r for r in sim.bucketed_ann_topk(df, 0, k=10, nbits=4).collect()]
+    assert 0 < len(approx) <= 10
+    assert {r["vec_id"] for r in approx} <= exact
+
+
+def test_text_golden_values(spark):
+    df = spark.createDataFrame([("The cat, and a dog! 42 times.",)], ["text"])
+    row = df.select(
+        tx.token_count("text").alias("tok"),
+        tx.words("text").alias("w"),
+        tx.fingerprint("text").alias("fp"),
+        tx.quality_score("text").alias("q"),
+    ).first()
+    assert row["tok"] == 7
+    assert row["w"] == ["the", "cat", "and", "a", "dog", "42", "times"]
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_fingerprint_ignores_case_punct_whitespace(spark):
+    df = spark.createDataFrame(
+        [("Hello, World!",), ("  hello   world  ",), ("HELLO-WORLD",), ("different",)],
+        ["text"],
+    )
+    fps = [r["fp"] for r in df.select(tx.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("der hund und die katze ist da",), ("the cat and the dog is here",),
+         ("le chat et les chiens est une",), ("xyzzy plugh",)],
+        ["text"],
+    )
+    got = [r["l"] for r in df.select(tx.lang_id("text").alias("l")).collect()]
+    assert got == ["de", "en", "fr", "unknown"]
+
+
+def test_multimodal_metadata(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello", "en", "s1", 5), (2, "", "en", "s1", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    meta = extract_metadata(documents_as_media(docs)).orderBy("media_id").collect()
+    assert meta[0]["n_bytes"] == 5
+    assert meta[0]["header_byte"] == ord("h")
+    assert meta[0]["is_empty"] is False
+    assert meta[1]["n_bytes"] == 0
+    assert meta[1]["is_empty"] is True

@@ -1,0 +1,97 @@
+"""Warehouse load protocol: idempotent appends, surrogate-key stability
+across incremental loads, unmatched-key errors, load stats
+(reference tests/test_load.py:100-497)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from local_etl_csv_to_postgresql_spark.config import ValidationConfig, WarehouseConfig
+from local_etl_csv_to_postgresql_spark.operators.transform import transform_transactions
+from local_etl_csv_to_postgresql_spark.warehouse import LoadError, Warehouse
+from tests.conftest import rows_to_df
+
+CFG = ValidationConfig(max_valid_ts=datetime(2024, 1, 1))
+
+
+@pytest.fixture
+def wh(spark, tmp_path):
+    return Warehouse(spark, WarehouseConfig(path=str(tmp_path / "wh")))
+
+
+def _load(spark, wh, rows):
+    res = transform_transactions(rows_to_df(spark, rows), CFG)
+    return wh.load_warehouse(res.tables)
+
+
+def test_fresh_load_counts(spark, wh, valid_rows):
+    stats = _load(spark, wh, valid_rows)
+    assert stats.status == "success"
+    assert stats.fact_inserted == 3 and stats.fact_skipped == 0
+    assert stats.dims_inserted["dim_category"] == 3
+    assert wh.read("fact_transactions").count() == 3
+
+
+def test_rerun_is_idempotent(spark, wh, valid_rows):
+    _load(spark, wh, valid_rows)
+    stats = _load(spark, wh, valid_rows)
+    assert stats.fact_inserted == 0 and stats.fact_skipped == 3
+    assert wh.read("fact_transactions").count() == 3
+    # dims unchanged too
+    assert wh.read("dim_category").count() == 3
+
+
+def test_incremental_appends_only_new(spark, wh, valid_rows):
+    _load(spark, wh, valid_rows)
+    new_rows = valid_rows + [
+        ["t4", "2023-06-18", "Healthcare", "75.00", "Clinic D", "Pix", "4"],
+    ]
+    stats = _load(spark, wh, new_rows)
+    assert stats.fact_inserted == 1 and stats.fact_skipped == 3
+    assert wh.read("fact_transactions").count() == 4
+
+
+def test_surrogate_keys_stable_across_loads(spark, wh, valid_rows):
+    _load(spark, wh, valid_rows)
+    before = {
+        r["category_name"]: r["category_key"]
+        for r in wh.read("dim_category").collect()
+    }
+    new_rows = valid_rows + [
+        ["t4", "2023-06-18", "Entertainment", "75.00", "Cinema E", "Pix", "4"],
+    ]
+    _load(spark, wh, new_rows)
+    after = {
+        r["category_name"]: r["category_key"]
+        for r in wh.read("dim_category").collect()
+    }
+    for name, key in before.items():
+        assert after[name] == key  # existing keys untouched
+    assert after["Entertainment"] == max(before.values()) + 1  # offset past max
+
+
+def test_unmapped_key_raises(spark, wh, valid_rows):
+    res = transform_transactions(rows_to_df(spark, valid_rows), CFG)
+    wh.load_warehouse(res.tables)
+    # a fact batch referencing a category no dimension knows
+    bad_fact = res.tables["fact_data"].withColumn(
+        "category", res.tables["fact_data"].category.substr(1, 2)
+    )
+    with pytest.raises(LoadError, match="Unmapped"):
+        wh.enrich_fact(bad_fact)
+
+
+def test_enriched_fact_joins_back(spark, wh, valid_rows):
+    res = transform_transactions(rows_to_df(spark, valid_rows), CFG)
+    wh.load_warehouse(res.tables)
+    wh.register_views()
+    joined = spark.sql(
+        """
+        SELECT c.category_name, f.amount FROM fact_transactions f
+        JOIN dim_category c ON f.category_key = c.category_key
+        ORDER BY f.transaction_id
+        """
+    ).collect()
+    assert [r["category_name"] for r in joined] == ["Groceries", "Dining", "Transport"]
