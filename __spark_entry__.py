@@ -78,6 +78,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(EXTENSION_QUERIES)
     except ImportError:
         pass
+    try:
+        from local_etl_csv_to_postgresql_spark.streaming.queries import (
+            STREAMING_QUERIES,
+        )
+
+        out.update(STREAMING_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -90,6 +98,14 @@ def oracle_sql() -> dict[str, str]:
         )
 
         out.update(EXTENSION_ORACLE)
+    except ImportError:
+        pass
+    try:
+        from local_etl_csv_to_postgresql_spark.streaming.queries import (
+            STREAMING_ORACLE,
+        )
+
+        out.update(STREAMING_ORACLE)
     except ImportError:
         pass
     return out

@@ -1,0 +1,82 @@
+"""Driver-contract wrappers for the streaming window operators.
+
+Each streaming operator's batch twin runs over the ``events`` test table
+and is hash-checked against a DuckDB oracle — the same one-plan-two-modes
+property the module is built on (windows.py docstring): what the oracle
+validates in batch is exactly what ``readStream`` executes with a
+watermark.
+
+Oracle equivalences:
+- ``F.window(ts, '1 hour')`` tumbling windows align to epoch hour
+  boundaries → DuckDB ``date_trunc('hour', ts)``.
+- ``F.session_window(ts, gap)`` merges an event that lands exactly at
+  last_event + gap (inclusive merge), so the gaps-and-islands twin
+  starts a new session only when ``ts - prev_ts > gap`` — verified by
+  tests/test_streaming.py::test_session_summary_gap_semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.analytics import load
+from .windows import session_summary, tumbling_rollup
+
+SESSION_GAP_SECONDS = 1800
+
+
+def st01_tumbling_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return tumbling_rollup(ev, duration="1 hour", watermark=None).orderBy(
+        "window_start", "event_type"
+    )
+
+
+def st02_session_summary(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return session_summary(ev, gap="30 minutes")
+
+
+STREAMING_QUERIES = {
+    "st01_tumbling_rollup": st01_tumbling_rollup,
+    "st02_session_summary": st02_session_summary,
+}
+
+STREAMING_ORACLE = {
+    "st01_tumbling_rollup": """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS event_count,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+""",
+    "st02_session_summary": f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_SECONDS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), per_sess AS (
+  SELECT user_id, session_id, COUNT(*) AS event_count
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS session_count,
+       CAST(SUM(event_count) AS BIGINT) AS event_count,
+       CAST(MAX(event_count) AS BIGINT) AS max_session_events
+FROM per_sess
+GROUP BY user_id
+ORDER BY user_id
+""",
+}

@@ -1,0 +1,95 @@
+"""Streaming surface: windowed operators (batch mode) + a real
+Structured Streaming run of the incremental load over a landing dir,
+asserting the reference's idempotency contract end-to-end."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from local_etl_csv_to_postgresql_spark.config import EngineConfig, WarehouseConfig
+from local_etl_csv_to_postgresql_spark.streaming import (
+    session_summary,
+    start_incremental_load,
+    tumbling_rollup,
+)
+from local_etl_csv_to_postgresql_spark.warehouse import Warehouse
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime.fromisoformat(ts), uid, et, v, "{}")
+         for i, (ts, uid, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def test_tumbling_rollup_batch(spark):
+    ev = _events(spark, [
+        ("2024-01-01T10:05:00", 1, "click", 1.0),
+        ("2024-01-01T10:55:00", 1, "click", 2.0),
+        ("2024-01-01T11:05:00", 2, "view", 3.0),
+    ])
+    out = {(r["window_start"].hour, r["event_type"]): r["event_count"]
+           for r in tumbling_rollup(ev, "1 hour", watermark=None).collect()}
+    assert out == {(10, "click"): 2, (11, "view"): 1}
+
+
+def test_session_summary_gap_semantics(spark):
+    # a gap of exactly 30 min merges (inclusive); > 30 min starts a new
+    # session — pins Spark's session_window boundary rule, which the
+    # DuckDB oracle twin mirrors with `> gap`
+    ev = _events(spark, [
+        ("2024-01-01T10:00:00", 1, "click", 1.0),
+        ("2024-01-01T10:29:00", 1, "click", 1.0),   # same session
+        ("2024-01-01T10:59:00", 1, "click", 1.0),   # exactly 30 min -> merges
+        ("2024-01-01T11:29:01", 1, "click", 1.0),   # 30 min 1 s -> new
+        ("2024-01-01T12:00:00", 2, "click", 1.0),
+    ])
+    rows = {r["user_id"]: r for r in session_summary(ev, "30 minutes").collect()}
+    assert rows[1]["session_count"] == 2
+    assert rows[1]["event_count"] == 4
+    assert rows[1]["max_session_events"] == 3
+    assert rows[2]["session_count"] == 1
+
+
+CSV_HEADER = "transaction_id,date,category,amount,merchant,payment_method,user_id\n"
+
+
+def _write_csv(path, rows):
+    path.write_text(CSV_HEADER + "".join(r + "\n" for r in rows))
+
+
+@pytest.mark.slow
+def test_streaming_incremental_load(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cfg = EngineConfig(warehouse=WarehouseConfig(path=str(tmp_path / "wh")))
+    wh = Warehouse(spark, cfg.warehouse)
+
+    _write_csv(landing / "batch1.csv", [
+        "t1,2023-06-15,Groceries,100.50,Store A,Credit Card,1",
+        "t2,2023-06-16,Dining,55.25,Cafe B,Cash,2",
+    ])
+    q = start_incremental_load(
+        spark, str(landing), str(tmp_path / "ckpt"), cfg, warehouse=wh
+    )
+    q.awaitTermination(120)
+    assert wh.read("fact_transactions").count() == 2
+
+    # second file overlaps t2: only t3 is new (idempotent append,
+    # reference src/load.py:585-696 semantics, now via the stream)
+    _write_csv(landing / "batch2.csv", [
+        "t2,2023-06-16,Dining,55.25,Cafe B,Cash,2",
+        "t3,2023-06-17,Transport,12.00,Metro C,Debit Card,3",
+    ])
+    q2 = start_incremental_load(
+        spark, str(landing), str(tmp_path / "ckpt"), cfg, warehouse=wh
+    )
+    q2.awaitTermination(120)
+    fact = wh.read("fact_transactions")
+    assert fact.count() == 3
+    assert fact.select("transaction_id").distinct().count() == 3
+    # dims stayed deduplicated too
+    assert wh.read("dim_category").count() == 3
