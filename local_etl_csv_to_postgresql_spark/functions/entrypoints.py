@@ -205,6 +205,18 @@ def es03_bucketed_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dd05_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sign-LSH-blocked (see
+    similarity.neardup_pairs for the recall/shuffle tradeoff)."""
+    return (
+        sim.neardup_pairs(
+            load(spark, sf, "embeddings"), threshold=0.35, nbits=4
+        )
+        .orderBy(F.desc("cosine_sim"), "id_a", "id_b")
+        .limit(100)
+    )
+
+
 # --- multimodal ------------------------------------------------------------
 
 def mm01_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
@@ -430,6 +442,18 @@ FROM wb, q WHERE bucket = qb AND vec_id <> 0
 ORDER BY cosine_sim DESC, vec_id LIMIT 10
 """
 
+EXTENSION_ORACLE["dd05_embedding_neardup"] = f"""
+WITH wb AS (
+  SELECT vec_id, embedding, CAST({_BUCKET.format(e='embedding')} AS INT) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS.format(a='a.embedding', b='b.embedding')} AS cosine_sim
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.35
+ORDER BY cosine_sim DESC, id_a, id_b LIMIT 100
+"""
+
 EXTENSION_ORACLE["mm01_media_metadata"] = """
 SELECT source, COUNT(*) AS n_items,
        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
@@ -448,6 +472,7 @@ EXTENSION_QUERIES = {
     "dd02_ngram_jaccard_pairs": dd02_ngram_jaccard_pairs,
     "dd03_minhash_lsh_pairs": dd03_minhash_lsh_pairs,
     "dd04_simhash": dd04_simhash,
+    "dd05_embedding_neardup": dd05_embedding_neardup,
     "es01_cosine_topk": es01_cosine_topk,
     "es02_consecutive_cosine": es02_consecutive_cosine,
     "es03_bucketed_ann": es03_bucketed_ann,

@@ -51,6 +51,45 @@ def sign_bucket(a: Column, nbits: int = 8) -> Column:
     return out.cast("int")
 
 
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
+
+    All-pairs cosine is O(n²) — a non-starter at corpus scale. Blocking
+    on the sign-LSH bucket turns candidate generation into a bucket
+    equi-self-join (one shuffle on the bucket key, pairs only form
+    within a bucket), then exact cosine scores the survivors. Recall is
+    bounded by the bucket resolution: near-dups differing in an early
+    dimension's sign land in different buckets — raise recall with more
+    hash tables (union several ``nbits``-bit projections), trade
+    candidate volume with larger ``nbits``.
+
+    ``id_a < id_b`` keeps each unordered pair once.
+    """
+    wb = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), nbits))
+    a = wb.select(
+        "__bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea")
+    )
+    b = wb.select(
+        "__bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb")
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__ea"), F.col("__eb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -105,6 +105,27 @@ def test_bucketed_ann_is_subset_of_bruteforce_bucket(spark):
     assert {r["vec_id"] for r in approx} <= exact
 
 
+def test_neardup_pairs_blocking_and_threshold(spark):
+    # v0≈v1 (near-dup, same bucket), v2 matches v0's bucket but is far,
+    # v3 is v0 negated -> different bucket, never a candidate
+    vecs = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.1, 2.0, 3.0, 3.9]),
+        (2, [0.1, 9.0, 0.1, 5.0]),
+        (3, [-1.0, -2.0, -3.0, -4.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in sim.neardup_pairs(df, threshold=0.95, nbits=4).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] > 0.99
+    # threshold gates candidates that shared a bucket
+    loose = {(r["id_a"], r["id_b"])
+             for r in sim.neardup_pairs(df, threshold=-1.0, nbits=4).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= loose
+    assert all(3 not in p for p in loose)
+
+
 def test_text_golden_values(spark):
     df = spark.createDataFrame([("The cat, and a dog! 42 times.",)], ["text"])
     row = df.select(
