@@ -137,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--corpus", default=str(DEFAULT_CORPUS))
     ap.add_argument("--warehouse", default=None, help="warehouse root path")
     ap.add_argument("--validation", action="store_true", help="data-quality subset only")
+    ap.add_argument(
+        "--verify-schema", action="store_true",
+        help="warehouse schema/constraint introspection report",
+    )
     ap.add_argument("--query", type=int, action="append", help="run only query #N (repeatable)")
     args = ap.parse_args(argv)
 
@@ -146,8 +150,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("run_queries")
     cfg = WarehouseConfig(path=args.warehouse) if args.warehouse else WarehouseConfig()
-    Warehouse(spark, cfg).register_views()
-    if args.validation:
+    wh = Warehouse(spark, cfg)
+    wh.register_views()
+    if args.verify_schema:
+        report = [r.asDict() for r in wh.verify_schema().collect()]
+        print(display_table(report))
+        failures = sum(1 for r in report if r["status"] == "fail")
+    elif args.validation:
         failures = run_validation(spark, args.corpus)
     else:
         failures = run_corpus(spark, args.corpus, only=args.query)

@@ -259,3 +259,111 @@ class Warehouse:
             stats.error = str(e)
             raise
         return stats
+
+    # -- schema verification (reference sql/verify_schema.sql) -------------
+
+    def verify_schema(self) -> DataFrame:
+        """Warehouse introspection + integrity report (the Spark form of
+        reference sql/verify_schema.sql: table existence :19-43, row
+        counts :53-77, column definitions :88-162, unique natural keys
+        :250-268, FK integrity :199-215, calendar CHECK ranges :50-62).
+
+        Spark enforces no DDL constraints at write time, so every
+        constraint is re-derived as a query — one report row per check:
+        (check_type, table_name, status, detail). All per-table checks
+        are cheap aggregates; at cluster scale the fact FK scans are the
+        only real work and each is a single anti-join.
+        """
+        from .schemas import FACT_TRANSACTIONS_SCHEMA
+
+        declared = dict(DIMENSIONS)
+        declared[self.cfg.fact_table] = FACT_TRANSACTIONS_SCHEMA
+        rows: list[tuple[str, str, str, str]] = []
+
+        for table, schema in declared.items():
+            if not self.exists(table):
+                rows.append(("exists", table, "fail", "table missing"))
+                continue
+            rows.append(("exists", table, "pass", ""))
+            df = self.read(table)
+            rows.append(("row_count", table, "pass", str(df.count())))
+
+            want = {(f.name, f.dataType.simpleString()) for f in schema.fields}
+            have = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
+            extra = {n for n, _ in have - want}
+            missing = {n for n, _ in want - have}
+            # the fact's partition column is layout, not schema drift
+            extra -= {"year_month"}
+            if extra or missing:
+                rows.append((
+                    "columns", table, "fail",
+                    f"missing={sorted(missing)} unexpected={sorted(extra)}",
+                ))
+            else:
+                rows.append(("columns", table, "pass", ""))
+
+        # unique natural keys (reference UNIQUE constraints)
+        unique_cols = dict(NATURAL_KEYS)
+        unique_cols["dim_date"] = "date_key"
+        unique_cols[self.cfg.fact_table] = "transaction_id"
+        for table, key in unique_cols.items():
+            if not self.exists(table):
+                continue
+            df = self.read(table)
+            total, distinct = (
+                df.agg(
+                    F.count(key).alias("n"),
+                    F.countDistinct(key).alias("d"),
+                ).first()
+            )
+            status = "pass" if total == distinct else "fail"
+            rows.append((
+                "unique_key", table, status, f"{key}: {total} rows, {distinct} distinct"
+            ))
+
+        # fact FK integrity (reference FK constraints -> anti-join counts)
+        if self.exists(self.cfg.fact_table):
+            fact = self.read(self.cfg.fact_table)
+            fks = {
+                "dim_date": ("date_key", "date_key"),
+                "dim_category": ("category_key", "category_key"),
+                "dim_merchant": ("merchant_key", "merchant_key"),
+                "dim_payment_method": ("payment_method_key", "payment_method_key"),
+                "dim_user": ("user_key", "user_key"),
+            }
+            for dim, (fk, pk) in fks.items():
+                if not self.exists(dim):
+                    continue
+                keys = self.read(dim).select(F.col(pk).alias("__dim_pk"))
+                orphans = fact.join(
+                    F.broadcast(keys),
+                    fact[fk] == F.col("__dim_pk"),
+                    "left_anti",
+                ).count()
+                rows.append((
+                    "foreign_key", f"{self.cfg.fact_table}->{dim}",
+                    "pass" if orphans == 0 else "fail",
+                    f"{orphans} orphaned rows",
+                ))
+
+        # calendar CHECK ranges (reference sql/schema.sql:50-62)
+        if self.exists("dim_date"):
+            dd = self.read("dim_date")
+            checks = {
+                "quarter BETWEEN 1 AND 4": "quarter between 1 and 4",
+                "month BETWEEN 1 AND 12": "month between 1 and 12",
+                "day BETWEEN 1 AND 31": "day between 1 and 31",
+                "day_of_week BETWEEN 1 AND 7": "day_of_week between 1 and 7",
+                "week_of_year BETWEEN 1 AND 53": "week_of_year between 1 and 53",
+            }
+            for label, cond in checks.items():
+                bad = dd.filter(f"NOT ({cond})").count()
+                rows.append((
+                    "check_range", "dim_date",
+                    "pass" if bad == 0 else "fail",
+                    f"{label}: {bad} violations",
+                ))
+
+        return self.spark.createDataFrame(
+            rows, "check_type string, table_name string, status string, detail string"
+        )

@@ -95,3 +95,33 @@ def test_enriched_fact_joins_back(spark, wh, valid_rows):
         """
     ).collect()
     assert [r["category_name"] for r in joined] == ["Groceries", "Dining", "Transport"]
+
+
+def test_verify_schema_report(spark, tmp_path):
+    from local_etl_csv_to_postgresql_spark.config import EngineConfig, WarehouseConfig
+    from local_etl_csv_to_postgresql_spark.operators.transform import (
+        transform_transactions,
+    )
+    from local_etl_csv_to_postgresql_spark.sources.generator import (
+        generate_transactions,
+    )
+    from local_etl_csv_to_postgresql_spark.warehouse import Warehouse
+
+    cfg = EngineConfig(warehouse=WarehouseConfig(path=str(tmp_path / "wh")))
+    raw = spark.createDataFrame(
+        [{k: str(v) for k, v in r.items()} for r in generate_transactions(200, 10, 1)]
+    )
+    wh = Warehouse(spark, cfg.warehouse)
+    wh.load_warehouse(transform_transactions(raw, cfg.validation).tables)
+
+    report = {(r["check_type"], r["table_name"]): r["status"]
+              for r in wh.verify_schema().collect()}
+    # every declared table exists with matching columns
+    for t in ("fact_transactions", "dim_date", "dim_category", "dim_merchant",
+              "dim_payment_method", "dim_user"):
+        assert report[("exists", t)] == "pass"
+        assert report[("columns", t)] == "pass"
+    # constraints all re-derive as passing queries on a clean load
+    assert all(s == "pass" for (c, _), s in report.items()
+               if c in ("unique_key", "foreign_key", "check_range"))
+    assert ("foreign_key", "fact_transactions->dim_user") in report
