@@ -37,9 +37,21 @@ def st02_session_summary(spark: SparkSession, sf: str) -> DataFrame:
     return session_summary(ev, gap="30 minutes")
 
 
+def st03_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed sessions from an actual Structured Streaming run of the
+    applyInPandasWithState sessionizer over the events file (see
+    streaming/stateful.py for why the emitted set is deterministic)."""
+    from .stateful import replay_sessions
+
+    return replay_sessions(spark, f"{sf}/events.parquet").orderBy(
+        "user_id", "session_start"
+    )
+
+
 STREAMING_QUERIES = {
     "st01_tumbling_rollup": st01_tumbling_rollup,
     "st02_session_summary": st02_session_summary,
+    "st03_stateful_sessions": st03_stateful_sessions,
 }
 
 STREAMING_ORACLE = {
@@ -78,5 +90,35 @@ SELECT user_id,
 FROM per_sess
 GROUP BY user_id
 ORDER BY user_id
+""",
+    # st03: sessions closed by a successor event, plus final sessions
+    # timed out by the end-of-stream watermark (= global max event ts);
+    # a user's still-open last session is the only one not emitted.
+    "st03_stateful_sessions": f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+), per_sess AS (
+  SELECT user_id, sid,
+         MIN(ts) AS session_start,
+         MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS event_count
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, event_count
+FROM per_sess p
+WHERE sid < (SELECT MAX(sid) FROM per_sess q WHERE q.user_id = p.user_id)
+   OR epoch_us(session_end) + {SESSION_GAP_SECONDS} * 1000000
+        <= (SELECT MAX(epoch_us(ts)) FROM events)
+ORDER BY user_id, session_start
 """,
 }

@@ -1,0 +1,178 @@
+"""Custom stateful streaming operator: hand-rolled sessionization via
+``applyInPandasWithState``.
+
+``F.session_window`` (windows.py) covers windowed session *aggregates*;
+this operator demonstrates the general custom-state surface the
+reference has no counterpart for (SURVEY §2.10: UDAF/stateful — none):
+per-key state that survives across micro-batches, event-time timeouts,
+and arbitrary per-session payloads (here: start/end/count, but the same
+skeleton carries any accumulator a training-data pipeline needs —
+per-source quota counters, dedup bloom state, rate limits).
+
+Semantics: a session is a maximal run of a user's events where
+consecutive gaps are <= ``gap_seconds``. A session is EMITTED when it
+closes — either a later event arrives beyond the gap (in-batch or
+cross-batch), or the event-time watermark passes last_event + gap
+(timeout path). A user's final session emits only via timeout, so a
+bounded replay emits every session except each user's still-open last
+one — which makes the batch-replay result deterministic and
+oracle-checkable (streaming/queries.py st03).
+
+Scale notes: state is per user_id group, partitioned by the stream's
+groupBy shuffle; each group's rows arrive as Arrow batches. State size
+is O(1) per active user (three scalars), so 10^9 users is ~GBs of state
+across a cluster — the state store, not the driver, holds it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, event_count long"
+)
+# state: epoch MICROSECONDS as int64 (exact — float seconds would lose
+# sub-microsecond precision and fail Arrow's safe timestamp cast)
+STATE_SCHEMA = "start long, last long, count long"
+
+
+def _sessionize_fn(gap_seconds: float):
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+
+        if state.hasTimedOut:
+            start, last, count = state.get
+            state.remove()
+            closed.append((start, last, count))
+        else:
+            rows = pd.concat(list(pdfs))
+            # epoch microseconds, event-time order within the batch
+            ts = rows["ts"].sort_values().astype("int64") // 1000
+            if state.exists:
+                start, last, count = state.get
+            else:
+                start = last = None
+                count = 0
+            for t in ts:
+                t = int(t)
+                if last is None:
+                    start, last, count = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((start, last, count))
+                    start, last, count = t, t, 1
+                else:
+                    last, count = t, count + 1
+            state.update((start, last, count))
+            # close the open session when the watermark passes last + gap
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime(
+                        [s for s, _, _ in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [e for _, e, _ in closed], unit="us"
+                    ),
+                    "event_count": [c for _, _, c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Closed sessions per user, emitted as they close (append mode).
+
+    ``events`` must be a STREAMING DataFrame with columns
+    (user_id, ts, ...); the watermark drives the timeout path.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def replay_sessions(
+    spark,
+    parquet_path: str,
+    gap_seconds: float = 1800.0,
+    table_name: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Bounded replay: stream the parquet file(s) at ``parquet_path``
+    through the stateful sessionizer into a memory sink and return the
+    emitted (closed) sessions.
+
+    Used by tests and the st03 driver query. Emitted = every session
+    closed by a successor event, plus last sessions whose
+    last_event + gap falls at or before the final watermark (the
+    no-data batch availableNow runs at the end fires those timeouts);
+    only sessions still open against the global max event time stay
+    unemitted. That set is deterministic, so st03 carries a full
+    DuckDB oracle (streaming/queries.py).
+    """
+    import uuid
+
+    table_name = table_name or f"stateful_sessions_{uuid.uuid4().hex[:8]}"
+    # driver testdata carries TIMESTAMP(NANOS); read nanos as long and
+    # truncate to micros (same policy as plans.analytics.load)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(parquet_path).schema
+    # the file stream source requires a directory; when given a single
+    # parquet file (testdata layout), stage a symlink dir next to the
+    # checkpoint-style temp area — no data copy
+    import os
+    import tempfile
+
+    if not os.path.isdir(parquet_path):
+        stage = tempfile.mkdtemp(prefix="stateful_stream_")
+        os.symlink(
+            os.path.abspath(parquet_path),
+            os.path.join(stage, os.path.basename(parquet_path)),
+        )
+        stream_path = stage
+    else:
+        stream_path = parquet_path
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(stream_path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer div (`div`), not double FLOOR — exact at epoch-ns scale
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.select("user_id", "ts")
+    q = (
+        sessionize_stateful(stream, gap_seconds)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(table_name)

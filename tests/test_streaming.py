@@ -93,3 +93,49 @@ def test_streaming_incremental_load(spark, tmp_path):
     assert fact.select("transaction_id").distinct().count() == 3
     # dims stayed deduplicated too
     assert wh.read("dim_category").count() == 3
+
+
+@pytest.mark.slow
+def test_stateful_sessionizer_cross_batch(spark, tmp_path):
+    """State must carry across micro-batches: session opened in batch 1
+    is closed by batch 2's far-future event; the timeout path closes
+    batch 2's own session when the final watermark passes it."""
+    import os
+
+    from local_etl_csv_to_postgresql_spark.streaming.stateful import replay_sessions
+
+    data_dir = tmp_path / "events"
+    ev1 = _events(spark, [
+        ("2024-01-01T10:00:00", 1, "click", 1.0),
+        ("2024-01-01T10:10:00", 1, "click", 1.0),
+    ])
+    ev2 = _events(spark, [
+        ("2024-01-01T15:00:00", 1, "click", 1.0),   # closes the 10:00 session
+        ("2024-01-02T09:00:00", 2, "view", 1.0),    # advances final watermark
+    ])
+    # stage each micro-batch as a flat parquet file in one directory
+    import glob
+    import shutil
+
+    data_dir.mkdir()
+    for name, df in (("f1", ev1), ("f2", ev2)):
+        scratch = tmp_path / f"scratch_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(scratch))
+        part = glob.glob(str(scratch / "part-*.parquet"))[0]
+        shutil.move(part, str(data_dir / f"{name}.parquet"))
+    # file source orders by mtime: make f1 strictly older
+    os.utime(data_dir / "f1.parquet", (0, 0))
+
+    out = replay_sessions(
+        spark, str(data_dir), gap_seconds=1800, max_files_per_trigger=1
+    )
+    rows = sorted(
+        ((r["user_id"], r["session_start"].isoformat(), r["event_count"])
+         for r in out.collect())
+    )
+    # user 1: [10:00,10:10] closed by 15:00 event; [15:00] closed by the
+    # final watermark (09:00 next day). user 2's session stays open.
+    assert rows == [
+        (1, "2024-01-01T10:00:00", 2),
+        (1, "2024-01-01T15:00:00", 1),
+    ]
