@@ -18,7 +18,12 @@ from ..plans.analytics import load
 from . import dedup as dd
 from . import similarity as sim
 from . import text as tx
-from .multimodal import documents_as_media, extract_metadata
+from .multimodal import (
+    documents_as_media,
+    extract_metadata,
+    resize_images,
+    sample_frames,
+)
 
 MINHASH_K = 16
 MINHASH_BANDS = 4
@@ -231,6 +236,39 @@ def mm01_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
             F.sum("header_byte").cast("bigint").alias("header_byte_sum"),
             F.sum(F.col("is_empty").cast("long")).alias("n_empty"),
+        )
+        .orderBy("source")
+    )
+
+
+def mm02_resize_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Aspect-preserving resize into a 32x32 box (codec stubbed; the
+    Arrow-batched mapInPandas plumbing and integer arithmetic are real)."""
+    media = documents_as_media(load(spark, sf, "documents"))
+    return (
+        resize_images(media, max_dim=32)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("out_width").cast("bigint").alias("sum_out_width"),
+            F.sum("out_height").cast("bigint").alias("sum_out_height"),
+            F.max("width").alias("max_width"),
+        )
+        .orderBy("source")
+    )
+
+
+def mm03_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-stride frame sampling: one-to-many mapInPandas explode of
+    each payload into frame rows, then a rollup proving the shape."""
+    media = documents_as_media(load(spark, sf, "documents"))
+    return (
+        sample_frames(media, stride=256)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_frames"),
+            F.sum("frame_n_bytes").alias("sum_frame_bytes"),
+            F.max("frame_idx").alias("max_frame_idx"),
         )
         .orderBy("source")
     )
@@ -463,6 +501,36 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+EXTENSION_ORACLE["mm02_resize_metadata"] = """
+WITH dims AS (
+  SELECT source,
+         (octet_length(encode(text)) % 64) + 1 AS w,
+         (octet_length(encode(text)) % 48) + 1 AS h
+  FROM documents
+), scaled AS (
+  SELECT source, w, h, greatest(w, h, 32) AS m FROM dims
+)
+SELECT source,
+       COUNT(*) AS n_items,
+       CAST(SUM(greatest(1, (w * 32) // m)) AS BIGINT) AS sum_out_width,
+       CAST(SUM(greatest(1, (h * 32) // m)) AS BIGINT) AS sum_out_height,
+       CAST(MAX(w) AS INT) AS max_width
+FROM scaled GROUP BY source ORDER BY source
+"""
+
+EXTENSION_ORACLE["mm03_frame_sample"] = """
+WITH sizes AS (
+  SELECT source, octet_length(encode(text)) AS n,
+         (octet_length(encode(text)) + 255) // 256 AS nf
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(nf) AS BIGINT) AS total_frames,
+       CAST(SUM(n) AS BIGINT) AS sum_frame_bytes,
+       CAST(MAX(CASE WHEN nf > 0 THEN nf - 1 END) AS INT) AS max_frame_idx
+FROM sizes GROUP BY source ORDER BY source
+"""
+
 EXTENSION_QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_quality_by_lang": tx02_quality_by_lang,
@@ -477,4 +545,6 @@ EXTENSION_QUERIES = {
     "es02_consecutive_cosine": es02_consecutive_cosine,
     "es03_bucketed_ann": es03_bucketed_ann,
     "mm01_media_metadata": mm01_media_metadata,
+    "mm02_resize_metadata": mm02_resize_metadata,
+    "mm03_frame_sample": mm03_frame_sample,
 }

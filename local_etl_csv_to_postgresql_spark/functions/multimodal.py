@@ -86,3 +86,82 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.lit("text/plain").alias("mime_type"),
         F.col("source"),
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, source string, width int, height int, "
+    "out_width int, out_height int"
+)
+
+
+def resize_images(media: DataFrame, max_dim: int = 32) -> DataFrame:
+    """Resize plumbing: decode (stubbed) -> fit into a max_dim box
+    preserving aspect ratio -> emit old/new dimensions.
+
+    The arithmetic is all-integer (scale = max_dim / max(w, h, max_dim)
+    applied as (d * max_dim) // m) so results are bit-identical across
+    engines — a real deployment swaps ``decode_image_stub``'s
+    pseudo-dimensions for a Pillow decode and emits resized bytes, and
+    the partitioning/batching story is unchanged: per-partition Arrow
+    batches, zero shuffle.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["content"].str.len().fillna(0).astype("int64")
+            # decode_image_stub's pseudo-dimensions, vectorized
+            w = (n % 64) + 1
+            h = (n % 48) + 1
+            m = pd.concat([w, h], axis=1).max(axis=1).clip(lower=max_dim)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "source": pdf["source"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": ((w * max_dim) // m).clip(lower=1).astype("int32"),
+                    "out_height": ((h * max_dim) // m).clip(lower=1).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_id long, source string, frame_idx int, frame_offset long, "
+    "frame_n_bytes long"
+)
+
+
+def sample_frames(media: DataFrame, stride: int = 4096) -> DataFrame:
+    """Frame-sampling plumbing: treat the binary payload as a fixed-
+    stride frame container and emit one row per frame (a one-to-many
+    mapInPandas, the shape a real video keyframe extractor follows).
+
+    The codec is stubbed: frames are byte ranges, not decoded pictures;
+    offsets/sizes are exact so the explode is oracle-checkable.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["content"].str.len().fillna(0).astype("int64")
+            out_ids, out_src, out_idx, out_off, out_len = [], [], [], [], []
+            for mid, src, nb in zip(pdf["media_id"], pdf["source"], n):
+                nframes = int((nb + stride - 1) // stride)
+                for i in range(nframes):
+                    out_ids.append(mid)
+                    out_src.append(src)
+                    out_idx.append(i)
+                    out_off.append(i * stride)
+                    out_len.append(min(stride, int(nb) - i * stride))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "source": pd.Series(out_src, dtype="object"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_offset": pd.Series(out_off, dtype="int64"),
+                    "frame_n_bytes": pd.Series(out_len, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)

@@ -15,6 +15,8 @@ from local_etl_csv_to_postgresql_spark.functions import text as tx
 from local_etl_csv_to_postgresql_spark.functions.multimodal import (
     documents_as_media,
     extract_metadata,
+    resize_images,
+    sample_frames,
 )
 
 BASE = (
@@ -169,3 +171,27 @@ def test_multimodal_metadata(spark):
     assert meta[0]["is_empty"] is False
     assert meta[1]["n_bytes"] == 0
     assert meta[1]["is_empty"] is True
+
+
+def test_resize_golden(spark):
+    media = spark.createDataFrame(
+        [(1, b"x" * 100, "img", "s")],  # w=(100%64)+1=37, h=(100%48)+1=5
+        ["media_id", "content", "mime_type", "source"],
+    )
+    r = resize_images(media, max_dim=32).first()
+    assert (r["width"], r["height"]) == (37, 5)
+    # m = max(37, 5, 32) = 37 -> out = (37*32)//37=32, (5*32)//37=4
+    assert (r["out_width"], r["out_height"]) == (32, 4)
+
+
+def test_sample_frames_explode(spark):
+    media = spark.createDataFrame(
+        [(1, b"a" * 600, "vid", "s"), (2, b"", "vid", "s")],
+        ["media_id", "content", "mime_type", "source"],
+    )
+    rows = sorted(
+        (r["media_id"], r["frame_idx"], r["frame_offset"], r["frame_n_bytes"])
+        for r in sample_frames(media, stride=256).collect()
+    )
+    # 600 bytes @ stride 256 -> frames of 256, 256, 88; empty payload -> none
+    assert rows == [(1, 0, 0, 256), (1, 1, 256, 256), (1, 2, 512, 88)]
