@@ -69,23 +69,37 @@ def neardup_pairs(
     hash tables (union several ``nbits``-bit projections), trade
     candidate volume with larger ``nbits``.
 
-    ``id_a < id_b`` keeps each unordered pair once.
+    ``id_a < id_b`` keeps each unordered pair once. Norms are computed
+    once per VECTOR before the self-join, not once per candidate pair —
+    at b vectors/bucket that turns O(b²) norm folds into O(b).
     """
-    wb = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), nbits))
+    wb = embeddings.select(
+        sign_bucket(F.col(vec_col), nbits).alias("__bucket"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__e"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
     a = wb.select(
-        "__bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea")
+        "__bucket",
+        F.col("__id").alias("id_a"),
+        F.col("__e").alias("__ea"),
+        F.col("__n").alias("__na"),
     )
     b = wb.select(
-        "__bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb")
+        "__bucket",
+        F.col("__id").alias("id_b"),
+        F.col("__e").alias("__eb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.round(
+        dot(F.col("__ea"), F.col("__eb"))
+        / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+        4,
     )
     return (
         a.join(b, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine(F.col("__ea"), F.col("__eb")).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
