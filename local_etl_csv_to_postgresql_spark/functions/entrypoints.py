@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.analytics import load
+from ..plans.analytics import dec, load
 from . import dedup as dd
 from . import similarity as sim
 from . import text as tx
@@ -207,6 +207,39 @@ def es02_consecutive_cosine(spark: SparkSession, sf: str) -> DataFrame:
 def es03_bucketed_ann(spark: SparkSession, sf: str) -> DataFrame:
     return sim.bucketed_ann_topk(
         load(spark, sf, "embeddings"), query_vec_id=0, k=10, nbits=4
+    )
+
+
+def es04_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (nprobe=1, deterministic centroids) — the coarse-
+    quantization scale path next to the LSH one (es03)."""
+    return sim.ivf_topk(
+        load(spark, sf, "embeddings"), query_vec_id=0, k=10, n_centroids=16
+    )
+
+
+def sa01_salted_event_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation over the events table.
+
+    event_type has ~5 values over millions of rows — exactly the shape
+    that melts a single reducer at 100 TB. Results are exact (decimal
+    partials) and equal the plain GROUP BY the oracle runs.
+    """
+    from ..operators.skew import salted_aggregate
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        dec("value").alias("__sum_value"),
+    )
+    out = salted_aggregate(ev, ["event_type"], salt_on="event_id", n_salts=32)
+    return (
+        out.select(
+            "event_type",
+            "n",
+            F.round(F.col("__sum_value").cast("double"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -480,6 +513,39 @@ FROM wb, q WHERE bucket = qb AND vec_id <> 0
 ORDER BY cosine_sim DESC, vec_id LIMIT 10
 """
 
+EXTENSION_ORACLE["es04_ivf_ann"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT 16
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_DOT.format(a='e.embedding', b='c.cvec')}
+           / NULLIF({_NORM.format(a='e.embedding')} * {_NORM.format(a='c.cvec')}, 0.0) AS sim
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, embedding, cid AS centroid
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS rn
+        FROM scored)
+  WHERE rn = 1
+), q AS (
+  SELECT embedding AS qe, centroid AS qc FROM assigned WHERE vec_id = 0
+)
+SELECT a.vec_id, {_COS.format(a='a.embedding', b='q.qe')} AS cosine_sim
+FROM assigned a, q
+WHERE a.centroid = q.qc AND a.vec_id <> 0
+ORDER BY cosine_sim DESC, a.vec_id LIMIT 10
+"""
+
+EXTENSION_ORACLE["sa01_salted_event_totals"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 EXTENSION_ORACLE["dd05_embedding_neardup"] = f"""
 WITH wb AS (
   SELECT vec_id, embedding, CAST({_BUCKET.format(e='embedding')} AS INT) AS bucket
@@ -544,6 +610,8 @@ EXTENSION_QUERIES = {
     "es01_cosine_topk": es01_cosine_topk,
     "es02_consecutive_cosine": es02_consecutive_cosine,
     "es03_bucketed_ann": es03_bucketed_ann,
+    "es04_ivf_ann": es04_ivf_ann,
+    "sa01_salted_event_totals": sa01_salted_event_totals,
     "mm01_media_metadata": mm01_media_metadata,
     "mm02_resize_metadata": mm02_resize_metadata,
     "mm03_frame_sample": mm03_frame_sample,

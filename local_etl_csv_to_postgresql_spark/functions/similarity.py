@@ -155,3 +155,80 @@ def bucketed_ann_topk(
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization with deterministic centroids.
+
+    Centroids are the ``n_centroids`` lowest-id vectors (a deterministic
+    stand-in for k-means — at production scale swap in Spark ML KMeans;
+    the assignment/search plumbing below is unchanged). Every vector is
+    assigned to its highest-cosine centroid via a broadcast cross join +
+    per-vector argmax; ties break on centroid id, so assignment is
+    deterministic and oracle-reproducible.
+
+    Returns (assigned, centroids): ``assigned`` adds ``__centroid`` to
+    each embedding row.
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+        )
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "__cid",
+        (
+            dot(F.col(vec_col), F.col("__cvec"))
+            / F.nullif(norm(F.col(vec_col)) * norm(F.col("__cvec")), F.lit(0.0))
+        ).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc_nulls_last("__sim"), F.asc("__cid")
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select(id_col, vec_col, F.col("__cid").alias("__centroid"))
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF ANN: score only vectors in the query's centroid cell
+    (nprobe=1). Candidate generation is an equi-join on ``__centroid``
+    — the scan never touches other cells, which at cluster scale means
+    partition-pruned input if the index is written partitioned by
+    centroid.
+    """
+    assigned, _ = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    q = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q"), "__centroid"
+    )
+    return (
+        assigned.join(F.broadcast(q), "__centroid")
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("__q")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )

@@ -195,3 +195,47 @@ def test_sample_frames_explode(spark):
     )
     # 600 bytes @ stride 256 -> frames of 256, 256, 88; empty payload -> none
     assert rows == [(1, 0, 0, 256), (1, 1, 256, 256), (1, 2, 512, 88)]
+
+
+def test_ivf_assignment_deterministic_and_topk_subset(spark):
+    import random
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    assigned, cents = sim.ivf_assign(df, n_centroids=8)
+    assert cents.count() == 8
+    rows = assigned.collect()
+    assert len(rows) == 60
+    # every vector maps to exactly one of the 8 lowest-id centroids
+    assert {r["__centroid"] for r in rows} <= set(range(8))
+    # two runs agree (deterministic centroid choice + tie-break)
+    again = {r["vec_id"]: r["__centroid"]
+             for r in sim.ivf_assign(df, n_centroids=8)[0].collect()}
+    assert {r["vec_id"]: r["__centroid"] for r in rows} == again
+    # IVF results are a subset of the exact ranking's candidate pool
+    exact = {r["vec_id"] for r in sim.cosine_topk(df, 0, k=60).collect()}
+    approx = sim.ivf_topk(df, 0, k=10, n_centroids=8).collect()
+    assert 0 < len(approx) <= 10
+    assert {r["vec_id"] for r in approx} <= exact
+
+
+def test_salted_aggregate_equals_plain_groupby(spark):
+    from local_etl_csv_to_postgresql_spark.operators.skew import salted_aggregate
+
+    data = [(i, "hot" if i % 10 else "cold", float(i % 7)) for i in range(1000)]
+    df = (
+        spark.createDataFrame(data, ["id", "k", "v"])
+        .select("id", "k", F.col("v").cast("decimal(18,2)").alias("__sum_v"))
+    )
+    salted = {
+        (r["k"]): (r["n"], float(r["__sum_v"]))
+        for r in salted_aggregate(df, ["k"], salt_on="id", n_salts=16).collect()
+    }
+    plain = {
+        (r["k"]): (r["n"], float(r["s"]))
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("__sum_v").alias("s"))
+        .collect()
+    }
+    assert salted == plain
