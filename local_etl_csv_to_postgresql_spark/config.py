@@ -25,16 +25,16 @@ REQUIRED_CSV_COLUMNS: tuple[str, ...] = (
     "user_id",
 )
 
-# Category whitelist (reference src/transform.py:25-28).
+# Category whitelist (reference src/transform.py:25-28; FIXTURES.md §1).
 ALLOWED_CATEGORIES: tuple[str, ...] = (
     "Groceries",
-    "Transport",
-    "Entertainment",
     "Dining",
+    "Transportation",
+    "Entertainment",
     "Utilities",
     "Shopping",
     "Healthcare",
-    "Other",
+    "Travel",
 )
 
 # Payment-method whitelist (reference src/transform.py:30-32).
@@ -42,7 +42,7 @@ ALLOWED_PAYMENT_METHODS: tuple[str, ...] = (
     "Credit Card",
     "Debit Card",
     "Cash",
-    "Pix",
+    "Digital Wallet",
 )
 
 # Amount bounds (reference src/transform.py:37-38). NOTE: the executed

@@ -15,17 +15,33 @@ import random
 import uuid
 from datetime import date, timedelta
 
+# Reference generator distributions (FIXTURES.md §1 /
+# reference scripts/generate_fake_data.py:127-155).
 CATEGORY_WEIGHTS = [
     ("Groceries", 0.25),
     ("Dining", 0.20),
-    ("Transport", 0.15),
+    ("Transportation", 0.15),
     ("Shopping", 0.15),
-    ("Entertainment", 0.10),
-    ("Utilities", 0.08),
+    ("Utilities", 0.10),
+    ("Entertainment", 0.08),
     ("Healthcare", 0.04),
-    ("Other", 0.03),
+    ("Travel", 0.03),
 ]
-PAYMENT_METHODS = ["Credit Card", "Debit Card", "Cash", "Pix"]
+PAYMENT_METHODS = ["Credit Card", "Debit Card", "Cash", "Digital Wallet"]
+PAYMENT_WEIGHTS = [0.70, 0.15, 0.10, 0.05]
+# Per-category amount ranges (FIXTURES.md §1 names Groceries $10-200 and
+# Travel $100-2000; the rest interpolate the same spirit and stay inside
+# the validation bounds 0 < amount <= 10000).
+AMOUNT_RANGES = {
+    "Groceries": (10.0, 200.0),
+    "Dining": (5.0, 150.0),
+    "Transportation": (2.0, 100.0),
+    "Shopping": (10.0, 500.0),
+    "Utilities": (30.0, 400.0),
+    "Entertainment": (5.0, 200.0),
+    "Healthcare": (20.0, 1000.0),
+    "Travel": (100.0, 2000.0),
+}
 
 _SURNAMES = [
     "Smith", "Johnson", "O'Brien", "Garcia", "Miller-Lopez", "Davis",
@@ -64,14 +80,18 @@ def generate_transactions(
     rows = []
     for _ in range(num_transactions):
         d = start + timedelta(days=rng.randint(0, span))
+        category = rng.choices(cats, weights=weights, k=1)[0]
+        lo, hi = AMOUNT_RANGES[category]
         rows.append(
             {
                 "transaction_id": str(uuid.UUID(int=rng.getrandbits(128), version=4)),
                 "date": d.isoformat(),
-                "category": rng.choices(cats, weights=weights, k=1)[0],
-                "amount": f"{round(rng.lognormvariate(4.5, 1.0), 2):.2f}",
+                "category": category,
+                "amount": f"{round(rng.uniform(lo, hi), 2):.2f}",
                 "merchant": _company_name(rng),
-                "payment_method": rng.choice(PAYMENT_METHODS),
+                "payment_method": rng.choices(
+                    PAYMENT_METHODS, weights=PAYMENT_WEIGHTS, k=1
+                )[0],
                 "user_id": str(rng.randint(1, num_users)),
             }
         )

@@ -99,7 +99,7 @@ ORDER BY total_spending DESC;
 SELECT d.year, d.month,
        SUM(CASE WHEN c.category_name = 'Groceries' THEN f.amount ELSE 0 END) AS groceries,
        SUM(CASE WHEN c.category_name = 'Dining' THEN f.amount ELSE 0 END) AS dining,
-       SUM(CASE WHEN c.category_name = 'Transport' THEN f.amount ELSE 0 END) AS transport,
+       SUM(CASE WHEN c.category_name = 'Transportation' THEN f.amount ELSE 0 END) AS transportation,
        SUM(CASE WHEN c.category_name = 'Entertainment' THEN f.amount ELSE 0 END) AS entertainment
 FROM fact_transactions f
 JOIN dim_date d ON d.date_key = f.date_key

@@ -36,7 +36,7 @@ def valid_rows():
     return [
         ["t1", "2023-06-15", "Groceries", "100.50", "Store A", "Credit Card", "1"],
         ["t2", "2023-06-16", "Dining", "55.25", "Cafe B", "Cash", "2"],
-        ["t3", "2023-06-17", "Transport", "12.00", "Metro C", "Debit Card", "3"],
+        ["t3", "2023-06-17", "Transportation", "12.00", "Metro C", "Debit Card", "3"],
     ]
 
 

@@ -82,7 +82,7 @@ def test_streaming_incremental_load(spark, tmp_path):
     # reference src/load.py:585-696 semantics, now via the stream)
     _write_csv(landing / "batch2.csv", [
         "t2,2023-06-16,Dining,55.25,Cafe B,Cash,2",
-        "t3,2023-06-17,Transport,12.00,Metro C,Debit Card,3",
+        "t3,2023-06-17,Transportation,12.00,Metro C,Debit Card,3",
     ])
     q2 = start_incremental_load(
         spark, str(landing), str(tmp_path / "ckpt"), cfg, warehouse=wh

@@ -46,7 +46,7 @@ def test_rerun_is_idempotent(spark, wh, valid_rows):
 def test_incremental_appends_only_new(spark, wh, valid_rows):
     _load(spark, wh, valid_rows)
     new_rows = valid_rows + [
-        ["t4", "2023-06-18", "Healthcare", "75.00", "Clinic D", "Pix", "4"],
+        ["t4", "2023-06-18", "Healthcare", "75.00", "Clinic D", "Digital Wallet", "4"],
     ]
     stats = _load(spark, wh, new_rows)
     assert stats.fact_inserted == 1 and stats.fact_skipped == 3
@@ -60,7 +60,7 @@ def test_surrogate_keys_stable_across_loads(spark, wh, valid_rows):
         for r in wh.read("dim_category").collect()
     }
     new_rows = valid_rows + [
-        ["t4", "2023-06-18", "Entertainment", "75.00", "Cinema E", "Pix", "4"],
+        ["t4", "2023-06-18", "Entertainment", "75.00", "Cinema E", "Digital Wallet", "4"],
     ]
     _load(spark, wh, new_rows)
     after = {
@@ -94,7 +94,7 @@ def test_enriched_fact_joins_back(spark, wh, valid_rows):
         ORDER BY f.transaction_id
         """
     ).collect()
-    assert [r["category_name"] for r in joined] == ["Groceries", "Dining", "Transport"]
+    assert [r["category_name"] for r in joined] == ["Groceries", "Dining", "Transportation"]
 
 
 def test_verify_schema_report(spark, tmp_path):
