@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: pin the scale-critical properties
+(.explain output) so a refactor can't silently trade a broadcast join
+for a sort-merge shuffle or lose predicate pushdown. These are the
+local-mode proxies for the 100 TB behaviors README.md promises."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+
+import __spark_entry__ as ep
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@needs_testdata
+def test_flagship_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(ep.queries()["q00_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: only the 6 referenced columns, never the 16-col table
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema
+    assert "l_comment" not in read_schema
+    # partial + final aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+@needs_testdata
+@pytest.mark.parametrize(
+    "name", ["q11_top20_suppliers", "q12_supplier_customer_reach", "q20_star_join_sample"]
+)
+def test_star_joins_broadcast_not_shuffle(spark, name):
+    plan = plan_of(ep.queries()[name](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@needs_testdata
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(ep.queries()["q11_top20_suppliers"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+@needs_testdata
+def test_neardup_blocks_on_bucket_equijoin(spark):
+    plan = plan_of(ep.queries()["dd05_embedding_neardup"](spark, SF))
+    # candidate generation must be an equi-join on the bucket key,
+    # never a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_warehouse_enrichment_broadcasts_dims(spark, tmp_path):
+    from local_etl_csv_to_postgresql_spark.config import EngineConfig, WarehouseConfig
+    from local_etl_csv_to_postgresql_spark.operators.transform import (
+        transform_transactions,
+    )
+    from local_etl_csv_to_postgresql_spark.sources.generator import (
+        generate_transactions,
+    )
+    from local_etl_csv_to_postgresql_spark.warehouse import Warehouse
+
+    cfg = EngineConfig(warehouse=WarehouseConfig(path=str(tmp_path / "wh")))
+    raw = spark.createDataFrame(
+        [{k: str(v) for k, v in r.items()} for r in generate_transactions(300, 20, 1)]
+    )
+    result = transform_transactions(raw, cfg.validation)
+    wh = Warehouse(spark, cfg.warehouse)
+    wh.load_warehouse(result.tables)
+    plan = plan_of(wh.enrich_fact(result.tables["fact_data"]))
+    # all four dim lookups are broadcast hash joins (the reference's
+    # dict-map strategy, Spark-shaped); no shuffle on the fact side
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan

@@ -139,3 +139,32 @@ def test_stateful_sessionizer_cross_batch(spark, tmp_path):
         (1, "2024-01-01T10:00:00", 2),
         (1, "2024-01-01T15:00:00", 1),
     ]
+
+
+@pytest.mark.slow
+def test_windowed_rollup_stream_to_parquet(spark, tmp_path):
+    """Append-mode windowed aggregation over a file stream: only
+    watermark-closed windows land in the parquet sink."""
+    from local_etl_csv_to_postgresql_spark.streaming.incremental import (
+        start_windowed_rollup_stream,
+    )
+
+    ev = _events(spark, [
+        ("2024-01-01T10:05:00", 1, "click", 1.0),
+        ("2024-01-01T10:40:00", 1, "click", 2.0),
+        ("2024-01-01T14:00:00", 2, "view", 3.0),   # watermark -> 12:00
+    ])
+    src = tmp_path / "src"
+    ev.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    q = start_windowed_rollup_stream(
+        spark, stream, str(tmp_path / "ckpt"), str(tmp_path / "out"),
+        duration="1 hour", watermark="2 hours",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {(r["window_start"].hour, r["event_type"]): (r["event_count"], r["total_value"])
+            for r in out.collect()}
+    # the 10:00 window closed (watermark 14:00 - 2h = 12:00 > 11:00);
+    # the 14:00 window is still open and must NOT be emitted
+    assert rows == {(10, "click"): (2, 3.0)}
