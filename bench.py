@@ -41,11 +41,46 @@ def main() -> int:
             failures[name] = str(e).split("\n")[0][:200]
     total = round(time.time() - t_all, 3)
 
+    # ETL leg (BASELINE.md workload = query set + the pipeline run):
+    # rows scale with sf — the reference's 10k-row baseline is sf0.01.
+    etl = {}
+    try:
+        import shutil
+        import tempfile
+
+        from local_etl_csv_to_postgresql_spark.config import (
+            EngineConfig,
+            WarehouseConfig,
+        )
+        from local_etl_csv_to_postgresql_spark.pipeline import run_etl_pipeline
+        from local_etl_csv_to_postgresql_spark.sources.generator import (
+            generate_transactions,
+            write_transactions_csv,
+        )
+
+        n_rows = max(1_000, int(float(sf) * 1_000_000))
+        work = tempfile.mkdtemp(prefix="bench_etl_")
+        write_transactions_csv(
+            f"{work}/tx.csv", generate_transactions(n_rows, 100, 2)
+        )
+        cfg = EngineConfig(warehouse=WarehouseConfig(path=f"{work}/wh"))
+        t0 = time.time()
+        res = run_etl_pipeline(spark, f"{work}/tx.csv", cfg)
+        etl = {
+            "rows": n_rows,
+            "sec": round(time.time() - t0, 3),
+            "loaded": res.loaded_rows,
+        }
+        shutil.rmtree(work, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        failures["__etl__"] = str(e).split("\n")[0][:200]
+
     out = {
         "metric": "query_library_total_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "etl": etl,
         "sf": sf,
     }
     if failures:
