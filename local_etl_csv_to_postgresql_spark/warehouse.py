@@ -214,7 +214,16 @@ class Warehouse:
         )
 
     def _write_fact(self, df: DataFrame, mode: str = "overwrite") -> None:
-        writer = self._fact_with_partition(df).write.mode(mode)
+        out = self._fact_with_partition(df)
+        writer_df = out
+        if self.cfg.partition_fact_by_month:
+            # without this, every shuffle task writes a sliver into every
+            # month dir (tasks x months tiny files — 776 files for a 3k-row
+            # load). Repartitioning on the partition column yields one file
+            # per month per batch; at cluster scale use
+            # repartition(N, col) to balance file sizes instead.
+            writer_df = out.repartition(F.col("year_month"))
+        writer = writer_df.write.mode(mode)
         if self.cfg.partition_fact_by_month:
             writer = writer.partitionBy("year_month")
         writer.parquet(self._path(self.cfg.fact_table))
