@@ -64,3 +64,28 @@ def standardize_payment_method(col: Column | str) -> Column:
     """F3 (reference src/transform.py:90-106): strip + title-case."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(c.isNull(), None).otherwise(python_title(F.trim(c)))
+
+
+def register_sql_functions(spark) -> None:
+    """SQL-callable parity for the standardize trio (SURVEY §2.10: the
+    reference exposes them as named functions; we register UDF wrappers
+    so ``spark.sql("SELECT standardize_merchant(...)")`` works).
+
+    These are row-at-a-time Python UDFs — exact ``str.title()`` by
+    construction — intended for ad-hoc SQL convenience only. The hot
+    path stays on the Column expressions above (JVM codegen); nothing in
+    the engine calls these.
+    """
+
+    def _cat(s: str | None) -> str | None:
+        return None if s is None else s.strip().title()
+
+    def _merch(s: str | None) -> str | None:
+        return None if s is None else " ".join(s.split()).title()
+
+    def _pm(s: str | None) -> str | None:
+        return None if s is None else s.strip().title()
+
+    spark.udf.register("standardize_category", _cat, "string")
+    spark.udf.register("standardize_merchant", _merch, "string")
+    spark.udf.register("standardize_payment_method", _pm, "string")

@@ -134,6 +134,14 @@ class Warehouse:
         """S6: dim_date idempotent append on date_key."""
         return self.load_dimension(df, "dim_date", "date_key", surrogate_key=None)
 
+    def seed_dim_date(self, start, end) -> int:
+        """Seed the continuous calendar range (reference
+        sql/populate_dim_date.sql: GENERATE_SERIES 2022-2026 -> 1,826
+        rows). Idempotent: re-seeding skips existing date_keys."""
+        from .operators.dates import build_dim_date
+
+        return self.load_dim_date(build_dim_date(self.spark, start, end))
+
     # -- key maps + fact enrichment (S9 + J1/J2) ---------------------------
 
     def enrich_fact(self, fact_df: DataFrame) -> DataFrame:

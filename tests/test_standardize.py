@@ -64,3 +64,19 @@ def test_null_passthrough(spark):
         standardize_payment_method(F.col("merchant")).alias("p"),
     ).first()
     assert got["m"] is None and got["p"] is None
+
+
+def test_sql_registered_functions(spark):
+    from local_etl_csv_to_postgresql_spark.operators.standardize import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT standardize_category('  groceries ') AS c, "
+        "standardize_merchant('  o''brien-smith   and  co ') AS m, "
+        "standardize_payment_method('digital wallet') AS p"
+    ).first()
+    assert row["c"] == "Groceries"
+    assert row["m"] == "O'Brien-Smith And Co"
+    assert row["p"] == "Digital Wallet"
