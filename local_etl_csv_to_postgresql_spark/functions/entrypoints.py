@@ -20,6 +20,7 @@ from . import similarity as sim
 from . import text as tx
 from .multimodal import (
     documents_as_media,
+    extract_features,
     extract_metadata,
     resize_images,
     sample_frames,
@@ -302,6 +303,28 @@ def mm03_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("total_frames"),
             F.sum("frame_n_bytes").alias("sum_frame_bytes"),
             F.max("frame_idx").alias("max_frame_idx"),
+        )
+        .orderBy("source")
+    )
+
+
+def mm04_feature_means(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary -> feature-vector extraction (stub model over Arrow
+    batches), rolled up as the element-wise mean vector per source:
+    posexplode -> per-(source, position) avg -> re-assemble ordered."""
+    media = documents_as_media(load(spark, sf, "documents"))
+    feats = extract_features(media)
+    # flattened to scalar columns (mean_f0..f3) — array-typed result
+    # columns are valid but scalar outputs hash-compare robustly across
+    # harnesses
+    return (
+        feats.select(
+            "source",
+            *[F.element_at("features", i + 1).alias(f"__f{i}") for i in range(4)],
+        )
+        .groupBy("source")
+        .agg(
+            *[F.round(F.avg(f"__f{i}"), 4).alias(f"mean_f{i}") for i in range(4)]
         )
         .orderBy("source")
     )
@@ -597,6 +620,21 @@ SELECT source,
 FROM sizes GROUP BY source ORDER BY source
 """
 
+EXTENSION_ORACLE["mm04_feature_means"] = """
+WITH f AS (
+  SELECT source,
+         CAST((octet_length(encode(text)) % 64) + 1 AS DOUBLE) AS f0,
+         CAST((octet_length(encode(text)) % 48) + 1 AS DOUBLE) AS f1,
+         CAST(octet_length(encode(text)) % 256 AS DOUBLE) AS f2,
+         CAST(COALESCE(ascii(substr(text, 1, 1)), 0) AS DOUBLE) AS f3
+  FROM documents
+)
+SELECT source,
+       ROUND(AVG(f0), 4) AS mean_f0, ROUND(AVG(f1), 4) AS mean_f1,
+       ROUND(AVG(f2), 4) AS mean_f2, ROUND(AVG(f3), 4) AS mean_f3
+FROM f GROUP BY source ORDER BY source
+"""
+
 EXTENSION_QUERIES = {
     "tx01_token_stats": tx01_token_stats,
     "tx02_quality_by_lang": tx02_quality_by_lang,
@@ -615,4 +653,5 @@ EXTENSION_QUERIES = {
     "mm01_media_metadata": mm01_media_metadata,
     "mm02_resize_metadata": mm02_resize_metadata,
     "mm03_frame_sample": mm03_frame_sample,
+    "mm04_feature_means": mm04_feature_means,
 }

@@ -165,3 +165,36 @@ def sample_frames(media: DataFrame, stride: int = 4096) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "media_id long, source string, features array<double>"
+N_FEATURES = 4
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction plumbing: binary payload -> fixed-width
+    feature vector (array<double>), the shape an image/audio embedding
+    model produces. The "model" is the deterministic stub (pseudo-dims
+    + byte stats); a real deployment swaps in an ONNX/torch call over
+    the same Arrow batches and the schema/partitioning are unchanged.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["content"].str.len().fillna(0).astype("int64")
+            header = pdf["content"].str[0].map(
+                lambda b: float(b) if pd.notna(b) else 0.0
+            )
+            feats = [
+                [float((nb % 64) + 1), float((nb % 48) + 1), float(nb % 256), hb]
+                for nb, hb in zip(n, header)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "source": pdf["source"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)

@@ -28,7 +28,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]").dt.tz_localize(None)
         elif df[c].dtype == object:
             df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+                else v
             )
     return df.sort_values(by=list(df.columns), ignore_index=True)
 

@@ -239,3 +239,17 @@ def test_salted_aggregate_equals_plain_groupby(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_extract_features_golden(spark):
+    from local_etl_csv_to_postgresql_spark.functions.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, b"Az" * 50, "img", "s"), (2, b"", "img", "s")],
+        ["media_id", "content", "mime_type", "source"],
+    )
+    rows = {r["media_id"]: r["features"]
+            for r in extract_features(media).collect()}
+    # 100 bytes: [(100%64)+1, (100%48)+1, 100%256, ord('A')]
+    assert rows[1] == [37.0, 5.0, 100.0, 65.0]
+    assert rows[2] == [1.0, 1.0, 0.0, 0.0]
