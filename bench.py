@@ -70,6 +70,7 @@ def main() -> int:
             "rows": n_rows,
             "sec": round(time.time() - t0, 3),
             "loaded": res.loaded_rows,
+            "phases": {k: round(v, 2) for k, v in res.phase_times.items()},
         }
         shutil.rmtree(work, ignore_errors=True)
     except Exception as e:  # noqa: BLE001
