@@ -171,6 +171,12 @@ class Warehouse:
         )
         out = out.join(F.broadcast(dim_date_keys), "date_key", "left")
 
+        # the joined frame backs three actions (this miss-check, the fact
+        # count, the fact write) — persist so the 5-join plan runs once;
+        # load_warehouse unpersists after the fact lands
+        out = out.persist()
+        self._enriched_cache = out
+
         missing = out.agg(
             *[
                 F.sum(F.col(sk).isNull().cast("long")).alias(sk)
@@ -275,6 +281,11 @@ class Warehouse:
             stats.status = "failed"
             stats.error = str(e)
             raise
+        finally:
+            cached = getattr(self, "_enriched_cache", None)
+            if cached is not None:
+                cached.unpersist()
+                self._enriched_cache = None
         return stats
 
     # -- schema verification (reference sql/verify_schema.sql) -------------
