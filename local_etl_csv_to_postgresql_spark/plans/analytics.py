@@ -551,6 +551,77 @@ def q22_user_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q23_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered 3-way join, revenue top-10.
+
+    Both date filters push to the parquet scans; customer is the small
+    side and broadcasts; the lineitem-orders join shuffles on orderkey
+    once (AQE coalesces)."""
+    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q24_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: region->nation->customer->orders->lineitem
+    5-way join, revenue per nation within one region and one year.
+
+    region/nation/customer all broadcast (each orders of magnitude
+    smaller than lineitem); only the orderkey join shuffles."""
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf, "nation")
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load(spark, sf, "lineitem")
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("lineitem_count"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q25_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — orders with at least one line
+    shipped more than 60 days after the order date, counted by
+    priority. Catalyst decorrelates the EXISTS into a left-semi join."""
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    late_orders = orders.join(
+        li.withColumnRenamed("l_orderkey", "__lok"),
+        (orders.o_orderkey == F.col("__lok"))
+        & (F.col("l_shipdate") > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late_orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_record_counts": q01_record_counts,
     "q02_orphaned_records": q02_orphaned_records,
@@ -574,4 +645,7 @@ RELATIONAL_QUERIES = {
     "q20_star_join_sample": q20_star_join_sample,
     "q21_events_hourly": q21_events_hourly,
     "q22_user_sessions": q22_user_sessions,
+    "q23_shipping_priority": q23_shipping_priority,
+    "q24_regional_revenue": q24_regional_revenue,
+    "q25_late_shipment_priority": q25_late_shipment_priority,
 }
