@@ -112,6 +112,25 @@ def tx03_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tx05_token_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (source, lang): per-(source,lang),
+    per-source subtotal, and grand total in ONE pass — Spark computes
+    all grouping levels from a single shuffle (partial aggs are shared),
+    where naive per-level queries would scan three times."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select("source", "lang", tx.token_count("text").alias("__tok"))
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+        )
+        .orderBy(
+            F.col("source").asc_nulls_first(), F.col("lang").asc_nulls_first()
+        )
+    )
+
+
 def tx04_fingerprint_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     return (
@@ -424,6 +443,17 @@ SELECT lang, predicted_lang, COUNT(*) AS n_docs
 FROM pred GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang
 """
 
+EXTENSION_ORACLE["tx05_token_rollup"] = """
+WITH t AS (
+  SELECT source, lang,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok
+  FROM documents
+)
+SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
+FROM t GROUP BY ROLLUP (source, lang)
+ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST
+"""
+
 EXTENSION_ORACLE["tx04_fingerprint_stats"] = """
 SELECT source, COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))) AS n_unique_fingerprints
@@ -640,6 +670,7 @@ EXTENSION_QUERIES = {
     "tx02_quality_by_lang": tx02_quality_by_lang,
     "tx03_langid_confusion": tx03_langid_confusion,
     "tx04_fingerprint_stats": tx04_fingerprint_stats,
+    "tx05_token_rollup": tx05_token_rollup,
     "dd01_exact_dedup": dd01_exact_dedup,
     "dd02_ngram_jaccard_pairs": dd02_ngram_jaccard_pairs,
     "dd03_minhash_lsh_pairs": dd03_minhash_lsh_pairs,
