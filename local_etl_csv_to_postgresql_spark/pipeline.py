@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession
 
 from .config import EngineConfig
 from .operators.transform import TransformError, transform_transactions
-from .sources.extract import ExtractError, extract_transactions, profile_dataframe
+from .sources.extract import ExtractError, extract_transactions
 from .warehouse import LoadError, Warehouse
 
 
@@ -151,7 +151,7 @@ def parse_arguments(argv=None):
 
 def main(argv=None) -> int:
     from .session import get_spark
-    from .config import WarehouseConfig, ValidationConfig
+    from .config import WarehouseConfig
 
     args = parse_arguments(argv)
     spark = get_spark("etl_pipeline")
