@@ -121,6 +121,7 @@ def replay_sessions(
     gap_seconds: float = 1800.0,
     table_name: str | None = None,
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Bounded replay: stream the parquet file(s) at ``parquet_path``
     through the stateful sessionizer into a memory sink and return the
@@ -160,19 +161,31 @@ def replay_sessions(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(stream_path)
+
+    # each shuffle partition carries a state-store instance whose
+    # per-batch open/commit cost dwarfs the work at local scale (32
+    # partitions: ~15s, 8: ~6s on 100k events). A cluster-scale stream
+    # keeps the session default (None = don't touch).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     if dict(stream.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         # integer div (`div`), not double FLOOR — exact at epoch-ns scale
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     stream = stream.select("user_id", "ts")
-    q = (
-        sessionize_stateful(stream, gap_seconds)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    try:
+        q = (
+            sessionize_stateful(stream, gap_seconds)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
