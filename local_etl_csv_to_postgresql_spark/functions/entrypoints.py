@@ -263,6 +263,36 @@ def sa01_salted_event_totals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sa02_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted join on a pathologically skewed key: event_type has ~5
+    values over the whole table, so a plain shuffle join funnels each
+    type to one reducer. salted_join spreads each type over 16 salts;
+    the result is identical to the plain join (which is what the oracle
+    runs)."""
+    from ..operators.skew import salted_join
+
+    ev = load(spark, sf, "events")
+    tiers = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "tier",
+            F.when(F.length("event_type") > 5, "long").otherwise("short"),
+        )
+    )
+    joined = salted_join(ev, tiers, "event_type", salt_source="event_id")
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .orderBy("tier")
+    )
+
+
 def dd05_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, sign-LSH-blocked (see
     similarity.neardup_pairs for the recall/shuffle tradeoff)."""
@@ -599,6 +629,20 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+EXTENSION_ORACLE["sa02_salted_skew_join"] = """
+WITH tiers AS (
+  SELECT DISTINCT event_type,
+         CASE WHEN length(event_type) > 5 THEN 'long' ELSE 'short' END AS tier
+  FROM events
+)
+SELECT t.tier,
+       COUNT(*) AS event_count,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+FROM events e JOIN tiers t ON e.event_type = t.event_type
+GROUP BY t.tier
+ORDER BY t.tier
+"""
+
 EXTENSION_ORACLE["dd05_embedding_neardup"] = f"""
 WITH wb AS (
   SELECT vec_id, embedding, CAST({_BUCKET.format(e='embedding')} AS INT) AS bucket
@@ -681,6 +725,7 @@ EXTENSION_QUERIES = {
     "es03_bucketed_ann": es03_bucketed_ann,
     "es04_ivf_ann": es04_ivf_ann,
     "sa01_salted_event_totals": sa01_salted_event_totals,
+    "sa02_salted_skew_join": sa02_salted_skew_join,
     "mm01_media_metadata": mm01_media_metadata,
     "mm02_resize_metadata": mm02_resize_metadata,
     "mm03_frame_sample": mm03_frame_sample,

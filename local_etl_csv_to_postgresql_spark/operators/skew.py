@@ -48,3 +48,31 @@ def salted_aggregate(
         F.sum("__n").cast("long").alias("n"),
         *[F.sum(c).alias(c) for c in sum_cols],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_source: Column | str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate the (small) right side once
+    per salt value and join on (key, salt), so a hot key's rows spread
+    over ``n_salts`` reducers instead of melting one.
+
+    The left side derives its salt deterministically from
+    ``salt_source`` (any high-cardinality left column); the right side
+    explodes a literal salt array. Use when AQE's skew-join splitting
+    can't help (e.g. the skew is in a non-shuffle-join or the planner
+    under-estimates it); results are identical to a plain join.
+    """
+    salt_col = F.pmod(
+        F.hash(F.col(salt_source) if isinstance(salt_source, str) else salt_source),
+        F.lit(n_salts),
+    )
+    salted_left = left.withColumn("__salt", salt_col)
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_left.join(salted_right, [key, "__salt"]).drop("__salt")

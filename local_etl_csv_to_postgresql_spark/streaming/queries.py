@@ -18,6 +18,7 @@ Oracle equivalences:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.analytics import load
 from .windows import session_summary, tumbling_rollup
@@ -48,10 +49,31 @@ def st03_stateful_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def st04_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events file is delivered TWICE
+    through a file stream; dropDuplicates state emits each event_id
+    once, so the rollup equals a plain aggregation of the input (the
+    oracle)."""
+    from .stateful import replay_dedup
+
+    deduped = replay_dedup(spark, f"{sf}/events.parquet")
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 STREAMING_QUERIES = {
     "st01_tumbling_rollup": st01_tumbling_rollup,
     "st02_session_summary": st02_session_summary,
     "st03_stateful_sessions": st03_stateful_sessions,
+    "st04_stream_dedup": st04_stream_dedup,
 }
 
 STREAMING_ORACLE = {
@@ -120,5 +142,14 @@ WHERE sid < (SELECT MAX(sid) FROM per_sess q WHERE q.user_id = p.user_id)
    OR epoch_us(session_end) + {SESSION_GAP_SECONDS} * 1000000
         <= (SELECT MAX(epoch_us(ts)) FROM events)
 ORDER BY user_id, session_start
+""",
+    # st04: double-delivery + streaming dropDuplicates == plain agg
+    "st04_stream_dedup": """
+SELECT event_type,
+       COUNT(*) AS event_count,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
 """,
 }

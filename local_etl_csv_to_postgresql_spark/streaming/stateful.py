@@ -189,3 +189,60 @@ def replay_sessions(
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
+
+
+def replay_dedup(
+    spark,
+    parquet_path: str,
+    dedup_cols: list[str] | None = None,
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming exact deduplication: the at-ingest dedup a training
+    pipeline runs so re-delivered events never double-count.
+
+    The input file is staged into the landing dir TWICE, so the stream
+    delivers every row at least twice; ``dropDuplicates`` holds seen
+    keys in the state store and emits each exactly once. The emitted
+    set therefore equals the distinct rows of the input — which is the
+    DuckDB oracle (st04). Without a watermark, state is unbounded —
+    correct for bounded replay; a continuous ingest adds
+    ``withWatermark`` so old keys age out.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    dedup_cols = dedup_cols or ["event_id"]
+    table_name = table_name or f"stream_dedup_{uuid.uuid4().hex[:8]}"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(parquet_path).schema
+    stage = tempfile.mkdtemp(prefix="dedup_stream_")
+    src = os.path.abspath(parquet_path)
+    for name in ("first.parquet", "second.parquet"):
+        os.symlink(src, os.path.join(stage, name))
+
+    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.dropDuplicates(dedup_cols)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)

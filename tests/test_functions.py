@@ -253,3 +253,21 @@ def test_extract_features_golden(spark):
     # 100 bytes: [(100%64)+1, (100%48)+1, 100%256, ord('A')]
     assert rows[1] == [37.0, 5.0, 100.0, 65.0]
     assert rows[2] == [1.0, 1.0, 0.0, 0.0]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from local_etl_csv_to_postgresql_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 5 else "cold", i * 1.0) for i in range(200)],
+        ["id", "k", "v"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C")], ["k", "label"]
+    )
+    salted = sorted(
+        (r["id"], r["label"])
+        for r in salted_join(left, right, "k", salt_source="id", n_salts=8).collect()
+    )
+    plain = sorted((r["id"], r["label"]) for r in left.join(right, "k").collect())
+    assert salted == plain

@@ -168,3 +168,28 @@ def test_windowed_rollup_stream_to_parquet(spark, tmp_path):
     # the 10:00 window closed (watermark 14:00 - 2h = 12:00 > 11:00);
     # the 14:00 window is still open and must NOT be emitted
     assert rows == {(10, "click"): (2, 3.0)}
+
+
+@pytest.mark.slow
+def test_stream_dedup_exactly_once(spark, tmp_path):
+    """Double-delivered input through streaming dropDuplicates emits
+    each key exactly once."""
+    import glob
+    import shutil
+
+    from local_etl_csv_to_postgresql_spark.streaming.stateful import replay_dedup
+
+    ev = _events(spark, [
+        ("2024-01-01T10:00:00", 1, "click", 1.0),
+        ("2024-01-01T11:00:00", 2, "view", 2.0),
+        ("2024-01-01T12:00:00", 3, "click", 3.0),
+    ])
+    scratch = tmp_path / "scratch"
+    ev.coalesce(1).write.parquet(str(scratch))
+    part = glob.glob(str(scratch / "part-*.parquet"))[0]
+    src = tmp_path / "events.parquet"
+    shutil.move(part, str(src))
+
+    out = replay_dedup(spark, str(src), dedup_cols=["event_id"])
+    rows = sorted(r["event_id"] for r in out.collect())
+    assert rows == [0, 1, 2]  # each exactly once despite double delivery
