@@ -622,6 +622,110 @@ def q25_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q26_revenue_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE decile segmentation: customers ranked into 10 spend tiles,
+    rolled up per decile. The global NTILE is a single-partition window
+    over the already-aggregated per-customer frame (one row per
+    customer, tiny next to the fact scan) — the heavy lifting is the
+    distributed groupBy below it, so the serial tail is O(customers)."""
+    orders = load(spark, sf, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), "o_custkey")
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "decile_revenue"
+            ),
+            F.round(F.min("revenue"), 2).alias("min_revenue"),
+            F.round(F.max("revenue"), 2).alias("max_revenue"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q27_cube_priority_status(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (o_orderpriority, o_orderstatus): all four grouping
+    levels from one shuffle (shared partial aggregates), where naive
+    per-level UNIONs would scan the fact four times."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+def aj01_asof_prior_click(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase event picks up the user's latest click
+    at-or-before it (inclusive), plus the gap in whole seconds. See
+    operators/temporal.asof_join for the union+window single-shuffle
+    formulation."""
+    from ..operators.temporal import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["click_id"],
+        tiebreak="click_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "asof_click_id",
+        (F.col("ts").cast("long") - F.col("asof_ts").cast("long")).alias(
+            "gap_seconds"
+        ),
+    ).orderBy("purchase_id")
+
+
+def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval range join: per error event, how many of the
+    same user's view/click events landed in the preceding 60 s. See
+    operators/temporal.range_join_count for the bin-bucketed equi-join
+    that replaces the naive range join."""
+    from ..operators.temporal import range_join_count
+
+    ev = load(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    activity = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts"
+    )
+    counted, _ = range_join_count(
+        activity,
+        errors,
+        on=["user_id"],
+        point_ts="ts",
+        anchor_ts="ts",
+        lower_seconds=-60,
+        upper_seconds=0,
+        count_alias="n_preceding",
+    )
+    return counted.select("error_id", "user_id", "n_preceding").orderBy(
+        "error_id"
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_record_counts": q01_record_counts,
     "q02_orphaned_records": q02_orphaned_records,
@@ -648,4 +752,8 @@ RELATIONAL_QUERIES = {
     "q23_shipping_priority": q23_shipping_priority,
     "q24_regional_revenue": q24_regional_revenue,
     "q25_late_shipment_priority": q25_late_shipment_priority,
+    "q26_revenue_deciles": q26_revenue_deciles,
+    "q27_cube_priority_status": q27_cube_priority_status,
+    "aj01_asof_prior_click": aj01_asof_prior_click,
+    "rj01_error_context_window": rj01_error_context_window,
 }

@@ -343,3 +343,68 @@ WHERE EXISTS (
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+RELATIONAL_ORACLE["q26_revenue_deciles"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+), tiled AS (
+  SELECT o_custkey, revenue,
+         CAST(NTILE(10) OVER (ORDER BY revenue DESC, o_custkey) AS INT) AS decile
+  FROM per_cust
+)
+SELECT decile, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE), 2) AS decile_revenue,
+       ROUND(MIN(revenue), 2) AS min_revenue,
+       ROUND(MAX(revenue), 2) AS max_revenue
+FROM tiled GROUP BY decile ORDER BY decile
+"""
+
+RELATIONAL_ORACLE["q27_cube_priority_status"] = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+# events.ts is TIMESTAMP_NS in DuckDB but micro-truncated on the Spark
+# side (see analytics.load); CAST(ts AS TIMESTAMP) truncates ns -> us so
+# both engines compare identical instants.
+RELATIONAL_ORACLE["aj01_asof_prior_click"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, l.asof_click_id, l.gap_seconds
+FROM p LEFT JOIN LATERAL (
+  SELECT c.click_id AS asof_click_id,
+         DATE_DIFF('second', c.ts, p.ts) AS gap_seconds
+  FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.click_id DESC LIMIT 1
+) l ON TRUE
+ORDER BY purchase_id
+"""
+
+# the Spark operator compares floor-epoch-seconds (ts CAST LONG), so the
+# oracle floors epoch() the same way before the range predicate.
+RELATIONAL_ORACLE["rj01_error_context_window"] = """
+WITH e AS (
+  SELECT event_id AS error_id, user_id,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+  FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ps
+  FROM events WHERE event_type IN ('view', 'click')
+)
+SELECT e.error_id, e.user_id, COUNT(p.ps) AS n_preceding
+FROM e LEFT JOIN p
+  ON p.user_id = e.user_id AND p.ps >= e.es - 60 AND p.ps < e.es
+GROUP BY e.error_id, e.user_id
+ORDER BY error_id
+"""
