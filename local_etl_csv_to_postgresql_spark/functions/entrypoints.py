@@ -205,6 +205,60 @@ def dd04_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dd.simhash32_agg(docs, "doc_id", F.col("__words")).orderBy("doc_id")
 
 
+def dd06_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Full dedup-grouping pipeline: LSH candidates -> exact-Jaccard
+    verification (>= 0.5) -> connected components, labelling every doc
+    with its cluster (min reachable doc_id; singletons label
+    themselves). See operators/graph.connected_components for the
+    iterative join formulation and its fixpoint determinism."""
+    from ..operators.graph import connected_components
+
+    docs = _docs_words(spark, sf).select(
+        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
+    ).persist()
+    sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    verified = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(dd.jaccard(F.col("__sa"), F.col("__sb")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    verts = load(spark, sf, "documents").select("doc_id")
+    comp = connected_components(
+        verts, verified, id_col="doc_id", src="id_a", dst="id_b"
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component").orderBy(
+        "doc_id"
+    )
+
+
+def tx06_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 terms per language by frequency: explode -> count ->
+    per-group window top-k. The window runs on the already-aggregated
+    (lang, word) counts, orders of magnitude smaller than the exploded
+    token stream, so the rank is cheap next to the count shuffle."""
+    from pyspark.sql import Window
+
+    docs = _docs_words(spark, sf)
+    counts = (
+        docs.select("lang", F.explode("__words").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "word")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "word", "n", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
 # --- similarity search -----------------------------------------------------
 
 def es01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -731,3 +785,54 @@ EXTENSION_QUERIES = {
     "mm03_frame_sample": mm03_frame_sample,
     "mm04_feature_means": mm04_feature_means,
 }
+
+EXTENSION_ORACLE["tx06_top_terms"] = f"""
+WITH w AS (
+  SELECT lang, unnest({_WORDS}) AS word FROM documents
+), c AS (
+  SELECT lang, word, COUNT(*) AS n FROM w GROUP BY lang, word
+), rk AS (
+  SELECT lang, word, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS INT) AS rk
+  FROM c
+)
+SELECT lang, word, n, rk FROM rk WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+# transitive closure of the verified near-dup pairs; MIN(reachable id)
+# per vertex equals the fixpoint label operators/graph.py converges to.
+EXTENSION_ORACLE["dd06_neardup_clusters"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), good AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+  WHERE {_JACCARD.format(a='sa.s', b='sb.s')} >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM good
+  UNION ALL SELECT id_b AS s, id_a AS d FROM good
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+EXTENSION_QUERIES["tx06_top_terms"] = tx06_top_terms
+EXTENSION_QUERIES["dd06_neardup_clusters"] = dd06_neardup_clusters

@@ -666,6 +666,35 @@ def q27_cube_priority_status(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q28_top_customers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group top-k: top-3 customers by order revenue within each
+    nation. The rank window runs on the per-customer aggregate (one row
+    per customer), after the fact-table shuffle has already reduced the
+    data; nation is a broadcast dim."""
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    joined = per_cust.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        per_cust.o_custkey == F.col("c_custkey"),
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), "o_custkey")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "n_name",
+            "o_custkey",
+            F.round("revenue", 2).alias("revenue"),
+            "rk",
+        )
+        .orderBy("n_name", "rk")
+    )
+
+
 def aj01_asof_prior_click(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: each purchase event picks up the user's latest click
     at-or-before it (inclusive), plus the gap in whole seconds. See
@@ -754,6 +783,7 @@ RELATIONAL_QUERIES = {
     "q25_late_shipment_priority": q25_late_shipment_priority,
     "q26_revenue_deciles": q26_revenue_deciles,
     "q27_cube_priority_status": q27_cube_priority_status,
+    "q28_top_customers_per_nation": q28_top_customers_per_nation,
     "aj01_asof_prior_click": aj01_asof_prior_click,
     "rj01_error_context_window": rj01_error_context_window,
 }

@@ -408,3 +408,21 @@ FROM e LEFT JOIN p
 GROUP BY e.error_id, e.user_id
 ORDER BY error_id
 """
+
+RELATIONAL_ORACLE["q28_top_customers_per_nation"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT n.n_name, p.o_custkey, p.revenue,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY n.n_name ORDER BY p.revenue DESC, p.o_custkey
+         ) AS INT) AS rk
+  FROM per_cust p
+  JOIN customer c ON p.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, o_custkey, ROUND(revenue, 2) AS revenue, rk
+FROM ranked WHERE rk <= 3 ORDER BY n_name, rk
+"""
