@@ -48,9 +48,19 @@ def connected_components(
     und = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
     und = und.distinct().persist()
 
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).persist()
+    # only edge-touched vertices can ever change label — iterate on that
+    # (usually tiny) frame and fold the untouched rest back in as
+    # singletons at the end. In a dedup corpus the near-dup subgraph is
+    # orders of magnitude smaller than the corpus, so this turns every
+    # round's join from corpus-sized to candidate-sized.
+    active = und.select(F.col("__s").alias("id")).distinct().persist()
+    labels = active.select("id", F.col("id").alias("component")).persist()
+
+    def _finish(active_labels: DataFrame) -> DataFrame:
+        allv = vertices.select(F.col(id_col).alias("id"))
+        return allv.join(active_labels, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
 
     for _ in range(max_iter):
         nbr_min = (
@@ -74,8 +84,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             und.unpersist()
-            return labels
+            active.unpersist()
+            return _finish(labels)
     und.unpersist()
+    active.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter exceeds max_iter — raise it or use "
