@@ -46,15 +46,26 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     und = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
-    und = und.distinct().persist()
+    # localCheckpoint truncates lineage: without it every round's job
+    # re-analyzes the full upstream plan (LSH candidate generation is a
+    # deep tree), and Catalyst time — not the shuffle — dominates the
+    # loop. On a real cluster with dynamic allocation swap this for
+    # reliable checkpoint(dir) (localCheckpoint pins blocks to live
+    # executors), same as GraphX/GraphFrames' periodic checkpointing.
+    und = und.distinct().localCheckpoint()
 
     # only edge-touched vertices can ever change label — iterate on that
     # (usually tiny) frame and fold the untouched rest back in as
     # singletons at the end. In a dedup corpus the near-dup subgraph is
     # orders of magnitude smaller than the corpus, so this turns every
     # round's join from corpus-sized to candidate-sized.
-    active = und.select(F.col("__s").alias("id")).distinct().persist()
-    labels = active.select("id", F.col("id").alias("component")).persist()
+    labels = (
+        und.select(F.col("__s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    id_type = labels.schema["component"].dataType
 
     def _finish(active_labels: DataFrame) -> DataFrame:
         allv = vertices.select(F.col(id_col).alias("id"))
@@ -65,29 +76,30 @@ def connected_components(
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und["__s"] == labels["id"])
-            .select(F.col("__d").alias("id"), "component")
+            .select(
+                F.col("__d").alias("id"),
+                "component",
+                F.lit(None).cast(id_type).alias("__old"),
+            )
         )
-        new_labels = (
-            labels.select("id", "component")
+        # one shuffle per round: the same groupBy computes the new label
+        # (min over own + neighbour labels) AND carries the old label
+        # through, so the fixpoint check is a filter on the aggregated
+        # frame instead of a second join against the previous round.
+        agg = (
+            labels.select("id", "component", F.col("component").alias("__old"))
             .union(nbr_min)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .persist()
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__old").alias("__old"),
+            )
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = agg.filter(F.col("component") != F.col("__old")).count()
+        labels = agg.select("id", "component")
         if changed == 0:
-            und.unpersist()
-            active.unpersist()
             return _finish(labels)
-    und.unpersist()
-    active.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter exceeds max_iter — raise it or use "
