@@ -439,6 +439,119 @@ _WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
+def ss01_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based sampling (Knuth multiplicative hash on
+    the key, mod-100 threshold): the scale-honest way to sample — no
+    RNG state, reproducible across engines/runs, and each executor
+    decides row-locally with zero shuffle. Per-language sampled counts
+    verify the ~10% rate is unbiased across strata."""
+    docs = load(spark, sf, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    sampled = F.when(h % 100 < 10, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.select("lang", sampled.alias("__s"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__s").cast("bigint").alias("n_sampled"),
+            F.round(
+                F.sum("__s").cast("double") / F.count(F.lit(1)) * 100, 4
+            ).alias("sample_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+def dd07_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-document selection: the step after near-dup clustering
+    where the pipeline keeps ONE representative per cluster (here:
+    longest doc, doc_id tie-break) and drops the rest. Runs the dd06
+    cluster pipeline then a per-cluster window rank; a production run
+    would cache/persist the cluster labels between the two steps."""
+    from pyspark.sql import Window
+
+    comp = dd06_neardup_clusters(spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars")
+    sized = (
+        comp.join(docs, "doc_id")
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        sized.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("rep_chars"),
+            "cluster_size",
+        )
+        .orderBy("component")
+    )
+
+
+def es05_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean embedding, computed array-natively: posexplode to
+    (label, dim, val) rows and aggregate per position. The explode is
+    map-side (no shuffle until the groupBy on label×dim — 640 groups);
+    sums run in DECIMAL so partition order can't change the result."""
+    emb = load(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(25,10)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def tx07_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 terms per language by tf-idf (idf computed within the
+    language's own document set): explode → (tf, df) in ONE aggregate
+    pass → broadcast the per-language doc counts → window rank on the
+    already-tiny (lang, word) frame."""
+    from pyspark.sql import Window
+
+    docs = _docs_words(spark, sf)
+    ex = docs.select("lang", "doc_id", F.explode("__words").alias("word"))
+    tf = ex.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    nlang = docs.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    scored = tf.join(F.broadcast(nlang), "lang").select(
+        "lang",
+        "word",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "word", "tf", "df", "tfidf", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
 def _sql_shingles(words: str) -> str:
     return (
         f"CASE WHEN len({words}) >= 3 THEN list_distinct(list_transform("
@@ -833,6 +946,99 @@ WITH RECURSIVE sh AS (
 )
 SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id ORDER BY doc_id
 """
+
+EXTENSION_ORACLE["ss01_hash_sample"] = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 10
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       ROUND(CAST(SUM(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 10
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100, 4) AS sample_pct
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+# dd06's transitive-closure CTE extended with representative selection
+EXTENSION_ORACLE["dd07_cluster_representatives"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), good AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+  WHERE {_JACCARD.format(a='sa.s', b='sb.s')} >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM good
+  UNION ALL SELECT id_b AS s, id_a AS d FROM good
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+), sized AS (
+  SELECT c.component, c.doc_id, d.n_chars,
+         COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+  FROM comp c JOIN documents d USING (doc_id)
+), flt AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rk
+  FROM sized WHERE cluster_size >= 2
+)
+SELECT component, doc_id AS rep_doc_id, n_chars AS rep_chars, cluster_size
+FROM flt WHERE rk = 1 ORDER BY component
+"""
+
+EXTENSION_ORACLE["es05_label_centroids"] = """
+SELECT label, CAST(d - 1 AS INT) AS dim,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE) AS DECIMAL(25,10))) AS DOUBLE)
+             / COUNT(*), 6) AS centroid
+FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+GROUP BY label, d
+ORDER BY label, dim
+"""
+
+EXTENSION_ORACLE["tx07_tfidf_top_terms"] = f"""
+WITH w AS (
+  SELECT lang, doc_id, unnest({_WORDS}) AS word FROM documents
+), tfdf AS (
+  SELECT lang, word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM w GROUP BY lang, word
+), nl AS (
+  SELECT lang, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY lang
+), scored AS (
+  SELECT t.lang, t.word, t.tf, t.df,
+         ROUND(t.tf * ln(CAST(nl.n_docs AS DOUBLE) / t.df), 6) AS tfidf
+  FROM tfdf t JOIN nl ON t.lang = nl.lang
+), rk AS (
+  SELECT lang, word, tf, df, tfidf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY tfidf DESC, word) AS INT) AS rk
+  FROM scored
+)
+SELECT lang, word, tf, df, tfidf, rk FROM rk WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+EXTENSION_QUERIES["ss01_hash_sample"] = ss01_hash_sample
+EXTENSION_QUERIES["dd07_cluster_representatives"] = dd07_cluster_representatives
+EXTENSION_QUERIES["es05_label_centroids"] = es05_label_centroids
+EXTENSION_QUERIES["tx07_tfidf_top_terms"] = tx07_tfidf_top_terms
 
 EXTENSION_QUERIES["tx06_top_terms"] = tx06_top_terms
 EXTENSION_QUERIES["dd06_neardup_clusters"] = dd06_neardup_clusters

@@ -755,6 +755,165 @@ def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q29: promo revenue share (TPC-H Q14 shape) ----------------------------
+
+def q29_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly share of revenue from PROMO parts: fact↔dim broadcast
+    join + conditional aggregation. The part side stays broadcast at any
+    fact scale (dim cardinality grows with parts, not rows)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    disc = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == part.p_partkey,
+    )
+    agg = j.groupBy(
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.month("l_shipdate").cast("int").alias("month"),
+    ).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(disc).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "year",
+        "month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.col("promo_revenue") / F.col("total_revenue") * 100, 6
+        ).alias("promo_pct"),
+    ).orderBy("year", "month")
+
+
+# --- Q30: revenue forecast (TPC-H Q6 shape) --------------------------------
+
+def q30_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure filter→agg over the fact: every predicate (date range,
+    discount band, quantity cap) pushes into the parquet scan, so the
+    100 TB plan reads only the pruned row groups of five columns."""
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("revenue_increase"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- Q31: large-volume customers (TPC-H Q18 shape) -------------------------
+
+def q31_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """HAVING-filtered fact aggregate joined back to orders/customer:
+    the per-order rollup shrinks the fact by ~4× before any join, and
+    only qualifying orders (top permille) reach the join at all."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            dec("o_totalprice").cast("double").alias("total_price"),
+            F.col("__q").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --- Q32: 7-day moving average (RANGE window frame) ------------------------
+
+def q32_daily_revenue_ma7(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window over day numbers: the moving average sees a
+    true 7-day event-time span even across gap days (a ROWS frame would
+    silently span gaps). Runs on the pre-aggregated daily frame (one row
+    per day), so the window is trivially cheap at any fact scale; the
+    frame sum stays in DECIMAL so segment-tree vs streaming accumulation
+    orders can't change the result."""
+    o = load(spark, sf, "orders")
+    # day is a day-truncated TIMESTAMP (not DATE) so the oracle compare
+    # sees the same dtype on both engines
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice")).alias("__rev")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.to_date(F.lit("1990-01-01"))))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "day",
+            F.col("__rev").cast("double").alias("revenue"),
+            F.round(
+                F.sum("__rev").over(w).cast("double")
+                / F.count(F.lit(1)).over(w),
+                6,
+            ).alias("ma7_revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- Q33: day-over-day user retention --------------------------------------
+
+def q33_user_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-semi-join of the distinct (day, user) activity frame against
+    itself shifted by one day: retained(d) = users active on both d and
+    d+1. The distinct frame is days×users — orders of magnitude smaller
+    than the event stream it came from."""
+    ev = load(spark, sf, "events")
+    days = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    shifted = days.select(
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("user_id").alias("user_id"),
+    )
+    retained = (
+        days.join(shifted, ["day", "user_id"], "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("retained_users"))
+    )
+    active = days.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
+    return (
+        active.join(retained, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("retained_users", F.lit(0))
+            .cast("bigint")
+            .alias("retained_users"),
+            F.round(
+                F.coalesce("retained_users", F.lit(0)).cast("double")
+                / F.col("active_users")
+                * 100,
+                6,
+            ).alias("retention_pct"),
+        )
+        .orderBy("day")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_record_counts": q01_record_counts,
     "q02_orphaned_records": q02_orphaned_records,
@@ -784,6 +943,11 @@ RELATIONAL_QUERIES = {
     "q26_revenue_deciles": q26_revenue_deciles,
     "q27_cube_priority_status": q27_cube_priority_status,
     "q28_top_customers_per_nation": q28_top_customers_per_nation,
+    "q29_promo_revenue": q29_promo_revenue,
+    "q30_revenue_forecast": q30_revenue_forecast,
+    "q31_large_volume_customers": q31_large_volume_customers,
+    "q32_daily_revenue_ma7": q32_daily_revenue_ma7,
+    "q33_user_retention": q33_user_retention,
     "aj01_asof_prior_click": aj01_asof_prior_click,
     "rj01_error_context_window": rj01_error_context_window,
 }

@@ -426,3 +426,84 @@ WITH per_cust AS (
 SELECT n_name, o_custkey, ROUND(revenue, 2) AS revenue, rk
 FROM ranked WHERE rk <= 3 ORDER BY n_name, rk
 """
+
+RELATIONAL_ORACLE["q29_promo_revenue"] = """
+SELECT CAST(year(l_shipdate) AS INT) AS year,
+       CAST(month(l_shipdate) AS INT) AS month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+       ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 100, 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+ORDER BY year, month
+"""
+
+RELATIONAL_ORACLE["q30_revenue_forecast"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_increase,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= CAST(0.05 AS DOUBLE)
+  AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+"""
+
+RELATIONAL_ORACLE["q31_large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_name, o_orderkey, o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       CAST(q AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+RELATIONAL_ORACLE["q32_daily_revenue_ma7"] = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS ma7_revenue
+FROM daily
+WINDOW w AS (ORDER BY datediff('day', TIMESTAMP '1990-01-01 00:00:00', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+RELATIONAL_ORACLE["q33_user_retention"] = """
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), ret AS (
+  SELECT a.day, COUNT(*) AS retained
+  FROM days a JOIN days b
+    ON b.day = a.day + INTERVAL 1 DAY AND b.user_id = a.user_id
+  GROUP BY a.day
+), act AS (
+  SELECT day, COUNT(*) AS active_users FROM days GROUP BY day
+)
+SELECT act.day, act.active_users,
+       COALESCE(ret.retained, 0) AS retained_users,
+       ROUND(CAST(COALESCE(ret.retained, 0) AS DOUBLE) / act.active_users * 100, 6) AS retention_pct
+FROM act LEFT JOIN ret ON act.day = ret.day
+ORDER BY act.day
+"""

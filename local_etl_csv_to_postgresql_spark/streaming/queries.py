@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.analytics import load
-from .windows import session_summary, tumbling_rollup
+from .windows import session_summary, sliding_rollup, tumbling_rollup
 
 SESSION_GAP_SECONDS = 1800
 
@@ -69,11 +69,23 @@ def st04_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def st05_sliding_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping 1h windows sliding every 30min: each event lands in
+    two windows. Batch twin of windows.sliding_rollup — the oracle
+    unions the two 30-min-aligned window starts each event belongs to
+    (time_bucket aligns at :00/:30, same as F.window's epoch origin)."""
+    ev = load(spark, sf, "events")
+    return sliding_rollup(
+        ev, duration="1 hour", slide="30 minutes", watermark=None
+    ).orderBy("window_start", "event_type")
+
+
 STREAMING_QUERIES = {
     "st01_tumbling_rollup": st01_tumbling_rollup,
     "st02_session_summary": st02_session_summary,
     "st03_stateful_sessions": st03_stateful_sessions,
     "st04_stream_dedup": st04_stream_dedup,
+    "st05_sliding_rollup": st05_sliding_rollup,
 }
 
 STREAMING_ORACLE = {
@@ -151,5 +163,21 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 ORDER BY event_type
+""",
+    # st05: every event belongs to the window starting at its 30-min
+    # bucket and the one 30 min earlier
+    "st05_sliding_rollup": """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, event_type FROM events
+)
+SELECT ws AS window_start,
+       ws + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS event_count
+FROM starts
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
 """,
 }
