@@ -552,6 +552,98 @@ def tx07_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def json01_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured column handling: extract a typed field from the
+    JSON `props` payload (JVM-side `get_json_object`, no Python) and
+    aggregate it per event type. At scale the extraction runs inside
+    whole-stage codegen alongside the scan — no materialized
+    intermediate column."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+            F.sum("__k").alias("sum_k"),
+            F.round(F.sum("__k").cast("double") / F.count("__k"), 6).alias(
+                "avg_k"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q34_priority_metrics_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt: the wide per-priority aggregate row goes long as
+    (priority, metric, value) via `stack` — the inverse of q10's pivot.
+    The stack runs on the already-aggregated frame (5 rows), so the
+    reshape is free at any fact scale."""
+    from ..plans.analytics import davg, dsum
+
+    o = load(spark, sf, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        dsum("o_totalprice").alias("__total"),
+        davg("o_totalprice").alias("__avg"),
+    )
+    return (
+        agg.select(
+            "o_orderpriority",
+            F.expr(
+                "stack(3, 'avg_amount', __avg, 'total_amount', __total,"
+                " 'transaction_count', cast(__cnt as double))"
+                " as (metric, value)"
+            ),
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
+
+
+def tx08_chunk_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Document chunking — the pre-tokenization step that splits each
+    doc into fixed-size token windows: array-slice into 32-token chunks
+    (pure JVM `transform`/`slice`, no shuffle, no Python) and emit one
+    row per chunk with its token count and content hash."""
+    docs = _docs_words(spark, sf)
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, int(ceil(size(__words) / 32.0)) - 1),"
+                " i -> slice(__words, i * 32 + 1, 32))"
+            )
+        ).alias("chunk_idx", "__chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("__chunk").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", "__chunk")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def hll01_distinct_users_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counting — the sketch that
+    replaces exact COUNT(DISTINCT) at 100 TB (mergeable partials, no
+    giant shuffle of raw keys). Engine-specific estimates have no
+    cross-engine oracle, so this query carries the driver's weaker
+    rows-only check; the exact twin rides along for local sanity."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "approx_users"
+            ),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _sql_shingles(words: str) -> str:
     return (
         f"CASE WHEN len({words}) >= 3 THEN list_distinct(list_transform("
@@ -1034,6 +1126,60 @@ WITH w AS (
 )
 SELECT lang, word, tf, df, tfidf, rk FROM rk WHERE rk <= 5 ORDER BY lang, rk
 """
+
+EXTENSION_ORACLE["json01_props_stats"] = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+EXTENSION_ORACLE["q34_priority_metrics_unpivot"] = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(o_totalprice), 6) AS avg
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, value FROM (
+  SELECT o_orderpriority, 'avg_amount' AS metric, avg AS value FROM agg
+  UNION ALL
+  SELECT o_orderpriority, 'total_amount', total FROM agg
+  UNION ALL
+  SELECT o_orderpriority, 'transaction_count', CAST(cnt AS DOUBLE) FROM agg
+)
+ORDER BY o_orderpriority, metric
+"""
+
+EXTENSION_ORACLE["tx08_chunk_stats"] = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS words FROM documents
+), ch AS (
+  SELECT doc_id, unnest(range(0, CAST(CEIL(len(words) / 32.0) AS INT))) AS chunk_idx,
+         words
+  FROM w
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       len(words[chunk_idx * 32 + 1 : chunk_idx * 32 + 32]) AS chunk_tokens,
+       md5(array_to_string(words[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ')) AS chunk_hash
+FROM ch
+ORDER BY doc_id, chunk_idx
+"""
+
+EXTENSION_QUERIES["json01_props_stats"] = json01_props_stats
+EXTENSION_QUERIES["q34_priority_metrics_unpivot"] = q34_priority_metrics_unpivot
+EXTENSION_QUERIES["tx08_chunk_stats"] = tx08_chunk_stats
+# hll01 intentionally has NO oracle entry: HLL estimates are
+# engine-specific (driver records the weaker rows-only check)
+EXTENSION_QUERIES["hll01_distinct_users_sketch"] = hll01_distinct_users_sketch
 
 EXTENSION_QUERIES["ss01_hash_sample"] = ss01_hash_sample
 EXTENSION_QUERIES["dd07_cluster_representatives"] = dd07_cluster_representatives

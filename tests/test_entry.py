@@ -20,9 +20,14 @@ def test_entry_returns_rows(spark):
     assert "sum_qty" in df.columns
 
 
+# queries whose results are engine-specific by design (sketches); the
+# driver records its weaker rows-only check for these
+NO_ORACLE = {"hll01_distinct_users_sketch"}
+
+
 def test_every_query_has_oracle():
     q, o = ep.queries(), ep.oracle_sql()
-    assert set(o) == set(q)
+    assert set(o) == set(q) - NO_ORACLE
     assert len(q) >= 35
 
 

@@ -144,6 +144,74 @@ def _n_docs(spark, lang):
     )
 
 
+@needs_testdata
+def test_chunking_covers_every_token_exactly_once(spark):
+    from local_etl_csv_to_postgresql_spark.functions import text as tx
+
+    chunks = ep.queries()["tx08_chunk_stats"](spark, SF)
+    per_doc = {
+        r["doc_id"]: r["total"]
+        for r in chunks.groupBy("doc_id")
+        .agg(F.sum("chunk_tokens").alias("total"))
+        .collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.size(tx.words("text")).alias("n"))
+        .collect()
+    )
+    for r in docs:
+        assert per_doc.get(r["doc_id"], 0) == r["n"]
+    sizes = [r["chunk_tokens"] for r in chunks.collect()]
+    assert all(1 <= s <= 32 for s in sizes)
+
+
+@needs_testdata
+def test_unpivot_is_inverse_of_the_wide_aggregate(spark):
+    rows = ep.queries()["q34_priority_metrics_unpivot"](spark, SF).collect()
+    by_prio: dict[str, dict[str, float]] = {}
+    for r in rows:
+        by_prio.setdefault(r["o_orderpriority"], {})[r["metric"]] = r["value"]
+    for prio, metrics in by_prio.items():
+        assert set(metrics) == {"avg_amount", "total_amount", "transaction_count"}
+        assert metrics["transaction_count"] > 0
+        assert math.isclose(
+            metrics["avg_amount"],
+            metrics["total_amount"] / metrics["transaction_count"],
+            rel_tol=1e-6,
+        )
+
+
+@needs_testdata
+def test_hll_estimate_tracks_exact_count(spark):
+    for r in ep.queries()["hll01_distinct_users_sketch"](spark, SF).collect():
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            3, 0.1 * r["exact_users"]
+        )
+
+
+def test_json_extraction_handles_missing_keys(spark):
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        json01_props_stats,
+    )
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="json_")
+    rows = [
+        (1, datetime.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 5}'),
+        (2, datetime.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1), 1, "click", 1.0, '{"k": 7}'),
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    out = {r["event_type"]: r for r in json01_props_stats(spark, tmp).collect()}
+    assert out["view"]["n_events"] == 2
+    assert out["view"]["sum_k"] == 5      # missing key -> NULL, not error
+    assert out["view"]["avg_k"] == 5.0    # avg over non-null k only
+    assert out["click"]["max_k"] == 7
+
+
 def test_sliding_rollup_puts_each_event_in_two_windows(spark):
     from local_etl_csv_to_postgresql_spark.streaming.windows import (
         sliding_rollup,
