@@ -50,6 +50,28 @@ def test_star_joins_broadcast_not_shuffle(spark, name):
 
 
 @needs_testdata
+def test_q30_pushes_every_predicate_into_the_scan(spark):
+    plan = plan_of(ep.queries()["q30_revenue_forecast"](spark, SF))
+    pushed = next(
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "l_shipdate" in l
+    )
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+                 "LessThan(l_quantity"):
+        assert frag in pushed, frag
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema  # pruned to the 5 used columns
+
+
+@needs_testdata
+def test_q29_broadcasts_the_part_dim(spark):
+    plan = plan_of(ep.queries()["q29_promo_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@needs_testdata
 def test_topk_is_take_ordered_not_global_sort(spark):
     plan = plan_of(ep.queries()["q11_top20_suppliers"](spark, SF))
     assert "TakeOrderedAndProject" in plan
