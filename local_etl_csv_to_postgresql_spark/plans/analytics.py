@@ -914,6 +914,67 @@ def q33_user_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- fn01: view→click→purchase funnel (chained as-of joins) ----------------
+
+def fn01_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential funnel: for each purchase, the latest prior click
+    within 1 h, and for that click the latest prior view within 1 h —
+    two chained as-of joins (each one shuffle on user_id, no range
+    join), rolled up to per-day conversion counts. The canonical
+    attribution query a training-data/event pipeline runs at any
+    scale."""
+    from ..operators.temporal import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    s1 = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["click_id"],
+        tiebreak="click_id",
+        tolerance_seconds=3600,
+    ).select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_click_id").alias("click_id"),
+    )
+    s2 = asof_join(
+        s1,
+        views,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_cols=["view_id"],
+        tiebreak="view_id",
+        tolerance_seconds=3600,
+    )
+    return (
+        s2.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.count("click_id").alias("with_prior_click"),
+            F.count("asof_view_id").alias("full_chain"),
+            F.round(
+                F.count("asof_view_id").cast("double")
+                / F.count(F.lit(1))
+                * 100,
+                6,
+            ).alias("chain_pct"),
+        )
+        .orderBy("day")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_record_counts": q01_record_counts,
     "q02_orphaned_records": q02_orphaned_records,
@@ -948,6 +1009,7 @@ RELATIONAL_QUERIES = {
     "q31_large_volume_customers": q31_large_volume_customers,
     "q32_daily_revenue_ma7": q32_daily_revenue_ma7,
     "q33_user_retention": q33_user_retention,
+    "fn01_purchase_funnel": fn01_purchase_funnel,
     "aj01_asof_prior_click": aj01_asof_prior_click,
     "rj01_error_context_window": rj01_error_context_window,
 }

@@ -507,3 +507,48 @@ SELECT act.day, act.active_users,
 FROM act LEFT JOIN ret ON act.day = ret.day
 ORDER BY act.day
 """
+
+# fn01 mirrors asof_join's tolerance semantics exactly: the lateral
+# picks the latest match IGNORING the tolerance, then the match is
+# nulled if older than the window (floor-epoch-second comparison, like
+# the Spark operator's CAST(ts AS LONG) arithmetic).
+RELATIONAL_ORACLE["fn01_purchase_funnel"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+), s1 AS (
+  SELECT p.purchase_id, p.user_id, p.ts,
+         CASE WHEN FLOOR(epoch(p.ts)) - FLOOR(epoch(l.cts)) <= 3600
+              THEN l.click_id END AS click_id,
+         CASE WHEN FLOOR(epoch(p.ts)) - FLOOR(epoch(l.cts)) <= 3600
+              THEN l.cts END AS click_ts
+  FROM p LEFT JOIN LATERAL (
+    SELECT c.click_id, c.ts AS cts
+    FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.ts DESC, c.click_id DESC LIMIT 1
+  ) l ON TRUE
+), s2 AS (
+  SELECT s1.*,
+         CASE WHEN FLOOR(epoch(s1.click_ts)) - FLOOR(epoch(m.vts)) <= 3600
+              THEN m.view_id END AS view_id
+  FROM s1 LEFT JOIN LATERAL (
+    SELECT v.view_id, v.ts AS vts
+    FROM v WHERE v.user_id = s1.user_id AND v.ts <= s1.click_ts
+    ORDER BY v.ts DESC, v.view_id DESC LIMIT 1
+  ) m ON TRUE
+)
+SELECT date_trunc('day', ts) AS day,
+       COUNT(*) AS purchases,
+       COUNT(click_id) AS with_prior_click,
+       COUNT(view_id) AS full_chain,
+       ROUND(CAST(COUNT(view_id) AS DOUBLE) / COUNT(*) * 100, 6) AS chain_pct
+FROM s2
+GROUP BY 1
+ORDER BY day
+"""

@@ -212,6 +212,37 @@ def test_json_extraction_handles_missing_keys(spark):
     assert out["click"]["max_k"] == 7
 
 
+def test_funnel_chains_asof_with_tolerance(spark):
+    from local_etl_csv_to_postgresql_spark.plans.analytics import (
+        fn01_purchase_funnel,
+    )
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="funnel_")
+    d = datetime.datetime
+    rows = [
+        # u1: view 09:00 -> click 09:30 -> purchase 10:00  (full chain)
+        (1, d(2024, 1, 1, 9, 0), 1, "view", 1.0, "{}"),
+        (2, d(2024, 1, 1, 9, 30), 1, "click", 1.0, "{}"),
+        (3, d(2024, 1, 1, 10, 0), 1, "purchase", 1.0, "{}"),
+        # u2: click 08:00, purchase 10:00 -> click outside 1h (no chain)
+        (4, d(2024, 1, 1, 8, 0), 2, "click", 1.0, "{}"),
+        (5, d(2024, 1, 1, 10, 0), 2, "purchase", 1.0, "{}"),
+        # u3: view 07:00, click 09:50, purchase 10:00 -> click matches
+        # but its view is >1h before the click (click only)
+        (6, d(2024, 1, 1, 7, 0), 3, "view", 1.0, "{}"),
+        (7, d(2024, 1, 1, 9, 50), 3, "click", 1.0, "{}"),
+        (8, d(2024, 1, 1, 10, 0), 3, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    (row,) = fn01_purchase_funnel(spark, tmp).collect()
+    assert row["purchases"] == 3
+    assert row["with_prior_click"] == 2  # u1, u3
+    assert row["full_chain"] == 1        # u1 only
+
+
 def test_sliding_rollup_puts_each_event_in_two_windows(spark):
     from local_etl_csv_to_postgresql_spark.streaming.windows import (
         sliding_rollup,
