@@ -914,6 +914,80 @@ def q33_user_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- Q35: top-percentile orders (percent_rank / cume_dist) -----------------
+
+def q35_top_percentile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-position window functions: orders in the top 1% by
+    value within their priority class. percent_rank/cume_dist are exact
+    rationals ((rank-1)/(n-1), count≤x/n) so they compare bit-identical
+    across engines; the window partitions by priority, and the filter
+    cuts the result to ~1% of orders before any sort of the output."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            dec("o_totalprice").cast("double").alias("total_price"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+        .filter(F.col("cume_dist") >= 0.99)
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+# --- Q36: customer cohort set ops (INTERSECT / EXCEPT) ---------------------
+
+def q36_customer_cohort_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operations over customer cohorts: customers ordering in both
+    1996 and 1997 (INTERSECT), only 1996, only 1997 (EXCEPT). Each
+    cohort is a distinct key set — the set ops shuffle only distinct
+    custkeys, never order rows."""
+    o = load(spark, sf, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    seg = [
+        ("both_years", y96.intersect(y97)),
+        ("only_1996", y96.exceptAll(y97)),
+        ("only_1997", y97.exceptAll(y96)),
+    ]
+    parts = [
+        df.agg(
+            F.lit(name).alias("segment"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        for name, df in seg
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("segment")
+
+
+# --- Q37: GROUPING SETS via the spark.sql surface --------------------------
+
+def q37_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube shorthand):
+    per-returnflag, per-linestatus, and grand totals from ONE shuffle,
+    with grouping_id disambiguating the levels. Runs through
+    ``spark.sql`` over a temp view — the SQL entry path the runner CLI
+    uses, exercised inside the oracle-gated library."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
 # --- fn01: view→click→purchase funnel (chained as-of joins) ----------------
 
 def fn01_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
@@ -1009,6 +1083,9 @@ RELATIONAL_QUERIES = {
     "q31_large_volume_customers": q31_large_volume_customers,
     "q32_daily_revenue_ma7": q32_daily_revenue_ma7,
     "q33_user_retention": q33_user_retention,
+    "q35_top_percentile_orders": q35_top_percentile_orders,
+    "q36_customer_cohort_setops": q36_customer_cohort_setops,
+    "q37_grouping_sets": q37_grouping_sets,
     "fn01_purchase_funnel": fn01_purchase_funnel,
     "aj01_asof_prior_click": aj01_asof_prior_click,
     "rj01_error_context_window": rj01_error_context_window,

@@ -552,3 +552,46 @@ FROM s2
 GROUP BY 1
 ORDER BY day
 """
+
+RELATIONAL_ORACLE["q35_top_percentile_orders"] = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+         ROUND(percent_rank() OVER w, 6) AS pct_rank,
+         ROUND(cume_dist() OVER w, 6) AS cume_dist
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+)
+SELECT * FROM ranked
+WHERE cume_dist >= 0.99
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+RELATIONAL_ORACLE["q36_customer_cohort_setops"] = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+), y97 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+SELECT segment, n_customers FROM (
+  SELECT 'both_years' AS segment,
+         (SELECT COUNT(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)) AS n_customers
+  UNION ALL
+  SELECT 'only_1996',
+         (SELECT COUNT(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97))
+  UNION ALL
+  SELECT 'only_1997',
+         (SELECT COUNT(*) FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96))
+)
+ORDER BY segment
+"""
+
+RELATIONAL_ORACLE["q37_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
