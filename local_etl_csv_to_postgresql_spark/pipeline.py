@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession
 
 from .config import EngineConfig
 from .operators.transform import TransformError, transform_transactions
-from .sources.extract import ExtractError, extract_transactions
+from .sources.extract import ExtractError, extract_any
 from .warehouse import LoadError, Warehouse
 
 
@@ -57,6 +57,7 @@ def run_etl_pipeline(
     spark: SparkSession,
     file_path: str,
     cfg: EngineConfig | None = None,
+    source_format: str = "auto",
     dry_run: bool = False,
     validate_only: bool = False,
 ) -> PipelineResult:
@@ -68,7 +69,7 @@ def run_etl_pipeline(
         # PHASE 1 — extract
         t = time.time()
         try:
-            raw = extract_transactions(spark, file_path)
+            raw = extract_any(spark, file_path, fmt=source_format)
             res.extracted_rows = raw.count()
         except ExtractError as e:
             raise PipelineExtractError(str(e)) from e
@@ -141,7 +142,13 @@ def print_pipeline_summary(res: PipelineResult) -> None:
 def parse_arguments(argv=None):
     """Reference src/etl_pipeline.py:475-542 flags."""
     p = argparse.ArgumentParser(description="PySpark ETL pipeline")
-    p.add_argument("--file", required=True, help="transactions CSV path")
+    p.add_argument("--file", required=True, help="transactions CSV/JSONL path")
+    p.add_argument(
+        "--format",
+        choices=("auto", "csv", "jsonl"),
+        default="auto",
+        help="source format (auto = by file extension)",
+    )
     p.add_argument("--warehouse", default="/tmp/spark_warehouse")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--validate-only", action="store_true")
@@ -160,7 +167,12 @@ def main(argv=None) -> int:
     cfg = EngineConfig(warehouse=WarehouseConfig(path=args.warehouse))
     try:
         res = run_etl_pipeline(
-            spark, args.file, cfg, dry_run=args.dry_run, validate_only=args.validate_only
+            spark,
+            args.file,
+            cfg,
+            source_format=args.format,
+            dry_run=args.dry_run,
+            validate_only=args.validate_only,
         )
     except KeyboardInterrupt:
         return 130

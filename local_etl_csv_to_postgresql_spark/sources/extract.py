@@ -142,9 +142,60 @@ def extract_transactions(
     return df
 
 
+def extract_transactions_jsonl(
+    spark: SparkSession,
+    file_path: str,
+    required_columns: tuple[str, ...] = REQUIRED_CSV_COLUMNS,
+) -> DataFrame:
+    """JSON-Lines scan with the same downstream contract as the CSV
+    path: every required field read AS STRING (the declared schema makes
+    the JSON parser stringify scalars), so transform's coercion/
+    validation rules apply unchanged regardless of source format.
+
+    Same fail-fast structural checks as ``extract_transactions``; a
+    line that isn't valid JSON surfaces as an all-null row (PERMISSIVE
+    mode), which the all-null profile then reports — dirty lines are a
+    data-quality signal, not a job abort, exactly like dirty CSV cells.
+    """
+    info = get_file_info(file_path)
+    if not info["exists"]:
+        raise ExtractError(f"File not found: {file_path}")
+    if info.get("size_bytes", 0) == 0:
+        raise ExtractError(f"File is empty: {file_path}")
+
+    df = spark.read.schema(TRANSACTIONS_CSV_SCHEMA).json(file_path)
+    ok, msg = validate_csv_structure(df, required_columns)
+    if not ok:
+        raise ExtractError(f"Invalid JSONL structure: {msg}")
+    return df
+
+
+def extract_any(
+    spark: SparkSession,
+    file_path: str,
+    fmt: str = "auto",
+    required_columns: tuple[str, ...] = REQUIRED_CSV_COLUMNS,
+) -> DataFrame:
+    """Format-dispatching extract: ``csv``, ``jsonl``, or ``auto``
+    (by file extension, defaulting to CSV)."""
+    if fmt == "auto":
+        fmt = (
+            "jsonl"
+            if file_path.rsplit(".", 1)[-1].lower() in ("jsonl", "json", "ndjson")
+            else "csv"
+        )
+    if fmt == "jsonl":
+        return extract_transactions_jsonl(spark, file_path, required_columns)
+    if fmt == "csv":
+        return extract_transactions(spark, file_path, required_columns)
+    raise ExtractError(f"Unknown source format: {fmt}")
+
+
 __all__ = [
     "ExtractError",
     "extract_transactions",
+    "extract_transactions_jsonl",
+    "extract_any",
     "get_file_info",
     "validate_csv_structure",
     "count_all_null_rows",
