@@ -105,3 +105,8 @@ class EngineConfig:
     # dim_date seeding range (reference sql/populate_dim_date.sql:20-76).
     dim_date_start: date = date(2022, 1, 1)
     dim_date_end: date = date(2026, 12, 31)
+    # when set, rows failing validation are appended here as parquet with
+    # their failed-rule labels (a scale pipeline never discards rejects
+    # silently — quarantine is what makes dirty batches auditable and
+    # replayable after a rule fix)
+    quarantine_path: str | None = None

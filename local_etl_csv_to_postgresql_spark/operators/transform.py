@@ -40,6 +40,7 @@ class TransformResult:
     deduped_rows: int
     valid_rows: int
     issue_counts: dict = field(default_factory=dict)
+    invalid: "DataFrame | None" = None  # rejects with __failed_rules labels
 
 
 def clean_transactions(df: DataFrame) -> DataFrame:
@@ -87,6 +88,7 @@ def transform_transactions(
             deduped_rows=result.input_rows,
             valid_rows=result.valid_rows,
             issue_counts=result.issue_counts,
+            invalid=result.invalid,
         )
     except Exception:
         valid.unpersist()

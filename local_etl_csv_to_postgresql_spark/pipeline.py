@@ -14,6 +14,7 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .config import EngineConfig
 from .operators.transform import TransformError, transform_transactions
@@ -84,6 +85,25 @@ def run_etl_pipeline(
         res.transformed_rows = tr.valid_rows
         res.issue_counts = tr.issue_counts
         res.phase_times["transform"] = time.time() - t
+
+        # rejects quarantine: invalid rows (with their failed-rule
+        # labels) are appended, never dropped, when a path is configured
+        if cfg.quarantine_path and tr.invalid is not None and not (
+            validate_only or dry_run
+        ):
+            n_invalid = sum(
+                v for k, v in res.issue_counts.items() if v
+            )
+            if n_invalid:
+                (
+                    tr.invalid.withColumn(
+                        "failed_rules",
+                        F.concat_ws(",", "__failed_rules"),
+                    )
+                    .drop("__failed_rules")
+                    .write.mode("append")
+                    .parquet(cfg.quarantine_path)
+                )
 
         if validate_only or dry_run:
             res.status = "dry_run" if dry_run else "validated"

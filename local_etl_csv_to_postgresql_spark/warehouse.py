@@ -244,6 +244,43 @@ class Warehouse:
         if self.cfg.jdbc_url:
             self._jdbc_write(df, self.cfg.fact_table, mode)
 
+    def compact_fact(self) -> dict:
+        """Small-file compaction for the month-partitioned fact table:
+        rewrite with one file per partition via staging + publish swap.
+
+        Incremental appends leave one file per partition PER BATCH; after
+        many batches a 100 TB table degrades into millions of small files
+        and scan planning dominates query time. Compaction is the
+        standard maintenance pass (what table formats call OPTIMIZE),
+        expressed here with plain parquet: write compacted data to a
+        staging dir, then atomically swap directories — readers see the
+        old layout until the publish completes.
+        """
+        import glob
+        import shutil
+
+        path = self._path(self.cfg.fact_table)
+        count_files = lambda p: len(  # noqa: E731
+            glob.glob(f"{p}/**/*.parquet", recursive=True)
+        )
+        before = count_files(path)
+        df = self.read(self.cfg.fact_table)
+        tmp = path + "__compacting"
+        writer_df = df
+        if self.cfg.partition_fact_by_month:
+            writer_df = df.repartition(F.col("year_month"))
+            writer_df.write.mode("overwrite").partitionBy(
+                "year_month"
+            ).parquet(tmp)
+        else:
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = path + "__old"
+        shutil.move(path, old)
+        shutil.move(tmp, path)
+        shutil.rmtree(old)
+        after = count_files(path)
+        return {"files_before": before, "files_after": after}
+
     def _write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(self._path(table))
         if self.cfg.jdbc_url:

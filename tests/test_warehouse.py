@@ -125,3 +125,75 @@ def test_verify_schema_report(spark, tmp_path):
     assert all(s == "pass" for (c, _), s in report.items()
                if c in ("unique_key", "foreign_key", "check_range"))
     assert ("foreign_key", "fact_transactions->dim_user") in report
+
+
+def test_compact_fact_merges_per_batch_files(spark, tmp_path):
+    """Three incremental loads leave >=3 files in a touched month
+    partition; compaction rewrites to one file per partition while
+    preserving row count and content."""
+    from local_etl_csv_to_postgresql_spark.config import (
+        EngineConfig,
+        WarehouseConfig,
+    )
+    from local_etl_csv_to_postgresql_spark.pipeline import run_etl_pipeline
+    from local_etl_csv_to_postgresql_spark.sources.generator import (
+        generate_transactions,
+        write_transactions_csv,
+    )
+    from local_etl_csv_to_postgresql_spark.warehouse import Warehouse
+
+    cfg = EngineConfig(warehouse=WarehouseConfig(path=str(tmp_path / "wh")))
+    for i in range(3):
+        p = tmp_path / f"tx{i}.csv"
+        write_transactions_csv(
+            str(p), generate_transactions(200, 10, 1, seed=100 + i)
+        )
+        res = run_etl_pipeline(spark, str(p), cfg)
+        assert res.status == "success"
+
+    wh = Warehouse(spark, cfg.warehouse)
+    before_rows = wh.read(cfg.warehouse.fact_table).count()
+    stats = wh.compact_fact()
+    assert stats["files_after"] < stats["files_before"]
+    after = wh.read(cfg.warehouse.fact_table)
+    assert after.count() == before_rows
+    # one file per month partition after compaction
+    import glob
+
+    root = f"{cfg.warehouse.path}/{cfg.warehouse.fact_table}"
+    for part_dir in glob.glob(f"{root}/year_month=*"):
+        assert len(glob.glob(f"{part_dir}/*.parquet")) == 1
+
+
+def test_quarantine_captures_rejects_with_rule_labels(spark, tmp_path):
+    from local_etl_csv_to_postgresql_spark.config import (
+        EngineConfig,
+        WarehouseConfig,
+    )
+    from local_etl_csv_to_postgresql_spark.pipeline import run_etl_pipeline
+    from local_etl_csv_to_postgresql_spark.sources.generator import (
+        generate_transactions,
+        write_transactions_csv,
+    )
+
+    rows = generate_transactions(50, 10, 1, seed=5)
+    rows[3]["amount"] = "-12.00"      # negative amount
+    rows[7]["category"] = "Nonsense"  # bad category
+    p = tmp_path / "tx.csv"
+    write_transactions_csv(str(p), rows)
+    qdir = str(tmp_path / "quarantine")
+    cfg = EngineConfig(
+        warehouse=WarehouseConfig(path=str(tmp_path / "wh")),
+        quarantine_path=qdir,
+    )
+    res = run_etl_pipeline(spark, str(p), cfg)
+    assert res.status == "success"
+    q = spark.read.parquet(qdir)
+    got = {r["transaction_id"]: r["failed_rules"] for r in q.collect()}
+    assert len(got) == 2
+    assert any("amount" in v for v in got.values())
+    assert any("category" in v for v in got.values())
+    # re-run appends (quarantine is an audit log, not a table)
+    res2 = run_etl_pipeline(spark, str(p), cfg)
+    assert res2.status == "success"
+    assert spark.read.parquet(qdir).count() == 4
