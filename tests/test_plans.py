@@ -49,6 +49,33 @@ def test_star_joins_broadcast_not_shuffle(spark, name):
     assert "SortMergeJoin" not in plan
 
 
+# queries where a BroadcastNestedLoopJoin is the INTENDED plan: each
+# cross-joins against a broadcast frame whose size is bounded by
+# construction (a 1-row grand-total scalar, the brute-force ANN query
+# set, or the IVF centroid list) — never data×data
+BNLJ_ALLOWED = {
+    "q09_top_types_pct",
+    "q13_priority_usage",
+    "es01_cosine_topk",
+    "es04_ivf_ann",
+}
+
+
+@needs_testdata
+def test_no_query_degrades_to_unbounded_cross_joins(spark):
+    """Sweep every query in the library: no CartesianProduct anywhere,
+    and BroadcastNestedLoopJoin only where a bounded broadcast side is
+    the point (see BNLJ_ALLOWED). Catches the classic silent failure
+    where a refactor turns an equi-join into a cross product."""
+    for name, fn in ep.queries().items():
+        if name.startswith("st0"):  # streaming replays: plan not static
+            continue
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 @needs_testdata
 def test_q30_pushes_every_predicate_into_the_scan(spark):
     plan = plan_of(ep.queries()["q30_revenue_forecast"](spark, SF))
