@@ -1,0 +1,113 @@
+"""Distributed EXACT percentile (percentile_cont semantics).
+
+Reference parity: the reference computes an exact median with
+``PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY amount)`` run by
+PostgreSQL on a single node (sql/queries.sql:64, src/run_queries.py:234).
+Spark's built-in exact ``percentile`` aggregate reproduces the value but
+concentrates every input value into ONE final aggregation buffer — the
+single operator in this engine that cannot scale to 100 TB.
+
+This module implements the classic distributed-selection alternative:
+
+1. range-partition the value column into P ordered buckets
+   (``repartitionByRange`` — sampled boundaries, same mechanism as a
+   distributed sort's first phase);
+2. count each bucket (tiny O(P) metadata collected to the driver, the
+   same scale of information AQE already collects per shuffle);
+3. turn the global target rank(s) ``h = (n-1)*p`` into (bucket, local
+   rank) coordinates using the bucket counts;
+4. sort ONLY the bucket(s) holding the target ranks (a per-partition
+   window over N/P rows) and pick the two neighboring values;
+5. linearly interpolate ``lo + (h - floor(h)) * (hi - lo)``.
+
+No stage ever materializes more than N/P values in one task, so the
+operator scales out with partitions — exactness without the
+single-reducer funnel. Cost is one extra pass over the (persisted,
+single-column) shuffled values.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def exact_percentile_cont(
+    df: DataFrame,
+    value_col: str,
+    p: float,
+    out_col: str = "percentile",
+    partitions: int | None = None,
+) -> DataFrame:
+    """1-row DataFrame holding the exact p-quantile (continuous
+    interpolation, nulls ignored) of ``df[value_col]`` as a double.
+
+    Eagerly runs the O(P) bucket-count job; the returned frame's final
+    collect runs the selection pass. The intermediate single-column
+    range shuffle is persisted (memory-and-disk) so the two passes share
+    it; it is released before returning.
+    """
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"percentile must be in [0, 1], got {p}")
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    vals = (
+        df.select(F.col(value_col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .repartitionByRange(partitions, F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        # O(P) metadata: per-bucket counts, ordered by bucket id (range
+        # partitioner assigns ascending value ranges to ascending ids).
+        bucket_counts = sorted(
+            (r["__pid"], r["n"])
+            for r in vals.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        n = sum(c for _, c in bucket_counts)
+        if n == 0:
+            return spark.range(1).select(
+                F.lit(None).cast("double").alias(out_col)
+            )
+
+        h = (n - 1) * p
+        lo_rank = math.floor(h)
+        hi_rank = min(lo_rank + 1, n - 1)
+
+        def locate(global_rank: int) -> tuple[int, int]:
+            offset = 0
+            for pid, cnt in bucket_counts:
+                if global_rank < offset + cnt:
+                    return pid, global_rank - offset
+                offset += cnt
+            raise AssertionError("rank beyond total count")
+
+        lo_pid, lo_local = locate(lo_rank)
+        hi_pid, hi_local = locate(hi_rank)
+
+        # Sort only the target bucket(s): a per-partition window over
+        # ~N/P rows; every other bucket is filtered out before the sort.
+        w = Window.partitionBy("__pid").orderBy("__v")
+        picks = (
+            vals.filter(F.col("__pid").isin(lo_pid, hi_pid))
+            .withColumn("__rn", F.row_number().over(w) - 1)
+            .filter(
+                ((F.col("__pid") == lo_pid) & (F.col("__rn") == lo_local))
+                | ((F.col("__pid") == hi_pid) & (F.col("__rn") == hi_local))
+            )
+        )
+        # ranks are adjacent, so min = value@lo_rank, max = value@hi_rank
+        row = picks.agg(
+            F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+        ).collect()[0]
+        lo_v, hi_v = row["__lo"], row["__hi"]
+        value = lo_v + (h - lo_rank) * (hi_v - lo_v)
+        return spark.range(1).select(F.lit(value).cast("double").alias(out_col))
+    finally:
+        vals.unpersist()

@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "q13_priority_usage",
     "es01_cosine_topk",
     "es04_ivf_ann",
+    "q04_amount_quality",  # 1-row broadcast of the selected median
 }
 
 

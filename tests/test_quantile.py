@@ -1,0 +1,73 @@
+"""exact_percentile_cont: distributed selection vs Spark's built-in
+exact ``percentile`` aggregate (which is itself oracle-matched to
+PostgreSQL/DuckDB PERCENTILE_CONT in the q04 gate)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_etl_csv_to_postgresql_spark.operators.quantile import (
+    exact_percentile_cont,
+)
+
+
+def _builtin(spark, values, p):
+    df = spark.createDataFrame([(float(v),) for v in values], ["v"])
+    return df.agg(F.expr(f"percentile(v, {p})").alias("x")).collect()[0]["x"]
+
+
+@pytest.mark.parametrize("p", [0.0, 0.25, 0.5, 0.9, 1.0])
+def test_matches_builtin_random(spark, p):
+    rng = random.Random(42)
+    values = [round(rng.uniform(-1000, 1000), 2) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in values], ["amount"])
+    got = exact_percentile_cont(df, "amount", p, partitions=8).collect()[0][
+        "percentile"
+    ]
+    assert got == pytest.approx(_builtin(spark, values, p), abs=1e-9)
+
+
+def test_duplicates_and_single_value(spark):
+    values = [5.0] * 100 + [7.0] * 3
+    df = spark.createDataFrame([(v,) for v in values], ["amount"])
+    got = exact_percentile_cont(df, "amount", 0.5, partitions=4).collect()[0][
+        "percentile"
+    ]
+    assert got == 5.0
+
+    one = spark.createDataFrame([(42.0,)], ["amount"])
+    assert (
+        exact_percentile_cont(one, "amount", 0.5).collect()[0]["percentile"]
+        == 42.0
+    )
+
+
+def test_interpolation_even_count(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], ["amount"])
+    got = exact_percentile_cont(df, "amount", 0.5, partitions=2).collect()[0][
+        "percentile"
+    ]
+    assert got == 2.5
+
+
+def test_nulls_ignored_and_empty(spark):
+    df = spark.createDataFrame(
+        [(None,), (1.0,), (None,), (3.0,)], "amount double"
+    )
+    got = exact_percentile_cont(df, "amount", 0.5).collect()[0]["percentile"]
+    assert got == 2.0
+
+    empty = spark.createDataFrame([], "amount double")
+    assert (
+        exact_percentile_cont(empty, "amount", 0.5).collect()[0]["percentile"]
+        is None
+    )
+
+
+def test_rejects_bad_p(spark):
+    df = spark.createDataFrame([(1.0,)], ["amount"])
+    with pytest.raises(ValueError):
+        exact_percentile_cont(df, "amount", 1.5)
