@@ -109,7 +109,10 @@ class Warehouse:
         """
         if not self.exists(table):
             self._write(df, table)
-            return df.count()
+            # count the landed table, not `df`: parquet answers COUNT(*)
+            # from footer row counts, while re-counting `df` would re-run
+            # the dimension-build lineage a second time
+            return self.read(table).count()
 
         existing = self.read(table)
         new_rows = df.join(
@@ -306,11 +309,36 @@ class Warehouse:
         transactions."""
         stats = LoadStats()
         try:
-            stats.dims_inserted["dim_date"] = self.load_dim_date(tables["dim_date"])
-            for t in ("dim_category", "dim_merchant", "dim_payment_method", "dim_user"):
-                stats.dims_inserted[t] = self.load_dimension(
-                    tables[t], t, NATURAL_KEYS[t], SURROGATE_KEYS[t]
-                )
+            # the 5 dimension loads touch disjoint tables and share the
+            # persisted `valid` cache — run them as concurrent driver
+            # threads so their (small) Spark jobs overlap instead of
+            # queueing. Wall time drops from sum to max; on a cluster the
+            # same pattern keeps executors busy while tiny dim jobs
+            # round-trip the scheduler. Spark's job scheduler is
+            # thread-safe, and block-level locking makes the concurrent
+            # first touch of the cache compute each partition once.
+            from concurrent.futures import ThreadPoolExecutor
+
+            dim_jobs = {
+                "dim_date": lambda: self.load_dim_date(tables["dim_date"]),
+                **{
+                    t: (
+                        lambda t=t: self.load_dimension(
+                            tables[t], t, NATURAL_KEYS[t], SURROGATE_KEYS[t]
+                        )
+                    )
+                    for t in (
+                        "dim_category",
+                        "dim_merchant",
+                        "dim_payment_method",
+                        "dim_user",
+                    )
+                },
+            }
+            with ThreadPoolExecutor(max_workers=len(dim_jobs)) as pool:
+                futures = {t: pool.submit(fn) for t, fn in dim_jobs.items()}
+                for t, fut in futures.items():
+                    stats.dims_inserted[t] = fut.result()
             enriched = self.enrich_fact(tables["fact_data"])
             stats.fact_inserted, stats.fact_skipped = self.load_fact(enriched)
             stats.status = "success"
