@@ -71,12 +71,21 @@ def transform_transactions(
     """
     if df is None:
         raise TransformError("Input DataFrame is None")
-    input_rows = df.count()
-    if input_rows == 0:
-        raise TransformError("Input DataFrame is empty")
+    # Piggyback the raw-input count on the validation aggregation via an
+    # Observation instead of running a separate count() job — at 100 TB
+    # that separate count is a full second scan of the source. The
+    # observe node sits above the raw scan (before dedup drops rows), so
+    # the metric is the true pre-dedup input count.
+    from pyspark.sql import Observation
+
+    obs = Observation("raw_input")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
 
     cleaned = clean_transactions(df)
     result: ValidationResult = validate_transactions(cleaned, cfg)
+    input_rows = int(obs.get["n"])
+    if input_rows == 0:
+        raise TransformError("Input DataFrame is empty")
     valid = result.valid.persist()
     try:
         tables = build_dimensions(valid, key_strategy=key_strategy)

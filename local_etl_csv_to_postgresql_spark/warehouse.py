@@ -188,15 +188,25 @@ class Warehouse:
             F.sum((~F.coalesce(F.col("__date_ok"), F.lit(False))).cast("long")).alias(
                 "date_key"
             ),
+            F.count(F.lit(1)).alias("__total"),
         ).first()
-        problems = {k: int(missing[k] or 0) for k in missing.asDict() if missing[k]}
+        total = int(missing["__total"])
+        problems = {
+            k: int(missing[k] or 0)
+            for k in missing.asDict()
+            if k != "__total" and missing[k]
+        }
         if problems:
             raise LoadError(f"Unmapped dimension keys in fact batch: {problems}")
 
-        return out.select(
+        result = out.select(
             "transaction_id", "date_key", "category_key", "merchant_key",
             "payment_method_key", "user_key", "amount",
         )
+        # stash the batch size measured by the miss-check aggregation so
+        # load_fact skips its own count() job over the same frame
+        self._enriched_total = (id(result), total)
+        return result
 
     # -- fact idempotent append (S7/J3) ------------------------------------
 
@@ -212,7 +222,12 @@ class Warehouse:
         partition-prune via the batch's date_key range.
         """
         table = self.cfg.fact_table
-        total = enriched.count()
+        stashed = getattr(self, "_enriched_total", None)
+        if stashed is not None and stashed[0] == id(enriched):
+            total = stashed[1]
+            self._enriched_total = None
+        else:
+            total = enriched.count()
         if not self.exists(table):
             self._write_fact(enriched)
             return total, 0
@@ -281,6 +296,11 @@ class Warehouse:
         shutil.move(path, old)
         shutil.move(tmp, path)
         shutil.rmtree(old)
+        # the swap happened outside Spark's writers: drop any cached
+        # plans/listings pinned to the pre-compaction file set, else a
+        # frame cached over this path in the same session would recompute
+        # missing partitions from deleted files (FAILED_READ_FILE)
+        self.spark.catalog.refreshByPath(path)
         after = count_files(path)
         return {"files_before": before, "files_after": after}
 
