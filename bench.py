@@ -43,6 +43,10 @@ def main() -> int:
     # minima.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for _ in range(runs):
+        # each pass pays one-time materialized intermediates (near-dup
+        # cluster labels) exactly once; in-pass reuse is the measured
+        # architecture, cross-pass reuse would hide the build cost
+        getattr(entrypoint, "reset_shared_intermediates", lambda: None)()
         for name, fn in queries.items():
             t0 = time.time()
             try:
