@@ -31,7 +31,20 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_count"]
+__all__ = ["asof_join", "epoch_seconds", "range_join_count"]
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds of a timestamp of EITHER flavor.
+
+    ``CAST(x AS BIGINT)`` works on TIMESTAMP but is an analysis error on
+    TIMESTAMP_NTZ; routing through ``cast("timestamp")`` first (a no-op
+    for TIMESTAMP, a session-tz reinterpretation for NTZ — the engine
+    pins the session to UTC, see session.py) makes the epoch math accept
+    both. Pure expression, folds into whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
 
 
 def asof_join(
@@ -91,7 +104,7 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         in_tol = (
-            F.col("__ts").cast("long") - F.col("__m.__rts").cast("long")
+            epoch_seconds("__ts") - epoch_seconds(F.col("__m.__rts"))
             <= F.lit(tolerance_seconds)
         )
         matched = matched.withColumn(
@@ -136,8 +149,8 @@ def range_join_count(
         raise ValueError("upper_seconds must exceed lower_seconds")
     bin_s = bin_seconds or span
 
-    p_epoch = F.col(point_ts).cast("long")
-    a_epoch = F.col(anchor_ts).cast("long")
+    p_epoch = epoch_seconds(point_ts)
+    a_epoch = epoch_seconds(anchor_ts)
     p = points.select(
         *on,
         p_epoch.alias("__pe"),

@@ -44,15 +44,21 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read nanos as long and truncate to micros
-        # (DuckDB's native precision, so the oracle sees the same values).
+        # events.parquet has shipped with two physical layouts for `ts`:
+        # TIMESTAMP(NANOS) (vectorized reader rejects it → read nanos as
+        # long, truncate to micros) and TIMESTAMP(MICROS, isAdjustedToUTC=
+        # false) (Spark 4 infers TIMESTAMP_NTZ, which epoch casts and
+        # watermarks reject). Normalize BOTH to session-tz TIMESTAMP: the
+        # session runs UTC, so wall-clock == epoch math == DuckDB.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
             # integer div: ns/1000 via double FLOOR loses precision above
             # 2^52, silently shifting timestamps by ±1us
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -40,6 +40,25 @@ SESSION_OUTPUT_SCHEMA = (
 STATE_SCHEMA = "start long, last long, count long"
 
 
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-tz TIMESTAMP, whatever
+    the parquet layout delivered: nanos-as-long (legacy TIMESTAMP(NANOS)
+    read mode) or TIMESTAMP_NTZ (Spark 4's inference for micros with
+    isAdjustedToUTC=false, which ``withWatermark`` rejects with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Same policy as
+    plans.analytics.load; the session runs UTC so values match DuckDB.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # integer div (`div`), not double FLOOR — exact at epoch-ns scale
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _sessionize_fn(gap_seconds: float):
     gap_us = int(gap_seconds * 1_000_000)
 
@@ -169,12 +188,7 @@ def replay_sessions(
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    if dict(stream.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        # integer div (`div`), not double FLOOR — exact at epoch-ns scale
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    stream = stream.select("user_id", "ts")
+    stream = _normalize_ts(stream).select("user_id", "ts")
     try:
         q = (
             sessionize_stateful(stream, gap_seconds)
@@ -223,11 +237,7 @@ def replay_dedup(
     for name in ("first.parquet", "second.parquet"):
         os.symlink(src, os.path.join(stage, name))
 
-    stream = spark.readStream.schema(batch_schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(spark.readStream.schema(batch_schema).parquet(stage))
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions:
