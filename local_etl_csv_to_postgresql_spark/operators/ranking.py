@@ -1,0 +1,136 @@
+"""Distributed global ranking without a single-partition window.
+
+``Window.orderBy(...)`` with no (or low-cardinality) PARTITION BY is the
+classic Spark scale trap: the whole frame funnels through one task per
+window partition (Spark itself warns "Moving all data to a single
+partition"). The reference engine never hits this — PostgreSQL sorts on
+one node anyway (sql/queries.sql:131-136 NTILE, :214-220 PERCENT_RANK) —
+but at 100 TB it is the difference between a plan that finishes and one
+that does not.
+
+``attach_global_row_number`` implements the standard two-phase
+distributed rank (the same mechanism a distributed sort / Spark's own
+``zipWithIndex`` uses, expressed over DataFrames):
+
+1. range-partition the frame on (partition_by + order_by) —
+   ``repartitionByRange`` samples boundaries, so partition ids ascend
+   with the sort order;
+2. per-partition ``row_number`` — an in-partition sort of N/P rows;
+3. collect O(P × G) per-(partition, group) counts to the driver (G =
+   distinct partition_by groups — MUST be low-cardinality, it is driver
+   metadata), turn them into rank offsets and group totals;
+4. broadcast-join the offsets back and add.
+
+No task ever sorts more than N/P rows, and the only driver-side data is
+the count matrix — the same scale of information AQE already collects
+per shuffle. Equal order_by keys are co-located by the range
+partitioner (it compares the full key), so tie-sensitive ranks
+(``rank``, ``cume_dist``) can be derived in-partition from the attached
+row number with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["attach_global_row_number", "exact_ntile"]
+
+_PID = "__rk_pid"
+_RN = "__rk_rn"
+_OFFSET = "__rk_offset"
+_TOTAL = "__rk_group_total"
+
+
+def attach_global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    partition_by: Sequence[str] = (),
+    rn_col: str = "global_rn",
+    total_col: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Attach a global (or per-``partition_by``-group) 1-based row
+    number ordered by ``order_by``, computed with range partitioning +
+    per-partition row_number + broadcast offsets — never a
+    single-partition window.
+
+    ``partition_by`` must be low-cardinality (priorities, statuses —
+    NOT user ids): the offset frame has one row per (range partition,
+    group). ``total_col``, when set, also attaches each group's total
+    row count (the ``n`` of NTILE / percent_rank denominators).
+
+    When ``order_by`` does not include a unique tie-break, row numbers
+    among equal keys are arbitrary but equal keys always share a range
+    partition, so ``min/max(rn) over (partition_by + order key)``
+    in-partition windows recover exact ``rank``/``cume_dist``.
+    """
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    partition_by = list(partition_by)
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    sort_key = [F.col(c) for c in partition_by] + order_exprs
+
+    tagged = (
+        df.repartitionByRange(partitions, *sort_key)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = (
+        tagged.groupBy(_PID, *partition_by)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    # offsets: rows of the same group in lower-id partitions (range
+    # partition ids ascend with the sort key, so lower id == earlier)
+    by_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in counts:
+        key = tuple(r[c] for c in partition_by)
+        by_group.setdefault(key, []).append((r[_PID], r["__n"]))
+    rows = []
+    for key, pid_counts in by_group.items():
+        pid_counts.sort()
+        total = sum(n for _, n in pid_counts)
+        offset = 0
+        for pid, n in pid_counts:
+            rows.append((pid, *key, offset, total))
+            offset += n
+    part_fields = [df.schema[c] for c in partition_by]
+    schema = StructType(
+        [StructField(_PID, IntegerType(), False)]
+        + [StructField(f.name, f.dataType, f.nullable) for f in part_fields]
+        + [StructField(_OFFSET, LongType(), False), StructField(_TOTAL, LongType(), False)]
+    )
+    offsets = spark.createDataFrame(rows, schema)
+
+    w = Window.partitionBy(_PID, *partition_by).orderBy(*order_exprs)
+    out = (
+        tagged.withColumn(_RN, F.row_number().over(w))
+        .join(F.broadcast(offsets), [_PID, *partition_by])
+        .withColumn(rn_col, (F.col(_RN) + F.col(_OFFSET)).cast("long"))
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_TOTAL))
+    return out.drop(_RN, _OFFSET, _TOTAL)
+
+
+def exact_ntile(rn: Column, n: Column, tiles: int) -> Column:
+    """SQL NTILE(tiles) from a 1-based row number ``rn`` and group size
+    ``n``, as a pure expression: the first ``n % tiles`` buckets get
+    ``n div tiles + 1`` rows, the rest ``n div tiles`` — exactly the
+    engine semantics, so results hash-match window-function NTILE.
+    """
+    q = (n / tiles).cast("long")  # floor for non-negative
+    r = n - q * tiles
+    big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return (
+        F.when(q == 0, rn)  # fewer rows than tiles: bucket == rn
+        .when(rn <= big, ((rn - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((rn - big - 1) / q).cast("long") + 1)
+        .cast("int")
+    )

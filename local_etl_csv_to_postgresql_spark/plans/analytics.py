@@ -650,17 +650,32 @@ def q25_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 def q26_revenue_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """NTILE decile segmentation: customers ranked into 10 spend tiles,
-    rolled up per decile. The global NTILE is a single-partition window
-    over the already-aggregated per-customer frame (one row per
-    customer, tiny next to the fact scan) — the heavy lifting is the
-    distributed groupBy below it, so the serial tail is O(customers)."""
+    rolled up per decile. A bare ``Window.orderBy`` NTILE funnels every
+    customer through ONE task; instead the global rank comes from the
+    distributed two-phase ranking operator (range partition +
+    per-partition row_number + O(P) broadcast offsets — see
+    operators/ranking.py) and NTILE is recomputed from (rank, n) with
+    the exact engine formula, so the hash still matches the oracle's
+    window-function NTILE."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+        exact_ntile,
+    )
+
     orders = load(spark, sf, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         dsum("o_totalprice").alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), "o_custkey")
+    ranked = attach_global_row_number(
+        per_cust,
+        order_by=[F.desc("revenue"), F.asc("o_custkey")],
+        rn_col="__rn",
+        total_col="__n",
+    )
     return (
-        per_cust.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn(
+            "decile", exact_ntile(F.col("__rn"), F.col("__n"), 10)
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -946,17 +961,40 @@ def q35_top_percentile_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution-position window functions: orders in the top 1% by
     value within their priority class. percent_rank/cume_dist are exact
     rationals ((rank-1)/(n-1), count≤x/n) so they compare bit-identical
-    across engines; the window partitions by priority, and the filter
-    cuts the result to ~1% of orders before any sort of the output."""
+    across engines.
+
+    ``Window.partitionBy(priority)`` has ~5 distinct values, so the
+    naive window sorts N/5 RAW order rows per task; instead the
+    per-priority global row number comes from the distributed ranking
+    operator (one range shuffle, O(P×5) driver metadata), and the
+    tie-sensitive rank/cume counts are min/max of that row number over
+    each (priority, price) tie group. The tie window re-shuffles the
+    3-column projection on fine-grained (priority, price) keys — evenly
+    spread, tiny tie groups — instead of 5 giant sort tasks."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+    )
+
     o = load(spark, sf, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = attach_global_row_number(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        order_by=[F.asc("o_totalprice")],
+        partition_by=["o_orderpriority"],
+        rn_col="__rn",
+        total_col="__n",
+    )
+    wt = Window.partitionBy("o_orderpriority", "o_totalprice")
     return (
-        o.select(
+        ranked.withColumn("__rank", F.min("__rn").over(wt))
+        .withColumn("__cume", F.max("__rn").over(wt))
+        .select(
             "o_orderpriority",
             "o_orderkey",
             dec("o_totalprice").cast("double").alias("total_price"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.round(
+                (F.col("__rank") - 1) / (F.col("__n") - 1), 6
+            ).alias("pct_rank"),
+            F.round(F.col("__cume") / F.col("__n"), 6).alias("cume_dist"),
         )
         .filter(F.col("cume_dist") >= 0.99)
         .orderBy("o_orderpriority", "o_orderkey")

@@ -78,6 +78,20 @@ def test_no_query_degrades_to_unbounded_cross_joins(spark):
 
 
 @needs_testdata
+@pytest.mark.parametrize(
+    "name", ["q26_revenue_deciles", "q35_top_percentile_orders"]
+)
+def test_ranking_queries_never_single_partition(spark, name):
+    """q26 (NTILE) and q35 (percent_rank/cume_dist) used to run a
+    global / ~5-partition window — at scale that is one task sorting
+    the whole frame. Both now rank via operators/ranking.py; pin that
+    NO stage in either plan collapses to a single partition."""
+    plan = plan_of(ep.queries()[name](spark, SF))
+    assert "SinglePartition" not in plan, name
+    assert "Exchange SinglePartition" not in plan, name
+
+
+@needs_testdata
 def test_q30_pushes_every_predicate_into_the_scan(spark):
     plan = plan_of(ep.queries()["q30_revenue_forecast"](spark, SF))
     pushed = next(

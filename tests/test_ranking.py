@@ -1,0 +1,91 @@
+"""operators/ranking.py: the distributed two-phase rank must agree
+exactly with the engine's own window functions (which are safe at test
+scale), including NTILE bucket-size semantics and tie handling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from local_etl_csv_to_postgresql_spark.operators.ranking import (
+    attach_global_row_number,
+    exact_ntile,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_global_row_number_matches_window(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 37 % 251).alias("v")
+    )
+    got = attach_global_row_number(
+        df, order_by=[F.asc("v"), F.asc("id")], rn_col="rn", partitions=8
+    )
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert _rows(got, "id", "rn") == _rows(want, "id", "rn")
+
+
+def test_grouped_row_number_and_totals(spark):
+    df = spark.range(600).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 13 % 101).alias("v"),
+    )
+    got = attach_global_row_number(
+        df,
+        order_by=[F.desc("v"), F.asc("id")],
+        partition_by=["grp"],
+        rn_col="rn",
+        total_col="n",
+        partitions=8,
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    assert _rows(got, "id", "rn", "n") == _rows(want, "id", "rn", "n")
+
+
+@pytest.mark.parametrize("n,tiles", [(1000, 10), (997, 10), (7, 10), (13, 4)])
+def test_exact_ntile_matches_engine_ntile(spark, n, tiles):
+    """Uneven n (997 % 10 != 0) exercises the first-r-buckets-get-one-
+    extra rule; n < tiles exercises the bucket==rn degenerate case."""
+    df = spark.range(n).select((F.col("id") + 1).alias("rn"))
+    got = df.select(
+        "rn", exact_ntile(F.col("rn"), F.lit(n).cast("long"), tiles).alias("t")
+    )
+    want = spark.range(n).select(F.col("id").alias("k")).select(
+        (F.col("k") + 1).alias("rn"),
+        F.ntile(tiles).over(Window.orderBy("k")).alias("t"),
+    )
+    assert _rows(got, "rn", "t") == _rows(want, "rn", "t")
+
+
+def test_ties_colocated_min_max_recover_rank_and_cume(spark):
+    """With no tie-break in order_by, min/max of the attached row number
+    over each tie group must reproduce rank() and the cume_dist
+    numerator — the contract q35 relies on."""
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7).alias("v")  # heavy ties
+    )
+    got = attach_global_row_number(
+        df, order_by=[F.asc("v")], rn_col="rn", total_col="n", partitions=8
+    )
+    wt = Window.partitionBy("v")
+    got = (
+        got.withColumn("rank", F.min("rn").over(wt))
+        .withColumn("cume_n", F.max("rn").over(wt))
+        .select("id", "rank", "cume_n")
+    )
+    w = Window.orderBy("v")
+    want = df.select(
+        "id",
+        F.rank().over(w).alias("rank"),
+        (F.cume_dist().over(w) * 500).cast("long").alias("cume_n"),
+    )
+    assert _rows(got, "id", "rank", "cume_n") == _rows(want, "id", "rank", "cume_n")
