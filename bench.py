@@ -106,19 +106,38 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         failures["__etl__"] = str(e).split("\n")[0][:200]
 
+    # The driver captures a bounded tail of stdout, so the contract line
+    # must stay well under ~2000 chars: per-query keys are the unique
+    # numeric prefix of each query name (q26_revenue_deciles → q26),
+    # compact separators, failures capped. The full long-form record
+    # (complete names, phases) goes to BENCH_LOCAL.json alongside.
+    short = {name.split("_", 1)[0]: t for name, t in timings.items()}
     out = {
         "metric": "query_library_total_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "etl": etl,
+        "queries": short,
+        "etl": {k: etl[k] for k in ("rows", "sec", "loaded") if k in etl},
         "runs": runs,
         "sf": sf,
     }
     if failures:
-        out["failures"] = failures
-    print(json.dumps(out))
+        out["failures"] = {
+            name.split("_", 1)[0]: msg[:80] for name, msg in failures.items()
+        }
+    full = dict(out, queries=timings, etl=etl, failures=failures or None)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
     spark.stop()
+    # JSON is the FINAL stdout line, emitted after spark.stop() so no
+    # late JVM chatter can displace it from a bounded output capture
+    print(json.dumps(out, separators=(",", ":")), flush=True)
     return 1 if failures else 0
 
 
