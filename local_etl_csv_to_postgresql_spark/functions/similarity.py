@@ -42,11 +42,15 @@ def cosine(a: Column, b: Column, nd: int = 4) -> Column:
     return F.round(dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0)), nd)
 
 
-def sign_bucket(a: Column, nbits: int = 8) -> Column:
-    """LSH bucket id from the sign bits of the first ``nbits`` dims."""
+def sign_bucket(a: Column, nbits: int = 8, offset: int = 0) -> Column:
+    """LSH bucket id from the sign bits of dims
+    ``[offset+1, offset+nbits]`` (1-based). Distinct ``offset`` values
+    give independent hash tables over disjoint hyperplane sets."""
     out = None
     for i in range(nbits):
-        bit = F.when(F.element_at(a, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(
+            F.element_at(a, offset + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         out = bit if out is None else out + bit
     return out.cast("int")
 
@@ -55,41 +59,63 @@ def neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
     nbits: int = 8,
+    n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
+    """Embedding-cosine near-duplicate pairs via multi-table sign-LSH
+    blocking.
 
     All-pairs cosine is O(n²) — a non-starter at corpus scale. Blocking
-    on the sign-LSH bucket turns candidate generation into a bucket
-    equi-self-join (one shuffle on the bucket key, pairs only form
-    within a bucket), then exact cosine scores the survivors. Recall is
-    bounded by the bucket resolution: near-dups differing in an early
-    dimension's sign land in different buckets — raise recall with more
-    hash tables (union several ``nbits``-bit projections), trade
-    candidate volume with larger ``nbits``.
+    on sign-LSH buckets turns candidate generation into a bucket
+    equi-self-join (one shuffle keyed on (table, bucket), pairs only
+    form within a bucket), then exact cosine scores the distinct
+    survivors.
 
-    ``id_a < id_b`` keeps each unordered pair once. Norms are computed
-    once per VECTOR before the self-join, not once per candidate pair —
-    at b vectors/bucket that turns O(b²) norm folds into O(b).
+    Recall/volume tradeoff, explicitly: a pair at cosine ``s`` agrees
+    on one hyperplane with probability p = 1 - arccos(s)/π, on a whole
+    ``nbits``-bit table with p^nbits, and survives ``n_tables``
+    independent tables with 1 - (1 - p^nbits)^n_tables. Candidate
+    volume scales as n_tables * n²/2^nbits (uniform signs). Size the
+    knobs to the OPERATING THRESHOLD: at s = 0.35 (p ≈ 0.61) only
+    coarse buckets see anything — (4 bits × 4 tables) predicts ≈ 0.46
+    recall (measured 0.50 on the driver corpus, whose near-dups sit at
+    0.35-0.6) where (8 bits × 2) drops to ≈ 0.04; at s = 0.9
+    (p ≈ 0.856) the same formula says (16 bits × 8) keeps ≈ 0.49
+    recall at 65k-bucket granularity — high-threshold dedup earns fine
+    buckets, low-threshold similarity mining cannot use them. Tables
+    here use disjoint dim slices (table t = signs of dims
+    [t*nbits+1, (t+1)*nbits]); the embedding must carry
+    nbits*n_tables dims.
+
+    ``id_a < id_b`` keeps each unordered pair once; a pair found by
+    several tables is deduped BEFORE scoring, so each candidate pays
+    one cosine. Norms are computed once per VECTOR before the
+    self-join, not once per candidate pair.
     """
-    wb = embeddings.select(
-        sign_bucket(F.col(vec_col), nbits).alias("__bucket"),
+    buckets = F.array(
+        *[
+            sign_bucket(F.col(vec_col), nbits, offset=t * nbits)
+            for t in range(n_tables)
+        ]
+    )
+    banded = embeddings.select(
+        F.col(id_col).alias("__id"), F.posexplode(buckets)
+    ).select(
+        F.col("__id"), F.col("pos").alias("__table"), F.col("col").alias("__bucket")
+    )
+    a = banded.select(F.col("__id").alias("id_a"), "__table", "__bucket")
+    b = banded.select(F.col("__id").alias("id_b"), "__table", "__bucket")
+    cand = (
+        a.join(b, ["__table", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wv = embeddings.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__e"),
         norm(F.col(vec_col)).alias("__n"),
-    )
-    a = wb.select(
-        "__bucket",
-        F.col("__id").alias("id_a"),
-        F.col("__e").alias("__ea"),
-        F.col("__n").alias("__na"),
-    )
-    b = wb.select(
-        "__bucket",
-        F.col("__id").alias("id_b"),
-        F.col("__e").alias("__eb"),
-        F.col("__n").alias("__nb"),
     )
     sim = F.round(
         dot(F.col("__ea"), F.col("__eb"))
@@ -97,8 +123,22 @@ def neardup_pairs(
         4,
     )
     return (
-        a.join(b, "__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(
+            wv.select(
+                F.col("__id").alias("id_a"),
+                F.col("__e").alias("__ea"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            wv.select(
+                F.col("__id").alias("id_b"),
+                F.col("__e").alias("__eb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -138,20 +178,39 @@ def bucketed_ann_topk(
     vec_col: str = "embedding",
     k: int = 10,
     nbits: int = 8,
+    n_tables: int = 2,
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing the query's sign-LSH
-    bucket are scored. The bucket equi-join replaces the full scan."""
-    with_bucket = embeddings.withColumn("__bucket", sign_bucket(F.col(vec_col), nbits))
-    q = with_bucket.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("__q"), F.col("__bucket")
+    bucket in AT LEAST ONE of ``n_tables`` hash tables are scored
+    (distinct union of per-table buckets — see ``neardup_pairs`` for
+    the recall math). The (table, bucket) equi-join replaces the full
+    scan; the query's bucket list is a broadcast ``n_tables``-row
+    frame."""
+    buckets = F.array(
+        *[
+            sign_bucket(F.col(vec_col), nbits, offset=t * nbits)
+            for t in range(n_tables)
+        ]
+    )
+    banded = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(buckets)
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("pos").alias("__table"),
+        F.col("col").alias("__bucket"),
+    )
+    q = banded.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q"), "__table", "__bucket"
     )
     return (
-        with_bucket.join(F.broadcast(q), "__bucket")
+        banded.join(F.broadcast(q), ["__table", "__bucket"])
         .filter(F.col(id_col) != query_vec_id)
         .select(
             id_col,
             cosine(F.col(vec_col), F.col("__q")).alias("cosine_sim"),
         )
+        .distinct()
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)
     )

@@ -118,12 +118,16 @@ def test_neardup_pairs_blocking_and_threshold(spark):
     ]
     df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
     pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
-             for r in sim.neardup_pairs(df, threshold=0.95, nbits=4).collect()}
+             for r in sim.neardup_pairs(
+                 df, threshold=0.95, nbits=4, n_tables=1
+             ).collect()}
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)] > 0.99
     # threshold gates candidates that shared a bucket
     loose = {(r["id_a"], r["id_b"])
-             for r in sim.neardup_pairs(df, threshold=-1.0, nbits=4).collect()}
+             for r in sim.neardup_pairs(
+                 df, threshold=-1.0, nbits=4, n_tables=1
+             ).collect()}
     assert {(0, 1), (0, 2), (1, 2)} <= loose
     assert all(3 not in p for p in loose)
 
