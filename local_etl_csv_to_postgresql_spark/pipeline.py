@@ -9,6 +9,7 @@ validate-only modes, summary printer, exit codes (0 success / 1 failure /
 from __future__ import annotations
 
 import argparse
+import logging
 import sys
 import time
 from dataclasses import dataclass, field
@@ -20,6 +21,14 @@ from .config import EngineConfig
 from .operators.transform import TransformError, transform_transactions
 from .sources.extract import ExtractError, extract_any
 from .warehouse import LoadError, Warehouse
+
+# handlers attach at the package root via logging_setup.setup_logger
+# (CLI main() wires it); library callers who don't configure logging
+# get the stdlib's silent default, same as the reference's import shape.
+# NOT __name__: under `python -m package.pipeline` that is "__main__",
+# which would orphan this logger from the configured package root —
+# __package__ stays correct in both import and -m execution.
+logger = logging.getLogger(f"{__package__}.pipeline")
 
 
 # Reference error hierarchy (src/etl_pipeline.py:36-58)
@@ -75,6 +84,10 @@ def run_etl_pipeline(
         except ExtractError as e:
             raise PipelineExtractError(str(e)) from e
         res.phase_times["extract"] = time.time() - t
+        logger.info(
+            "extract done: %d rows from %s in %.2fs",
+            res.extracted_rows, file_path, res.phase_times["extract"],
+        )
 
         # PHASE 2 — transform
         t = time.time()
@@ -85,6 +98,12 @@ def run_etl_pipeline(
         res.transformed_rows = tr.valid_rows
         res.issue_counts = tr.issue_counts
         res.phase_times["transform"] = time.time() - t
+        logger.info(
+            "transform done: %d valid rows (%d dropped) in %.2fs",
+            tr.valid_rows,
+            res.extracted_rows - tr.valid_rows,
+            res.phase_times["transform"],
+        )
 
         # rejects quarantine: invalid rows (with their failed-rule
         # labels) are appended, never dropped, when a path is configured
@@ -127,11 +146,16 @@ def run_etl_pipeline(
         res.skipped_rows = stats.fact_skipped
         res.dims_inserted = stats.dims_inserted
         res.phase_times["load"] = time.time() - t
+        logger.info(
+            "load done: %d inserted, %d skipped in %.2fs",
+            res.loaded_rows, res.skipped_rows, res.phase_times["load"],
+        )
 
         res.status = "success"
     except ETLError as e:
         res.status = "failed"
         res.error = str(e)
+        logger.error("pipeline failed: %s", e)
     res.total_time = time.time() - t0
     return res
 
@@ -173,14 +197,27 @@ def parse_arguments(argv=None):
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--validate-only", action="store_true")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument(
+        "--log-dir",
+        default="logs",
+        help="directory for the rotating pipeline log file",
+    )
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     from .session import get_spark
     from .config import WarehouseConfig
+    from .logging_setup import LoggingConfig, setup_logger
 
     args = parse_arguments(argv)
+    setup_logger(
+        __package__,
+        LoggingConfig(
+            log_dir=args.log_dir,
+            level="DEBUG" if args.verbose else "INFO",
+        ),
+    )
     spark = get_spark("etl_pipeline")
     if args.verbose:
         spark.sparkContext.setLogLevel("INFO")
