@@ -532,6 +532,144 @@ def ss01_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qf01_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Document quality-filter funnel with first-failing-rule
+    attribution — the keep/drop gate every training-data pipeline runs
+    before anything expensive touches a document. Rules evaluate in a
+    fixed order (too_short → low_quality → langid_mismatch) and each
+    doc counts against its FIRST failure only, so the per-rule columns
+    are disjoint and sum with n_pass to n_docs (same accounting
+    contract as the ETL validation, operators/validate.py). All
+    features are the shared JVM text expressions — one regex pass per
+    feature per row, zero Python."""
+    docs = load(spark, sf, "documents")
+    base = docs.select("lang", "text", tx.words("text").alias("__w"))
+    feats = base.select(
+        "lang",
+        tx.token_count("text").alias("__tok"),
+        tx.mean_word_length_from(F.col("__w")).alias("__mwl"),
+        F.round(
+            tx.marker_count("text", tx.STOPWORDS).cast("double")
+            / F.nullif(F.size(F.col("__w")), F.lit(0)).cast("double"),
+            6,
+        ).alias("__swr"),
+        tx.punct_ratio("text").alias("__pr"),
+        tx.lang_id("text").alias("__pred"),
+    )
+    scored = feats.withColumn(
+        "__q",
+        tx.quality_from_features(
+            F.col("__tok"), F.col("__mwl"), F.col("__swr"), F.col("__pr")
+        ),
+    )
+    verdict = scored.withColumn(
+        "__v",
+        F.when(F.col("__tok") < 5, F.lit("too_short"))
+        .when(F.col("__q") < 0.5, F.lit("low_quality"))
+        .when(F.col("__pred") != F.col("lang"), F.lit("langid_mismatch"))
+        .otherwise(F.lit("pass")),
+    )
+    cnt = lambda v: F.sum((F.col("__v") == v).cast("long")).alias(  # noqa: E731
+        f"n_{v}"
+    )
+    return (
+        verdict.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("pass"),
+            cnt("too_short"),
+            cnt("low_quality"),
+            cnt("langid_mismatch"),
+            F.round(
+                F.sum((F.col("__v") == "pass").cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pass_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sp01_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT-size stratified sampling: per (source, lang) stratum keep
+    exactly ceil(n/10) docs — the first tenth in deterministic
+    multiplicative-hash order — where plain Bernoulli sampling (ss01)
+    only hits 10% in expectation. Per-stratum ranking runs through the
+    distributed two-phase rank (operators/ranking.py), so a stratum
+    with billions of rows never funnels through one sort task; the
+    sampled-id sum pins exact membership, not just counts."""
+    from ..operators.ranking import attach_global_row_number
+
+    docs = load(spark, sf, "documents").select("source", "lang", "doc_id")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ranked = attach_global_row_number(
+        docs.withColumn("__h", h),
+        order_by=[F.asc("__h"), F.asc("doc_id")],
+        partition_by=["source", "lang"],
+        rn_col="__rn",
+        total_col="__n",
+    )
+    # ceil(n/10) in exact integer math (a 0.1 double multiply could
+    # round differently across engines at boundary strata)
+    take = F.expr("(__n + 9) div 10")
+    picked = ranked.withColumn(
+        "__in", (F.col("__rn") <= take).cast("long")
+    )
+    return (
+        picked.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__in").cast("bigint").alias("n_sampled"),
+            F.sum(
+                F.when(F.col("__in") == 1, F.col("doc_id")).otherwise(F.lit(0))
+            ).cast("bigint").alias("sampled_docid_sum"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def pk01_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing: per language, documents in doc_id order
+    fill fixed 512-token context windows; a doc belongs to the bin its
+    running prefix starts in (the streaming sample-packing rule). The
+    running token count is a DISTRIBUTED PREFIX SUM
+    (operators/ranking.py running_sum_of) — `SUM() OVER (PARTITION BY
+    lang ORDER BY doc_id)` semantics without one task per language
+    sorting the whole corpus. Rolled up per language: bins used, docs
+    packed, fill ratio vs the budget."""
+    from ..operators.ranking import attach_global_row_number
+
+    budget = 512
+    docs = load(spark, sf, "documents").select(
+        "lang", "doc_id", tx.token_count("text").alias("__tok")
+    )
+    packed = attach_global_row_number(
+        docs,
+        order_by=[F.asc("doc_id")],
+        partition_by=["lang"],
+        rn_col="__rn",
+        running_sum_of="__tok",
+        running_sum_col="__run",
+    )
+    binned = packed.withColumn(
+        "__bin", F.expr(f"(__run - __tok) div {budget}")
+    )
+    return (
+        binned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__bin").alias("n_bins"),
+            F.sum("__tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("__tok").cast("double")
+                / (F.countDistinct("__bin") * budget),
+                4,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 def dd07_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical-document selection: the step after near-dup clustering
     where the pipeline keeps ONE representative per cluster (here:
@@ -1002,6 +1140,79 @@ WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.35
 ORDER BY cosine_sim DESC, id_a, id_b LIMIT 100
 """
 
+EXTENSION_ORACLE["qf01_quality_filter"] = f"""
+WITH base AS (
+  SELECT lang, text, {_WORDS} AS w FROM documents
+), feats AS (
+  SELECT lang, text,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+         {_MWL.format(w='w')} AS mwl,
+         {_SWR.format(w='w')} AS swr,
+         {_PR} AS pr,
+         {_LANG_SCORES}
+  FROM base
+), scored AS (
+  SELECT lang, tok, {_QUALITY} AS q,
+         CASE WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de > 0 AND s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es > 0 AND s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+              ELSE 'unknown' END AS pred
+  FROM feats
+), verdict AS (
+  SELECT lang,
+         CASE WHEN tok < 5 THEN 'too_short'
+              WHEN q < 0.5 THEN 'low_quality'
+              WHEN pred <> lang THEN 'langid_mismatch'
+              ELSE 'pass' END AS v
+  FROM scored
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN v = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN v = 'too_short' THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       CAST(SUM(CASE WHEN v = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       CAST(SUM(CASE WHEN v = 'langid_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_langid_mismatch,
+       ROUND(CAST(SUM(CASE WHEN v = 'pass' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS pass_rate
+FROM verdict GROUP BY lang ORDER BY lang
+"""
+
+EXTENSION_ORACLE["sp01_stratified_sample"] = """
+WITH d AS (
+  SELECT source, lang, doc_id,
+         (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+), r AS (
+  SELECT source, lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY h, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source, lang) AS n
+  FROM d
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN rn <= (n + 9) // 10 THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_docid_sum
+FROM r GROUP BY source, lang ORDER BY source, lang
+"""
+
+EXTENSION_ORACLE["pk01_sequence_packing"] = """
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok
+  FROM documents
+), r AS (
+  SELECT lang, tok,
+         SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM t
+), b AS (
+  SELECT lang, tok, (run - tok) // 512 AS bin FROM r
+)
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT bin) AS n_bins,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(tok) AS DOUBLE) / (COUNT(DISTINCT bin) * 512), 4) AS fill_ratio
+FROM b GROUP BY lang ORDER BY lang
+"""
+
 EXTENSION_ORACLE["mm01_media_metadata"] = """
 SELECT source, COUNT(*) AS n_items,
        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
@@ -1278,3 +1489,6 @@ EXTENSION_QUERIES["es05_label_centroids"] = es05_label_centroids
 EXTENSION_QUERIES["tx07_tfidf_top_terms"] = tx07_tfidf_top_terms
 
 EXTENSION_QUERIES["tx06_top_terms"] = tx06_top_terms
+EXTENSION_QUERIES["qf01_quality_filter"] = qf01_quality_filter
+EXTENSION_QUERIES["sp01_stratified_sample"] = sp01_stratified_sample
+EXTENSION_QUERIES["pk01_sequence_packing"] = pk01_sequence_packing

@@ -44,6 +44,7 @@ _PID = "__rk_pid"
 _RN = "__rk_rn"
 _OFFSET = "__rk_offset"
 _TOTAL = "__rk_group_total"
+_SOFF = "__rk_sum_offset"
 
 
 def attach_global_row_number(
@@ -53,6 +54,8 @@ def attach_global_row_number(
     rn_col: str = "global_rn",
     total_col: str | None = None,
     partitions: int | None = None,
+    running_sum_of: str | None = None,
+    running_sum_col: str = "running_sum",
 ) -> DataFrame:
     """Attach a global (or per-``partition_by``-group) 1-based row
     number ordered by ``order_by``, computed with range partitioning +
@@ -63,6 +66,17 @@ def attach_global_row_number(
     NOT user ids): the offset frame has one row per (range partition,
     group). ``total_col``, when set, also attaches each group's total
     row count (the ``n`` of NTILE / percent_rank denominators).
+
+    ``running_sum_of`` turns the same two-phase mechanism into a
+    DISTRIBUTED PREFIX SUM: ``running_sum_col`` gets the inclusive
+    running total of an integral column in ``order_by`` order (per
+    group) — ``SUM(x) OVER (PARTITION BY g ORDER BY o)`` without the
+    single-task-per-group sort. In-partition cumulative sums ride the
+    same window as the row number; prior-partition subtotals join in
+    with the same O(P × G) broadcast. Integral columns only: offsets
+    are exact int64 driver arithmetic (token budgets, byte quotas —
+    the prefix-sum consumers — are counts, and double offsets would
+    silently lose exactness past 2^53).
 
     When ``order_by`` does not include a unique tie-break, row numbers
     among equal keys are arbitrary but equal keys always share a range
@@ -81,30 +95,38 @@ def attach_global_row_number(
         .withColumn(_PID, F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = (
-        tagged.groupBy(_PID, *partition_by)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .collect()
-    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if running_sum_of is not None:
+        aggs.append(
+            F.sum(F.col(running_sum_of).cast("long")).alias("__s")
+        )
+    counts = tagged.groupBy(_PID, *partition_by).agg(*aggs).collect()
     # offsets: rows of the same group in lower-id partitions (range
     # partition ids ascend with the sort key, so lower id == earlier)
-    by_group: dict[tuple, list[tuple[int, int]]] = {}
+    by_group: dict[tuple, list[tuple[int, int, int]]] = {}
     for r in counts:
         key = tuple(r[c] for c in partition_by)
-        by_group.setdefault(key, []).append((r[_PID], r["__n"]))
+        s = (r["__s"] or 0) if running_sum_of is not None else 0
+        by_group.setdefault(key, []).append((r[_PID], r["__n"], s))
     rows = []
     for key, pid_counts in by_group.items():
         pid_counts.sort()
-        total = sum(n for _, n in pid_counts)
+        total = sum(n for _, n, _ in pid_counts)
         offset = 0
-        for pid, n in pid_counts:
-            rows.append((pid, *key, offset, total))
+        sum_offset = 0
+        for pid, n, s in pid_counts:
+            rows.append((pid, *key, offset, total, sum_offset))
             offset += n
+            sum_offset += s
     part_fields = [df.schema[c] for c in partition_by]
     schema = StructType(
         [StructField(_PID, IntegerType(), False)]
         + [StructField(f.name, f.dataType, f.nullable) for f in part_fields]
-        + [StructField(_OFFSET, LongType(), False), StructField(_TOTAL, LongType(), False)]
+        + [
+            StructField(_OFFSET, LongType(), False),
+            StructField(_TOTAL, LongType(), False),
+            StructField(_SOFF, LongType(), False),
+        ]
     )
     offsets = spark.createDataFrame(rows, schema)
 
@@ -114,9 +136,18 @@ def attach_global_row_number(
         .join(F.broadcast(offsets), [_PID, *partition_by])
         .withColumn(rn_col, (F.col(_RN) + F.col(_OFFSET)).cast("long"))
     )
+    if running_sum_of is not None:
+        wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn(
+            running_sum_col,
+            (
+                F.sum(F.col(running_sum_of).cast("long")).over(wsum)
+                + F.col(_SOFF)
+            ).cast("long"),
+        )
     if total_col is not None:
         out = out.withColumn(total_col, F.col(_TOTAL))
-    return out.drop(_RN, _OFFSET, _TOTAL)
+    return out.drop(_RN, _OFFSET, _TOTAL, _SOFF)
 
 
 def exact_ntile(rn: Column, n: Column, tiles: int) -> Column:

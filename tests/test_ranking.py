@@ -51,6 +51,30 @@ def test_grouped_row_number_and_totals(spark):
     assert _rows(got, "id", "rn", "n") == _rows(want, "id", "rn", "n")
 
 
+def test_running_sum_matches_window_prefix_sum(spark):
+    df = spark.range(800).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 7 % 53).alias("v"),
+    )
+    got = attach_global_row_number(
+        df,
+        order_by=[F.asc("id")],
+        partition_by=["grp"],
+        rn_col="rn",
+        running_sum_of="v",
+        running_sum_col="run",
+        partitions=8,
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("run", F.sum("v").over(w))
+    assert _rows(got, "id", "run") == _rows(want, "id", "run")
+
+
 @pytest.mark.parametrize("n,tiles", [(1000, 10), (997, 10), (7, 10), (13, 4)])
 def test_exact_ntile_matches_engine_ntile(spark, n, tiles):
     """Uneven n (997 % 10 != 0) exercises the first-r-buckets-get-one-
