@@ -96,6 +96,11 @@ class WarehouseConfig:
     jdbc_url: str | None = None
     jdbc_properties: dict = field(default_factory=dict)
     jdbc_batchsize: int = 1000  # reference BATCH_SIZE, src/config.py:92
+    # dimension batches above this row count assign dense surrogate keys
+    # via the distributed two-phase rank (operators/ranking.py) instead
+    # of a bare row_number window — identical keys, no single-task sort.
+    # Small batches keep the window (one job, no offset-collect round).
+    large_dim_threshold: int = 1_000_000
 
 
 @dataclass(frozen=True)

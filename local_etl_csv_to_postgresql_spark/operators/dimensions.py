@@ -8,10 +8,12 @@ Surrogate keys without SERIAL (SURVEY §7.4-1), two strategies:
 - ``dense`` (default, reference-parity): ``row_number() OVER (ORDER BY
   natural_key)``. The reference inserts the sorted distinct values into a
   SERIAL column, so keys 1..n in natural-key order are EXACTLY what
-  PostgreSQL assigns on a fresh load. The global window is a single-task
-  sort — fine for dimensional cardinalities (the whole point of a star
-  schema is that dims are small relative to facts); do not use for
-  billion-row dims.
+  PostgreSQL assigns on a fresh load. The global window here is a
+  single-task sort — fine for the builder's per-batch dimensional
+  cardinalities; warehouse.load_dimension switches the SAME key
+  assignment to the distributed two-phase rank (operators/ranking.py)
+  when a batch exceeds WarehouseConfig.large_dim_threshold, so huge
+  first loads never funnel through one task.
 - ``hash``: ``xxhash64(natural_key)`` — stateless, shuffle-free, stable
   across incremental loads and cluster sizes. The 100 TB choice when a
   dimension is itself huge (e.g. one row per document); collision chance

@@ -123,12 +123,33 @@ class Warehouse:
             return 0
         if surrogate_key:
             offset = existing.agg(F.max(surrogate_key)).first()[0] or 0
-            from pyspark.sql import Window
+            if n_new > self.cfg.large_dim_threshold:
+                # a huge dimension batch (first load of a document- or
+                # user-grain dim) must not funnel through one sort task;
+                # the distributed two-phase rank assigns the IDENTICAL
+                # dense keys (row_number in natural-key order)
+                from .operators.ranking import attach_global_row_number
 
-            w = Window.orderBy(F.col(natural_key).asc())
-            new_rows = new_rows.drop(surrogate_key).withColumn(
-                surrogate_key, (F.row_number().over(w) + F.lit(offset)).cast("long")
-            )
+                new_rows = (
+                    attach_global_row_number(
+                        new_rows.drop(surrogate_key),
+                        order_by=[F.col(natural_key).asc()],
+                        rn_col="__rn",
+                    )
+                    .withColumn(
+                        surrogate_key,
+                        (F.col("__rn") + F.lit(offset)).cast("long"),
+                    )
+                    .drop("__rn")
+                )
+            else:
+                from pyspark.sql import Window
+
+                w = Window.orderBy(F.col(natural_key).asc())
+                new_rows = new_rows.drop(surrogate_key).withColumn(
+                    surrogate_key,
+                    (F.row_number().over(w) + F.lit(offset)).cast("long"),
+                )
             new_rows = new_rows.select(existing.columns)
         self._append(new_rows, table)
         return n_new

@@ -79,13 +79,20 @@ def test_no_query_degrades_to_unbounded_cross_joins(spark):
 
 @needs_testdata
 @pytest.mark.parametrize(
-    "name", ["q26_revenue_deciles", "q35_top_percentile_orders"]
+    "name",
+    [
+        "q26_revenue_deciles",
+        "q35_top_percentile_orders",
+        "sp01_stratified_sample",
+        "pk01_sequence_packing",
+    ],
 )
 def test_ranking_queries_never_single_partition(spark, name):
     """q26 (NTILE) and q35 (percent_rank/cume_dist) used to run a
     global / ~5-partition window — at scale that is one task sorting
-    the whole frame. Both now rank via operators/ranking.py; pin that
-    NO stage in either plan collapses to a single partition."""
+    the whole frame. They rank via operators/ranking.py, as do the
+    stratified-sample and sequence-packing operators; pin that NO
+    stage in any of these plans collapses to a single partition."""
     plan = plan_of(ep.queries()[name](spark, SF))
     assert "SinglePartition" not in plan, name
     assert "Exchange SinglePartition" not in plan, name

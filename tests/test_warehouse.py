@@ -197,3 +197,45 @@ def test_quarantine_captures_rejects_with_rule_labels(spark, tmp_path):
     res2 = run_etl_pipeline(spark, str(p), cfg)
     assert res2.status == "success"
     assert spark.read.parquet(qdir).count() == 4
+
+
+def test_large_dim_batch_uses_distributed_rank_same_keys(spark, tmp_path):
+    """Above large_dim_threshold, load_dimension assigns dense surrogate
+    keys via the distributed two-phase rank — the keys must be
+    bit-identical to the window path (row_number in natural-key order,
+    offset past max existing), just without the one-task sort."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.warehouse import Warehouse
+
+    def build(threshold):
+        wh = Warehouse(
+            spark,
+            WarehouseConfig(
+                path=str(tmp_path / f"wh_{threshold}"),
+                large_dim_threshold=threshold,
+            ),
+        )
+        seed = spark.createDataFrame(
+            [(1, "m_000")], ["merchant_key", "merchant_name"]
+        )
+        wh.load_dimension(seed, "dim_merchant", "merchant_name", "merchant_key")
+        batch = spark.range(200).select(
+            F.lit(0).cast("long").alias("merchant_key"),
+            F.format_string("m_%03d", (F.col("id") * 7 % 500) + 1).alias(
+                "merchant_name"
+            ),
+        ).distinct()
+        n = wh.load_dimension(batch, "dim_merchant", "merchant_name", "merchant_key")
+        assert n == 200
+        return sorted(
+            (r["merchant_name"], r["merchant_key"])
+            for r in wh.read("dim_merchant").collect()
+        )
+
+    via_window = build(threshold=10**9)   # always the window path
+    via_ranked = build(threshold=1)       # always the distributed path
+    assert via_window == via_ranked
+    # keys are dense, start past the seed's max, ordered by natural key
+    keys = [k for _, k in via_ranked]
+    assert keys == sorted(keys) and keys[0] == 1 and keys[-1] == 201
