@@ -172,3 +172,63 @@ def test_range_join_forward_window(spark):
         lower_seconds=0, upper_seconds=120,
     )
     assert counted.collect()[0]["n_in_range"] == 2
+
+
+# --- property check vs pandas merge_asof (the public reference
+# implementation of backward as-of semantics) ------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3600)),
+        min_size=1, max_size=40,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3600)),
+        min_size=1, max_size=40,
+    ),
+    tol=st.one_of(st.none(), st.integers(1, 900)),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, tol):
+    """asof_join == pandas.merge_asof(by=key, direction='backward',
+    tolerance) for arbitrary key/timestamp multisets, including ties
+    (pandas keeps the last right row in sort order; ours keeps the
+    greatest tiebreak — aligned by sorting right on (ts, rid))."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    rrows = [
+        (100 + i, k, base + dt.timedelta(seconds=s))
+        for i, (k, s) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    rdf = spark.createDataFrame(rrows, ["rid", "k", "ts"])
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], right_cols=["rid"], tiebreak="rid",
+            tolerance_seconds=tol,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(rrows, columns=["rid", "k", "ts"]).sort_values(
+        ["ts", "rid"], kind="stable"
+    )
+    merged = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction="backward",
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want
