@@ -232,3 +232,49 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, tol):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 600)),
+        min_size=1, max_size=40,
+    ),
+    anchors=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 600)),
+        min_size=1, max_size=20,
+    ),
+    lo=st.integers(-300, 0),
+    span=st.integers(1, 400),
+    bin_s=st.one_of(st.none(), st.integers(7, 500)),
+)
+def test_range_join_count_matches_bruteforce(spark, points, anchors, lo, span, bin_s):
+    """Bin-bucketed range counts == the O(n*m) brute force for arbitrary
+    windows (negative lower bounds, bins smaller/larger than the span,
+    anchors with zero matches kept at count 0)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    hi = lo + span
+    prows = [
+        (k, base + dt.timedelta(seconds=s)) for k, s in points
+    ]
+    arows = [
+        (i, k, base + dt.timedelta(seconds=s))
+        for i, (k, s) in enumerate(anchors)
+    ]
+    pdf = spark.createDataFrame(prows, ["k", "ts"])
+    adf = spark.createDataFrame(arows, ["aid", "k", "ts"])
+    counted, _ = range_join_count(
+        pdf, adf, on=["k"], point_ts="ts", anchor_ts="ts",
+        lower_seconds=lo, upper_seconds=hi, bin_seconds=bin_s,
+    )
+    got = {r["aid"]: r["n_in_range"] for r in counted.collect()}
+    want = {
+        aid: sum(
+            1 for pk, ps in points
+            if pk == ak and (s + lo) <= ps < (s + hi)
+        )
+        for aid, (ak, s) in enumerate(anchors)
+    }
+    assert got == want
