@@ -64,6 +64,7 @@ def main() -> int:
                     if t.isTemporary and (
                         t.name.startswith("stateful_sessions_")
                         or t.name.startswith("stream_dedup_")
+                        or t.name.startswith("stream_quota_")
                     ):
                         spark.catalog.dropTempView(t.name)
     total = round(sum(timings.values()), 3)

@@ -80,12 +80,36 @@ def st05_sliding_rollup(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+QUOTA_N_MAX = 20
+
+
+def st06_quota_enforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user admission quota from an actual Structured Streaming run
+    of the applyInPandasWithState counter (streaming/stateful.py
+    enforce_quota): each user's first 20 events by (ts, event_id) are
+    admitted, the rest dropped — rolled up per user so the oracle
+    hash-checks both membership (event_id sum) and counts."""
+    from .stateful import replay_quota
+
+    admitted = replay_quota(spark, f"{sf}/events.parquet", n_max=QUOTA_N_MAX)
+    return (
+        admitted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.sum("event_id").cast("bigint").alias("admitted_id_sum"),
+            F.max("ts").alias("last_admitted_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
 STREAMING_QUERIES = {
     "st01_tumbling_rollup": st01_tumbling_rollup,
     "st02_session_summary": st02_session_summary,
     "st03_stateful_sessions": st03_stateful_sessions,
     "st04_stream_dedup": st04_stream_dedup,
     "st05_sliding_rollup": st05_sliding_rollup,
+    "st06_quota_enforce": st06_quota_enforce,
 }
 
 STREAMING_ORACLE = {
@@ -179,5 +203,21 @@ SELECT ws AS window_start,
 FROM starts
 GROUP BY 1, 2, 3
 ORDER BY window_start, event_type
+""",
+    # st06: single-batch replay admits the first n_max events per user
+    # in (ts, event_id) order — exactly ROW_NUMBER <= n_max
+    "st06_quota_enforce": """
+WITH ranked AS (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_admitted,
+       CAST(SUM(event_id) AS BIGINT) AS admitted_id_sum,
+       MAX(ts) AS last_admitted_ts
+FROM ranked WHERE rn <= 20
+GROUP BY user_id
+ORDER BY user_id
 """,
 }

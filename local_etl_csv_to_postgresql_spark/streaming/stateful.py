@@ -205,6 +205,104 @@ def replay_sessions(
     return spark.table(table_name)
 
 
+QUOTA_OUTPUT_SCHEMA = "user_id long, event_id long, ts timestamp"
+QUOTA_STATE_SCHEMA = "admitted long"
+
+
+def _quota_fn(n_max: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs))
+        # event-time order with id tie-break: deterministic admission
+        rows = rows.sort_values(["ts", "event_id"], kind="stable")
+        admitted = state.get[0] if state.exists else 0
+        room = max(0, n_max - admitted)
+        take = rows.iloc[:room]
+        state.update((admitted + len(take),))
+        if len(take):
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(take),
+                    "event_id": take["event_id"].to_numpy(),
+                    "ts": take["ts"].to_numpy(),
+                }
+            )
+
+    return fn
+
+
+def enforce_quota(events: DataFrame, n_max: int = 20) -> DataFrame:
+    """Per-key admission quota: emit a user's first ``n_max`` events (by
+    event time) and drop the rest — the ingestion rate-cap / per-source
+    contribution limit a training pipeline applies so no single entity
+    dominates the corpus. State is ONE counter per user in the state
+    store (the minimal custom-state shape; contrast the sessionizer's
+    three scalars), so capacity scales with the shuffle, not the
+    driver. Within a micro-batch admission is event-time ordered;
+    across batches it is arrival-ordered — exact for the bounded
+    single-batch replay the oracle checks, documented-approximate on a
+    live stream (the standard streaming-quota caveat)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _quota_fn(n_max),
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def replay_quota(
+    spark,
+    parquet_path: str,
+    n_max: int = 20,
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Bounded replay of ``enforce_quota`` over a parquet file through a
+    real Structured Streaming run (single availableNow batch → admission
+    equals the first n_max rows per user by (ts, event_id), which is the
+    DuckDB ROW_NUMBER oracle in streaming/queries.py st06)."""
+    import os
+    import tempfile
+    import uuid
+
+    table_name = table_name or f"stream_quota_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(parquet_path).schema
+    if not os.path.isdir(parquet_path):
+        stage = tempfile.mkdtemp(prefix="quota_stream_")
+        os.symlink(
+            os.path.abspath(parquet_path),
+            os.path.join(stage, os.path.basename(parquet_path)),
+        )
+        stream_path = stage
+    else:
+        stream_path = parquet_path
+    stream = _normalize_ts(
+        spark.readStream.schema(batch_schema).parquet(stream_path)
+    ).select("user_id", "event_id", "ts")
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            enforce_quota(stream, n_max)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)
+
+
 def replay_dedup(
     spark,
     parquet_path: str,

@@ -193,3 +193,82 @@ def test_stream_dedup_exactly_once(spark, tmp_path):
     out = replay_dedup(spark, str(src), dedup_cols=["event_id"])
     rows = sorted(r["event_id"] for r in out.collect())
     assert rows == [0, 1, 2]  # each exactly once despite double delivery
+
+
+def test_quota_replay_admits_first_n_per_user(spark, tmp_path):
+    """Real streaming run: each user's first n_max events by (ts,
+    event_id) are admitted, later ones dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from local_etl_csv_to_postgresql_spark.streaming.stateful import (
+        replay_quota,
+    )
+
+    rows = [
+        # user 1: 5 events, quota 3 -> first three by ts admitted
+        (1, "2024-01-01T10:00:00", 1), (2, "2024-01-01T10:01:00", 1),
+        (3, "2024-01-01T10:02:00", 1), (4, "2024-01-01T10:03:00", 1),
+        (5, "2024-01-01T10:04:00", 1),
+        # user 2: 2 events, under quota -> all admitted
+        (6, "2024-01-01T11:00:00", 2), (7, "2024-01-01T11:30:00", 2),
+        # user 3: tie on ts -> event_id breaks it
+        (9, "2024-01-01T12:00:00", 3), (8, "2024-01-01T12:00:00", 3),
+        (10, "2024-01-01T12:00:00", 3), (11, "2024-01-01T12:05:00", 3),
+    ]
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([dt.datetime.fromisoformat(r[1]) for r in rows]),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    path = tmp_path / "events.parquet"
+    pq.write_table(table, path)
+    out = replay_quota(spark, str(path), n_max=3, shuffle_partitions=2)
+    got = {
+        u: sorted(r["event_id"] for r in rows_)
+        for u, rows_ in __import__("itertools").groupby(
+            sorted(out.collect(), key=lambda r: r["user_id"]),
+            key=lambda r: r["user_id"],
+        )
+    }
+    assert got == {1: [1, 2, 3], 2: [6, 7], 3: [8, 9, 10]}
+
+
+def test_quota_fn_carries_state_across_batches():
+    """The pandas kernel itself: admission counts persist across
+    micro-batches (batch 2 only gets the remaining room)."""
+    import pandas as pd
+
+    from local_etl_csv_to_postgresql_spark.streaming.stateful import _quota_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = tuple(v)
+
+    fn = _quota_fn(3)
+    state = FakeState()
+    b1 = pd.DataFrame({
+        "user_id": [7, 7], "event_id": [1, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:01:00"]),
+    })
+    out1 = pd.concat(list(fn((7,), iter([b1]), state)))
+    assert list(out1["event_id"]) == [1, 2] and state.get == (2,)
+    b2 = pd.DataFrame({
+        "user_id": [7, 7, 7], "event_id": [3, 4, 5],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:02:00", "2024-01-01 00:03:00", "2024-01-01 00:04:00",
+        ]),
+    })
+    out2 = pd.concat(list(fn((7,), iter([b2]), state)))
+    assert list(out2["event_id"]) == [3]  # only the remaining room
+    assert state.get == (3,)
+    assert list(fn((7,), iter([b2]), state)) == []  # quota exhausted
