@@ -358,6 +358,18 @@ def es04_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def es06_ivf_kmeans_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with real Spark ML KMeans training (es04's production
+    form — see similarity.ivf_kmeans_topk). Fixed seed makes the result
+    stable within an engine version, but k-means initialization has no
+    cross-engine twin, so this query carries the driver's rows-only
+    check (like hll01); es04's deterministic-centroid variant keeps the
+    hash-checked oracle for the identical search plumbing."""
+    return sim.ivf_kmeans_topk(
+        load(spark, sf, "embeddings"), query_vec_id=0, k=10, n_centroids=16
+    )
+
+
 def sa01_salted_event_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-resistant two-stage aggregation over the events table.
 
@@ -1490,5 +1502,8 @@ EXTENSION_QUERIES["tx07_tfidf_top_terms"] = tx07_tfidf_top_terms
 
 EXTENSION_QUERIES["tx06_top_terms"] = tx06_top_terms
 EXTENSION_QUERIES["qf01_quality_filter"] = qf01_quality_filter
+# rows-only by design: k-means init has no cross-engine oracle (es04
+# carries the hash-checked twin for the same search plumbing)
+EXTENSION_QUERIES["es06_ivf_kmeans_ann"] = es06_ivf_kmeans_ann
 EXTENSION_QUERIES["sp01_stratified_sample"] = sp01_stratified_sample
 EXTENSION_QUERIES["pk01_sequence_packing"] = pk01_sequence_packing

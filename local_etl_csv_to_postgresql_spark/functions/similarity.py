@@ -263,6 +263,56 @@ def ivf_assign(
     return assigned, cents
 
 
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF ANN with REAL Spark ML KMeans coarse quantization (the
+    production form of ``ivf_topk``'s deterministic stand-in): train
+    k-means on the embedding column (fixed seed — deterministic within
+    an engine version, but no cross-engine oracle, so the driver check
+    is rows-only), assign every vector to its cluster, then score only
+    the query's cell (nprobe=1). Training is a handful of Spark jobs
+    over the corpus; assignment is ``model.transform`` — a broadcast of
+    the k centroid vectors, map-only. At cluster scale, write the index
+    partitioned by the prediction column so a query's cell is a
+    partition-pruned scan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.withColumn(
+        "__feat", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__feat",
+        predictionCol="__centroid",
+    ).fit(feats)
+    assigned = model.transform(feats).drop("__feat")
+    q = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q"), "__centroid"
+    )
+    return (
+        assigned.join(F.broadcast(q), "__centroid")
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("__q")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -275,3 +275,32 @@ def test_salted_join_equals_plain_join(spark):
     )
     plain = sorted((r["id"], r["label"]) for r in left.join(right, "k").collect())
     assert salted == plain
+
+
+def test_ivf_kmeans_ann_deterministic_and_plausible(spark):
+    """Fixed-seed KMeans IVF: identical results across runs, and the
+    query's own cluster must contain its exact nearest neighbor when
+    the corpus has clean cluster structure."""
+    import random
+
+    rnd = random.Random(11)
+    vecs = []
+    for i in range(60):
+        center = [10.0 if (i % 3) == d else 0.0 for d in range(8)]
+        vecs.append(
+            (i, [c + rnd.uniform(-0.5, 0.5) for c in center])
+        )
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    run = lambda: [  # noqa: E731
+        (r["vec_id"], r["cosine_sim"])
+        for r in sim.ivf_kmeans_topk(
+            emb, query_vec_id=0, k=5, n_centroids=3, seed=7
+        ).collect()
+    ]
+    a, b = run(), run()
+    assert a == b  # fixed seed -> reproducible
+    assert len(a) == 5
+    # all hits share vec 0's cluster pattern (ids ≡ 0 mod 3) and are
+    # highly similar
+    assert all(vid % 3 == 0 for vid, _ in a)
+    assert all(s > 0.99 for _, s in a)
