@@ -640,6 +640,54 @@ def sp01_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ct01_cross_source_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination check — the decontamination step that
+    keeps benchmark/eval text out of a training corpus — at two
+    granularities per source pair: whole-document fingerprint matches
+    (functions/text.fingerprint — case/punctuation/whitespace-
+    insensitive md5) and shared 7-gram shingles (the n-gram-overlap
+    method real decontamination pipelines run, here at n=7 so short
+    stock phrases don't flood the count). Both sides distinct-reduce to
+    (source, digest/shingle) BEFORE the self-join, so join inputs are
+    one row per source per unique text unit and the heavy join keys on
+    hashes/shingles — never full documents. At 100 TB: a distinct
+    shuffle and an equi-join per granularity, nothing quadratic."""
+    docs = load(spark, sf, "documents")
+
+    def shared(unit: DataFrame, out: str) -> DataFrame:
+        a = unit.select(F.col("source").alias("source_a"), "__u")
+        b = unit.select(F.col("source").alias("source_b"), "__u")
+        return (
+            a.join(b, "__u")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.countDistinct("__u").alias(out))
+        )
+
+    fps = docs.select(
+        "source", tx.fingerprint("text").alias("__u")
+    ).distinct()
+    grams = docs.select(
+        "source",
+        F.explode(dd.shingles(tx.words("text"), n=7)).alias("__u"),
+    ).distinct()
+    return (
+        shared(grams, "n_shared_7grams")
+        .join(shared(fps, "n_shared_fingerprints"), ["source_a", "source_b"], "full")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_shared_fingerprints", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_fingerprints"),
+            F.coalesce("n_shared_7grams", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_7grams"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def pk01_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy sequence packing: per language, documents in doc_id order
     fill fixed 512-token context windows; a doc belongs to the bin its
@@ -865,10 +913,13 @@ def hll01_distinct_users_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_shingles(words: str) -> str:
+def _sql_shingles(words: str, n: int = 3) -> str:
+    # DuckDB list slice [i:j] is INCLUSIVE of j and range(a, b) excludes
+    # b, so an n-gram starting at i is {words}[i:i+n-1] for
+    # i in [1, len-n+1] — mirror of dedup.shingles
     return (
-        f"CASE WHEN len({words}) >= 3 THEN list_distinct(list_transform("
-        f"range(1, len({words}) - 1), i -> array_to_string({words}[i:i+2], ' ')))"
+        f"CASE WHEN len({words}) >= {n} THEN list_distinct(list_transform("
+        f"range(1, len({words}) - {n - 2}), i -> array_to_string({words}[i:i+{n - 1}], ' ')))"
         f" ELSE [] END"
     )
 
@@ -1186,6 +1237,34 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN v = 'langid_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_langid_mismatch,
        ROUND(CAST(SUM(CASE WHEN v = 'pass' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS pass_rate
 FROM verdict GROUP BY lang ORDER BY lang
+"""
+
+EXTENSION_ORACLE["ct01_cross_source_contamination"] = f"""
+WITH fp AS (
+  SELECT DISTINCT source,
+         md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS u
+  FROM documents
+), fpp AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(DISTINCT a.u) AS n_shared_fingerprints
+  FROM fp a JOIN fp b ON a.u = b.u AND a.source < b.source
+  GROUP BY a.source, b.source
+), g AS (
+  SELECT DISTINCT source, unnest({_sql_shingles(_WORDS, 7)}) AS u
+  FROM documents
+), gp AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(DISTINCT a.u) AS n_shared_7grams
+  FROM g a JOIN g b ON a.u = b.u AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT COALESCE(gp.source_a, fpp.source_a) AS source_a,
+       COALESCE(gp.source_b, fpp.source_b) AS source_b,
+       CAST(COALESCE(n_shared_fingerprints, 0) AS BIGINT) AS n_shared_fingerprints,
+       CAST(COALESCE(n_shared_7grams, 0) AS BIGINT) AS n_shared_7grams
+FROM gp FULL JOIN fpp
+  ON gp.source_a = fpp.source_a AND gp.source_b = fpp.source_b
+ORDER BY source_a, source_b
 """
 
 EXTENSION_ORACLE["sp01_stratified_sample"] = """
@@ -1507,3 +1586,6 @@ EXTENSION_QUERIES["qf01_quality_filter"] = qf01_quality_filter
 EXTENSION_QUERIES["es06_ivf_kmeans_ann"] = es06_ivf_kmeans_ann
 EXTENSION_QUERIES["sp01_stratified_sample"] = sp01_stratified_sample
 EXTENSION_QUERIES["pk01_sequence_packing"] = pk01_sequence_packing
+EXTENSION_QUERIES["ct01_cross_source_contamination"] = (
+    ct01_cross_source_contamination
+)
