@@ -667,10 +667,18 @@ def ct01_cross_source_contamination(spark: SparkSession, sf: str) -> DataFrame:
     fps = docs.select(
         "source", tx.fingerprint("text").alias("__u")
     ).distinct()
-    grams = docs.select(
-        "source",
-        F.explode(dd.shingles(tx.words("text"), n=7)).alias("__u"),
-    ).distinct()
+    # 7-grams shuffle as 60-bit hashes, not ~50-char strings — an ~6x
+    # narrower distinct+join payload; a hash collision would count a
+    # false shared gram with probability ~n²/2^61, and the oracle twin
+    # applies the identical hash so results still match bit-for-bit
+    grams = (
+        docs.select(
+            "source",
+            F.explode(dd.shingles(tx.words("text"), n=7)).alias("__g"),
+        )
+        .select("source", dd.hash60(F.col("__g")).alias("__u"))
+        .distinct()
+    )
     return (
         shared(grams, "n_shared_7grams")
         .join(shared(fps, "n_shared_fingerprints"), ["source_a", "source_b"], "full")
@@ -1250,8 +1258,8 @@ WITH fp AS (
   FROM fp a JOIN fp b ON a.u = b.u AND a.source < b.source
   GROUP BY a.source, b.source
 ), g AS (
-  SELECT DISTINCT source, unnest({_sql_shingles(_WORDS, 7)}) AS u
-  FROM documents
+  SELECT DISTINCT source, {_H60.format(x='u')} AS u
+  FROM (SELECT source, unnest({_sql_shingles(_WORDS, 7)}) AS u FROM documents)
 ), gp AS (
   SELECT a.source AS source_a, b.source AS source_b,
          COUNT(DISTINCT a.u) AS n_shared_7grams
