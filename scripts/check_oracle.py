@@ -84,9 +84,13 @@ def main() -> int:
     queries = entrypoint.queries()
     oracles = entrypoint.oracle_sql()
     n_pass = n_fail = n_skip = 0
+    import time as _time
+
+    t_start = _time.time()
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = _time.time()
         try:
             sdf = fn(spark, sf).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -110,9 +114,12 @@ def main() -> int:
                 print(f"      {p}")
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(sdf)} rows)")
+            print(f"PASS  {name} ({len(sdf)} rows) [{_time.time() - t0:.1f}s]")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skip")
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_skip} skip"
+        f" in {_time.time() - t_start:.0f}s"
+    )
     spark.stop()
     return 1 if n_fail else 0
 
