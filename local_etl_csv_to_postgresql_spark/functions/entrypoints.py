@@ -39,6 +39,16 @@ import os as _os
 
 MINHASH_K = int(_os.environ.get("SPARK_GRAFT_MINHASH_K", "16"))
 MINHASH_BANDS = int(_os.environ.get("SPARK_GRAFT_MINHASH_BANDS", "4"))
+# Banding only stays self-consistent between the Spark plan and the
+# DuckDB oracle when bands divides k evenly: dedup.band_keys slices
+# exactly `bands` groups of k//bands hashes, while the oracle buckets
+# all k by FLOOR(j/(k//bands)) — a remainder would give the oracle
+# extra bands and different candidate pairs.
+if MINHASH_K % MINHASH_BANDS != 0:
+    raise ValueError(
+        f"SPARK_GRAFT_MINHASH_BANDS={MINHASH_BANDS} must divide "
+        f"SPARK_GRAFT_MINHASH_K={MINHASH_K} evenly (banding contract)"
+    )
 
 # Sign-LSH knobs (dd05/es03): nbits sign bits per table, n_tables
 # disjoint dim-slice tables (needs nbits*n_tables <= embedding dims;
@@ -340,10 +350,11 @@ def es02_consecutive_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def es03_bucketed_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """Sign-LSH ANN: 8-bit buckets (256 cells — in-bucket candidate
-    volume ~n²/256 per table) with recall recovered by a second hash
-    table over the next 8 dims; see similarity.neardup_pairs for the
-    recall arithmetic."""
+    """Sign-LSH ANN: LSH_NBITS-bit buckets (2^nbits cells — in-bucket
+    candidate volume ~n²/2^nbits per table) with recall recovered by
+    LSH_TABLES hash tables over disjoint dim slices (defaults 4 bits ×
+    4 tables); see similarity.neardup_pairs for the recall
+    arithmetic."""
     return sim.bucketed_ann_topk(
         load(spark, sf, "embeddings"), query_vec_id=0, k=10,
         nbits=LSH_NBITS, n_tables=LSH_TABLES,
@@ -427,10 +438,11 @@ def sa02_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
 
 def dd05_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, multi-table sign-LSH-blocked:
-    8-bit buckets cut in-bucket pair volume 16x vs the old 4-bit single
-    table, and the second table over the next 8 dims recovers the
-    recall the finer buckets give up (similarity.neardup_pairs
-    docstring quantifies both)."""
+    LSH_NBITS-bit buckets bound in-bucket pair volume at ~n²/2^nbits
+    per table, and LSH_TABLES tables over disjoint dim slices recover
+    the recall finer buckets give up (defaults 4 bits × 4 tables —
+    measured ~50% recall at the 0.35 operating threshold for ~23% of
+    all-pairs work; similarity.neardup_pairs quantifies both)."""
     return (
         sim.neardup_pairs(
             load(spark, sf, "embeddings"), threshold=0.35,

@@ -36,7 +36,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
-from pyspark.storagelevel import StorageLevel
 
 __all__ = ["attach_global_row_number", "exact_ntile"]
 
@@ -45,6 +44,12 @@ _RN = "__rk_rn"
 _OFFSET = "__rk_offset"
 _TOTAL = "__rk_group_total"
 _SOFF = "__rk_sum_offset"
+
+# Hard bound on the collected (partition, group) offset matrix: this is
+# driver metadata (same scale AQE collects per shuffle), and the
+# low-cardinality contract on partition_by keeps it tiny. The guard
+# turns a contract violation into a clear error instead of a driver OOM.
+_MAX_OFFSET_ROWS = 100_000
 
 
 def attach_global_row_number(
@@ -90,10 +95,17 @@ def attach_global_row_number(
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_by]
     sort_key = [F.col(c) for c in partition_by] + order_exprs
 
+    # localCheckpoint (lazy: materializes on the counts action below)
+    # rather than persist: the partition-id tag MUST NOT be recomputed
+    # (repartitionByRange re-samples boundaries on recompute, which
+    # would desync rows from the already-collected offsets), and
+    # checkpoint blocks are released by the ContextCleaner when the
+    # frame is garbage-collected — persist() entries would accumulate
+    # in the cache manager for the session lifetime.
     tagged = (
         df.repartitionByRange(partitions, *sort_key)
         .withColumn(_PID, F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     aggs = [F.count(F.lit(1)).alias("__n")]
     if running_sum_of is not None:
@@ -101,6 +113,14 @@ def attach_global_row_number(
             F.sum(F.col(running_sum_of).cast("long")).alias("__s")
         )
     counts = tagged.groupBy(_PID, *partition_by).agg(*aggs).collect()
+    if len(counts) > _MAX_OFFSET_ROWS:
+        raise ValueError(
+            f"attach_global_row_number: offset matrix has {len(counts)} "
+            f"(partition, group) rows > bound {_MAX_OFFSET_ROWS}; "
+            "partition_by must be low-cardinality (it is collected to "
+            "the driver as metadata). Use a window function or a "
+            "composite approach for high-cardinality groups."
+        )
     # offsets: rows of the same group in lower-id partitions (range
     # partition ids ascend with the sort key, so lower id == earlier)
     by_group: dict[tuple, list[tuple[int, int, int]]] = {}
@@ -131,9 +151,20 @@ def attach_global_row_number(
     offsets = spark.createDataFrame(rows, schema)
 
     w = Window.partitionBy(_PID, *partition_by).orderBy(*order_exprs)
+    # Null-safe join on the group keys: a plain equi-join would drop
+    # every row whose partition_by key is NULL (null != null), silently
+    # diverging from window-function semantics. _PID is never null, but
+    # group keys can be; rename the offset side and use eqNullSafe.
+    off = offsets
+    for c in [_PID, *partition_by]:
+        off = off.withColumnRenamed(c, "__rk_j_" + c)
+    cond = F.col(_PID) == F.col("__rk_j_" + _PID)
+    for c in partition_by:
+        cond = cond & F.col(c).eqNullSafe(F.col("__rk_j_" + c))
     out = (
         tagged.withColumn(_RN, F.row_number().over(w))
-        .join(F.broadcast(offsets), [_PID, *partition_by])
+        .join(F.broadcast(off), cond)
+        .drop(*["__rk_j_" + c for c in [_PID, *partition_by]])
         .withColumn(rn_col, (F.col(_RN) + F.col(_OFFSET)).cast("long"))
     )
     if running_sum_of is not None:

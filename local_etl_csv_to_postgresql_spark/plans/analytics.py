@@ -991,8 +991,13 @@ def q35_top_percentile_orders(spark: SparkSession, sf: str) -> DataFrame:
             "o_orderpriority",
             "o_orderkey",
             dec("o_totalprice").cast("double").alias("total_price"),
+            # greatest(n-1, 1): a single-row partition is 0/0 — ANSI
+            # engine percent_rank defines it as 0.0, and rank-1 is 0
+            # there, so clamping the denominator reproduces that.
             F.round(
-                (F.col("__rank") - 1) / (F.col("__n") - 1), 6
+                (F.col("__rank") - 1)
+                / F.greatest(F.col("__n") - 1, F.lit(1)),
+                6,
             ).alias("pct_rank"),
             F.round(F.col("__cume") / F.col("__n"), 6).alias("cume_dist"),
         )

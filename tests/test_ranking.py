@@ -90,6 +90,56 @@ def test_exact_ntile_matches_engine_ntile(spark, n, tiles):
     assert _rows(got, "rn", "t") == _rows(want, "rn", "t")
 
 
+def test_null_group_keys_are_kept(spark):
+    """Rows whose partition_by key is NULL must get row numbers like any
+    other group (window semantics treat NULL as one group) — the offset
+    join is null-safe, not a plain equi-join that drops them."""
+    df = spark.range(300).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .alias("grp"),
+        (F.col("id") * 11 % 97).alias("v"),
+    )
+    got = attach_global_row_number(
+        df,
+        order_by=[F.asc("v"), F.asc("id")],
+        partition_by=["grp"],
+        rn_col="rn",
+        total_col="n",
+        partitions=8,
+    )
+    assert got.count() == 300  # no rows silently dropped
+    w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    assert _rows(got, "id", "rn", "n") == _rows(want, "id", "rn", "n")
+
+
+def test_offset_matrix_guard_fires_on_high_cardinality(spark):
+    """A high-cardinality partition_by (one group per row) violates the
+    driver-metadata contract and must raise, not OOM the driver."""
+    from local_etl_csv_to_postgresql_spark.operators import ranking
+
+    df = spark.range(2000).select(
+        F.col("id"), F.col("id").alias("grp"), (F.col("id") % 7).alias("v")
+    )
+    orig = ranking._MAX_OFFSET_ROWS
+    ranking._MAX_OFFSET_ROWS = 1000
+    try:
+        with pytest.raises(ValueError, match="low-cardinality"):
+            attach_global_row_number(
+                df,
+                order_by=[F.asc("v")],
+                partition_by=["grp"],
+                rn_col="rn",
+                partitions=8,
+            )
+    finally:
+        ranking._MAX_OFFSET_ROWS = orig
+
+
 def test_ties_colocated_min_max_recover_rank_and_cume(spark):
     """With no tie-break in order_by, min/max of the attached row number
     over each tie group must reproduce rank() and the cume_dist
