@@ -62,6 +62,14 @@ if MINHASH_K % MINHASH_BANDS != 0:
 LSH_NBITS = int(_os.environ.get("SPARK_GRAFT_LSH_NBITS", "4"))
 LSH_TABLES = int(_os.environ.get("SPARK_GRAFT_LSH_TABLES", "4"))
 
+# Contamination n-gram order (ct01). 7 (default) measures corpus-level
+# phrase overlap without short stock phrases flooding the count; 13 is
+# the common eval-set decontamination setting (a 13-gram shared with a
+# benchmark is treated as contamination by most published pipelines).
+# The oracle twin is built from the same constant, so the contract
+# stays self-consistent at any setting.
+CONTAM_NGRAM = int(_os.environ.get("SPARK_GRAFT_CONTAM_NGRAM", "7"))
+
 
 def _docs_words(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "documents").withColumn("__words", tx.words("text"))
@@ -657,52 +665,62 @@ def ct01_cross_source_contamination(spark: SparkSession, sf: str) -> DataFrame:
     keeps benchmark/eval text out of a training corpus — at two
     granularities per source pair: whole-document fingerprint matches
     (functions/text.fingerprint — case/punctuation/whitespace-
-    insensitive md5) and shared 7-gram shingles (the n-gram-overlap
-    method real decontamination pipelines run, here at n=7 so short
-    stock phrases don't flood the count). Both sides distinct-reduce to
-    (source, digest/shingle) BEFORE the self-join, so join inputs are
-    one row per source per unique text unit and the heavy join keys on
-    hashes/shingles — never full documents. At 100 TB: a distinct
-    shuffle and an equi-join per granularity, nothing quadratic."""
+    insensitive md5) and shared n-gram shingles (the n-gram-overlap
+    method real decontamination pipelines run; CONTAM_NGRAM defaults to
+    7 so short stock phrases don't flood the count, 13 is the common
+    eval-decontamination setting). Both granularities flow through ONE
+    tagged union: distinct-reduce to (source, kind, unit-hash) BEFORE
+    the self-join, so join inputs are one row per source per unique
+    text unit, the join keys on 60-bit hashes — never full documents —
+    and both counts come from a single equi-join + conditional
+    aggregate instead of two join pipelines stitched with a full outer
+    join. At 100 TB: one distinct shuffle and one equi-join total,
+    nothing quadratic.
+
+    Tokenization is STAGED through its own projection (``__words``):
+    inlining ``tx.words`` into the shingle lambda makes Spark re-evaluate
+    the regexp per lambda reference (CollapseProject refuses to merge
+    it, but a hand-inlined expression is already duplicated) — measured
+    3.5x slower at sf0.1."""
+    return _contamination(spark, sf, n=CONTAM_NGRAM)
+
+
+def _contamination(spark: SparkSession, sf: str, n: int) -> DataFrame:
     docs = load(spark, sf, "documents")
-
-    def shared(unit: DataFrame, out: str) -> DataFrame:
-        a = unit.select(F.col("source").alias("source_a"), "__u")
-        b = unit.select(F.col("source").alias("source_b"), "__u")
-        return (
-            a.join(b, "__u")
-            .filter(F.col("source_a") < F.col("source_b"))
-            .groupBy("source_a", "source_b")
-            .agg(F.countDistinct("__u").alias(out))
-        )
-
-    fps = docs.select(
-        "source", tx.fingerprint("text").alias("__u")
-    ).distinct()
-    # 7-grams shuffle as 60-bit hashes, not ~50-char strings — an ~6x
-    # narrower distinct+join payload; a hash collision would count a
-    # false shared gram with probability ~n²/2^61, and the oracle twin
-    # applies the identical hash so results still match bit-for-bit
-    grams = (
-        docs.select(
-            "source",
-            F.explode(dd.shingles(tx.words("text"), n=7)).alias("__g"),
-        )
-        .select("source", dd.hash60(F.col("__g")).alias("__u"))
-        .distinct()
+    fp = docs.select(
+        "source",
+        F.lit("fp").alias("__k"),
+        tx.fingerprint("text").alias("__u"),
     )
+    # n-grams shuffle as 60-bit hex hashes (15 md5 chars), not ~50-char
+    # gram strings — a ~3x narrower distinct+join payload; a collision
+    # counts a false shared gram with probability ~n²/2^61, and the
+    # oracle twin applies the identical hash so results match exactly.
+    words = docs.select("source", tx.words("text").alias("__words"))
+    grams = words.select(
+        "source", F.explode(dd.shingles(F.col("__words"), n=n)).alias("__g")
+    ).select(
+        "source",
+        F.lit("g").alias("__k"),
+        F.substring(F.md5(F.col("__g")), 1, 15).alias("__u"),
+    )
+    units = fp.unionByName(grams).distinct()
+    a = units.select(F.col("source").alias("source_a"), "__k", "__u")
+    b = units.select(F.col("source").alias("source_b"), "__k", "__u")
+    # inputs are distinct per (source, kind, unit), so each matching
+    # unit contributes exactly one row per pair — conditional SUM is
+    # COUNT(DISTINCT) without the extra dedup pass
     return (
-        shared(grams, "n_shared_7grams")
-        .join(shared(fps, "n_shared_fingerprints"), ["source_a", "source_b"], "full")
-        .select(
-            "source_a",
-            "source_b",
-            F.coalesce("n_shared_fingerprints", F.lit(0))
+        a.join(b, ["__k", "__u"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.when(F.col("__k") == "fp", 1).otherwise(0))
             .cast("bigint")
             .alias("n_shared_fingerprints"),
-            F.coalesce("n_shared_7grams", F.lit(0))
+            F.sum(F.when(F.col("__k") == "g", 1).otherwise(0))
             .cast("bigint")
-            .alias("n_shared_7grams"),
+            .alias(f"n_shared_{n}grams"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -1259,33 +1277,34 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM verdict GROUP BY lang ORDER BY lang
 """
 
-EXTENSION_ORACLE["ct01_cross_source_contamination"] = f"""
-WITH fp AS (
-  SELECT DISTINCT source,
+def _contamination_oracle(n: int) -> str:
+    """DuckDB twin of _contamination(n): identical tagged-union shape,
+    identical unit hashes (md5 hex for fingerprints, 15-hex-char md5
+    prefix for grams)."""
+    return f"""
+WITH units AS (
+  SELECT DISTINCT source, 'fp' AS k,
          md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS u
   FROM documents
-), fpp AS (
-  SELECT a.source AS source_a, b.source AS source_b,
-         COUNT(DISTINCT a.u) AS n_shared_fingerprints
-  FROM fp a JOIN fp b ON a.u = b.u AND a.source < b.source
-  GROUP BY a.source, b.source
-), g AS (
-  SELECT DISTINCT source, {_H60.format(x='u')} AS u
-  FROM (SELECT source, unnest({_sql_shingles(_WORDS, 7)}) AS u FROM documents)
-), gp AS (
-  SELECT a.source AS source_a, b.source AS source_b,
-         COUNT(DISTINCT a.u) AS n_shared_7grams
-  FROM g a JOIN g b ON a.u = b.u AND a.source < b.source
-  GROUP BY a.source, b.source
+  UNION
+  SELECT DISTINCT source, 'g' AS k, substr(md5(u), 1, 15) AS u
+  FROM (SELECT source, unnest({_sql_shingles(_WORDS, n)}) AS u FROM documents)
 )
-SELECT COALESCE(gp.source_a, fpp.source_a) AS source_a,
-       COALESCE(gp.source_b, fpp.source_b) AS source_b,
-       CAST(COALESCE(n_shared_fingerprints, 0) AS BIGINT) AS n_shared_fingerprints,
-       CAST(COALESCE(n_shared_7grams, 0) AS BIGINT) AS n_shared_7grams
-FROM gp FULL JOIN fpp
-  ON gp.source_a = fpp.source_a AND gp.source_b = fpp.source_b
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(CASE WHEN a.k = 'fp' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_fingerprints,
+       CAST(SUM(CASE WHEN a.k = 'g' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_{n}grams
+FROM units a JOIN units b
+  ON a.k = b.k AND a.u = b.u AND a.source < b.source
+GROUP BY a.source, b.source
 ORDER BY source_a, source_b
 """
+
+
+EXTENSION_ORACLE["ct01_cross_source_contamination"] = _contamination_oracle(
+    CONTAM_NGRAM
+)
 
 EXTENSION_ORACLE["sp01_stratified_sample"] = """
 WITH d AS (
