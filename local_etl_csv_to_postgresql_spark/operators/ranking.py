@@ -181,11 +181,12 @@ def attach_global_row_number(
     return out.drop(_RN, _OFFSET, _TOTAL, _SOFF)
 
 
-def exact_ntile(rn: Column, n: Column, tiles: int) -> Column:
+def exact_ntile(rn: Column, n: Column, tiles: int | Column) -> Column:
     """SQL NTILE(tiles) from a 1-based row number ``rn`` and group size
     ``n``, as a pure expression: the first ``n % tiles`` buckets get
     ``n div tiles + 1`` rows, the rest ``n div tiles`` — exactly the
-    engine semantics, so results hash-match window-function NTILE.
+    engine semantics, so results hash-match window-function NTILE
+    (property-swept vs ``F.ntile`` in tests/test_properties.py).
     """
     q = (n / tiles).cast("long")  # floor for non-negative
     r = n - q * tiles

@@ -92,6 +92,48 @@ def test_session_windows_match_python_islands(spark, data):
 
 @settings(max_examples=1, deadline=None)
 @given(st.data())
+def test_exact_ntile_matches_engine_ntile_swept(spark, data):
+    """exact_ntile(rn, n, tiles) must equal the engine's NTILE for
+    random (n, tiles) — including n < tiles, n % tiles != 0, tiles = 1.
+    Batched: all cases in one frame, one window job; the engine NTILE
+    per row is selected from one ntile(t) column per distinct t."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        exact_ntile,
+    )
+
+    pairs = [
+        data.draw(st.tuples(st.integers(1, 60), st.integers(1, 12)))
+        for _ in range(25)
+    ] + [(1, 1), (1, 12), (12, 12), (13, 12)]
+    rows = [
+        (cid, rn + 1, n, t)
+        for cid, (n, t) in enumerate(pairs)
+        for rn in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "case_id long, rn long, n long, tiles int"
+    )
+    w = Window.partitionBy("case_id").orderBy("rn")
+    sel = None
+    for t in sorted({t for _, t in pairs}):
+        c = F.ntile(t).over(w)
+        sel = (
+            F.when(F.col("tiles") == t, c)
+            if sel is None
+            else sel.when(F.col("tiles") == t, c)
+        )
+    out = df.select(
+        exact_ntile(F.col("rn"), F.col("n"), F.col("tiles")).alias("mine"),
+        sel.alias("engine"),
+    ).collect()
+    assert all(r["mine"] == r["engine"] for r in out)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
 def test_date_attributes_match_python_calendar(spark, data):
     days = [
         data.draw(
