@@ -104,6 +104,11 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "st04_stream_dedup",
     "st05_sliding_rollup",
     "st06_quota_enforce",
+    # new in round 3 (never certified)
+    "ct02_decontaminate",
+    "px01_pii_scan",
+    "rep01_repetition_stats",
+    "dm01_domain_mixture",
 ]
 
 

@@ -70,6 +70,11 @@ LSH_TABLES = int(_os.environ.get("SPARK_GRAFT_LSH_TABLES", "4"))
 # stays self-consistent at any setting.
 CONTAM_NGRAM = int(_os.environ.get("SPARK_GRAFT_CONTAM_NGRAM", "7"))
 
+# Domain-mixture temperature (dm01): weights ∝ tokens^(1/T). T = 1 is
+# natural sampling; T → ∞ is uniform; 2.0 (default) is the common
+# "flatten the head domains" operating point.
+MIX_TEMPERATURE = float(_os.environ.get("SPARK_GRAFT_MIX_TEMP", "2.0"))
+
 
 def _docs_words(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "documents").withColumn("__words", tx.words("text"))
@@ -726,6 +731,201 @@ def _contamination(spark: SparkSession, sf: str, n: int) -> DataFrame:
     )
 
 
+def ct02_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination REMOVAL (ct01 measures, this enforces):
+    treating source 'src0' as the held-out eval set, a training doc from
+    any other source is contaminated when it shares at least one
+    CONTAM_NGRAM-gram with any eval doc. The eval gram set
+    distinct-reduces first and is explicitly broadcast — at 100 TB the
+    eval side is a benchmark suite (tiny), so the contaminated-doc scan
+    is one broadcast semi-join over the training grams, no shuffle of
+    the corpus. Reported per source: kept/dropped counts — the numbers
+    a decontamination run logs before writing the clean corpus."""
+    n = CONTAM_NGRAM
+    docs = load(spark, sf, "documents")
+    words = docs.select("doc_id", "source", tx.words("text").alias("__words"))
+    grams = words.select(
+        "doc_id",
+        "source",
+        F.explode(dd.shingles(F.col("__words"), n=n)).alias("__g"),
+    ).select(
+        "doc_id", "source", F.substring(F.md5(F.col("__g")), 1, 15).alias("__u")
+    )
+    eval_grams = (
+        grams.filter(F.col("source") == "src0").select("__u").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(eval_grams), "__u")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = docs.filter(F.col("source") != "src0").select("doc_id", "source")
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce("__hit", F.lit(0))))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(
+                F.sum(F.coalesce("__hit", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def px01_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scan + redaction accounting (functions/text.PII_PATTERNS:
+    email, SSN, phone, IPv4 — RE2-safe regexes, applied in a fixed
+    order so classes never double-count). Per source: per-class match
+    counts, docs carrying any PII, and the net character delta of
+    replacing every match with '[PII]'. Pure regexp_count /
+    regexp_replace — JVM codegen, zero Python, so the same expressions
+    run unchanged over 100 TB. The driver corpus is synthetic-clean
+    (all counts 0 — still hash-checked end-to-end); the match/redact
+    semantics are pinned on adversarial strings in
+    tests/test_functions.py."""
+    docs = load(spark, sf, "documents")
+    kinds = list(tx.PII_PATTERNS)
+    per_doc = docs.select(
+        "source",
+        *[tx.pii_count("text", k).alias(f"__{k}") for k in kinds],
+        (F.length("text") - F.length(tx.pii_redact("text"))).alias("__delta"),
+    )
+    any_hit = sum((F.col(f"__{k}") for k in kinds), F.lit(0))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.sum(f"__{k}").cast("bigint").alias(f"n_{k}")
+                for k in kinds
+            ],
+            F.sum(F.when(any_hit > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_with_pii"),
+            F.sum("__delta").cast("bigint").alias("redaction_char_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+def rep01_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals, rolled up per source:
+    duplicate-word fraction (1 - distinct/total) and top-bigram
+    fraction (most frequent bigram's share of all bigram positions —
+    NON-distinct shingles, occurrences matter here). A doc is flagged
+    when either exceeds its threshold (0.6 / 0.1 on this corpus). The
+    bigram frequency table is explode → groupBy(doc_id, gram) — a
+    key-partitioned aggregate that scales with the shuffle, never a
+    per-doc Python pass; word arrays are staged through a projection
+    (the ct01 lesson — inlined tokenizers re-evaluate per lambda
+    reference)."""
+    docs = load(spark, sf, "documents")
+    base = docs.select("doc_id", "source", tx.words("text").alias("__w"))
+    bigrams = F.when(
+        F.size("__w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        "doc_id",
+        "source",
+        F.when(F.size("__w") == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct("__w")).cast("double") / F.size("__w")
+        )
+        .alias("__dupfrac"),
+    )
+    top = (
+        base.select("doc_id", F.explode(bigrams).alias("__g"))
+        .groupBy("doc_id", "__g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("__top"), F.sum("count").alias("__tot"))
+    )
+    per_doc = feats.join(top, "doc_id", "left").withColumn(
+        "__topfrac",
+        F.when(F.col("__tot").isNull(), F.lit(0.0)).otherwise(
+            F.col("__top").cast("double") / F.col("__tot")
+        ),
+    )
+    flagged = (F.col("__dupfrac") > 0.6) | (F.col("__topfrac") > 0.1)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__dupfrac"), 4).alias("avg_dup_word_frac"),
+            F.round(F.avg("__topfrac"), 4).alias("avg_top_bigram_frac"),
+            F.sum(F.when(flagged, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.round(
+                F.sum(F.when(flagged, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("flagged_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def dm01_domain_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture sampling weights: per-source token mass, its
+    natural share, and the temperature-flattened share
+    (tokens^(1/T) / Σ tokens^(1/T), T = MIX_TEMPERATURE) — the
+    source-weighting step a multi-corpus training run applies so no
+    single domain dominates. One fact-sized aggregate; the two totals
+    ride a broadcast scalar (the q09 percent-of-total pattern), so
+    nothing funnels through a single partition."""
+    docs = load(spark, sf, "documents")
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.token_count("text")).cast("bigint").alias("total_tokens"),
+        )
+        .withColumn(
+            "__pw",
+            F.pow(
+                F.col("total_tokens").cast("double"),
+                F.lit(1.0 / MIX_TEMPERATURE),
+            ),
+        )
+    )
+    totals = per.agg(
+        F.sum("total_tokens").cast("double").alias("__t"),
+        F.sum("__pw").alias("__tp"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("__t"), 6).alias(
+                "natural_share"
+            ),
+            F.round(F.col("__pw") / F.col("__tp"), 6).alias(
+                "temperature_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def pk01_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy sequence packing: per language, documents in doc_id order
     fill fixed 512-token context windows; a doc belongs to the bin its
@@ -1306,6 +1506,108 @@ EXTENSION_ORACLE["ct01_cross_source_contamination"] = _contamination_oracle(
     CONTAM_NGRAM
 )
 
+EXTENSION_ORACLE["ct02_decontaminate"] = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS} AS w FROM documents
+), g AS (
+  SELECT doc_id, source, substr(md5(u), 1, 15) AS u
+  FROM (SELECT doc_id, source, unnest({_sql_shingles('w', CONTAM_NGRAM)}) AS u FROM w)
+), ev AS (
+  SELECT DISTINCT u FROM g WHERE source = 'src0'
+), hit AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (u) WHERE g.source <> 'src0'
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN hit.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS contamination_rate
+FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+WHERE d.source <> 'src0'
+GROUP BY d.source ORDER BY d.source
+"""
+
+_PII_E = tx.PII_PATTERNS
+
+_PII_REDACTED = "text"
+for _pat in _PII_E.values():
+    _PII_REDACTED = f"regexp_replace({_PII_REDACTED}, '{_pat}', '[PII]', 'g')"
+
+EXTENSION_ORACLE["px01_pii_scan"] = f"""
+WITH per AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_PII_E["email"]}')) AS e,
+         len(regexp_extract_all(text, '{_PII_E["ssn"]}')) AS s,
+         len(regexp_extract_all(text, '{_PII_E["phone"]}')) AS p,
+         len(regexp_extract_all(text, '{_PII_E["ipv4"]}')) AS i,
+         length(text) - length({_PII_REDACTED}) AS delta
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(e) AS BIGINT) AS n_email,
+       CAST(SUM(s) AS BIGINT) AS n_ssn,
+       CAST(SUM(p) AS BIGINT) AS n_phone,
+       CAST(SUM(i) AS BIGINT) AS n_ipv4,
+       CAST(SUM(CASE WHEN e + s + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_pii,
+       CAST(SUM(delta) AS BIGINT) AS redaction_char_delta
+FROM per GROUP BY source ORDER BY source
+"""
+
+EXTENSION_ORACLE["rep01_repetition_stats"] = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS} AS w FROM documents
+), f AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) END
+           AS dupfrac,
+         CASE WHEN len(w) >= 2 THEN list_transform(
+                range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+              ELSE [] END AS bg
+  FROM w
+), bgc AS (
+  SELECT doc_id, u, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS u FROM f) GROUP BY doc_id, u
+), top AS (
+  SELECT doc_id, MAX(c) AS topc, SUM(c) AS totc FROM bgc GROUP BY doc_id
+), per_doc AS (
+  SELECT f.source, f.dupfrac,
+         CASE WHEN top.totc IS NULL THEN 0.0
+              ELSE CAST(top.topc AS DOUBLE) / top.totc END AS topfrac
+  FROM f LEFT JOIN top ON f.doc_id = top.doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(dupfrac), 4) AS avg_dup_word_frac,
+       ROUND(AVG(topfrac), 4) AS avg_top_bigram_frac,
+       CAST(SUM(CASE WHEN dupfrac > 0.6 OR topfrac > 0.1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged,
+       ROUND(CAST(SUM(CASE WHEN dupfrac > 0.6 OR topfrac > 0.1
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+         AS flagged_rate
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+EXTENSION_ORACLE["dm01_domain_mixture"] = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+           AS total_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(total_tokens) AS DOUBLE) AS t,
+         SUM(pow(CAST(total_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE})) AS tp
+  FROM per
+)
+SELECT source, n_docs, total_tokens,
+       ROUND(total_tokens / t, 6) AS natural_share,
+       ROUND(pow(CAST(total_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE}) / tp, 6)
+         AS temperature_share
+FROM per, tot ORDER BY source
+"""
+
 EXTENSION_ORACLE["sp01_stratified_sample"] = """
 WITH d AS (
   SELECT source, lang, doc_id,
@@ -1628,3 +1930,7 @@ EXTENSION_QUERIES["pk01_sequence_packing"] = pk01_sequence_packing
 EXTENSION_QUERIES["ct01_cross_source_contamination"] = (
     ct01_cross_source_contamination
 )
+EXTENSION_QUERIES["ct02_decontaminate"] = ct02_decontaminate
+EXTENSION_QUERIES["px01_pii_scan"] = px01_pii_scan
+EXTENSION_QUERIES["rep01_repetition_stats"] = rep01_repetition_stats
+EXTENSION_QUERIES["dm01_domain_mixture"] = dm01_domain_mixture

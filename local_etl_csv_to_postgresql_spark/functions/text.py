@@ -154,3 +154,34 @@ def fingerprint(col: str) -> Column:
     punctuation / case jitter — the exact-dedup key for near-identical
     crawl copies."""
     return F.md5(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", ""))
+
+
+# PII patterns for the scan/redact pass a training pipeline runs before
+# release. RE2-compatible (no backreferences, no lookaround) so the
+# Java (Spark) and RE2 (DuckDB oracle) engines agree; ASCII classes
+# only, same policy as the rest of this module. Ordered dict: redaction
+# applies in this order, so an SSN inside a longer digit run is counted
+# once by the earlier class that consumed it.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+?[0-9][0-9()./ -]{6,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+PII_TOKEN = "[PII]"
+
+
+def pii_count(col: str, kind: str) -> Column:
+    """Occurrences of one PII class (regexp_count — codegen'd)."""
+    return F.regexp_count(F.col(col), F.lit(PII_PATTERNS[kind]))
+
+
+def pii_redact(col: str) -> Column:
+    """Text with every PII match replaced by ``[PII]``, classes applied
+    in PII_PATTERNS order (email before phone, so the digits of a
+    phone-looking substring inside an email aren't re-matched)."""
+    out = F.col(col)
+    for pattern in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, PII_TOKEN)
+    return out

@@ -304,3 +304,43 @@ def test_ivf_kmeans_ann_deterministic_and_plausible(spark):
     # highly similar
     assert all(vid % 3 == 0 for vid, _ in a)
     assert all(s > 0.99 for _, s in a)
+
+
+def test_pii_scan_and_redact_semantics(spark):
+    """PII match/redact pinned on adversarial strings (the driver corpus
+    is synthetic-clean, so px01's per-class counts are zero there — the
+    semantics live here), cross-checked against Python re on the same
+    RE2-safe patterns."""
+    import re
+
+    from local_etl_csv_to_postgresql_spark.functions.text import (
+        PII_PATTERNS,
+        pii_count,
+        pii_redact,
+    )
+
+    samples = [
+        "contact john.doe+spam@example.co.uk or admin@sub.domain.org now",
+        "ssn 123-45-6789 appears once, 999-99-9999 twice",
+        "call +1 (415) 555-0199 or 0049 30 1234567 today",
+        "server at 192.168.0.1 and 10.0.0.255, not 1.2.3",
+        "overlap: mail me at a@b.io, dial 555-123-4567, ssn 078-05-1120",
+        "clean text with no identifiers at all",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    got = df.select(
+        *[pii_count("text", k).alias(k) for k in PII_PATTERNS],
+        pii_redact("text").alias("red"),
+    ).collect()
+    for s, row in zip(samples, got):
+        red = s
+        for kind, pat in PII_PATTERNS.items():
+            assert row[kind] == len(re.findall(pat, s)), (kind, s)
+            red = re.sub(pat, "[PII]", red)
+        assert row["red"] == red, s
+    # redaction masks every class
+    joined = " ".join(r["red"] for r in got)
+    assert "123-45-6789" not in joined
+    assert "example.co.uk" not in joined
+    assert "192.168.0.1" not in joined
