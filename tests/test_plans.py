@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "es01_cosine_topk",
     "es04_ivf_ann",
     "q04_amount_quality",  # 1-row broadcast of the selected median
+    "dm01_domain_mixture",  # 1-row broadcast of the two mixture totals
 }
 
 
@@ -133,6 +134,15 @@ def test_neardup_blocks_on_bucket_equijoin(spark):
     # never a cartesian product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@needs_testdata
+def test_decontamination_broadcasts_eval_grams(spark):
+    """ct02's contaminated-doc scan must be a broadcast hash join of
+    the (tiny, distinct-reduced) eval gram set against training grams —
+    at 100 TB the corpus side must never shuffle for this."""
+    plan = plan_of(ep.queries()["ct02_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
 
 
 def test_warehouse_enrichment_broadcasts_dims(spark, tmp_path):
