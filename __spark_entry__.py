@@ -109,6 +109,8 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "px01_pii_scan",
     "rep01_repetition_stats",
     "dm01_domain_mixture",
+    "inc01_incremental_dedup",
+    "q38_price_percentiles",
 ]
 
 

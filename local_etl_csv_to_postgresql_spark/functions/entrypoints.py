@@ -783,6 +783,60 @@ def ct02_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def inc01_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-batch dedup — the admission step when a NEW crawl
+    batch (here: source 'src19') lands against an accumulated corpus
+    (every other source). Two checks, both on the whitespace-robust
+    fingerprint: in-batch keep-first (row_number over the fingerprint,
+    doc_id order — a key-partitioned window, never single-partition)
+    and batch-vs-corpus membership (the corpus fingerprint set
+    distinct-reduces, then a broadcast semi-join — the corpus never
+    re-shuffles when a batch arrives, which is the property that makes
+    this incremental at 100 TB; with a big-batch/big-corpus pairing the
+    broadcast hint drops and it becomes a shuffle semi-join, same
+    semantics). Per lang: batch size, in-batch dups, corpus dups, net
+    new docs."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")
+    batch = docs.filter(F.col("source") == "src19").select(
+        "doc_id", "lang", tx.fingerprint("text").alias("__fp")
+    )
+    corpus_fps = (
+        docs.filter(F.col("source") != "src19")
+        .select(tx.fingerprint("text").alias("__fp"))
+        .distinct()
+        .withColumn("__in_corpus", F.lit(1))
+    )
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    classified = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(corpus_fps), "__fp", "left")
+        .withColumn(
+            "__class",
+            F.when(F.col("__rn") > 1, F.lit("batch_dup"))
+            .when(F.col("__in_corpus").isNotNull(), F.lit("corpus_dup"))
+            .otherwise(F.lit("new")),
+        )
+    )
+    return (
+        classified.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch_docs"),
+            F.sum(F.when(F.col("__class") == "batch_dup", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_batch_dups"),
+            F.sum(F.when(F.col("__class") == "corpus_dup", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_corpus_dups"),
+            F.sum(F.when(F.col("__class") == "new", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .orderBy("lang")
+    )
+
+
 def px01_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     """PII scan + redaction accounting (functions/text.PII_PATTERNS:
     email, SSN, phone, IPv4 — RE2-safe regexes, applied in a fixed
@@ -1535,6 +1589,30 @@ _PII_REDACTED = "text"
 for _pat in _PII_E.values():
     _PII_REDACTED = f"regexp_replace({_PII_REDACTED}, '{_pat}', '[PII]', 'g')"
 
+EXTENSION_ORACLE["inc01_incremental_dedup"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+  FROM documents WHERE source = 'src19'
+), c AS (
+  SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+  FROM documents WHERE source <> 'src19'
+), r AS (
+  SELECT b.lang,
+         ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn,
+         CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS inc
+  FROM b LEFT JOIN c ON b.fp = c.fp
+)
+SELECT lang, COUNT(*) AS n_batch_docs,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_batch_dups,
+       CAST(SUM(CASE WHEN rn = 1 AND inc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corpus_dups,
+       CAST(SUM(CASE WHEN rn = 1 AND inc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new
+FROM r GROUP BY lang ORDER BY lang
+"""
+
 EXTENSION_ORACLE["px01_pii_scan"] = f"""
 WITH per AS (
   SELECT source,
@@ -1931,6 +2009,7 @@ EXTENSION_QUERIES["ct01_cross_source_contamination"] = (
     ct01_cross_source_contamination
 )
 EXTENSION_QUERIES["ct02_decontaminate"] = ct02_decontaminate
+EXTENSION_QUERIES["inc01_incremental_dedup"] = inc01_incremental_dedup
 EXTENSION_QUERIES["px01_pii_scan"] = px01_pii_scan
 EXTENSION_QUERIES["rep01_repetition_stats"] = rep01_repetition_stats
 EXTENSION_QUERIES["dm01_domain_mixture"] = dm01_domain_mixture

@@ -1057,6 +1057,55 @@ def q37_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q38_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped EXACT percentiles (p50/p90/p99 of order totals per
+    priority) composed from the distributed two-phase rank
+    (operators/ranking.py): attach (row number, group total), derive
+    each percentile's (n-1)p target rank, keep only the two neighbor
+    rows per target, and interpolate in the final per-group aggregate.
+    Contrast Spark's built-in exact ``percentile``, which funnels every
+    value into one aggregation buffer per group — this plan never sorts
+    more than N/P rows in a task, so it holds at 100 TB. Values at tied
+    ranks are deterministic (ties share a value by definition)."""
+    from ..operators.ranking import attach_global_row_number
+
+    o = load(spark, sf, "orders")
+    ranked = attach_global_row_number(
+        o.select(
+            "o_orderpriority", dec("o_totalprice").cast("double").alias("__v")
+        ),
+        order_by=[F.asc("__v")],
+        partition_by=["o_orderpriority"],
+        rn_col="__rn",
+        total_col="__n",
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_orders")]
+    keep = F.lit(False)
+    for p in (0.5, 0.9, 0.99):
+        h = (F.col("__n") - 1) * F.lit(p)
+        lo_rank = F.floor(h) + 1
+        hi_rank = F.ceil(h) + 1
+        frac = h - F.floor(h)
+        keep = keep | (F.col("__rn") == lo_rank) | (F.col("__rn") == hi_rank)
+        lo_v = F.max(F.when(F.col("__rn") == lo_rank, F.col("__v")))
+        hi_v = F.max(F.when(F.col("__rn") == hi_rank, F.col("__v")))
+        f = F.max(F.when(F.col("__rn") == lo_rank, frac))
+        aggs.append(
+            F.round(lo_v + f * (hi_v - lo_v), 4).alias(
+                f"p{int(p * 100)}_total_price"
+            )
+        )
+    # n_orders must count ALL rows, so aggregate group totals from the
+    # attached __n (constant per group) rather than the filtered rows
+    aggs[0] = F.max("__n").cast("bigint").alias("n_orders")
+    return (
+        ranked.filter(keep)
+        .groupBy("o_orderpriority")
+        .agg(*aggs)
+        .orderBy("o_orderpriority")
+    )
+
+
 # --- fn01: view→click→purchase funnel (chained as-of joins) ----------------
 
 def fn01_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
@@ -1155,6 +1204,7 @@ RELATIONAL_QUERIES = {
     "q35_top_percentile_orders": q35_top_percentile_orders,
     "q36_customer_cohort_setops": q36_customer_cohort_setops,
     "q37_grouping_sets": q37_grouping_sets,
+    "q38_price_percentiles": q38_price_percentiles,
     "fn01_purchase_funnel": fn01_purchase_funnel,
     "aj01_asof_prior_click": aj01_asof_prior_click,
     "rj01_error_context_window": rj01_error_context_window,

@@ -586,6 +586,19 @@ SELECT segment, n_customers FROM (
 ORDER BY segment
 """
 
+RELATIONAL_ORACLE["q38_price_percentiles"] = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (
+         ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS p50_total_price,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (
+         ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS p90_total_price,
+       ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (
+         ORDER BY CAST(o_totalprice AS DOUBLE)), 4) AS p99_total_price
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
 RELATIONAL_ORACLE["q37_grouping_sets"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
