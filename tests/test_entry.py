@@ -38,3 +38,15 @@ def test_every_query_has_oracle():
 def test_query_smoke(spark, name):
     df = ep.queries()[name](spark, SF)
     assert df.count() > 0
+
+
+def test_certification_priority_names_resolve():
+    """Every name in the certification-priority window must exist in
+    queries() — a typo would silently burn one of the driver's 50
+    certification slots — and the window must cover all never-certified
+    queries within the first 50 entries."""
+    q = ep.queries()
+    missing = [n for n in ep._CERTIFICATION_PRIORITY if n not in q]
+    assert missing == []
+    first50 = set(list(q)[:50])
+    assert set(ep._CERTIFICATION_PRIORITY) <= first50
