@@ -111,6 +111,8 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "dm01_domain_mixture",
     "inc01_incremental_dedup",
     "q38_price_percentiles",
+    "prof01_orders_profile",
+    "std01_standardized_parts",
 ]
 
 

@@ -1106,6 +1106,81 @@ def q38_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def prof01_orders_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Column profiling (A12, reference src/extract.py:190-203) as a
+    driver-certified query: per column of ``orders`` — null count and
+    distinct count — in ONE aggregate pass (conditional sums +
+    count_distinct), unpivoted to rows via ``stack``. The same
+    profile_dataframe shape the ETL runs on ingest, here hash-checked
+    against the oracle instead of only pytest-asserted."""
+    o = load(spark, sf, "orders").select(*_PROFILE_COLS)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    stacked = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        o.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stacked}) "
+                "AS (column_name, n_nulls, n_distinct)"
+            ),
+            F.col("__n").alias("n_rows"),
+        )
+        .select(
+            "column_name",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_nulls").cast("bigint").alias("n_nulls"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("column_name")
+    )
+
+
+def std01_standardized_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """The F1-F3 standardize trio (exact Python str.title semantics as
+    JVM expressions, operators/standardize.py) applied to the part
+    dimension — the only text-dim table — so the trio is certified by
+    the driver's hash check, not only pytest. The DuckDB twin mirrors
+    title-casing with space-split word transforms, which is exact on
+    this table's charset ([a-z ], [A-Z ], Brand#N); full str.title()
+    generality (hyphens, apostrophes, unicode) is hypothesis-pinned in
+    tests/test_properties.py — RE2 has no lookarounds, so the general
+    boundary split is not expressible oracle-side."""
+    from ..operators.standardize import (
+        standardize_category,
+        standardize_merchant,
+        standardize_payment_method,
+    )
+
+    p = load(spark, sf, "part")
+    return (
+        p.select(
+            "p_partkey",
+            standardize_merchant("p_name").alias("std_name"),
+            standardize_category("p_type").alias("std_type"),
+            standardize_payment_method("p_brand").alias("std_brand"),
+        )
+        .orderBy("p_partkey")
+        .limit(20)
+    )
+
+
 # --- fn01: view→click→purchase funnel (chained as-of joins) ----------------
 
 def fn01_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
@@ -1205,6 +1280,8 @@ RELATIONAL_QUERIES = {
     "q36_customer_cohort_setops": q36_customer_cohort_setops,
     "q37_grouping_sets": q37_grouping_sets,
     "q38_price_percentiles": q38_price_percentiles,
+    "prof01_orders_profile": prof01_orders_profile,
+    "std01_standardized_parts": std01_standardized_parts,
     "fn01_purchase_funnel": fn01_purchase_funnel,
     "aj01_asof_prior_click": aj01_asof_prior_click,
     "rj01_error_context_window": rj01_error_context_window,

@@ -586,6 +586,45 @@ SELECT segment, n_customers FROM (
 ORDER BY segment
 """
 
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+RELATIONAL_ORACLE["prof01_orders_profile"] = (
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY column_name"
+)
+
+# space-split title-case: exact on part's charset (see
+# std01_standardized_parts docstring — RE2 has no lookarounds for the
+# general letter-boundary split)
+_SQL_TITLE = (
+    "array_to_string(list_transform(string_split(trim({x}), ' '), "
+    "w -> upper(w[1:1]) || lower(w[2:])), ' ')"
+)
+
+RELATIONAL_ORACLE["std01_standardized_parts"] = f"""
+SELECT p_partkey,
+       {_SQL_TITLE.format(x="p_name")} AS std_name,
+       {_SQL_TITLE.format(x="p_type")} AS std_type,
+       {_SQL_TITLE.format(x="p_brand")} AS std_brand
+FROM part
+ORDER BY p_partkey LIMIT 20
+"""
+
 RELATIONAL_ORACLE["q38_price_percentiles"] = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
