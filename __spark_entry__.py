@@ -113,6 +113,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "q38_price_percentiles",
     "prof01_orders_profile",
     "std01_standardized_parts",
+    "es07_quantization_qc",
 ]
 
 

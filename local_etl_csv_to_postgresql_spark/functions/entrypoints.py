@@ -783,6 +783,49 @@ def ct02_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def es07_quantization_qc(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 symmetric quantization QC for the embedding store — the
+    compression step an ANN serving layer applies (scale = max|x|/127,
+    q = round(x/scale), reconstruct q*scale) — reporting per label the
+    reconstruction MSE and the scale spread. All row-local higher-order
+    array expressions (aggregate/transform folds are sequential in both
+    engines, so per-vector results are bit-deterministic); only the
+    per-label averages shuffle. Squares use multiplication, not pow()
+    — IEEE pow is not guaranteed exactly-rounded, x*x is."""
+    emb = load(spark, sf, "embeddings")
+    base = emb.select(
+        "label",
+        "embedding",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+        ).alias("__amax"),
+    ).withColumn("__scale", F.col("__amax") / F.lit(127.0))
+    recon_err = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + "
+        "(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / __scale) * __scale)"
+        " * "
+        "(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / __scale) * __scale)"
+        ") / size(embedding)"
+    )
+    per_vec = base.withColumn(
+        "__mse",
+        F.when(F.col("__amax") == 0.0, F.lit(0.0)).otherwise(
+            F.expr(recon_err)
+        ),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("__amax"), 6).alias("avg_amax"),
+            F.round(F.avg("__mse"), 8).alias("avg_mse"),
+            F.round(F.max("__mse"), 8).alias("max_mse"),
+        )
+        .orderBy("label")
+    )
+
+
 def inc01_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental-batch dedup — the admission step when a NEW crawl
     batch (here: source 'src19') lands against an accumulated corpus
@@ -1589,6 +1632,32 @@ _PII_REDACTED = "text"
 for _pat in _PII_E.values():
     _PII_REDACTED = f"regexp_replace({_PII_REDACTED}, '{_pat}', '[PII]', 'g')"
 
+EXTENSION_ORACLE["es07_quantization_qc"] = """
+WITH per AS (
+  SELECT label,
+         list_aggregate(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE))), 'max') AS amax,
+         embedding
+  FROM embeddings
+), mse AS (
+  SELECT label, amax,
+         CASE WHEN amax = 0 THEN 0.0 ELSE
+           list_sum(list_transform(embedding, x ->
+             (CAST(x AS DOUBLE)
+               - round(CAST(x AS DOUBLE) / (amax / 127.0)) * (amax / 127.0))
+             *
+             (CAST(x AS DOUBLE)
+               - round(CAST(x AS DOUBLE) / (amax / 127.0)) * (amax / 127.0))
+           )) / len(embedding) END AS m
+  FROM per
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(amax), 6) AS avg_amax,
+       ROUND(AVG(m), 8) AS avg_mse,
+       ROUND(MAX(m), 8) AS max_mse
+FROM mse GROUP BY label ORDER BY label
+"""
+
 EXTENSION_ORACLE["inc01_incremental_dedup"] = """
 WITH b AS (
   SELECT doc_id, lang,
@@ -2010,6 +2079,7 @@ EXTENSION_QUERIES["ct01_cross_source_contamination"] = (
 )
 EXTENSION_QUERIES["ct02_decontaminate"] = ct02_decontaminate
 EXTENSION_QUERIES["inc01_incremental_dedup"] = inc01_incremental_dedup
+EXTENSION_QUERIES["es07_quantization_qc"] = es07_quantization_qc
 EXTENSION_QUERIES["px01_pii_scan"] = px01_pii_scan
 EXTENSION_QUERIES["rep01_repetition_stats"] = rep01_repetition_stats
 EXTENSION_QUERIES["dm01_domain_mixture"] = dm01_domain_mixture
