@@ -114,6 +114,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "prof01_orders_profile",
     "std01_standardized_parts",
     "es07_quantization_qc",
+    "dd08_repeated_spans",
 ]
 
 

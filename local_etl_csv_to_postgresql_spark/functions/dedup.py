@@ -59,6 +59,21 @@ def shingles(words_col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def span_grams(words_col: Column, n: int) -> Column:
+    """POSITION-PRESERVING n-gram strings (no array_distinct — one
+    entry per start position, so occurrence counts survive). The
+    span-level twin of ``shingles``: repetition stats and span dedup
+    need multiplicity; set-similarity (MinHash/Jaccard) needs the
+    distinct form. Same short-doc guard."""
+    return F.when(
+        F.size(words_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def jaccard(a: Column, b: Column, nd: int = 6) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     inter = F.size(F.array_intersect(a, b))

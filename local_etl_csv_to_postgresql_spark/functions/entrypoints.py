@@ -783,6 +783,31 @@ def ct02_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dd08_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level dedup signal (the exact-substring method of Lee et
+    al.'s dedup work, at fixed span length): 16-token spans appearing
+    in two or more distinct documents, with occurrence multiplicity —
+    the spans a span-dedup pass would cut. Spans shuffle as 60-bit
+    hashes; the aggregate is explode → groupBy(hash) with map-side
+    partial aggregation — one shuffle, scales with the corpus. Top 20
+    by spread with a full deterministic tie-break."""
+    spans = _docs_words(spark, sf).select(
+        "doc_id",
+        F.explode(dd.span_grams(F.col("__words"), 16)).alias("__s"),
+    ).select("doc_id", F.substring(F.md5(F.col("__s")), 1, 15).alias("__h"))
+    return (
+        spans.groupBy("__h")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.col("__h").alias("span_hash"), "n_docs", "n_occurrences")
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span_hash")
+        .limit(20)
+    )
+
+
 def es07_quantization_qc(spark: SparkSession, sf: str) -> DataFrame:
     """Int8 symmetric quantization QC for the embedding store — the
     compression step an ANN serving layer applies (scale = max|x|/127,
@@ -1248,6 +1273,15 @@ def hll01_distinct_users_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sql_span_grams(words: str, n: int) -> str:
+    # dedup.span_grams twin: _sql_shingles without list_distinct
+    return (
+        f"CASE WHEN len({words}) >= {n} THEN list_transform("
+        f"range(1, len({words}) - {n - 2}), i -> array_to_string({words}[i:i+{n - 1}], ' '))"
+        f" ELSE [] END"
+    )
+
+
 def _sql_shingles(words: str, n: int = 3) -> str:
     # DuckDB list slice [i:j] is INCLUSIVE of j and range(a, b) excludes
     # b, so an n-gram starting at i is {words}[i:i+n-1] for
@@ -1631,6 +1665,20 @@ _PII_E = tx.PII_PATTERNS
 _PII_REDACTED = "text"
 for _pat in _PII_E.values():
     _PII_REDACTED = f"regexp_replace({_PII_REDACTED}, '{_pat}', '[PII]', 'g')"
+
+EXTENSION_ORACLE["dd08_repeated_spans"] = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), g AS (
+  SELECT doc_id, substr(md5(u), 1, 15) AS h
+  FROM (SELECT doc_id, unnest({_sql_span_grams('w', 16)}) AS u FROM w)
+)
+SELECT h AS span_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, span_hash LIMIT 20
+"""
 
 EXTENSION_ORACLE["es07_quantization_qc"] = """
 WITH per AS (
@@ -2080,6 +2128,7 @@ EXTENSION_QUERIES["ct01_cross_source_contamination"] = (
 EXTENSION_QUERIES["ct02_decontaminate"] = ct02_decontaminate
 EXTENSION_QUERIES["inc01_incremental_dedup"] = inc01_incremental_dedup
 EXTENSION_QUERIES["es07_quantization_qc"] = es07_quantization_qc
+EXTENSION_QUERIES["dd08_repeated_spans"] = dd08_repeated_spans
 EXTENSION_QUERIES["px01_pii_scan"] = px01_pii_scan
 EXTENSION_QUERIES["rep01_repetition_stats"] = rep01_repetition_stats
 EXTENSION_QUERIES["dm01_domain_mixture"] = dm01_domain_mixture
