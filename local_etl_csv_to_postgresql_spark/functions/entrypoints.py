@@ -954,13 +954,7 @@ def rep01_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     reference)."""
     docs = load(spark, sf, "documents")
     base = docs.select("doc_id", "source", tx.words("text").alias("__w"))
-    bigrams = F.when(
-        F.size("__w") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__w") - 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = dd.span_grams(F.col("__w"), 2)
     feats = base.select(
         "doc_id",
         "source",
