@@ -86,6 +86,7 @@ def test_no_query_degrades_to_unbounded_cross_joins(spark):
         "q35_top_percentile_orders",
         "sp01_stratified_sample",
         "pk01_sequence_packing",
+        "q38_price_percentiles",
     ],
 )
 def test_ranking_queries_never_single_partition(spark, name):
