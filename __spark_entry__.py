@@ -115,6 +115,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "std01_standardized_parts",
     "es07_quantization_qc",
     "dd08_repeated_spans",
+    "tx09_unigram_surprisal",
 ]
 
 

@@ -783,6 +783,53 @@ def ct02_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tx09_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """LM-perplexity proxy for quality scoring (the CCNet recipe with a
+    unigram model): train per-language unigram frequencies over the
+    corpus, score each doc by mean -log2 p(word), roll up per (lang,
+    surprisal quartile bucket). Two aggregates and one token-level
+    equi-join — the exploded token stream joins the (lang, word)
+    frequency table on its key, so cost is one shuffle of tokens plus a
+    frequency lookup that AQE broadcasts when the vocab is small.
+    Probabilities are ratios of exact counts and log2 is applied once
+    per (lang, word) pair — deterministic across partitionings."""
+    from pyspark.sql import Window
+
+    docs = _docs_words(spark, sf)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.col("__words")).alias("__w")
+    )
+    vocab = (
+        toks.groupBy("lang", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__total", F.sum("__c").over(Window.partitionBy("lang")))
+        .withColumn("__nll", -F.log2(F.col("__c") / F.col("__total")))
+    )
+    per_doc = (
+        toks.join(vocab.select("lang", "__w", "__nll"), ["lang", "__w"])
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("__nll").alias("__surprisal"))
+    )
+    bucket = F.least(
+        F.floor(F.col("__surprisal") / 2).cast("int"), F.lit(7)
+    )
+    return (
+        per_doc.withColumn("__b", bucket)
+        .groupBy("lang", "__b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("__surprisal"), 4).alias("avg_surprisal"),
+        )
+        .select(
+            "lang",
+            F.col("__b").alias("surprisal_bucket"),
+            "n_docs",
+            "avg_surprisal",
+        )
+        .orderBy("lang", "surprisal_bucket")
+    )
+
+
 def dd08_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Span-level dedup signal (the exact-substring method of Lee et
     al.'s dedup work, at fixed span length): 16-token spans appearing
@@ -1660,6 +1707,30 @@ _PII_REDACTED = "text"
 for _pat in _PII_E.values():
     _PII_REDACTED = f"regexp_replace({_PII_REDACTED}, '{_pat}', '[PII]', 'g')"
 
+EXTENSION_ORACLE["tx09_unigram_surprisal"] = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_WORDS} AS w FROM documents
+), t AS (
+  SELECT doc_id, lang, unnest(w) AS word FROM w
+), v AS (
+  SELECT lang, word, COUNT(*) AS c FROM t GROUP BY lang, word
+), v2 AS (
+  SELECT lang, word,
+         -log2(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY lang)) AS nll
+  FROM v
+), pd AS (
+  SELECT t.doc_id, t.lang, AVG(nll) AS s
+  FROM t JOIN v2 ON t.lang = v2.lang AND t.word = v2.word
+  GROUP BY t.doc_id, t.lang
+)
+SELECT lang,
+       CAST(LEAST(FLOOR(s / 2), 7) AS INT) AS surprisal_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(s), 4) AS avg_surprisal
+FROM pd GROUP BY lang, surprisal_bucket
+ORDER BY lang, surprisal_bucket
+"""
+
 EXTENSION_ORACLE["dd08_repeated_spans"] = f"""
 WITH w AS (
   SELECT doc_id, {_WORDS} AS w FROM documents
@@ -2123,6 +2194,7 @@ EXTENSION_QUERIES["ct02_decontaminate"] = ct02_decontaminate
 EXTENSION_QUERIES["inc01_incremental_dedup"] = inc01_incremental_dedup
 EXTENSION_QUERIES["es07_quantization_qc"] = es07_quantization_qc
 EXTENSION_QUERIES["dd08_repeated_spans"] = dd08_repeated_spans
+EXTENSION_QUERIES["tx09_unigram_surprisal"] = tx09_unigram_surprisal
 EXTENSION_QUERIES["px01_pii_scan"] = px01_pii_scan
 EXTENSION_QUERIES["rep01_repetition_stats"] = rep01_repetition_stats
 EXTENSION_QUERIES["dm01_domain_mixture"] = dm01_domain_mixture
