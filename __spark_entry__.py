@@ -116,6 +116,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "es07_quantization_qc",
     "dd08_repeated_spans",
     "tx09_unigram_surprisal",
+    "st07_stream_static_enrich",
 ]
 
 

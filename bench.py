@@ -65,6 +65,7 @@ def main() -> int:
                         t.name.startswith("stateful_sessions_")
                         or t.name.startswith("stream_dedup_")
                         or t.name.startswith("stream_quota_")
+                        or t.name.startswith("stream_enrich_")
                     ):
                         spark.catalog.dropTempView(t.name)
     total = round(sum(timings.values()), 3)

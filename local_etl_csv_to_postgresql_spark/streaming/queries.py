@@ -103,6 +103,30 @@ def st06_quota_enforce(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def st07_stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static dimension enrichment from an actual Structured
+    Streaming run: the events stream broadcast-joins the (static)
+    customer dimension on user_id and rolls revenue up per market
+    segment in complete mode — no state store, no watermark; on a live
+    stream the static side is re-resolved per micro-batch (the standard
+    slowly-changing-dim pattern). Bounded replay == batch join+agg ==
+    the oracle."""
+    from .stateful import replay_static_enrich
+    from ..plans.analytics import load
+
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = replay_static_enrich(
+        spark, f"{sf}/events.parquet", cust, "user_id", "c_mktsegment"
+    )
+    return out.select(
+        "c_mktsegment",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("__tv").cast("double"), 4).alias("total_value"),
+    ).orderBy("c_mktsegment")
+
+
 STREAMING_QUERIES = {
     "st01_tumbling_rollup": st01_tumbling_rollup,
     "st02_session_summary": st02_session_summary,
@@ -110,6 +134,7 @@ STREAMING_QUERIES = {
     "st04_stream_dedup": st04_stream_dedup,
     "st05_sliding_rollup": st05_sliding_rollup,
     "st06_quota_enforce": st06_quota_enforce,
+    "st07_stream_static_enrich": st07_stream_static_enrich,
 }
 
 STREAMING_ORACLE = {
@@ -219,5 +244,14 @@ SELECT user_id,
 FROM ranked WHERE rn <= 20
 GROUP BY user_id
 ORDER BY user_id
+""",
+    "st07_stream_static_enrich": """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_value
+FROM events JOIN customer ON events.user_id = customer.c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """,
 }

@@ -315,6 +315,57 @@ def replay_quota(
     return spark.table(table_name)
 
 
+def replay_static_enrich(
+    spark,
+    parquet_path: str,
+    static_df: DataFrame,
+    join_key: str,
+    group_col: str,
+    value_col: str = "value",
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Stream-static enrichment: the standard Structured Streaming
+    pattern where a live event stream joins a slowly-changing dimension
+    without stateful machinery — the static side is just a batch frame
+    (re-read per micro-batch on a real stream, broadcast here), so no
+    watermark and no state store are involved in the join itself. The
+    rollup runs in complete mode over the bounded availableNow replay,
+    making the final answer equal to the batch join + aggregate — which
+    is the DuckDB oracle."""
+    import uuid
+
+    table_name = table_name or f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    batch_schema, stream_path = _schema_and_stage(spark, parquet_path)
+    stream = _normalize_ts(spark.readStream.schema(batch_schema).parquet(stream_path))
+    from pyspark.sql import functions as F
+
+    rollup = (
+        stream.join(F.broadcast(static_df), join_key)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__tv"),
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)
+
+
 def replay_dedup(
     spark,
     parquet_path: str,
