@@ -792,7 +792,11 @@ def tx09_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     frequency table on its key, so cost is one shuffle of tokens plus a
     frequency lookup that AQE broadcasts when the vocab is small.
     Probabilities are ratios of exact counts and log2 is applied once
-    per (lang, word) pair — deterministic across partitionings."""
+    per (lang, word) pair — deterministic across partitionings. The
+    doc-level MEAN is a partition-order-dependent double sum, so the
+    surprisal is rounded to 6 dp before bucketing (both engines): a
+    doc landing within 1e-6 of a bucket boundary can no longer flip
+    buckets between runs or between Spark and the oracle."""
     from pyspark.sql import Window
 
     docs = _docs_words(spark, sf)
@@ -811,7 +815,7 @@ def tx09_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.avg("__nll").alias("__surprisal"))
     )
     bucket = F.least(
-        F.floor(F.col("__surprisal") / 2).cast("int"), F.lit(7)
+        F.floor(F.round(F.col("__surprisal"), 6) / 2).cast("int"), F.lit(7)
     )
     return (
         per_doc.withColumn("__b", bucket)
@@ -905,12 +909,13 @@ def inc01_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint: in-batch keep-first (row_number over the fingerprint,
     doc_id order — a key-partitioned window, never single-partition)
     and batch-vs-corpus membership (the corpus fingerprint set
-    distinct-reduces, then a broadcast semi-join — the corpus never
-    re-shuffles when a batch arrives, which is the property that makes
-    this incremental at 100 TB; with a big-batch/big-corpus pairing the
-    broadcast hint drops and it becomes a shuffle semi-join, same
-    semantics). Per lang: batch size, in-batch dups, corpus dups, net
-    new docs."""
+    distinct-reduces, then joins the batch). No explicit broadcast
+    hint on the corpus side — Spark honors explicit hints regardless
+    of size, and the corpus is the BIG side (19/20 of the data), so a
+    forced broadcast would OOM at scale; leaving the choice to
+    AQE/autoBroadcastThreshold means a small corpus broadcasts and a
+    100 TB corpus degrades to a shuffle join with identical semantics.
+    Per lang: batch size, in-batch dups, corpus dups, net new docs."""
     from pyspark.sql import Window
 
     docs = load(spark, sf, "documents")
@@ -926,7 +931,7 @@ def inc01_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("__fp").orderBy("doc_id")
     classified = (
         batch.withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(corpus_fps), "__fp", "left")
+        .join(corpus_fps, "__fp", "left")
         .withColumn(
             "__class",
             F.when(F.col("__rn") > 1, F.lit("batch_dup"))
@@ -954,9 +959,12 @@ def inc01_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def px01_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
     """PII scan + redaction accounting (functions/text.PII_PATTERNS:
-    email, SSN, phone, IPv4 — RE2-safe regexes, applied in a fixed
-    order so classes never double-count). Per source: per-class match
-    counts, docs carrying any PII, and the net character delta of
+    email, SSN, phone, IPv4 — RE2-safe regexes). Per-class COUNTS run
+    each pattern independently on the raw text, so classes may overlap
+    (an SSN also matches the phone shape and lands in both counts);
+    only REDACTION applies the classes in a fixed order, so a span is
+    replaced exactly once. Per source: per-class match counts, docs
+    carrying any PII, and the net character delta of
     replacing every match with '[PII]'. Pure regexp_count /
     regexp_replace — JVM codegen, zero Python, so the same expressions
     run unchanged over 100 TB. The driver corpus is synthetic-clean
@@ -1724,7 +1732,7 @@ WITH w AS (
   GROUP BY t.doc_id, t.lang
 )
 SELECT lang,
-       CAST(LEAST(FLOOR(s / 2), 7) AS INT) AS surprisal_bucket,
+       CAST(LEAST(FLOOR(ROUND(s, 6) / 2), 7) AS INT) AS surprisal_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(AVG(s), 4) AS avg_surprisal
 FROM pd GROUP BY lang, surprisal_bucket
@@ -2123,7 +2131,7 @@ SELECT event_type,
        COUNT(*) AS n_events,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
              / COUNT(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
 FROM events

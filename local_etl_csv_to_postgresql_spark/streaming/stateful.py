@@ -73,17 +73,26 @@ def _schema_and_stage(spark, parquet_path: str):
     import os
     import tempfile
 
+    # Set the conf on EVERY call, not just cache misses: the cache is
+    # keyed by path alone, so a second SparkSession in the same process
+    # would otherwise hit the cache with the conf never set and fail the
+    # streaming read of TIMESTAMP(NANOS) data. Setting it is cheap and
+    # idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     hit = _REPLAY_STAGE_CACHE.get(parquet_path)
     if hit is not None:
         return hit
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(parquet_path).schema
     if not os.path.isdir(parquet_path):
+        import atexit
+        import shutil
+
         stage = tempfile.mkdtemp(prefix="stateful_stream_")
         os.symlink(
             os.path.abspath(parquet_path),
             os.path.join(stage, os.path.basename(parquet_path)),
         )
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
     else:
         stage = parquet_path
     _REPLAY_STAGE_CACHE[parquet_path] = (schema, stage)

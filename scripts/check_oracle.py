@@ -59,6 +59,17 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         problems.append(f"columns: spark={sc} oracle={oc}")
         return problems
     a, b = canon(spark_df), canon(oracle_df)
+    # The driver's hasher serializes values WITH their dtype, so an
+    # equal-valued int64 vs float64 (e.g. DuckDB SUM(INT) -> HUGEINT ->
+    # pandas float) still hash-mismatches. Flag dtype-kind drift here so
+    # the local gate catches what the driver would.
+    for col in a.columns:
+        ka, kb = a[col].dtype.kind, b[col].dtype.kind
+        if ka != kb and {ka, kb} <= {"i", "u", "f"}:
+            problems.append(
+                f"dtype [{col}]: spark={a[col].dtype} oracle={b[col].dtype}"
+                " (driver hash would mismatch)"
+            )
     if len(a) == len(b):
         n_bad = 0
         for col in a.columns:
