@@ -2206,3 +2206,374 @@ EXTENSION_QUERIES["tx09_unigram_surprisal"] = tx09_unigram_surprisal
 EXTENSION_QUERIES["px01_pii_scan"] = px01_pii_scan
 EXTENSION_QUERIES["rep01_repetition_stats"] = rep01_repetition_stats
 EXTENSION_QUERIES["dm01_domain_mixture"] = dm01_domain_mixture
+
+
+# --- round-4 additions ------------------------------------------------------
+
+# std02: adversarial title-case corpus. The reference's str.title()
+# (src/transform.py:66-87) is exercised by std01 only on `part`'s
+# [a-z ] charset; these literals pin the hyphen/apostrophe/digit/
+# unicode boundary behavior where Python title() and initcap diverge.
+# One shared list generates BOTH the Spark VALUES and the DuckDB
+# VALUES, so the engines see byte-identical inputs.
+_TITLE_CASES: list[tuple[int, str | None]] = [
+    (1, "Blankenship-Strickland"),
+    (2, "Ellison, Fleming and Hatfield"),
+    (3, "o'brien-smith"),
+    (4, "MCDONALD'S #42"),
+    (5, "été-ÉTÉ crème"),
+    (6, "x9y zz-9a 3M"),
+    (7, "  padded   name "),
+    (8, ""),
+    (9, "ALL CAPS INC."),
+    (10, "d'angelo's 2nd ave"),
+    (11, "ABC-DEF_GHI"),
+    (12, "smith&jones;co"),
+    (13, "ñandú ÑANDÚ"),
+    (14, None),
+]
+
+
+def _title_values(null_literal: str) -> str:
+    rows = []
+    for i, s in _TITLE_CASES:
+        lit = null_literal if s is None else "'" + s.replace("'", "''") + "'"
+        rows.append(f"({i}, {lit})")
+    return ", ".join(rows)
+
+
+def std02_title_adversarial(spark: SparkSession, sf: str) -> DataFrame:
+    """General ``str.title()`` certification (reference
+    src/transform.py:66-87) on the charset merchant names actually
+    carry: hyphens, apostrophes, commas, digits, unicode letters,
+    padded/collapsed whitespace, empty, NULL. Runs the real
+    ``standardize_merchant`` Column expression (trim + whitespace
+    collapse + python_title — pure JVM codegen, no UDF); the DuckDB
+    twin tokenizes letter/non-letter runs with regexp_extract_all
+    (RE2 has no lookarounds, but \\p{L}+|\\P{L}+ alternation needs
+    none). ``sf`` is unused — the input is the VALUES literal."""
+    t = spark.sql(
+        "SELECT col1 AS case_id, col2 AS raw FROM VALUES "
+        + _title_values("CAST(NULL AS STRING)")
+    )
+    from ..operators.standardize import standardize_merchant
+
+    return t.select(
+        "case_id",
+        "raw",
+        standardize_merchant("raw").alias("standardized"),
+    ).orderBy("case_id")
+
+
+EXTENSION_ORACLE["std02_title_adversarial"] = (
+    "WITH t(case_id, raw) AS (VALUES "
+    + _title_values("CAST(NULL AS VARCHAR)")
+    + r"""),
+norm AS (
+  SELECT case_id, raw, regexp_replace(trim(raw), '\s+', ' ', 'g') AS s
+  FROM t
+)
+SELECT case_id, raw,
+       CASE WHEN raw IS NULL THEN NULL
+            WHEN s = '' THEN ''
+            ELSE array_to_string(
+              list_transform(regexp_extract_all(s, '\p{L}+|\P{L}+'),
+                x -> CASE WHEN regexp_matches(x, '^\p{L}')
+                     THEN upper(substr(x, 1, 1)) || lower(substr(x, 2))
+                     ELSE x END),
+              '')
+       END AS standardized
+FROM norm ORDER BY case_id
+"""
+)
+EXTENSION_QUERIES["std02_title_adversarial"] = std02_title_adversarial
+
+
+def uf01_url_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """URL/domain-rule filter — the source-level gate every crawl
+    pipeline runs before content-level quality (qf01): TLD blocklist,
+    subdomain blocklist, path-keyword blocklist, applied first-match-
+    wins in that order. The corpus has no URL column, so a
+    deterministic URL is derived per doc (doc_id arithmetic — both
+    engines build byte-identical URLs); the operator under test is the
+    RULE ENGINE: host/path come from Spark's `parse_url` (JVM
+    expression) and the rules are pure string predicates, so the
+    whole filter is one codegen'd map over the scan — no shuffle
+    until the per-source rollup. At 100 TB the URL column comes off
+    the crawl metadata instead and nothing else changes."""
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in ("com", "org", "net", "io", "xyz")]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    sub = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit("ads."))
+        .when(F.col("doc_id") % 11 == 1, F.lit("spam."))
+        .otherwise(F.lit(""))
+    )
+    kw = F.when(F.col("doc_id") % 13 == 0, F.lit("casino")).otherwise(
+        F.lit("page")
+    )
+    with_url = docs.withColumn(
+        "__url",
+        F.concat(
+            F.lit("https://"), sub, F.col("source"), F.lit("."), tld,
+            F.lit("/"), kw, F.lit("/"), F.col("doc_id").cast("string"),
+        ),
+    )
+    host = F.parse_url(F.col("__url"), F.lit("HOST"))
+    path = F.parse_url(F.col("__url"), F.lit("PATH"))
+    verdict = (
+        F.when(host.endswith(".xyz"), F.lit("blocked_tld"))
+        .when(
+            host.startswith("ads.") | host.startswith("spam."),
+            F.lit("blocked_subdomain"),
+        )
+        .when(path.contains("casino"), F.lit("blocked_path"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        with_url.withColumn("__v", verdict)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__v") == "blocked_tld", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocked_tld"),
+            F.sum(
+                F.when(F.col("__v") == "blocked_subdomain", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_blocked_subdomain"),
+            F.sum(F.when(F.col("__v") == "blocked_path", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocked_path"),
+            F.sum(F.when(F.col("__v") == "kept", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+EXTENSION_ORACLE["uf01_url_filter"] = """
+WITH u AS (
+  SELECT doc_id, source,
+         'https://'
+         || CASE WHEN doc_id % 11 = 0 THEN 'ads.'
+                 WHEN doc_id % 11 = 1 THEN 'spam.' ELSE '' END
+         || source || '.'
+         || CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                 WHEN 2 THEN 'net' WHEN 3 THEN 'io' ELSE 'xyz' END
+         || '/'
+         || CASE WHEN doc_id % 13 = 0 THEN 'casino' ELSE 'page' END
+         || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), parsed AS (
+  SELECT source,
+         regexp_extract(url, '^https://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https://[^/]+(/.*)$', 1) AS path
+  FROM u
+), v AS (
+  SELECT source,
+         CASE WHEN host LIKE '%.xyz' THEN 'blocked_tld'
+              WHEN host LIKE 'ads.%' OR host LIKE 'spam.%'
+                THEN 'blocked_subdomain'
+              WHEN path LIKE '%casino%' THEN 'blocked_path'
+              ELSE 'kept' END AS verdict
+  FROM parsed
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN verdict = 'blocked_tld' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked_tld,
+       CAST(SUM(CASE WHEN verdict = 'blocked_subdomain' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked_subdomain,
+       CAST(SUM(CASE WHEN verdict = 'blocked_path' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked_path,
+       CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM v GROUP BY source ORDER BY source
+"""
+EXTENSION_QUERIES["uf01_url_filter"] = uf01_url_filter
+
+
+def len01_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-length histogram + padding/truncation accounting at a
+    512-token context — the policy view a packing strategy (pk01/pk02)
+    is chosen from: per power-of-two length bucket, doc share, token
+    mass, the fill ratio if every doc were padded to 512, and the
+    tokens lost if docs over 512 were truncated. One map-side bucket
+    expression over the scan + one small aggregate; the percent-of-
+    total rides a broadcast 1-row frame (q09 pattern)."""
+    docs = load(spark, sf, "documents").select(
+        tx.token_count("text").alias("__tok")
+    )
+    tok = F.col("__tok")
+    bucket_id = (
+        F.when(tok < 32, 0)
+        .when(tok < 64, 1)
+        .when(tok < 128, 2)
+        .when(tok < 256, 3)
+        .when(tok < 512, 4)
+        .otherwise(5)
+    )
+    labels = ["0-31", "32-63", "64-127", "128-255", "256-511", "512+"]
+    label = F.element_at(
+        F.array(*[F.lit(s) for s in labels]), bucket_id.cast("int") + 1
+    )
+    per = (
+        docs.withColumn("__b", bucket_id.cast("int"))
+        .withColumn("__lbl", label)
+        .groupBy("__b", "__lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok).cast("bigint").alias("total_tokens"),
+            F.round(F.sum(tok).cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens"
+            ),
+            F.round(
+                F.sum(F.least(tok, F.lit(512))).cast("double")
+                / (F.count(F.lit(1)) * 512),
+                4,
+            ).alias("fill_at_512"),
+            F.sum(F.greatest(tok - 512, F.lit(0)))
+            .cast("bigint")
+            .alias("truncated_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_docs").cast("double").alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            F.col("__b").alias("bucket_id"),
+            F.col("__lbl").alias("bucket"),
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__t"), 6).alias("pct_docs"),
+            "total_tokens",
+            "avg_tokens",
+            "fill_at_512",
+            "truncated_tokens",
+        )
+        .orderBy("bucket_id")
+    )
+
+
+EXTENSION_ORACLE["len01_length_histogram"] = r"""
+WITH t AS (
+  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+  FROM documents
+), b AS (
+  SELECT tok,
+         CASE WHEN tok < 32 THEN 0 WHEN tok < 64 THEN 1
+              WHEN tok < 128 THEN 2 WHEN tok < 256 THEN 3
+              WHEN tok < 512 THEN 4 ELSE 5 END AS bucket_id,
+         CASE WHEN tok < 32 THEN '0-31' WHEN tok < 64 THEN '32-63'
+              WHEN tok < 128 THEN '64-127' WHEN tok < 256 THEN '128-255'
+              WHEN tok < 512 THEN '256-511' ELSE '512+' END AS bucket
+  FROM t
+), per AS (
+  SELECT bucket_id, bucket, COUNT(*) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+         ROUND(CAST(SUM(LEAST(tok, 512)) AS DOUBLE) / (COUNT(*) * 512), 4)
+           AS fill_at_512,
+         CAST(SUM(GREATEST(tok - 512, 0)) AS BIGINT) AS truncated_tokens
+  FROM b GROUP BY bucket_id, bucket
+)
+SELECT CAST(bucket_id AS INT) AS bucket_id, bucket, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / (SELECT CAST(SUM(n_docs) AS DOUBLE) FROM per), 6) AS pct_docs,
+       total_tokens, avg_tokens, fill_at_512, truncated_tokens
+FROM per ORDER BY bucket_id
+"""
+EXTENSION_QUERIES["len01_length_histogram"] = len01_length_histogram
+
+
+def pk02_packing_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharded packed-corpus EXPORT — pk01's bin assignment driven
+    through a real parquet sink, then read back for accounting, so the
+    certification covers the written artifact, not just the plan: docs
+    pack into 512-token bins (distributed prefix sum, pk01), bins
+    group into 16-bin shards, and the frame is written
+    ``partitionBy(lang, shard_id)`` with one repartition on the same
+    keys — one shuffle, one file per shard directory, the layout a
+    training loader partition-prunes by (lang, shard). The returned
+    accounting aggregates the READ-BACK files; the DuckDB twin
+    computes the same numbers from the source table, so any row lost
+    or retyped by the sink round-trip fails the hash. Shard size (16
+    bins = 8 Ki tokens here) is the knob that keeps file counts sane
+    at 100 TB — files scale with corpus tokens / shard budget,
+    independent of executor count."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.ranking import attach_global_row_number
+
+    budget, bins_per_shard = 512, 16
+    docs = load(spark, sf, "documents").select(
+        "lang", "doc_id", tx.token_count("text").alias("tok")
+    )
+    packed = attach_global_row_number(
+        docs,
+        order_by=[F.asc("doc_id")],
+        partition_by=["lang"],
+        rn_col="__rn",
+        running_sum_of="tok",
+        running_sum_col="__run",
+    )
+    binned = packed.select(
+        "lang",
+        "doc_id",
+        "tok",
+        F.expr(f"(__run - tok) div {budget}").alias("bin"),
+    ).withColumn(
+        "shard_id", F.expr(f"bin div {bins_per_shard}").cast("int")
+    )
+    out_dir = tempfile.mkdtemp(prefix="pk02_export_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    (
+        binned.repartition("lang", "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("lang", "shard_id")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("bin").alias("n_bins"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("tok").cast("double")
+                / (F.countDistinct("bin") * budget),
+                4,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
+EXTENSION_ORACLE["pk02_packing_export"] = r"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+  FROM documents
+), r AS (
+  SELECT lang, tok,
+         SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM t
+), b AS (
+  SELECT lang, tok, (run - tok) // 512 AS bin FROM r
+)
+SELECT lang, CAST(bin // 16 AS INT) AS shard_id, COUNT(*) AS n_docs,
+       COUNT(DISTINCT bin) AS n_bins,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(tok) AS DOUBLE) / (COUNT(DISTINCT bin) * 512), 4)
+         AS fill_ratio
+FROM b GROUP BY lang, shard_id ORDER BY lang, shard_id
+"""
+EXTENSION_QUERIES["pk02_packing_export"] = pk02_packing_export

@@ -48,5 +48,8 @@ def test_certification_priority_names_resolve():
     q = ep.queries()
     missing = [n for n in ep._CERTIFICATION_PRIORITY if n not in q]
     assert missing == []
+    prio = ep._CERTIFICATION_PRIORITY
+    assert len(prio) == len(set(prio)), "duplicate names waste window slots"
+    assert len(prio) == 50, "window must fill exactly the driver's 50 slots"
     first50 = set(list(q)[:50])
-    assert set(ep._CERTIFICATION_PRIORITY) <= first50
+    assert set(prio) <= first50
