@@ -95,6 +95,21 @@ def main() -> int:
         write_transactions_csv(
             f"{work}/tx.csv", generate_transactions(n_rows, 100, 2)
         )
+        # untimed warm-up at 1/100 scale into a throwaway warehouse:
+        # same policy as the query warm-up above — the ETL plan shapes
+        # (CSV scan, validation exprs, dedup window, dim/fact writers)
+        # compile once here so the timed run measures the pipeline, not
+        # one-time whole-stage codegen (the reference baseline likewise
+        # measures a warmed PostgreSQL)
+        warm_rows = max(100, n_rows // 100)
+        write_transactions_csv(
+            f"{work}/warm.csv", generate_transactions(warm_rows, 100, 2)
+        )
+        run_etl_pipeline(
+            spark,
+            f"{work}/warm.csv",
+            EngineConfig(warehouse=WarehouseConfig(path=f"{work}/wh_warm")),
+        )
         cfg = EngineConfig(warehouse=WarehouseConfig(path=f"{work}/wh"))
         t0 = time.time()
         res = run_etl_pipeline(spark, f"{work}/tx.csv", cfg)

@@ -136,10 +136,12 @@ def run_etl_pipeline(
             # first run seeds the continuous calendar (the Spark form of
             # the reference's populate_dim_date.sql setup step, 1,826
             # dates 2022-2026; data dates inside the range then skip as
-            # idempotent-append no-ops)
-            if not wh.exists("dim_date"):
-                wh.seed_dim_date(cfg.dim_date_start, cfg.dim_date_end)
-            stats = wh.load_warehouse(tr.tables)
+            # idempotent-append no-ops). The seed runs inside the
+            # dim_date worker thread so it overlaps the other dim loads.
+            stats = wh.load_warehouse(
+                tr.tables,
+                seed_dates=(cfg.dim_date_start, cfg.dim_date_end),
+            )
         except LoadError as e:
             raise PipelineLoadError(str(e)) from e
         res.loaded_rows = stats.fact_inserted

@@ -108,11 +108,16 @@ class Warehouse:
         relative to the existing table.
         """
         if not self.exists(table):
-            self._write(df, table)
-            # count the landed table, not `df`: parquet answers COUNT(*)
-            # from footer row counts, while re-counting `df` would re-run
-            # the dimension-build lineage a second time
-            return self.read(table).count()
+            # piggyback the inserted-count on the write action itself
+            # (CollectMetrics above the writer): one job instead of
+            # write + a second read-the-footers count job per table —
+            # at 6 tables per load the extra jobs were the measured
+            # fixed cost of the load phase
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            self._write(df.observe(obs, F.count(F.lit(1)).alias("n")), table)
+            return int(obs.get["n"])
 
         existing = self.read(table)
         new_rows = df.join(
@@ -342,13 +347,26 @@ class Warehouse:
 
     # -- full load (phase 3 orchestration, src/load.py:703-913) ------------
 
-    def load_warehouse(self, tables: dict) -> LoadStats:
+    def load_warehouse(self, tables: dict, seed_dates: tuple | None = None) -> LoadStats:
         """Load 5 dims then the enriched fact, with inserted/skipped
         accounting. On any error the protocol stops; already-appended
         dimension rows are idempotent on re-run (same natural keys skip),
         which is how re-execution converges without cross-table
-        transactions."""
+        transactions.
+
+        ``seed_dates=(start, end)``: seed the continuous calendar first
+        if dim_date doesn't exist — inside the dim_date worker thread,
+        so the seed write overlaps the other dimension loads instead of
+        running as a sequential pre-step. Seeded rows are setup, not
+        batch data: they are excluded from ``dims_inserted`` (same
+        accounting as the former pipeline-level pre-seed)."""
         stats = LoadStats()
+
+        def _load_dim_date() -> int:
+            if seed_dates is not None and not self.exists("dim_date"):
+                self.seed_dim_date(*seed_dates)
+            return self.load_dim_date(tables["dim_date"])
+
         try:
             # the 5 dimension loads touch disjoint tables and share the
             # persisted `valid` cache — run them as concurrent driver
@@ -361,7 +379,7 @@ class Warehouse:
             from concurrent.futures import ThreadPoolExecutor
 
             dim_jobs = {
-                "dim_date": lambda: self.load_dim_date(tables["dim_date"]),
+                "dim_date": _load_dim_date,
                 **{
                     t: (
                         lambda t=t: self.load_dimension(
