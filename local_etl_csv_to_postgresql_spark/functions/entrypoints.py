@@ -2577,3 +2577,443 @@ SELECT lang, CAST(bin // 16 AS INT) AS shard_id, COUNT(*) AS n_docs,
 FROM b GROUP BY lang, shard_id ORDER BY lang, shard_id
 """
 EXTENSION_QUERIES["pk02_packing_export"] = pk02_packing_export
+
+
+# PPS systematic sampling target per language (ss02) and mixture
+# resample total (sp02) — module constants consumed by query AND
+# oracle, same self-consistency policy as the LSH knobs above.
+PPS_K = 100
+RESAMPLE_N = 10_000
+
+
+def ss02_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling (the survey-
+    sampling / data-mixing workhorse): per language, a doc is selected
+    when its token span crosses one of PPS_K equally-spaced boundaries
+    of the language's total token mass — inclusion probability
+    ∝ doc tokens, exactly K docs per language (a multi-boundary doc is
+    selected once; zero-token docs never). ALL integer arithmetic
+    ((run·K) div total on int64), so unlike exponential-keys A-ES there
+    is no transcendental whose last ulp could diverge between engines.
+    The running token count is the distributed prefix sum
+    (operators/ranking.py) — no single-partition window; the per-lang
+    totals ride a broadcast join. Membership is pinned by the selected
+    doc_id sum, not just counts."""
+    from ..operators.ranking import attach_global_row_number
+
+    docs = load(spark, sf, "documents").select(
+        "lang", "doc_id", tx.token_count("text").alias("__tok")
+    )
+    run = attach_global_row_number(
+        docs,
+        order_by=[F.asc("doc_id")],
+        partition_by=["lang"],
+        rn_col="__rn",
+        running_sum_of="__tok",
+        running_sum_col="__run",
+    )
+    totals = docs.groupBy("lang").agg(
+        F.sum("__tok").cast("bigint").alias("__tot")
+    )
+    sel = F.expr(
+        f"((__run - __tok) * {PPS_K}) div __tot < (__run * {PPS_K}) div __tot"
+    ).cast("long")
+    return (
+        run.join(F.broadcast(totals), "lang")
+        .withColumn("__sel", sel)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").cast("bigint").alias("total_tokens"),
+            F.sum("__sel").cast("bigint").alias("n_sampled"),
+            F.sum(F.when(F.col("__sel") == 1, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_docid_sum"),
+            F.sum(F.when(F.col("__sel") == 1, F.col("__tok")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_token_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXTENSION_ORACLE["ss02_pps_sample"] = rf"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run,
+         SUM(tok) OVER (PARTITION BY lang) AS tot
+  FROM t
+), s AS (
+  SELECT lang, doc_id, tok,
+         CASE WHEN ((run - tok) * {PPS_K}) // tot < (run * {PPS_K}) // tot
+              THEN 1 ELSE 0 END AS sel
+  FROM r
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(sel) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN sel = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS sampled_docid_sum,
+       CAST(SUM(CASE WHEN sel = 1 THEN tok ELSE 0 END) AS BIGINT)
+         AS sampled_token_sum
+FROM s GROUP BY lang ORDER BY lang
+"""
+EXTENSION_QUERIES["ss02_pps_sample"] = ss02_pps_sample
+
+
+def sp02_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """APPLY the temperature mixture dm01 only reports: per source,
+    target_n = RESAMPLE_N · temperature share (tokens^(1/T), T =
+    MIX_TEMPERATURE), then select exactly min(target_n, n_docs) docs in
+    deterministic multiplicative-hash order — the resampling plan that
+    turns mixture weights into an actual training subset. The share is
+    rounded to 6 dp BEFORE the target multiply (tx09 policy: the
+    double sum behind it is partition-order-dependent in its last ulp;
+    rounding kills the boundary flip). Per-source ranking rides the
+    distributed two-phase rank; the 20-row target table broadcast-joins
+    back. Membership pinned by selected doc_id sum."""
+    from ..operators.ranking import attach_global_row_number
+
+    docs = load(spark, sf, "documents").select(
+        "source", "doc_id", tx.token_count("text").alias("__tok")
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__tok").cast("bigint").alias("__toks"),
+    ).withColumn(
+        "__pw",
+        F.pow(F.col("__toks").cast("double"), F.lit(1.0 / MIX_TEMPERATURE)),
+    )
+    tot = per.agg(F.sum("__pw").alias("__tp"))
+    targets = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("__share", F.round(F.col("__pw") / F.col("__tp"), 6))
+        .withColumn(
+            "__target",
+            F.round(F.col("__share") * RESAMPLE_N, 0).cast("long"),
+        )
+        .select("source", "__n", "__toks", "__target")
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ranked = attach_global_row_number(
+        docs.withColumn("__h", h),
+        order_by=[F.asc("__h"), F.asc("doc_id")],
+        partition_by=["source"],
+        rn_col="__rn",
+    )
+    sel = (F.col("__rn") <= F.least(F.col("__target"), F.col("__n"))).cast(
+        "long"
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .withColumn("__sel", sel)
+        .groupBy("source")
+        .agg(
+            F.max("__n").alias("n_docs"),
+            F.max("__toks").alias("total_tokens"),
+            F.max("__target").alias("target_n"),
+            F.sum("__sel").cast("bigint").alias("n_selected"),
+            F.sum(F.when(F.col("__sel") == 1, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("selected_docid_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+EXTENSION_ORACLE["sp02_mixture_resample"] = rf"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+  FROM documents
+), per AS (
+  SELECT source, COUNT(*) AS n, CAST(SUM(tok) AS BIGINT) AS toks,
+         pow(CAST(SUM(tok) AS DOUBLE), 1.0 / {MIX_TEMPERATURE}) AS pw
+  FROM t GROUP BY source
+), tg AS (
+  SELECT source, n, toks,
+         CAST(ROUND(ROUND(pw / (SELECT SUM(pw) FROM per), 6)
+                    * {RESAMPLE_N}, 0) AS BIGINT) AS target
+  FROM per
+), rk AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM t
+), s AS (
+  SELECT rk.source, rk.doc_id,
+         CASE WHEN rk.rn <= LEAST(tg.target, tg.n) THEN 1 ELSE 0 END AS sel
+  FROM rk JOIN tg ON rk.source = tg.source
+)
+SELECT tg.source, tg.n AS n_docs, tg.toks AS total_tokens,
+       tg.target AS target_n,
+       CAST(SUM(s.sel) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN s.sel = 1 THEN s.doc_id ELSE 0 END) AS BIGINT)
+         AS selected_docid_sum
+FROM s JOIN tg ON s.source = tg.source
+GROUP BY tg.source, tg.n, tg.toks, tg.target
+ORDER BY tg.source
+"""
+EXTENSION_QUERIES["sp02_mixture_resample"] = sp02_mixture_resample
+
+
+def win01_gapfill_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly rollup with GAP FILL — the hypertable/time-bucket pattern
+    (time_bucket_gapfill): a dense hour spine from the corpus min to
+    max hour (`sequence` + explode — same generator as the dim_date
+    seed), cross-joined with the event-type roster (broadcast: the
+    roster is tiny), left-joined to the hourly aggregate; missing
+    (hour, type) cells surface as 0 rows instead of absent rows, which
+    is what dashboards/forecasting (q30) need. The spine is bounded by
+    wall-time span, not event volume, so at 100 TB the only thing that
+    scales is the one aggregate shuffle."""
+    ev = load(spark, sf, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("__h"),
+        "event_type",
+        "value",
+    )
+    agg = ev.groupBy("__h", "event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("__tv"),
+    )
+    spine = (
+        ev.agg(F.min("__h").alias("__mn"), F.max("__h").alias("__mx"))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("__mn"), F.col("__mx"), F.expr("interval 1 hour")
+                )
+            ).alias("hour_ts")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(
+            agg,
+            (grid["hour_ts"] == agg["__h"])
+            & (grid["event_type"] == agg["event_type"]),
+            "left",
+        )
+        .select(
+            grid["hour_ts"],
+            grid["event_type"],
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias(
+                "n_events"
+            ),
+            F.coalesce(F.col("__tv"), F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+EXTENSION_ORACLE["win01_gapfill_rollup"] = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS tv
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT MIN(date_trunc('hour', ts)) AS mn,
+         MAX(date_trunc('hour', ts)) AS mx
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts FROM b
+), types AS (
+  SELECT DISTINCT event_type FROM events
+)
+SELECT s.hour_ts, t.event_type,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+       COALESCE(a.tv, 0.0) AS total_value
+FROM spine s CROSS JOIN types t
+LEFT JOIN agg a ON a.h = s.hour_ts AND a.event_type = t.event_type
+ORDER BY s.hour_ts, t.event_type
+"""
+EXTENSION_QUERIES["win01_gapfill_rollup"] = win01_gapfill_rollup
+
+
+def scd01_scd2_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 merge — the warehouse pattern
+    the reference's overwrite-style dims lack: an update batch (here:
+    every 7th supplier re-priced +10%, derived deterministically so
+    both engines build the identical batch) lands against the current
+    dimension; changed keys get their open row CLOSED (valid_to set)
+    and a NEW current row; unchanged keys pass through. Expressed as
+    one broadcast join (updates are the small side at scale) + a
+    union of three projections — no window, no shuffle beyond the
+    final rollup. Money stays in DECIMAL end-to-end, so the ±10%
+    re-price is exact in both engines. Rolled up per nation: open/
+    closed version counts and the current balance mass."""
+    sup = load(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey", dec("s_acctbal").alias("__bal")
+    )
+    updates = (
+        sup.filter(F.col("s_suppkey") % 7 == 0)
+        .select(
+            "s_suppkey",
+            F.round(F.col("__bal") * F.lit(1.1).cast("decimal(3,1)"), 2)
+            .cast("decimal(18,2)")
+            .alias("__new_bal"),
+        )
+    )
+    joined = sup.join(F.broadcast(updates), "s_suppkey", "left")
+    changed = F.col("__new_bal").isNotNull() & (
+        F.col("__new_bal") != F.col("__bal")
+    )
+    closed = joined.filter(changed).select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("__bal").alias("acctbal"),
+        F.lit(False).alias("is_current"),
+    )
+    new_rows = joined.filter(changed).select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("__new_bal").alias("acctbal"),
+        F.lit(True).alias("is_current"),
+    )
+    kept = joined.filter(~changed).select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("__bal").alias("acctbal"),
+        F.lit(True).alias("is_current"),
+    )
+    merged = closed.unionByName(new_rows).unionByName(kept)
+    return (
+        merged.groupBy("s_nationkey")
+        .agg(
+            F.sum(F.col("is_current").cast("long"))
+            .cast("bigint")
+            .alias("n_current"),
+            F.sum((~F.col("is_current")).cast("long"))
+            .cast("bigint")
+            .alias("n_closed"),
+            F.round(
+                F.sum(
+                    F.when(F.col("is_current"), F.col("acctbal")).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("current_acctbal_sum"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+EXTENSION_ORACLE["scd01_scd2_merge"] = """
+WITH sup AS (
+  SELECT s_suppkey, s_nationkey,
+         CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+  FROM supplier
+), upd AS (
+  SELECT s_suppkey,
+         ROUND(bal * CAST(1.1 AS DECIMAL(3,1)), 2) AS new_bal
+  FROM sup WHERE s_suppkey % 7 = 0
+), j AS (
+  SELECT sup.s_suppkey, sup.s_nationkey, sup.bal, upd.new_bal,
+         upd.new_bal IS NOT NULL AND upd.new_bal <> sup.bal AS changed
+  FROM sup LEFT JOIN upd ON sup.s_suppkey = upd.s_suppkey
+), merged AS (
+  SELECT s_nationkey, bal AS acctbal, FALSE AS is_current
+  FROM j WHERE changed
+  UNION ALL
+  SELECT s_nationkey, new_bal, TRUE FROM j WHERE changed
+  UNION ALL
+  SELECT s_nationkey, bal, TRUE FROM j WHERE NOT changed
+)
+SELECT s_nationkey,
+       CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current,
+       CAST(SUM(CASE WHEN is_current THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_closed,
+       ROUND(CAST(SUM(CASE WHEN is_current THEN acctbal
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+         AS current_acctbal_sum
+FROM merged GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+EXTENSION_QUERIES["scd01_scd2_merge"] = scd01_scd2_merge
+
+
+def zipf01_rank_decades(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary Zipf profile by rank DECADE (ranks 1-9, 10-99, ...):
+    per language, how much token mass each order of magnitude of the
+    frequency-ranked vocabulary carries — the corpus-health fingerprint
+    a Zipf-slope fit approximates, computed here with ZERO
+    transcendentals (decade = digit count of the integer rank), so the
+    cross-engine hash is exact by construction. Term ranking rides the
+    distributed two-phase rank (a per-language window would put a full
+    vocabulary in one task at web scale); the per-language totals
+    broadcast back for the mass shares."""
+    from ..operators.ranking import attach_global_row_number
+
+    toks = _docs_words(spark, sf).select(
+        "lang", F.explode("__words").alias("__w")
+    )
+    vocab = toks.groupBy("lang", "__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    ranked = attach_global_row_number(
+        vocab,
+        order_by=[F.desc("__c"), F.asc("__w")],
+        partition_by=["lang"],
+        rn_col="__rk",
+    )
+    totals = vocab.groupBy("lang").agg(
+        F.sum("__c").cast("bigint").alias("__tot")
+    )
+    decade = (F.length(F.col("__rk").cast("string")) - 1).cast("int")
+    return (
+        ranked.withColumn("__d", decade)
+        .groupBy("lang", "__d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("__c").cast("bigint").alias("total_freq"),
+        )
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            F.col("__d").alias("rank_decade"),
+            "n_terms",
+            "total_freq",
+            F.round(
+                F.col("total_freq").cast("double") / F.col("__tot"), 6
+            ).alias("pct_mass"),
+        )
+        .orderBy("lang", "rank_decade")
+    )
+
+
+EXTENSION_ORACLE["zipf01_rank_decades"] = f"""
+WITH w AS (
+  SELECT lang, unnest({_WORDS}) AS word FROM documents
+), v AS (
+  SELECT lang, word, COUNT(*) AS c FROM w GROUP BY lang, word
+), rk AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, word) AS r
+  FROM v
+), d AS (
+  SELECT lang, c, CAST(length(CAST(r AS VARCHAR)) - 1 AS INT) AS rank_decade
+  FROM rk
+), tot AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM v GROUP BY lang
+)
+SELECT d.lang, d.rank_decade,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(d.c) AS BIGINT) AS total_freq,
+       ROUND(CAST(SUM(d.c) AS DOUBLE) / MAX(tot.t), 6) AS pct_mass
+FROM d JOIN tot ON d.lang = tot.lang
+GROUP BY d.lang, d.rank_decade
+ORDER BY d.lang, d.rank_decade
+"""
+EXTENSION_QUERIES["zipf01_rank_decades"] = zipf01_rank_decades

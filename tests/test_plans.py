@@ -60,6 +60,9 @@ BNLJ_ALLOWED = {
     "es04_ivf_ann",
     "q04_amount_quality",  # 1-row broadcast of the selected median
     "dm01_domain_mixture",  # 1-row broadcast of the two mixture totals
+    "len01_length_histogram",  # 1-row broadcast of the doc total
+    "sp02_mixture_resample",  # 1-row broadcast of the mixture normalizer
+    "win01_gapfill_rollup",  # hour spine × broadcast 5-type roster
 }
 
 
