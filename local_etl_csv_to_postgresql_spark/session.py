@@ -40,6 +40,15 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # whole-stage codegen JIT-compiles one+ generated class per plan
+        # stage; a 100-query library session overflows the JVM's default
+        # 240 MB code cache, at which point HotSpot DISABLES the JIT and
+        # every subsequent query runs interpreted (~1.5x slower across
+        # the board). Standard fix for codegen-heavy Spark drivers.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
