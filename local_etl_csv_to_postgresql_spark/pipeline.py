@@ -191,9 +191,10 @@ def parse_arguments(argv=None):
     p.add_argument("--file", required=True, help="transactions CSV/JSONL path")
     p.add_argument(
         "--format",
-        choices=("auto", "csv", "jsonl"),
+        choices=("auto", "csv", "jsonl", "parquet", "orc"),
         default="auto",
-        help="source format (auto = by file extension)",
+        help="source format (auto = by file extension; .gz/.bz2/.zst"
+        " compression suffixes are transparent)",
     )
     p.add_argument("--warehouse", default="/tmp/spark_warehouse")
     p.add_argument("--dry-run", action="store_true")

@@ -170,24 +170,66 @@ def extract_transactions_jsonl(
     return df
 
 
+def extract_transactions_columnar(
+    spark: SparkSession,
+    file_path: str,
+    fmt: str = "parquet",
+    required_columns: tuple[str, ...] = REQUIRED_CSV_COLUMNS,
+) -> DataFrame:
+    """Parquet/ORC scan normalized to the transform contract: whatever
+    types the columnar file carries, every column is cast to STRING so
+    the coercion/validation rules apply identically across source
+    formats (a parquet batch with int64 user_id behaves exactly like
+    the CSV's string user_id). Column pruning/pushdown still reach the
+    scan — the casts sit above it. Same fail-fast structural checks as
+    the CSV path."""
+    info = get_file_info(file_path)
+    if not info["exists"]:
+        raise ExtractError(f"File not found: {file_path}")
+    if info.get("is_file", True) and info.get("size_bytes", 0) == 0:
+        raise ExtractError(f"File is empty: {file_path}")
+
+    reader = spark.read.orc if fmt == "orc" else spark.read.parquet
+    df = reader(file_path)
+    df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+    ok, msg = validate_csv_structure(df, required_columns)
+    if not ok:
+        raise ExtractError(f"Invalid {fmt.upper()} structure: {msg}")
+    return df
+
+
 def extract_any(
     spark: SparkSession,
     file_path: str,
     fmt: str = "auto",
     required_columns: tuple[str, ...] = REQUIRED_CSV_COLUMNS,
 ) -> DataFrame:
-    """Format-dispatching extract: ``csv``, ``jsonl``, or ``auto``
-    (by file extension, defaulting to CSV)."""
+    """Format-dispatching extract: ``csv``, ``jsonl``, ``parquet``,
+    ``orc``, or ``auto`` (by file extension, defaulting to CSV).
+    Compression suffixes (``.gz``/``.bz2``/``.zst``) are transparent:
+    Spark's text sources decompress natively, so ``tx.csv.gz`` routes
+    to the CSV reader."""
     if fmt == "auto":
-        fmt = (
-            "jsonl"
-            if file_path.rsplit(".", 1)[-1].lower() in ("jsonl", "json", "ndjson")
-            else "csv"
-        )
+        name = file_path.lower()
+        for comp in (".gz", ".bz2", ".zst"):
+            if name.endswith(comp):
+                name = name[: -len(comp)]
+                break
+        ext = name.rsplit(".", 1)[-1]
+        if ext in ("jsonl", "json", "ndjson"):
+            fmt = "jsonl"
+        elif ext in ("parquet", "orc"):
+            fmt = ext
+        else:
+            fmt = "csv"
     if fmt == "jsonl":
         return extract_transactions_jsonl(spark, file_path, required_columns)
     if fmt == "csv":
         return extract_transactions(spark, file_path, required_columns)
+    if fmt in ("parquet", "orc"):
+        return extract_transactions_columnar(
+            spark, file_path, fmt, required_columns
+        )
     raise ExtractError(f"Unknown source format: {fmt}")
 
 
@@ -195,6 +237,7 @@ __all__ = [
     "ExtractError",
     "extract_transactions",
     "extract_transactions_jsonl",
+    "extract_transactions_columnar",
     "extract_any",
     "get_file_info",
     "validate_csv_structure",

@@ -159,3 +159,64 @@ def test_jsonl_empty_file_raises(spark, tmp_path):
     p.write_text("")
     with pytest.raises(ExtractError):
         extract_transactions_jsonl(spark, str(p))
+
+
+# --- columnar + compressed sources (round 4) --------------------------------
+
+
+@pytest.fixture(scope="module")
+def parquet_path(spark, tmp_path_factory, csv_path):
+    """Typed parquet batch: ints/doubles where the CSV had strings —
+    the columnar path must normalize types to the all-string contract."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path_factory.mktemp("data") / "tx.parquet")
+    df = extract_transactions(spark, csv_path)
+    (
+        df.withColumn("amount", F.expr("try_cast(amount AS DOUBLE)"))
+        .withColumn("user_id", F.expr("try_cast(user_id AS BIGINT)"))
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    return p
+
+
+def test_parquet_extract_stringifies_types(spark, parquet_path):
+    from local_etl_csv_to_postgresql_spark.sources.extract import extract_any
+
+    df = extract_any(spark, parquet_path)
+    assert dict(df.dtypes)["amount"] == "string"
+    assert dict(df.dtypes)["user_id"] == "string"
+    assert df.count() == 300
+
+
+def test_parquet_pipeline_end_to_end(spark, parquet_path, tmp_path):
+    cfg = EngineConfig(warehouse=WarehouseConfig(path=str(tmp_path / "wh_pq")))
+    res = run_etl_pipeline(spark, parquet_path, cfg)
+    assert res.status == "success"
+    # 300 rows minus 1 duplicate id, minus the bad-amount and
+    # bad-category rows injected by the csv fixture
+    assert res.loaded_rows == 297
+
+
+def test_orc_extract_roundtrip(spark, tmp_path, csv_path):
+    from local_etl_csv_to_postgresql_spark.sources.extract import extract_any
+
+    p = str(tmp_path / "tx.orc")
+    extract_transactions(spark, csv_path).write.mode("overwrite").orc(p)
+    df = extract_any(spark, p)
+    assert df.count() == 300
+    assert all(t == "string" for _, t in df.dtypes)
+
+
+def test_gzipped_csv_auto_detects(spark, tmp_path, csv_path):
+    import gzip
+    import shutil
+
+    from local_etl_csv_to_postgresql_spark.sources.extract import extract_any
+
+    p = tmp_path / "tx.csv.gz"
+    with open(csv_path, "rb") as src, gzip.open(p, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    df = extract_any(spark, str(p))
+    assert df.count() == 300
