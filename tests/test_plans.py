@@ -171,3 +171,26 @@ def test_warehouse_enrichment_broadcasts_dims(spark, tmp_path):
     # dict-map strategy, Spark-shaped); no shuffle on the fact side
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+@needs_testdata
+def test_uf01_prunes_to_two_columns(spark):
+    """The URL rule filter must stay a map over a pruned scan: only
+    doc_id and source reach the parquet reader (never text), and no
+    join/exchange appears before the rollup aggregate."""
+    plan = plan_of(ep.queries()["uf01_url_filter"](spark, SF))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read_schema and "source" in read_schema
+    assert "text" not in read_schema
+    assert plan.count("HashAggregate") >= 2  # map-side partial agg
+
+
+@needs_testdata
+def test_scd01_broadcasts_update_batch(spark):
+    """The SCD2 merge joins current-vs-updates with a broadcast (the
+    update batch is the small side by definition), never a sort-merge
+    shuffle of the dimension."""
+    plan = plan_of(ep.queries()["scd01_scd2_merge"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
