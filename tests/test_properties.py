@@ -156,3 +156,71 @@ def test_date_attributes_match_python_calendar(spark, data):
         assert r["day_name"] == d.strftime("%A")
         assert r["week_of_year"] == iso.week
         assert r["is_weekend"] == (iso.weekday in (6, 7))
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_pps_boundary_selection_matches_python_scan(spark, data):
+    """The PPS systematic-sampling rule (ss02) on top of the
+    DISTRIBUTED prefix sum must select exactly the same ids as a pure
+    sequential Python scan of the same (group, id, weight) rows — the
+    property that pins operators/ranking.py's running_sum_of against
+    reorderings, for arbitrary weights including zeros and
+    boundary-spanning heavy items."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+    )
+
+    K = 7
+    rows = []
+    for g in range(data.draw(st.integers(min_value=1, max_value=4))):
+        n = data.draw(st.integers(min_value=1, max_value=60))
+        for i in range(n):
+            w = data.draw(
+                st.one_of(
+                    st.integers(min_value=0, max_value=9),
+                    st.integers(min_value=0, max_value=500),
+                )
+            )
+            rows.append((f"g{g}", i, w))
+
+    # Python reference: sequential scan per group
+    want: set[tuple[str, int]] = set()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for g, i, w in rows:
+        per[g].append((i, w))
+    for g, items in per.items():
+        tot = sum(w for _, w in items)
+        if tot == 0:
+            continue
+        run = 0
+        for i, w in sorted(items):
+            before, run = run, run + w
+            if (before * K) // tot < (run * K) // tot:
+                want.add((g, i))
+
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    ranked = attach_global_row_number(
+        df,
+        order_by=[F.asc("id")],
+        partition_by=["g"],
+        rn_col="__rn",
+        running_sum_of="w",
+        running_sum_col="__run",
+        partitions=5,  # force multi-partition offsets even for tiny data
+    )
+    tot = df.groupBy("g").agg(F.sum("w").cast("bigint").alias("__tot"))
+    got = {
+        (r["g"], r["id"])
+        for r in ranked.join(tot, "g")
+        .filter(F.col("__tot") > 0)
+        .filter(
+            F.expr(f"((__run - w) * {K}) div __tot < (__run * {K}) div __tot")
+        )
+        .collect()
+    }
+    assert got == want
