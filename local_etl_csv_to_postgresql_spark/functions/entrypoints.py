@@ -3017,3 +3017,154 @@ GROUP BY d.lang, d.rank_decade
 ORDER BY d.lang, d.rank_decade
 """
 EXTENSION_QUERIES["zipf01_rank_decades"] = zipf01_rank_decades
+
+
+def hq01_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass HISTOGRAM quantiles — the streaming/scale-friendly
+    alternative to exact rank selection (quantile.py): values bucket
+    into fixed-width bins (width 1.0, capped at 512) in one map-side
+    pass, and the p50/p95/p99 estimates are the lower edges of the
+    bins where the cumulative count crosses ceil(p·n). Error is
+    bounded by the bin width BY CONSTRUCTION, and — unlike t-digest /
+    Greenwald-Khanna sketches — the result is deterministic and
+    engine-independent (floor() is exact IEEE, counts are integers),
+    so it hash-certifies. The per-type cumulative runs over ≤512 bin
+    rows — driver-scale metadata, like AQE's shuffle stats; the data
+    pass is one partial-agg shuffle of (type, bin) counts."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.least(F.floor(F.col("value")).cast("int"), F.lit(511)).alias(
+            "__bin"
+        ),
+    )
+    hist = ev.groupBy("event_type", "__bin").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy("event_type").orderBy("__bin")
+    cum = (
+        hist.withColumn("__cum", F.sum("__c").over(w))
+        .withColumn(
+            "__n", F.sum("__c").over(Window.partitionBy("event_type"))
+        )
+    )
+    pick = lambda p: F.min(  # noqa: E731 — lower edge of the crossing bin
+        F.when(
+            F.col("__cum") >= F.ceil(F.col("__n") * F.lit(p)), F.col("__bin")
+        )
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_events"),
+            pick(0.50).cast("int").alias("p50_bin"),
+            pick(0.95).cast("int").alias("p95_bin"),
+            pick(0.99).cast("int").alias("p99_bin"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENSION_ORACLE["hq01_histogram_quantiles"] = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value) AS INT), 511) AS bin
+  FROM events
+), h AS (
+  SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cm,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cm >= CEIL(n * 0.50) THEN bin END) AS INT)
+         AS p50_bin,
+       CAST(MIN(CASE WHEN cm >= CEIL(n * 0.95) THEN bin END) AS INT)
+         AS p95_bin,
+       CAST(MIN(CASE WHEN cm >= CEIL(n * 0.99) THEN bin END) AS INT)
+         AS p99_bin
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+EXTENSION_QUERIES["hq01_histogram_quantiles"] = hq01_histogram_quantiles
+
+
+def mm05_multimodal_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Interleaved MULTIMODAL sequence packing: a doc's context cost is
+    its text tokens plus a fixed 576-token image patch budget when it
+    carries an image (ViT-style patch count; image presence derived
+    deterministically — doc_id % 4 — since the corpus has no media
+    column, same policy as uf01's derived URL). Docs pack into
+    2048-token windows per language via the distributed prefix sum —
+    the mixed-modality generalization of pk01 every vision-language
+    training pipeline needs (image patches dominate the budget, so
+    text-only fill math under-provisions). Per language: doc/image
+    counts, cost mass, bins used, fill ratio."""
+    from ..operators.ranking import attach_global_row_number
+
+    budget, img_cost = 2048, 576
+    docs = load(spark, sf, "documents").select(
+        "lang",
+        "doc_id",
+        (
+            tx.token_count("text")
+            + F.when(F.col("doc_id") % 4 == 0, img_cost).otherwise(0)
+        ).alias("__cost"),
+        (F.col("doc_id") % 4 == 0).cast("long").alias("__img"),
+    )
+    packed = attach_global_row_number(
+        docs,
+        order_by=[F.asc("doc_id")],
+        partition_by=["lang"],
+        rn_col="__rn",
+        running_sum_of="__cost",
+        running_sum_col="__run",
+    )
+    binned = packed.withColumn(
+        "__bin", F.expr(f"(__run - __cost) div {budget}")
+    )
+    return (
+        binned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__img").cast("bigint").alias("n_with_image"),
+            F.sum("__cost").cast("bigint").alias("total_cost"),
+            F.countDistinct("__bin").alias("n_bins"),
+            F.round(
+                F.sum("__cost").cast("double")
+                / (F.countDistinct("__bin") * budget),
+                4,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXTENSION_ORACLE["mm05_multimodal_packing"] = r"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+           + CASE WHEN doc_id % 4 = 0 THEN 576 ELSE 0 END AS cost,
+         CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS img
+  FROM documents
+), r AS (
+  SELECT lang, cost, img,
+         SUM(cost) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM t
+), b AS (
+  SELECT lang, cost, img, (run - cost) // 2048 AS bin FROM r
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(img) AS BIGINT) AS n_with_image,
+       CAST(SUM(cost) AS BIGINT) AS total_cost,
+       COUNT(DISTINCT bin) AS n_bins,
+       ROUND(CAST(SUM(cost) AS DOUBLE) / (COUNT(DISTINCT bin) * 2048), 4)
+         AS fill_ratio
+FROM b GROUP BY lang ORDER BY lang
+"""
+EXTENSION_QUERIES["mm05_multimodal_packing"] = mm05_multimodal_packing
