@@ -3168,3 +3168,129 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM b GROUP BY lang ORDER BY lang
 """
 EXTENSION_QUERIES["mm05_multimodal_packing"] = mm05_multimodal_packing
+
+
+def rw01_rolling_user_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time RANGE rolling window — the rate-limit / burst-
+    detection primitive: for every event, how many events the same
+    user fired in the preceding hour (inclusive), via a RANGE frame
+    over epoch seconds (value-based, so sparse activity is handled
+    correctly where a ROWS frame would be wrong — same distinction
+    q32's calendar-day MA pins). The window partitions by user_id —
+    high cardinality, so state spreads with the shuffle; no
+    single-partition funnel. Rolled up per event_type: mean burst and
+    the share of events in a >= 5-events/hour burst."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("__sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__sec")
+        .rangeBetween(-3600, 0)
+    )
+    per_event = ev.withColumn("__burst", F.count(F.lit(1)).over(w))
+    return (
+        per_event.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum("__burst").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_burst"),
+            F.max("__burst").cast("bigint").alias("max_burst"),
+            F.sum((F.col("__burst") >= 5).cast("long"))
+            .cast("bigint")
+            .alias("n_in_burst5"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENSION_ORACLE["rw01_rolling_user_rate"] = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS sec
+  FROM events
+), b AS (
+  SELECT event_type,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+           AS burst
+  FROM e
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(burst) AS DOUBLE) / COUNT(*), 4) AS avg_burst,
+       CAST(MAX(burst) AS BIGINT) AS max_burst,
+       CAST(SUM(CASE WHEN burst >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_burst5
+FROM b GROUP BY event_type ORDER BY event_type
+"""
+EXTENSION_QUERIES["rw01_rolling_user_rate"] = rw01_rolling_user_rate
+
+
+def wm01_token_mass_median(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED median by token mass: per language, the document size
+    (n_chars) at which the cumulative token count crosses half the
+    corpus — 'half our training tokens come from docs this large or
+    smaller', the curation statistic a length-filter threshold is set
+    from. Exact integer arithmetic on the distributed prefix sum
+    (2·run ≥ total at the crossing row — no doubles, no percentile
+    interpolation ambiguity); the crossing row is the min qualifying
+    row per group, an aggregate, not a sort."""
+    from ..operators.ranking import attach_global_row_number
+
+    docs = load(spark, sf, "documents").select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        tx.token_count("text").alias("__tok"),
+    )
+    run = attach_global_row_number(
+        docs,
+        order_by=[F.asc("n_chars"), F.asc("doc_id")],
+        partition_by=["lang"],
+        rn_col="__rn",
+        running_sum_of="__tok",
+        running_sum_col="__run",
+    )
+    totals = docs.groupBy("lang").agg(
+        F.sum("__tok").cast("bigint").alias("__tot"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    crossed = run.join(F.broadcast(totals), "lang").filter(
+        F.col("__run") * 2 >= F.col("__tot")
+    )
+    return (
+        crossed.groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("__tot").alias("total_tokens"),
+            F.min("n_chars").cast("bigint").alias("median_mass_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXTENSION_ORACLE["wm01_token_mass_median"] = r"""
+WITH t AS (
+  SELECT lang, n_chars, doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+  FROM documents
+), r AS (
+  SELECT lang, n_chars, tok,
+         SUM(tok) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run,
+         SUM(tok) OVER (PARTITION BY lang) AS tot,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM t
+)
+SELECT lang,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(tot) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_chars) AS BIGINT) AS median_mass_chars
+FROM r WHERE run * 2 >= tot
+GROUP BY lang ORDER BY lang
+"""
+EXTENSION_QUERIES["wm01_token_mass_median"] = wm01_token_mass_median
