@@ -127,6 +127,27 @@ def st07_stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("c_mktsegment")
 
 
+def st08_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark LATE-DATA dropping from an actual two-micro-batch
+    Structured Streaming run (streaming/stateful.replay_late_data):
+    stragglers delivered after the watermark advanced are dropped when
+    their window already closed, accepted otherwise, and only
+    finalized windows emit. Rolled up per event type so the oracle
+    hash-checks the emitted window count and event mass — the drop
+    rule itself, not just row counts."""
+    from .stateful import replay_late_data
+
+    emitted = replay_late_data(spark, f"{sf}/events.parquet")
+    return (
+        emitted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows_emitted"),
+            F.sum("n_events").cast("bigint").alias("n_events_emitted"),
+        )
+        .orderBy("event_type")
+    )
+
+
 STREAMING_QUERIES = {
     "st01_tumbling_rollup": st01_tumbling_rollup,
     "st02_session_summary": st02_session_summary,
@@ -135,6 +156,7 @@ STREAMING_QUERIES = {
     "st05_sliding_rollup": st05_sliding_rollup,
     "st06_quota_enforce": st06_quota_enforce,
     "st07_stream_static_enrich": st07_stream_static_enrich,
+    "st08_late_data_drop": st08_late_data_drop,
 }
 
 STREAMING_ORACLE = {
@@ -244,6 +266,45 @@ SELECT user_id,
 FROM ranked WHERE rn <= 20
 GROUP BY user_id
 ORDER BY user_id
+""",
+    # st08: three-batch watermark replay (see stateful.replay_late_data
+    # for the split). Spark's late filter uses the PREVIOUS batch's
+    # watermark and eviction the current one (SPARK-40925), so:
+    # stragglers (batch C) keep only windows still open at wmA (the
+    # watermark the on-time batch A established); emission = windows
+    # closed against the FINAL watermark, which C's max-ts row advanced
+    # past wmA.
+    "st08_late_data_drop": """
+WITH g AS (
+  SELECT MAX(ts) AS gm FROM events
+), tagged AS (
+  SELECT event_type, ts,
+         (event_id % 20 = 0 AND ts < TIMESTAMP '2024-01-29 00:00:00')
+           OR ts = (SELECT gm FROM g) AS in_c,
+         event_id % 20 = 1 AND ts < TIMESTAMP '2024-01-29 00:00:00'
+           AND ts <> (SELECT gm FROM g) AS in_b
+  FROM events
+), wma AS (
+  SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM tagged
+  WHERE NOT in_c AND NOT in_b
+), wmf AS (
+  SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events
+), kept AS (
+  SELECT event_type, date_trunc('hour', ts) AS ws FROM tagged
+  WHERE NOT in_c
+  UNION ALL
+  SELECT event_type, date_trunc('hour', ts) FROM tagged
+  WHERE in_c
+    AND date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wma)
+), emitted AS (
+  SELECT event_type, ws, COUNT(*) AS c FROM kept
+  WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+  GROUP BY event_type, ws
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_windows_emitted,
+       CAST(SUM(c) AS BIGINT) AS n_events_emitted
+FROM emitted GROUP BY event_type ORDER BY event_type
 """,
     "st07_stream_static_enrich": """
 SELECT c_mktsegment,

@@ -431,3 +431,127 @@ def replay_dedup(
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
+
+
+LATE_MOD = 20  # id-space density of the straggler/advancer sets (st08)
+LATE_CUTOFF = "2024-01-29"  # stragglers/advancers come from before this
+
+
+def replay_late_data(
+    spark,
+    parquet_path: str,
+    delay: str = "10 minutes",
+    window_duration: str = "1 hour",
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """REAL watermark late-data semantics, exercised end-to-end.
+
+    Spark's streaming aggregation runs TWO watermarks per micro-batch
+    (SPARK-40925): the LATE-EVENT filter uses the watermark as of the
+    PREVIOUS batch, while state EVICTION/emission uses the current
+    one — measured on this build with per-batch
+    ``numRowsDroppedByWatermark`` (a two-batch replay therefore never
+    drops anything: the stragglers' filter watermark is still -inf).
+    So the replay stages THREE files with ordered mtimes and
+    ``maxFilesPerTrigger=1``:
+
+    - batch A: everything not routed to B/C — contains the corpus's
+      recent tail, so the watermark advances to max(A.ts) − delay;
+    - batch B: an old advancer sample (id % LATE_MOD == 1, before
+      LATE_CUTOFF) — its only role is to age A's watermark into the
+      late-filter position;
+    - batch C: the stragglers (id % LATE_MOD == 0 before LATE_CUTOFF)
+      PLUS the global-max-ts row(s). Old stragglers whose window
+      closed against wmA are DROPPED by the late filter; the max row
+      advances the final watermark past wmA, so the final no-data
+      batch emits the still-open windows — including accepted-C
+      contributions. Both the drop and the acceptance are visible in
+      the emitted set, which is a pure function of (split, delay):
+      the DuckDB twin (st08) reproduces it with two scalar
+      watermarks."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..plans.analytics import load
+
+    table_name = table_name or f"stream_late_{uuid.uuid4().hex[:8]}"
+    cache_key = f"late::{parquet_path}"
+    hit = _REPLAY_STAGE_CACHE.get(cache_key)
+    if hit is not None:
+        batch_schema, stage = hit
+    else:
+        sf_dir = os.path.dirname(os.path.abspath(parquet_path))
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts"
+        )
+        gm = ev.agg(F.max("ts")).first()[0]
+        is_max = F.col("ts") == F.lit(gm)
+        old = F.col("ts") < F.lit(LATE_CUTOFF).cast("timestamp")
+        c_set = ((F.col("event_id") % LATE_MOD == 0) & old) | is_max
+        b_set = (F.col("event_id") % LATE_MOD == 1) & old & ~is_max
+        stage = tempfile.mkdtemp(prefix="late_stream_")
+
+        def _write_single(df, name: str, mtime: float) -> None:
+            tmp = os.path.join(stage, "__tmp_" + name)
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stage, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mtime, mtime))
+
+        import time as _t
+
+        t0 = _t.time() - 300
+        _write_single(ev.filter(~c_set & ~b_set), "a_ontime.parquet", t0)
+        _write_single(ev.filter(b_set), "b_advancer.parquet", t0 + 60)
+        _write_single(ev.filter(c_set), "c_late.parquet", t0 + 120)
+        batch_schema = spark.read.parquet(
+            os.path.join(stage, "a_ontime.parquet")
+        ).schema
+        _REPLAY_STAGE_CACHE[cache_key] = (batch_schema, stage)
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", window_duration), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # expose the per-batch drop accounting so tests can pin that
+        # the late filter actually fired (not just that output matched)
+        global LAST_LATE_DROPPED
+        LAST_LATE_DROPPED = sum(
+            s.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for s in p.get("stateOperators", [])
+        )
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)
+
+
+LAST_LATE_DROPPED: int = 0

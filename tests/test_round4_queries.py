@@ -185,3 +185,24 @@ def test_zipf01_mass_sums_to_one(spark):
     for r in per_lang:
         assert abs(r["p"] - 1.0) < 1e-3
         assert r["f"] == want[r["lang"]]
+
+
+@needs_testdata
+def test_st08_really_drops_late_rows(spark):
+    """st08 must exercise the REAL late filter: the replay's
+    numRowsDroppedByWatermark accounting is positive (old stragglers
+    whose window closed against the on-time watermark), and the
+    emitted mass is smaller than the input."""
+    from local_etl_csv_to_postgresql_spark.streaming import stateful as stf
+    from local_etl_csv_to_postgresql_spark.streaming.queries import (
+        st08_late_data_drop,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+    from pyspark.sql import functions as F
+
+    out = st08_late_data_drop(spark, SF)
+    emitted = out.agg(F.sum("n_events_emitted")).first()[0]
+    assert stf.LAST_LATE_DROPPED > 0
+    n_input = load(spark, SF, "events").count()
+    assert emitted < n_input
+    assert emitted + stf.LAST_LATE_DROPPED <= n_input
