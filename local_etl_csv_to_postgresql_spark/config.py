@@ -101,6 +101,12 @@ class WarehouseConfig:
     # of a bare row_number window — identical keys, no single-task sort.
     # Small batches keep the window (one job, no offset-collect round).
     large_dim_threshold: int = 1_000_000
+    # record a snapshot manifest after every successful load so past
+    # warehouse states stay readable (Warehouse.read_version) — the
+    # plain-parquet form of table-format time travel. Metadata-only
+    # (one JSON file listing the file set per table); disable for
+    # write-latency-critical loads.
+    snapshot_on_load: bool = True
 
 
 @dataclass(frozen=True)

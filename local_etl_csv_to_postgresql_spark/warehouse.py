@@ -55,6 +55,7 @@ class LoadStats:
     fact_skipped: int = 0
     status: str = "pending"
     error: str | None = None
+    snapshot_version: int | None = None
 
 
 class Warehouse:
@@ -328,7 +329,14 @@ class Warehouse:
         # missing partitions from deleted files (FAILED_READ_FILE)
         self.spark.catalog.refreshByPath(path)
         after = count_files(path)
-        return {"files_before": before, "files_after": after}
+        # the rewrite invalidated any snapshot referencing the old file
+        # layout; prune them so read_version fails fast and loud
+        pruned = self.prune_invalid_snapshots()
+        return {
+            "files_before": before,
+            "files_after": after,
+            "snapshots_pruned": pruned,
+        }
 
     def _write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(self._path(table))
@@ -344,6 +352,107 @@ class Warehouse:
             .option("batchsize", str(self.cfg.jdbc_batchsize))
             .jdbc(self.cfg.jdbc_url, table, properties=self.cfg.jdbc_properties)
         )
+
+    # -- snapshots: plain-parquet time travel ------------------------------
+
+    def _snapshots_dir(self) -> str:
+        return os.path.join(self.cfg.path, "_snapshots")
+
+    def snapshot(self) -> int:
+        """Record a manifest of every table's CURRENT parquet file set
+        and return its version number — the plain-parquet form of a
+        table format's snapshot. Incremental loads only ever APPEND new
+        part files (dims append; the fact appends; first writes create
+        fresh dirs), so an old manifest's file list stays readable
+        until a compaction rewrites the layout. Metadata-only: one JSON
+        file, written atomically (tmp + rename); no data is copied."""
+        import glob
+        import json
+
+        os.makedirs(self._snapshots_dir(), exist_ok=True)
+        manifest: dict = {"tables": {}}
+        for t in list(DIMENSIONS) + [self.cfg.fact_table]:
+            if not self.exists(t):
+                continue
+            root = self._path(t)
+            files = sorted(
+                os.path.relpath(f, root)
+                for f in glob.glob(f"{root}/**/*.parquet", recursive=True)
+            )
+            manifest["tables"][t] = files
+        version = (max(self.snapshots(), default=0)) + 1
+        final = os.path.join(self._snapshots_dir(), f"v{version}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, final)
+        return version
+
+    def snapshots(self) -> list[int]:
+        """Available snapshot versions, ascending."""
+        d = self._snapshots_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Read ``table`` as of snapshot ``version`` — a scan restricted
+        to the manifest's file list. ``basePath`` keeps the fact's
+        ``year_month=`` directory partition column alive even though
+        individual files are enumerated, so version reads prune and
+        project exactly like current reads."""
+        import json
+
+        path = os.path.join(self._snapshots_dir(), f"v{version}.json")
+        if not os.path.exists(path):
+            raise LoadError(f"No snapshot v{version}")
+        with open(path) as f:
+            manifest = json.load(f)
+        rel = manifest["tables"].get(table)
+        if rel is None:
+            raise LoadError(
+                f"Table {table} not present in snapshot v{version}"
+            )
+        root = self._path(table)
+        files = [os.path.join(root, r) for r in rel]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            raise LoadError(
+                f"Snapshot v{version} of {table} references "
+                f"{len(missing)} files removed by compaction — "
+                "historical versions do not survive a layout rewrite"
+            )
+        return (
+            self.spark.read.option("basePath", root).parquet(*files)
+        )
+
+    def prune_invalid_snapshots(self) -> list[int]:
+        """Drop manifests whose file lists no longer exist (a compaction
+        rewrote the layout). Returns the pruned versions — the VACUUM
+        analogue for this snapshot scheme."""
+        import json
+
+        pruned = []
+        for v in self.snapshots():
+            path = os.path.join(self._snapshots_dir(), f"v{v}.json")
+            with open(path) as f:
+                manifest = json.load(f)
+            ok = all(
+                os.path.exists(os.path.join(self._path(t), r))
+                for t, rels in manifest["tables"].items()
+                for r in rels
+            )
+            if not ok:
+                os.remove(path)
+                pruned.append(v)
+        return pruned
 
     # -- full load (phase 3 orchestration, src/load.py:703-913) ------------
 
@@ -400,6 +509,8 @@ class Warehouse:
                     stats.dims_inserted[t] = fut.result()
             enriched = self.enrich_fact(tables["fact_data"])
             stats.fact_inserted, stats.fact_skipped = self.load_fact(enriched)
+            if self.cfg.snapshot_on_load:
+                stats.snapshot_version = self.snapshot()
             stats.status = "success"
         except Exception as e:  # noqa: BLE001
             stats.status = "failed"

@@ -239,3 +239,58 @@ def test_large_dim_batch_uses_distributed_rank_same_keys(spark, tmp_path):
     # keys are dense, start past the seed's max, ordered by natural key
     keys = [k for _, k in via_ranked]
     assert keys == sorted(keys) and keys[0] == 1 and keys[-1] == 201
+
+
+def test_snapshot_time_travel_across_incremental_loads(spark, tmp_path):
+    """Two incremental loads -> two snapshot versions; v1 reads the
+    first batch's fact state, v2 both; dims stay readable at both
+    versions; the partition column survives file-list reads; and
+    compaction prunes the invalidated manifests."""
+    import datetime as dt
+
+    from local_etl_csv_to_postgresql_spark.config import (
+        EngineConfig,
+        WarehouseConfig,
+    )
+    from local_etl_csv_to_postgresql_spark.operators.transform import (
+        transform_transactions,
+    )
+    from local_etl_csv_to_postgresql_spark.warehouse import LoadError, Warehouse
+    from tests.conftest import COLUMNS
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [
+                (f"t{i}", "2023-06-15", "Groceries", "10.00", "M", "Cash", "1")
+                for i in ids
+            ],
+            COLUMNS,
+        )
+
+    cfg = EngineConfig(warehouse=WarehouseConfig(path=str(tmp_path / "wh")))
+    wh = Warehouse(spark, cfg.warehouse)
+    wh.seed_dim_date(dt.date(2023, 1, 1), dt.date(2023, 12, 31))
+
+    stats1 = wh.load_warehouse(transform_transactions(batch(range(3))).tables)
+    assert stats1.snapshot_version == 1
+    stats2 = wh.load_warehouse(
+        transform_transactions(batch(range(3, 8))).tables
+    )
+    assert stats2.snapshot_version == 2
+    assert wh.snapshots() == [1, 2]
+
+    v1 = wh.read_version("fact_transactions", 1)
+    v2 = wh.read_version("fact_transactions", 2)
+    assert v1.count() == 3
+    assert v2.count() == 8
+    assert "year_month" in v1.columns  # basePath keeps the partition col
+    assert wh.read_version("dim_category", 1).count() >= 1
+
+    # compaction rewrites the fact layout -> old manifests prune
+    res = wh.compact_fact()
+    assert set(res["snapshots_pruned"]) == {1, 2}
+    with pytest.raises(LoadError, match="No snapshot"):
+        wh.read_version("fact_transactions", 1)
+    # post-compaction snapshot works again
+    v3 = wh.snapshot()
+    assert wh.read_version("fact_transactions", v3).count() == 8
