@@ -569,19 +569,18 @@ def ss01_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def qf01_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
-    """Document quality-filter funnel with first-failing-rule
-    attribution — the keep/drop gate every training-data pipeline runs
-    before anything expensive touches a document. Rules evaluate in a
-    fixed order (too_short → low_quality → langid_mismatch) and each
-    doc counts against its FIRST failure only, so the per-rule columns
-    are disjoint and sum with n_pass to n_docs (same accounting
-    contract as the ETL validation, operators/validate.py). All
-    features are the shared JVM text expressions — one regex pass per
-    feature per row, zero Python."""
+def _quality_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc first-failing-rule verdict frame (doc_id, source, lang,
+    __v) — the shared kernel behind qf01 (rollup) and cur01 (funnel
+    composition). All features are the shared JVM text expressions —
+    one regex pass per feature per row, zero Python."""
     docs = load(spark, sf, "documents")
-    base = docs.select("lang", "text", tx.words("text").alias("__w"))
+    base = docs.select(
+        "doc_id", "source", "lang", "text", tx.words("text").alias("__w")
+    )
     feats = base.select(
+        "doc_id",
+        "source",
         "lang",
         tx.token_count("text").alias("__tok"),
         tx.mean_word_length_from(F.col("__w")).alias("__mwl"),
@@ -599,13 +598,25 @@ def qf01_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
             F.col("__tok"), F.col("__mwl"), F.col("__swr"), F.col("__pr")
         ),
     )
-    verdict = scored.withColumn(
+    return scored.withColumn(
         "__v",
         F.when(F.col("__tok") < 5, F.lit("too_short"))
         .when(F.col("__q") < 0.5, F.lit("low_quality"))
         .when(F.col("__pred") != F.col("lang"), F.lit("langid_mismatch"))
         .otherwise(F.lit("pass")),
     )
+
+
+def qf01_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Document quality-filter funnel with first-failing-rule
+    attribution — the keep/drop gate every training-data pipeline runs
+    before anything expensive touches a document. Rules evaluate in a
+    fixed order (too_short → low_quality → langid_mismatch) and each
+    doc counts against its FIRST failure only, so the per-rule columns
+    are disjoint and sum with n_pass to n_docs (same accounting
+    contract as the ETL validation, operators/validate.py). Kernel
+    shared with cur01 (_quality_verdicts)."""
+    verdict = _quality_verdicts(spark, sf)
     cnt = lambda v: F.sum((F.col("__v") == v).cast("long")).alias(  # noqa: E731
         f"n_{v}"
     )
@@ -731,16 +742,11 @@ def _contamination(spark: SparkSession, sf: str, n: int) -> DataFrame:
     )
 
 
-def ct02_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """Eval-set decontamination REMOVAL (ct01 measures, this enforces):
-    treating source 'src0' as the held-out eval set, a training doc from
-    any other source is contaminated when it shares at least one
-    CONTAM_NGRAM-gram with any eval doc. The eval gram set
-    distinct-reduces first and is explicitly broadcast — at 100 TB the
-    eval side is a benchmark suite (tiny), so the contaminated-doc scan
-    is one broadcast semi-join over the training grams, no shuffle of
-    the corpus. Reported per source: kept/dropped counts — the numbers
-    a decontamination run logs before writing the clean corpus."""
+def _contaminated_doc_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct training doc_ids sharing at least one CONTAM_NGRAM-gram
+    with the held-out eval set (source 'src0') — ct02's detection
+    kernel, shared with cur01. The eval gram set distinct-reduces and
+    broadcasts; the corpus side never shuffles."""
     n = CONTAM_NGRAM
     docs = load(spark, sf, "documents")
     words = docs.select("doc_id", "source", tx.words("text").alias("__words"))
@@ -754,12 +760,28 @@ def ct02_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     eval_grams = (
         grams.filter(F.col("source") == "src0").select("__u").distinct()
     )
-    contaminated = (
+    return (
         grams.filter(F.col("source") != "src0")
         .join(F.broadcast(eval_grams), "__u")
         .select("doc_id")
         .distinct()
-        .withColumn("__hit", F.lit(1))
+    )
+
+
+def ct02_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination REMOVAL (ct01 measures, this enforces):
+    treating source 'src0' as the held-out eval set, a training doc from
+    any other source is contaminated when it shares at least one
+    CONTAM_NGRAM-gram with any eval doc. The eval gram set
+    distinct-reduces first and is explicitly broadcast — at 100 TB the
+    eval side is a benchmark suite (tiny), so the contaminated-doc scan
+    is one broadcast semi-join over the training grams, no shuffle of
+    the corpus. Reported per source: kept/dropped counts — the numbers
+    a decontamination run logs before writing the clean corpus. Kernel
+    shared with cur01 (_contaminated_doc_ids)."""
+    docs = load(spark, sf, "documents")
+    contaminated = _contaminated_doc_ids(spark, sf).withColumn(
+        "__hit", F.lit(1)
     )
     train = docs.filter(F.col("source") != "src0").select("doc_id", "source")
     return (
@@ -3294,3 +3316,169 @@ FROM r WHERE run * 2 >= tot
 GROUP BY lang ORDER BY lang
 """
 EXTENSION_QUERIES["wm01_token_mass_median"] = wm01_token_mass_median
+
+
+def cur01_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END curation funnel — the composed pipeline a training
+    run actually executes, certified as ONE query: quality filter
+    (qf01's first-failing-rule kernel) → near-dup removal (keep each
+    ≥2-cluster's dd07 representative, using the materialized
+    full-corpus cluster labels — the LSH+CC pipeline runs once and is
+    shared) → eval-set decontamination (ct02's broadcast gram
+    semi-join). Per language: the surviving-doc counts at each stage
+    and the clean token mass. Every stage reuses the already-certified
+    kernel (shared helpers, not copies), so this certifies the
+    COMPOSITION — stage interactions, join plumbing, drop accounting —
+    on top of the individually-certified pieces. One extra shuffle per
+    stage boundary; each drop set broadcasts (dup/contam sets are tiny
+    fractions of the corpus)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")
+    v = _quality_verdicts(spark, sf).select("doc_id", "lang", "source", "__v")
+    comp = _neardup_components(spark, sf)
+    sized = (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "__size", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.desc("n_chars"), "doc_id"
+                )
+            ),
+        )
+    )
+    dup_drop = (
+        sized.filter((F.col("__size") >= 2) & (F.col("__rk") > 1))
+        .select("doc_id")
+        .withColumn("__dup", F.lit(1))
+    )
+    contam = _contaminated_doc_ids(spark, sf).withColumn("__ct", F.lit(1))
+    toks = docs.select("doc_id", tx.token_count("text").alias("__tok"))
+    j = (
+        v.filter(F.col("source") != "src0")
+        .join(F.broadcast(dup_drop), "doc_id", "left")
+        .join(F.broadcast(contam), "doc_id", "left")
+        .join(toks, "doc_id")
+    )
+    is_pass = F.col("__v") == "pass"
+    after_dedup = is_pass & F.col("__dup").isNull()
+    clean = after_dedup & F.col("__ct").isNull()
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(is_pass.cast("long")).cast("bigint").alias("n_quality"),
+            F.sum(after_dedup.cast("long"))
+            .cast("bigint")
+            .alias("n_after_dedup"),
+            F.sum(clean.cast("long")).cast("bigint").alias("n_clean"),
+            F.sum(F.when(clean, F.col("__tok")).otherwise(0))
+            .cast("bigint")
+            .alias("clean_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# cur01's oracle composes the SAME certified fragments: qf01's verdict,
+# dd06/dd07's transitive-closure clusters + representative rule, ct02's
+# contamination hits — one recursive CTE chain, end-to-end.
+EXTENSION_ORACLE["cur01_curation_funnel"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, lang, text, n_chars, {_WORDS} AS w FROM documents
+), feats AS (
+  SELECT doc_id, source, lang, text,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+         {_MWL.format(w='w')} AS mwl,
+         {_SWR.format(w='w')} AS swr,
+         {_PR} AS pr,
+         {_LANG_SCORES}
+  FROM base
+), scored AS (
+  SELECT doc_id, source, lang, tok, {_QUALITY} AS q,
+         CASE WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de > 0 AND s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es > 0 AND s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+              ELSE 'unknown' END AS pred
+  FROM feats
+), verdict AS (
+  SELECT doc_id, source, lang, tok,
+         CASE WHEN tok < 5 THEN 'too_short'
+              WHEN q < 0.5 THEN 'low_quality'
+              WHEN pred <> lang THEN 'langid_mismatch'
+              ELSE 'pass' END AS v
+  FROM scored
+), sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j) GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), good AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+  WHERE {_JACCARD.format(a='sa.s', b='sb.s')} >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM good
+  UNION ALL SELECT id_b AS s, id_a AS d FROM good
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+), sized AS (
+  SELECT c.doc_id, c.component,
+         COUNT(*) OVER (PARTITION BY c.component) AS csize,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM comp c JOIN documents d USING (doc_id)
+), dupdrop AS (
+  SELECT doc_id FROM sized WHERE csize >= 2 AND rk > 1
+), g AS (
+  SELECT doc_id, source, substr(md5(u), 1, 15) AS u
+  FROM (SELECT doc_id, source,
+               unnest({_sql_shingles('w', CONTAM_NGRAM)}) AS u
+        FROM base)
+), ev AS (
+  SELECT DISTINCT u FROM g WHERE source = 'src0'
+), hit AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (u) WHERE g.source <> 'src0'
+), funnel AS (
+  SELECT v.lang,
+         v.v = 'pass' AS pass,
+         v.v = 'pass' AND dd.doc_id IS NULL AS after_dedup,
+         v.v = 'pass' AND dd.doc_id IS NULL AND ct.doc_id IS NULL AS clean,
+         v.tok
+  FROM verdict v
+  LEFT JOIN dupdrop dd ON v.doc_id = dd.doc_id
+  LEFT JOIN hit ct ON v.doc_id = ct.doc_id
+  WHERE v.source <> 'src0'
+)
+SELECT lang,
+       COUNT(*) AS n_input,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN after_dedup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_dedup,
+       CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN clean THEN tok ELSE 0 END) AS BIGINT)
+         AS clean_tokens
+FROM funnel GROUP BY lang ORDER BY lang
+"""
+EXTENSION_QUERIES["cur01_curation_funnel"] = cur01_curation_funnel
