@@ -206,3 +206,68 @@ def test_st08_really_drops_late_rows(spark):
     n_input = load(spark, SF, "events").count()
     assert emitted < n_input
     assert emitted + stf.LAST_LATE_DROPPED <= n_input
+
+
+@needs_testdata
+def test_hq01_bins_bracket_exact_percentiles(spark):
+    """Histogram quantiles are monotone and within one bin width of the
+    exact percentile (the bounded-error contract)."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        hq01_histogram_quantiles,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    out = {r["event_type"]: r for r in hq01_histogram_quantiles(spark, SF).collect()}
+    exact = (
+        load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p50"))
+        .collect()
+    )
+    for r in exact:
+        row = out[r["event_type"]]
+        assert row["p50_bin"] <= row["p95_bin"] <= row["p99_bin"]
+        assert abs(row["p50_bin"] - r["p50"]) <= 1.0  # within bin width
+
+
+@needs_testdata
+def test_wm01_median_mass_property(spark):
+    """Docs at or below the reported threshold must carry >= half the
+    language's token mass; strictly below it, less than half."""
+    from local_etl_csv_to_postgresql_spark.functions import text as tx
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        wm01_token_mass_median,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    med = {r["lang"]: r for r in wm01_token_mass_median(spark, SF).collect()}
+    docs = load(spark, SF, "documents").select(
+        "lang", "n_chars", tx.token_count("text").alias("t")
+    )
+    for lang, r in med.items():
+        at_or_below = (
+            docs.filter(
+                (F.col("lang") == lang)
+                & (F.col("n_chars") <= r["median_mass_chars"])
+            )
+            .agg(F.sum("t"))
+            .first()[0]
+        )
+        assert 2 * at_or_below >= r["total_tokens"]
+
+
+@needs_testdata
+def test_cur01_funnel_is_monotone(spark):
+    """Each stage can only shrink the surviving set."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        cur01_curation_funnel,
+    )
+
+    for r in cur01_curation_funnel(spark, SF).collect():
+        assert (
+            r["n_input"]
+            >= r["n_quality"]
+            >= r["n_after_dedup"]
+            >= r["n_clean"]
+            >= 0
+        )
