@@ -83,6 +83,19 @@ def jaccard(a: Column, b: Column, nd: int = 6) -> Column:
     )
 
 
+def containment(a: Column, b: Column, nd: int = 6) -> Column:
+    """Exact containment |A∩B| / |A| — the ASYMMETRIC near-dup measure:
+    a short document quoted wholesale inside a long one has high
+    containment but low Jaccard (the union is dominated by the long
+    side), so Jaccard-threshold dedup misses exactly the
+    quote-inclusion duplicates containment catches."""
+    inter = F.size(F.array_intersect(a, b))
+    return F.round(
+        inter.cast("double") / F.nullif(F.size(a), F.lit(0)).cast("double"),
+        nd,
+    )
+
+
 def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
     """Row-local k-permutation minhash signature (array<bigint>).
 

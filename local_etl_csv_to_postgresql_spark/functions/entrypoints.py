@@ -3550,3 +3550,83 @@ SELECT event_type, n_events, exact_distinct, occupied,
 FROM per ORDER BY event_type
 """
 EXTENSION_QUERIES["lc01_linear_counting"] = lc01_linear_counting
+
+
+def dd09_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment |A∩B|/|A| on the
+    SAME LSH candidate pairs dd03 verifies — the measure that catches
+    quote-inclusion duplicates (a short doc embedded in a long one has
+    high containment but union-dominated low Jaccard, so a
+    Jaccard-threshold pass keeps both copies). Candidates come from
+    the banded bucket join (never all-pairs); the exact kernels run
+    only on the candidate list. Top 50 by max directional containment
+    with full deterministic tie-breaks."""
+    docs = _docs_words(spark, sf).select(
+        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
+    )
+    docs = docs.persist()
+    sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dd.jaccard(F.col("__sa"), F.col("__sb")).alias("jaccard"),
+            dd.containment(F.col("__sa"), F.col("__sb")).alias(
+                "containment_a_in_b"
+            ),
+            dd.containment(F.col("__sb"), F.col("__sa")).alias(
+                "containment_b_in_a"
+            ),
+        )
+        .withColumn(
+            "max_containment",
+            F.greatest("containment_a_in_b", "containment_b_in_a"),
+        )
+        .orderBy(F.desc("max_containment"), "id_a", "id_b")
+        .limit(50)
+    )
+
+
+_CONTAIN = (
+    "ROUND(CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "
+    "CAST(NULLIF(len({a}), 0) AS DOUBLE), 6)"
+)
+
+EXTENSION_ORACLE["dd09_containment_pairs"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j) GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         {_JACCARD.format(a='sa.s', b='sb.s')} AS jaccard,
+         {_CONTAIN.format(a='sa.s', b='sb.s')} AS containment_a_in_b,
+         {_CONTAIN.format(a='sb.s', b='sa.s')} AS containment_b_in_a
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard, containment_a_in_b, containment_b_in_a,
+       GREATEST(containment_a_in_b, containment_b_in_a) AS max_containment
+FROM scored
+ORDER BY max_containment DESC, id_a, id_b LIMIT 50
+"""
+EXTENSION_QUERIES["dd09_containment_pairs"] = dd09_containment_pairs
