@@ -3630,3 +3630,81 @@ FROM scored
 ORDER BY max_containment DESC, id_a, id_b LIMIT 50
 """
 EXTENSION_QUERIES["dd09_containment_pairs"] = dd09_containment_pairs
+
+
+def es08_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space OUTLIER detection — the mislabeled/corrupt-vector
+    screen an embedding store runs before training: per label, the 3
+    vectors farthest from the label centroid. Centroids reuse es05's
+    decimal-exact mean; squared distances accumulate per-term doubles
+    (deterministic) through DECIMAL sums (exact, partition-order-free),
+    so the ranking key is bit-identical cross-engine; ranking rides the
+    distributed two-phase rank because labels are LOW cardinality — at
+    web scale each label's vectors are huge, exactly the shape where a
+    per-label window funnels into one task."""
+    from ..operators.ranking import attach_global_row_number
+
+    emb = load(spark, sf, "embeddings")
+    ex = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__c")
+    )
+    dist = (
+        ex.join(cent, ["label", "dim"])
+        .withColumn(
+            "__sq",
+            ((F.col("val") - F.col("__c")) * (F.col("val") - F.col("__c")))
+            .cast("decimal(30,15)"),
+        )
+        .groupBy("label", "vec_id")
+        .agg(F.sum("__sq").alias("__d2"))
+    )
+    ranked = attach_global_row_number(
+        dist,
+        order_by=[F.desc("__d2"), F.asc("vec_id")],
+        partition_by=["label"],
+        rn_col="__rk",
+    )
+    return (
+        ranked.filter(F.col("__rk") <= 3)
+        .select(
+            "label",
+            "vec_id",
+            F.round(F.sqrt(F.col("__d2").cast("double")), 6).alias("dist"),
+            F.col("__rk").cast("int").alias("rk"),
+        )
+        .orderBy("label", "rk")
+    )
+
+
+EXTENSION_ORACLE["es08_centroid_outliers"] = """
+WITH ex AS (
+  SELECT label, vec_id, CAST(d - 1 AS INT) AS dim,
+         CAST(embedding[d] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+), cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(val AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, dim
+), dist AS (
+  SELECT e.label, e.vec_id,
+         SUM(CAST((e.val - c.c) * (e.val - c.c) AS DECIMAL(30,15))) AS d2
+  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY e.label, e.vec_id
+), rk AS (
+  SELECT label, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY d2 DESC, vec_id) AS rk
+  FROM dist
+)
+SELECT label, vec_id,
+       ROUND(sqrt(CAST(d2 AS DOUBLE)), 6) AS dist,
+       CAST(rk AS INT) AS rk
+FROM rk WHERE rk <= 3 ORDER BY label, rk
+"""
+EXTENSION_QUERIES["es08_centroid_outliers"] = es08_centroid_outliers
