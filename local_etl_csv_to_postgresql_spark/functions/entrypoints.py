@@ -3708,3 +3708,90 @@ SELECT label, vec_id,
 FROM rk WHERE rk <= 3 ORDER BY label, rk
 """
 EXTENSION_QUERIES["es08_centroid_outliers"] = es08_centroid_outliers
+
+
+def ss03_train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST split — the reproducible-split
+    contract every training run needs: assignment is a pure function
+    of doc_id (multiplicative hash mod 100 → 80/10/10 bands), so the
+    split is stable across runs, engines, partitionings, and corpus
+    growth (a doc's split never changes when other docs arrive — the
+    property random shuffles lose). Zero shuffle for assignment; one
+    rollup. Membership pinned per (lang, split) by doc_id sum."""
+    docs = load(spark, sf, "documents")
+    band = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    split = (
+        F.when(band < 80, F.lit("train"))
+        .when(band < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", "doc_id", split.alias("__s"))
+        .groupBy("lang", "__s")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("docid_sum"),
+        )
+        .select(F.col("lang"), F.col("__s").alias("split"), "n_docs", "docid_sum")
+        .orderBy("lang", "split")
+    )
+
+
+EXTENSION_ORACLE["ss03_train_val_test_split"] = """
+WITH b AS (
+  SELECT lang, doc_id,
+         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS docid_sum
+FROM b GROUP BY lang, split ORDER BY lang, split
+"""
+EXTENSION_QUERIES["ss03_train_val_test_split"] = ss03_train_val_test_split
+
+
+def prof02_events_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-stream data-quality profile (prof01's sibling for the
+    events table): one conditional-aggregation pass — null user ids,
+    duplicate event ids, unparseable JSON props (get_json_object null
+    ⇔ DuckDB json field miss), out-of-range values, and the time-span
+    bounds a watermark policy is set from. Single map-side-combinable
+    aggregate; no second scan per metric."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long"))
+        .cast("bigint")
+        .alias("n_null_user"),
+        (F.count("event_id") - F.countDistinct("event_id"))
+        .cast("bigint")
+        .alias("n_dup_event_id"),
+        F.sum(k.isNull().cast("long")).cast("bigint").alias("n_bad_json"),
+        F.sum(
+            ((F.col("value") < 0) | (F.col("value") > 1000)).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_value_out_of_range"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
+EXTENSION_ORACLE["prof02_events_profile"] = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_user,
+       CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT)
+         AS n_dup_event_id,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_json,
+       CAST(SUM(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_value_out_of_range,
+       MIN(ts) AS ts_min,
+       MAX(ts) AS ts_max
+FROM events
+"""
+EXTENSION_QUERIES["prof02_events_profile"] = prof02_events_profile
