@@ -67,6 +67,7 @@ def main() -> int:
                         or t.name.startswith("stream_quota_")
                         or t.name.startswith("stream_enrich_")
                         or t.name.startswith("stream_late_")
+                        or t.name.startswith("stream_ssjoin_")
                     ):
                         spark.catalog.dropTempView(t.name)
     total = round(sum(timings.values()), 3)

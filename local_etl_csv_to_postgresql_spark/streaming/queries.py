@@ -148,6 +148,28 @@ def st08_late_data_drop(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def st09_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """View→click attribution from an actual stream-stream interval
+    join run (streaming/stateful.replay_stream_stream_join): per user,
+    the (view, click) pairs where the view precedes the click by at
+    most 10 minutes. Rolled up with id-sum membership pins so the
+    oracle certifies the exact pair set, not just counts."""
+    from .stateful import replay_stream_stream_join
+
+    pairs = replay_stream_stream_join(spark, f"{sf}/events.parquet")
+    return (
+        pairs.groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("c_id").cast("bigint").alias("n_clicks_with_view"),
+            F.sum(F.col("c_id") + F.col("v_id"))
+            .cast("bigint")
+            .alias("pair_id_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
 STREAMING_QUERIES = {
     "st01_tumbling_rollup": st01_tumbling_rollup,
     "st02_session_summary": st02_session_summary,
@@ -157,6 +179,7 @@ STREAMING_QUERIES = {
     "st06_quota_enforce": st06_quota_enforce,
     "st07_stream_static_enrich": st07_stream_static_enrich,
     "st08_late_data_drop": st08_late_data_drop,
+    "st09_stream_stream_join": st09_stream_stream_join,
 }
 
 STREAMING_ORACLE = {
@@ -305,6 +328,26 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_windows_emitted,
        CAST(SUM(c) AS BIGINT) AS n_events_emitted
 FROM emitted GROUP BY event_type ORDER BY event_type
+""",
+    # st09: bounded replay == batch interval join
+    "st09_stream_stream_join": """
+WITH c AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+  WHERE event_type = 'click'
+), v AS (
+  SELECT event_id AS v_id, user_id, ts AS v_ts FROM events
+  WHERE event_type = 'view'
+), p AS (
+  SELECT c.user_id, c.c_id, v.v_id
+  FROM v JOIN c ON v.user_id = c.user_id
+   AND v.v_ts <= c.c_ts
+   AND v.v_ts >= c.c_ts - INTERVAL 10 MINUTE
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT c_id) AS BIGINT) AS n_clicks_with_view,
+       CAST(SUM(c_id + v_id) AS BIGINT) AS pair_id_sum
+FROM p GROUP BY user_id ORDER BY user_id
 """,
     "st07_stream_static_enrich": """
 SELECT c_mktsegment,

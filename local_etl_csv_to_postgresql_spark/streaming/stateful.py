@@ -555,3 +555,78 @@ def replay_late_data(
 
 
 LAST_LATE_DROPPED: int = 0
+
+
+def replay_stream_stream_join(
+    spark,
+    parquet_path: str,
+    window_minutes: int = 10,
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Bounded replay of a STREAM-STREAM interval join — the state-store
+    join surface (two buffered sides, watermark-bounded state) none of
+    st01–st08 exercises: each 'click' inner-joins the same user's
+    'view' events from the preceding ``window_minutes``. Both sides
+    carry watermarks and the join predicate carries the event-time
+    range, which is what lets a live run evict buffered rows once the
+    watermark passes; in the bounded availableNow replay everything
+    lands in one batch, so the emitted pair set equals the batch
+    interval join — the DuckDB oracle (st09)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    table_name = table_name or f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
+    batch_schema, stage = _schema_and_stage(spark, parquet_path)
+
+    def src():
+        return _normalize_ts(
+            spark.readStream.schema(batch_schema).parquet(stage)
+        ).select("event_id", "user_id", "event_type", "ts")
+
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", f"{window_minutes} minutes")
+    )
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", f"{window_minutes} minutes")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"v_user = c_user AND v_ts <= c_ts "
+            f"AND v_ts >= c_ts - interval {window_minutes} minutes"
+        ),
+        "inner",
+    )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)
