@@ -3795,3 +3795,102 @@ SELECT COUNT(*) AS n_rows,
 FROM events
 """
 EXTENSION_QUERIES["prof02_events_profile"] = prof02_events_profile
+
+
+def ks01_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift monitor: per event type, the
+    KS statistic between the `value` distribution of the first half of
+    the window (ts < 2024-01-16) and the rest — the standard
+    train-vs-serve / yesterday-vs-today data-drift check a production
+    pipeline runs before retraining.
+
+    Distributed-exact formulation (no single-partition window, no
+    sampling): (1) one shuffle aggregates per (event_type, value) the
+    early/late sample counts; (2) the distributed prefix sum
+    (operators/ranking.attach_global_row_number, multi-column
+    running_sum_of — both CDFs ride ONE range shuffle + in-partition
+    window) turns the counts into the two cumulative sample counts at
+    every distinct value; (3) the supremum is taken on exact int64
+    cross-products |cum_a·n_b − cum_b·n_a| (ties and float CDF drift
+    cannot flip the max), divided once at the end. Integer products
+    stay exact while n_a·n_b < 2^63 — beyond ~3e9 rows per side,
+    switch the comparator to normalized doubles (documented fallback).
+
+    Not in the reference (no two-sample statistics anywhere in
+    /root/reference/sql/queries.sql) — training-data extension.
+    """
+    from ..operators.ranking import attach_global_row_number
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        "value",
+        (F.col("ts") < split).cast("long").alias("__a"),
+    )
+    per_value = ev.groupBy("event_type", "value").agg(
+        F.sum("__a").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
+    )
+    cdf = attach_global_row_number(
+        per_value,
+        order_by=[F.asc("value")],
+        partition_by=["event_type"],
+        rn_col="__rn",
+        running_sum_of=["__ca", "__cb"],
+        running_sum_col=["__cum_a", "__cum_b"],
+    )
+    totals = per_value.groupBy("event_type").agg(
+        F.sum("__ca").cast("long").alias("__na"),
+        F.sum("__cb").cast("long").alias("__nb"),
+    )
+    return (
+        cdf.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("__na").alias("n_early"),
+            F.max("__nb").alias("n_late"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("__cum_a") * F.col("__nb")
+                        - F.col("__cum_b") * F.col("__na")
+                    )
+                ).cast("double")
+                / (F.max("__na") * F.max("__nb")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENSION_ORACLE["ks01_value_drift"] = """
+WITH s AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS a
+  FROM events
+), g AS (
+  SELECT event_type, value,
+         CAST(SUM(a) AS BIGINT) AS ca,
+         CAST(SUM(1 - a) AS BIGINT) AS cb
+  FROM s GROUP BY event_type, value
+), r AS (
+  SELECT event_type,
+         CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_a,
+         CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_b,
+         CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+         CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+  FROM g
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_early,
+       CAST(MAX(nb) AS BIGINT) AS n_late,
+       ROUND(CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS DOUBLE)
+             / (CAST(MAX(na) AS DOUBLE) * MAX(nb)), 6) AS ks_stat
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+EXTENSION_QUERIES["ks01_value_drift"] = ks01_value_drift

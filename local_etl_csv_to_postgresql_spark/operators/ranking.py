@@ -59,8 +59,8 @@ def attach_global_row_number(
     rn_col: str = "global_rn",
     total_col: str | None = None,
     partitions: int | None = None,
-    running_sum_of: str | None = None,
-    running_sum_col: str = "running_sum",
+    running_sum_of: str | Sequence[str] | None = None,
+    running_sum_col: str | Sequence[str] = "running_sum",
 ) -> DataFrame:
     """Attach a global (or per-``partition_by``-group) 1-based row
     number ordered by ``order_by``, computed with range partitioning +
@@ -81,7 +81,10 @@ def attach_global_row_number(
     with the same O(P × G) broadcast. Integral columns only: offsets
     are exact int64 driver arithmetic (token budgets, byte quotas —
     the prefix-sum consumers — are counts, and double offsets would
-    silently lose exactness past 2^53).
+    silently lose exactness past 2^53). Pass a sequence of columns
+    (with a matching sequence of output names) to compute several
+    prefix sums in the SAME shuffle + window — e.g. the two cumulative
+    sample counts of a two-sample CDF comparison.
 
     When ``order_by`` does not include a unique tie-break, row numbers
     among equal keys are arbitrary but equal keys always share a range
@@ -92,6 +95,28 @@ def attach_global_row_number(
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     partition_by = list(partition_by)
+    if running_sum_of is None:
+        rs_cols: list[str] = []
+        rs_names: list[str] = []
+    elif isinstance(running_sum_of, str):
+        rs_cols = [running_sum_of]
+        rs_names = [
+            running_sum_col
+            if isinstance(running_sum_col, str)
+            else list(running_sum_col)[0]
+        ]
+    else:
+        rs_cols = list(running_sum_of)
+        rs_names = (
+            [running_sum_col]
+            if isinstance(running_sum_col, str)
+            else list(running_sum_col)
+        )
+        if len(rs_names) != len(rs_cols):
+            raise ValueError(
+                "running_sum_col must name one output per running_sum_of "
+                f"column: got {len(rs_names)} names for {len(rs_cols)} columns"
+            )
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_by]
     sort_key = [F.col(c) for c in partition_by] + order_exprs
 
@@ -108,10 +133,8 @@ def attach_global_row_number(
         .localCheckpoint(eager=False)
     )
     aggs = [F.count(F.lit(1)).alias("__n")]
-    if running_sum_of is not None:
-        aggs.append(
-            F.sum(F.col(running_sum_of).cast("long")).alias("__s")
-        )
+    for i, c in enumerate(rs_cols):
+        aggs.append(F.sum(F.col(c).cast("long")).alias(f"__s{i}"))
     counts = tagged.groupBy(_PID, *partition_by).agg(*aggs).collect()
     if len(counts) > _MAX_OFFSET_ROWS:
         raise ValueError(
@@ -123,21 +146,21 @@ def attach_global_row_number(
         )
     # offsets: rows of the same group in lower-id partitions (range
     # partition ids ascend with the sort key, so lower id == earlier)
-    by_group: dict[tuple, list[tuple[int, int, int]]] = {}
+    by_group: dict[tuple, list[tuple]] = {}
     for r in counts:
         key = tuple(r[c] for c in partition_by)
-        s = (r["__s"] or 0) if running_sum_of is not None else 0
-        by_group.setdefault(key, []).append((r[_PID], r["__n"], s))
+        sums = tuple((r[f"__s{i}"] or 0) for i in range(len(rs_cols)))
+        by_group.setdefault(key, []).append((r[_PID], r["__n"], sums))
     rows = []
     for key, pid_counts in by_group.items():
         pid_counts.sort()
         total = sum(n for _, n, _ in pid_counts)
         offset = 0
-        sum_offset = 0
-        for pid, n, s in pid_counts:
-            rows.append((pid, *key, offset, total, sum_offset))
+        sum_offsets = [0] * len(rs_cols)
+        for pid, n, sums in pid_counts:
+            rows.append((pid, *key, offset, total, *sum_offsets))
             offset += n
-            sum_offset += s
+            sum_offsets = [a + b for a, b in zip(sum_offsets, sums)]
     part_fields = [df.schema[c] for c in partition_by]
     schema = StructType(
         [StructField(_PID, IntegerType(), False)]
@@ -145,7 +168,10 @@ def attach_global_row_number(
         + [
             StructField(_OFFSET, LongType(), False),
             StructField(_TOTAL, LongType(), False),
-            StructField(_SOFF, LongType(), False),
+        ]
+        + [
+            StructField(f"{_SOFF}{i}", LongType(), False)
+            for i in range(len(rs_cols))
         ]
     )
     offsets = spark.createDataFrame(rows, schema)
@@ -167,18 +193,21 @@ def attach_global_row_number(
         .drop(*["__rk_j_" + c for c in [_PID, *partition_by]])
         .withColumn(rn_col, (F.col(_RN) + F.col(_OFFSET)).cast("long"))
     )
-    if running_sum_of is not None:
+    if rs_cols:
         wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        out = out.withColumn(
-            running_sum_col,
-            (
-                F.sum(F.col(running_sum_of).cast("long")).over(wsum)
-                + F.col(_SOFF)
-            ).cast("long"),
-        )
+        for i, (c, name) in enumerate(zip(rs_cols, rs_names)):
+            out = out.withColumn(
+                name,
+                (
+                    F.sum(F.col(c).cast("long")).over(wsum)
+                    + F.col(f"{_SOFF}{i}")
+                ).cast("long"),
+            )
     if total_col is not None:
         out = out.withColumn(total_col, F.col(_TOTAL))
-    return out.drop(_RN, _OFFSET, _TOTAL, _SOFF)
+    return out.drop(
+        _RN, _OFFSET, _TOTAL, *[f"{_SOFF}{i}" for i in range(len(rs_cols))]
+    )
 
 
 def exact_ntile(rn: Column, n: Column, tiles: int | Column) -> Column:

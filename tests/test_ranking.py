@@ -163,3 +163,47 @@ def test_ties_colocated_min_max_recover_rank_and_cume(spark):
         (F.cume_dist().over(w) * 500).cast("long").alias("cume_n"),
     )
     assert _rows(got, "id", "rank", "cume_n") == _rows(want, "id", "rank", "cume_n")
+
+
+def test_multi_column_running_sums_match_window(spark):
+    """running_sum_of accepts a sequence: each output must equal the
+    equivalent SUM() OVER (PARTITION BY g ORDER BY o) window — the
+    contract ks01's two-CDF computation relies on (both cumulative
+    sample counts in one shuffle)."""
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 11).alias("o"),
+        (F.col("id") % 5).alias("x"),
+        (F.col("id") % 4).alias("y"),
+    )
+    got = attach_global_row_number(
+        df,
+        order_by=[F.asc("o"), F.asc("id")],
+        partition_by=["g"],
+        rn_col="rn",
+        partitions=8,
+        running_sum_of=["x", "y"],
+        running_sum_col=["cx", "cy"],
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select(
+        "id", F.sum("x").over(w).alias("cx"), F.sum("y").over(w).alias("cy")
+    )
+    assert _rows(got, "id", "cx", "cy") == _rows(want, "id", "cx", "cy")
+
+
+def test_running_sum_col_name_mismatch_raises(spark):
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("x"))
+    with pytest.raises(ValueError, match="one output per"):
+        attach_global_row_number(
+            df,
+            order_by=[F.asc("id")],
+            rn_col="rn",
+            running_sum_of=["x", "x"],
+            running_sum_col=["only_one"],
+        )
