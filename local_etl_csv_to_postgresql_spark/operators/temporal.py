@@ -56,18 +56,28 @@ def asof_join(
     right_cols: Sequence[str] = (),
     tiebreak: str | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the latest right
-    row with ``right_ts <= left_ts`` on the same key (inclusive ties —
-    a right row at exactly ``left_ts`` matches).
+    """As-of join: for every left row, attach the nearest right row on
+    the same key — ``direction="backward"`` (default) takes the latest
+    right row with ``right_ts <= left_ts``, ``direction="forward"`` the
+    earliest with ``right_ts >= left_ts`` (both inclusive — a right row
+    at exactly ``left_ts`` matches either way).
 
     ``right_cols`` come back prefixed ``asof_`` (null when no match).
-    ``tiebreak`` orders right rows sharing a timestamp (the greatest
-    wins), keeping results deterministic. ``tolerance_seconds`` nulls
-    out matches older than the window, like pandas ``merge_asof``.
+    ``tiebreak`` orders right rows sharing a timestamp (backward: the
+    greatest wins; forward: the smallest), keeping results
+    deterministic. ``tolerance_seconds`` nulls out matches farther than
+    the window, like pandas ``merge_asof`` — gap measured on
+    floor-epoch-seconds in the match direction.
 
-    One shuffle on ``on``; no range join, no cross product.
+    One shuffle on ``on``; no range join, no cross product. The forward
+    variant is the same union+window plan with the carry reversed: a
+    forward-looking ``first(ignorenulls)`` frame instead of a
+    backward-looking ``last``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     right_cols = [c for c in right_cols if c not in on]
     payload = F.struct(
@@ -89,26 +99,47 @@ def asof_join(
         F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
     )
-    # right rows sort BEFORE left rows at the same instant (inclusive
-    # semantics); among simultaneous right rows the greatest tiebreak
-    # sorts last, so last(ignorenulls) picks it
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned = l_rows.unionByName(
+        r.select(*on, "__ts", "__side", "__tb", "__payload"),
+        allowMissingColumns=True,
     )
+    if direction == "backward":
+        # right rows sort BEFORE left rows at the same instant
+        # (inclusive semantics); among simultaneous right rows the
+        # greatest tiebreak sorts last, so last(ignorenulls) picks it
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(
+                F.col("__ts").asc(),
+                F.col("__side").asc(),
+                F.col("__tb").asc_nulls_last(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("__payload", ignorenulls=True).over(w)
+        gap = epoch_seconds("__ts") - epoch_seconds(F.col("__m.__rts"))
+    else:
+        # right rows sort AFTER left rows at the same instant (still
+        # visible to the forward-looking frame that starts at
+        # currentRow); among simultaneous right rows the smallest
+        # tiebreak sorts first, so first(ignorenulls) picks it
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(
+                F.col("__ts").asc(),
+                F.col("__side").desc(),
+                F.col("__tb").asc_nulls_last(),
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("__payload", ignorenulls=True).over(w)
+        gap = epoch_seconds(F.col("__m.__rts")) - epoch_seconds("__ts")
     matched = (
-        l_rows.unionByName(r.select(*on, "__ts", "__side", "__tb", "__payload"), allowMissingColumns=True)
-        .withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
+        unioned.withColumn("__m", carry).filter(F.col("__side") == 1)
     )
     if tolerance_seconds is not None:
-        in_tol = (
-            epoch_seconds("__ts") - epoch_seconds(F.col("__m.__rts"))
-            <= F.lit(tolerance_seconds)
-        )
         matched = matched.withColumn(
-            "__m", F.when(in_tol, F.col("__m"))
+            "__m", F.when(gap <= F.lit(tolerance_seconds), F.col("__m"))
         )
     out_cols = [c for c in left.columns]
     result = matched.select(

@@ -767,6 +767,40 @@ def aj01_asof_prior_click(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
+def aj02_asof_next_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each click picks up the
+    user's next purchase at-or-after it, nulled when the conversion
+    takes longer than 600 s — bounded click→purchase attribution. Same
+    union+window single-shuffle plan as aj01, with the carry reversed
+    (operators/temporal.asof_join direction="forward")."""
+    from ..operators.temporal import asof_join
+
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        right_cols=["purchase_id"],
+        tiebreak="purchase_id",
+        tolerance_seconds=600,
+        direction="forward",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("asof_purchase_id").alias("next_purchase_id"),
+        (F.col("asof_ts").cast("long") - F.col("ts").cast("long")).alias(
+            "latency_seconds"
+        ),
+    ).orderBy("click_id")
+
+
 def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join: per error event, how many of the
     same user's view/click events landed in the preceding 60 s. See
@@ -1284,5 +1318,6 @@ RELATIONAL_QUERIES = {
     "std01_standardized_parts": std01_standardized_parts,
     "fn01_purchase_funnel": fn01_purchase_funnel,
     "aj01_asof_prior_click": aj01_asof_prior_click,
+    "aj02_asof_next_purchase": aj02_asof_next_purchase,
     "rj01_error_context_window": rj01_error_context_window,
 }

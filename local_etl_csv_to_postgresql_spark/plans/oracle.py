@@ -390,6 +390,27 @@ FROM p LEFT JOIN LATERAL (
 ORDER BY purchase_id
 """
 
+RELATIONAL_ORACLE["aj02_asof_next_purchase"] = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, c.user_id,
+       CASE WHEN l.gap <= 600 THEN l.purchase_id END AS next_purchase_id,
+       CASE WHEN l.gap <= 600 THEN l.gap END AS latency_seconds
+FROM c LEFT JOIN LATERAL (
+  SELECT p.purchase_id,
+         CAST(FLOOR(epoch(p.ts)) AS BIGINT)
+           - CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS gap
+  FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts
+  ORDER BY p.ts ASC, p.purchase_id ASC LIMIT 1
+) l ON TRUE
+ORDER BY click_id
+"""
+
 # the Spark operator compares floor-epoch-seconds (ts CAST LONG), so the
 # oracle floors epoch() the same way before the range predicate.
 RELATIONAL_ORACLE["rj01_error_context_window"] = """

@@ -278,3 +278,100 @@ def test_range_join_count_matches_bruteforce(spark, points, anchors, lo, span, b
         for aid, (ak, s) in enumerate(anchors)
     }
     assert got == want
+
+
+def test_asof_forward_matches_earliest_at_or_after(spark):
+    left = _frame(
+        spark,
+        [(1, 10, ts("2024-01-01 00:01:00")), (2, 10, ts("2024-01-01 00:05:00"))],
+        ["id", "k", "ts"],
+    )
+    right = _frame(
+        spark,
+        [
+            (100, 10, ts("2024-01-01 00:01:00")),  # tie: inclusive
+            (101, 10, ts("2024-01-01 00:06:00")),
+        ],
+        ["rid", "k", "ts"],
+    )
+    out = {
+        r["id"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["rid"], tiebreak="rid",
+            direction="forward",
+        ).collect()
+    }
+    assert out == {1: 100, 2: 101}
+
+
+def test_asof_forward_tolerance_nulls_far_matches(spark):
+    left = _frame(spark, [(1, 10, ts("2024-01-01 00:00:00"))], ["id", "k", "ts"])
+    right = _frame(
+        spark, [(100, 10, ts("2024-01-01 00:10:01"))], ["rid", "k", "ts"]
+    )
+    row = asof_join(
+        left, right, on=["k"], right_cols=["rid"], tiebreak="rid",
+        tolerance_seconds=600, direction="forward",
+    ).collect()[0]
+    assert row["asof_rid"] is None
+
+
+def test_asof_direction_validated(spark):
+    import pytest
+
+    df = _frame(spark, [(1, 10, ts("2024-01-01 00:00:00"))], ["id", "k", "ts"])
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(df, df, on=["k"], direction="sideways")
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3600)),
+        min_size=1, max_size=40,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3600)),
+        min_size=1, max_size=40,
+    ),
+    tol=st.one_of(st.none(), st.integers(1, 900)),
+)
+def test_asof_forward_matches_pandas_merge_asof(spark, left, right, tol):
+    """direction='forward' == pandas.merge_asof(direction='forward'):
+    pandas keeps the first right row in (ts, rid) sort order, ours the
+    smallest tiebreak at the earliest qualifying timestamp."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    rrows = [
+        (100 + i, k, base + dt.timedelta(seconds=s))
+        for i, (k, s) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    rdf = spark.createDataFrame(rrows, ["rid", "k", "ts"])
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], right_cols=["rid"], tiebreak="rid",
+            tolerance_seconds=tol, direction="forward",
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(rrows, columns=["rid", "k", "ts"]).sort_values(
+        ["ts", "rid"], kind="stable"
+    )
+    merged = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction="forward",
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want
