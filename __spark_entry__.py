@@ -72,11 +72,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # that have NEVER been certified (a stale-but-green r2 row beats no row
 # at all, so never-certified outranks refresh), (3) the queries whose
 # last green row is oldest. Round-4 window: json01 (its r3 hash-fail
-# was an oracle dtype bug, fixed), the 21 round-4 additions that have
-# oracles, then 28 of the 43 queries whose last driver row is r2. The
-# 15 r2-era queries left outside (q36/q37, fn01/aj01/rj01, tx01–tx05,
-# dd01–dd05) keep their pass(r2) union row and rotate in next round;
-# hll01/es06 are rows-only by design and already hold r3 rows.
+# was an oracle dtype bug, fixed), the 24 round-4 additions that have
+# oracles, then 25 of the 43 queries whose last driver row is r2. The
+# 18 r2-era queries left outside (q32/q33/q35/q36/q37, fn01/aj01/rj01,
+# tx01–tx05, dd01–dd05) keep their pass(r2) union row and rotate in
+# next round; hll01/es06 are rows-only by design and hold r3 rows.
 _CERTIFICATION_PRIORITY: list[str] = [
     # failed in r3 (oracle-side dtype bug, fixed this round)
     "json01_props_stats",
@@ -102,6 +102,9 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "prof02_events_profile",
     "st08_late_data_drop",
     "st09_stream_stream_join",
+    "ks01_value_drift",
+    "aj02_asof_next_purchase",
+    "es09_dimension_stats",
     # last certified in r2 — oldest first, filling the 50
     "q07_day_of_week_patterns",
     "q08_weekend_vs_weekday",
@@ -128,9 +131,6 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "q29_promo_revenue",
     "q30_revenue_forecast",
     "q31_large_volume_customers",
-    "q32_daily_revenue_ma7",
-    "q33_user_retention",
-    "q35_top_percentile_orders",
 ]
 
 

@@ -3894,3 +3894,92 @@ SELECT event_type,
 FROM r GROUP BY event_type ORDER BY event_type
 """
 EXTENSION_QUERIES["ks01_value_drift"] = ks01_value_drift
+
+
+def es09_dimension_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding QC — the screen run before indexing or
+    PCA: for every dimension, the population mean, variance, and the
+    Pearson correlation with the NEXT dimension (dead or collapsed
+    dims show variance ~0; a strongly off-diagonal band betrays an
+    un-rotated projection). One posexplode (n·d rows — linear, same
+    cost class as any per-dimension statistic), a per-vector lead()
+    window (keyed by vec_id: high-cardinality partitions of d rows —
+    never single-partition), then ONE map-side-combinable aggregate.
+
+    Determinism: every sum runs on DECIMAL(25,12) casts of the double
+    values (float→double is exact, float·float products fit a double
+    exactly, and decimal addition is order-independent — the es05
+    centroid discipline), so the shuffle order cannot wiggle the
+    result; moments combine in double only at the very end, in the
+    same textual expression the DuckDB twin uses.
+    """
+    from pyspark.sql import Window
+
+    d12 = "CAST({} AS DECIMAL(25,12))"
+    ex = (
+        load(spark, sf, "embeddings")
+        .select(
+            "vec_id", F.posexplode("embedding").alias("dim", "__xf")
+        )
+        .withColumn("__x", F.col("__xf").cast("double"))
+        .drop("__xf")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dim")
+    ex = ex.withColumn("__xn", F.lead("__x").over(w))
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.expr(d12.format("__x"))).alias("__sx"),
+        F.sum(F.expr(d12.format("__x * __x"))).alias("__sxx"),
+        F.sum(F.expr(d12.format("__xn"))).alias("__sy"),
+        F.sum(F.expr(d12.format("__xn * __xn"))).alias("__syy"),
+        F.sum(F.expr(d12.format("__x * __xn"))).alias("__sxy"),
+        F.count("__xn").cast("bigint").alias("__np"),
+    )
+    n = F.col("n_vecs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sy = F.col("__sy").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    np_ = F.col("__np").cast("double")
+    corr = (np_ * sxy - sx * sy) / F.sqrt(
+        (np_ * sxx - sx * sx) * (np_ * syy - sy * sy)
+    )
+    return agg.select(
+        "dim",
+        "n_vecs",
+        F.round(sx / n, 6).alias("mean_val"),
+        F.round((n * sxx - sx * sx) / (n * n), 6).alias("variance"),
+        F.round(F.when(F.col("__np") > 0, corr), 6).alias("corr_next"),
+    ).orderBy("dim")
+
+
+EXTENSION_ORACLE["es09_dimension_stats"] = """
+WITH ex AS (
+  SELECT vec_id, CAST(d - 1 AS INT) AS dim,
+         CAST(embedding[d] AS DOUBLE) AS x,
+         CAST(embedding[d + 1] AS DOUBLE) AS xn
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+), agg AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         SUM(CAST(x AS DECIMAL(25,12))) AS sx,
+         SUM(CAST(x * x AS DECIMAL(25,12))) AS sxx,
+         SUM(CAST(xn AS DECIMAL(25,12))) AS sy,
+         SUM(CAST(xn * xn AS DECIMAL(25,12))) AS syy,
+         SUM(CAST(x * xn AS DECIMAL(25,12))) AS sxy,
+         CAST(COUNT(xn) AS BIGINT) AS np
+  FROM ex GROUP BY dim
+)
+SELECT dim, n_vecs,
+       ROUND(CAST(sx AS DOUBLE) / n_vecs, 6) AS mean_val,
+       ROUND((n_vecs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n_vecs AS DOUBLE) * n_vecs), 6) AS variance,
+       ROUND(CASE WHEN np > 0 THEN
+         (np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (np * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END, 6) AS corr_next
+FROM agg ORDER BY dim
+"""
+EXTENSION_QUERIES["es09_dimension_stats"] = es09_dimension_stats
