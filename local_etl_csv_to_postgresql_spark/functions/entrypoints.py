@@ -3983,3 +3983,88 @@ SELECT dim, n_vecs,
 FROM agg ORDER BY dim
 """
 EXTENSION_QUERIES["es09_dimension_stats"] = es09_dimension_stats
+
+
+def cs01_chi_square_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence check between event type and ISO
+    weekday — the categorical drift monitor next to ks01's continuous
+    one (did the traffic MIX shift across the week, e.g. a crawler
+    that only runs on weekdays?). Observed counts come from ONE
+    groupBy; the expected counts are outer products of the two
+    marginal vectors (broadcast — they are |types| and 7 rows); the
+    dense type×weekday grid is built by crossing the two marginals so
+    zero cells still contribute their full expectation.
+
+    Determinism: each cell's (o−e)²/e is computed in double from
+    integer counts (identical expression both engines), rounded to
+    6 dp, and summed as DECIMAL(25,6) — the sum is order-independent,
+    so shuffle arrival order cannot wiggle the statistic.
+    """
+    ev = load(spark, sf, "events").select(
+        "event_type", (F.expr("weekday(ts)") + F.lit(1)).alias("dow")
+    )
+    obs = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("__o")
+    )
+    rt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__rt")
+    )
+    ct = ev.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("__ct"))
+    n = ev.count()
+    grid = (
+        F.broadcast(rt)
+        .crossJoin(F.broadcast(ct))
+        .join(obs, ["event_type", "dow"], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+    )
+    e = (
+        F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.lit(float(n))
+    )
+    contrib = F.round(
+        (F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e) / e,
+        6,
+    ).cast("decimal(25,6)")
+    return (
+        grid.withColumn("__c", contrib)
+        .groupBy("event_type")
+        .agg(
+            F.max("__rt").cast("bigint").alias("n_events"),
+            F.sum("__c").cast("double").alias("chi2_part"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENSION_ORACLE["cs01_chi_square_mix"] = """
+WITH ev AS (
+  SELECT event_type, CAST(isodow(ts) AS INT) AS dow FROM events
+), obs AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM ev GROUP BY event_type, dow
+), rt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rt FROM ev GROUP BY event_type
+), ct AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS ct FROM ev GROUP BY dow
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ev
+), grid AS (
+  SELECT rt.event_type, ct.dow, rt.rt, ct.ct,
+         COALESCE(obs.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs ON obs.event_type = rt.event_type AND obs.dow = ct.dow
+), cells AS (
+  SELECT event_type, rt,
+         CAST(ROUND(
+           (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n.n)
+           * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n.n)
+           / (CAST(rt AS DOUBLE) * ct / n.n), 6) AS DECIMAL(25,6)) AS c
+  FROM grid, n
+)
+SELECT event_type,
+       CAST(MAX(rt) AS BIGINT) AS n_events,
+       CAST(SUM(c) AS DOUBLE) AS chi2_part
+FROM cells GROUP BY event_type ORDER BY event_type
+"""
+EXTENSION_QUERIES["cs01_chi_square_mix"] = cs01_chi_square_mix
