@@ -3839,9 +3839,11 @@ def ks01_value_drift(spark: SparkSession, sf: str) -> DataFrame:
         running_sum_of=["__ca", "__cb"],
         running_sum_col=["__cum_a", "__cum_b"],
     )
-    totals = per_value.groupBy("event_type").agg(
-        F.sum("__ca").cast("long").alias("__na"),
-        F.sum("__cb").cast("long").alias("__nb"),
+    # sample sizes are the final cumulative counts — aggregating the
+    # (checkpointed) CDF frame avoids a second scan of the source
+    totals = cdf.groupBy("event_type").agg(
+        F.max("__cum_a").cast("long").alias("__na"),
+        F.max("__cum_b").cast("long").alias("__nb"),
     )
     return (
         cdf.join(F.broadcast(totals), "event_type")
@@ -4003,24 +4005,28 @@ def cs01_chi_square_mix(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events").select(
         "event_type", (F.expr("weekday(ts)") + F.lit(1)).alias("dow")
     )
-    obs = ev.groupBy("event_type", "dow").agg(
-        F.count(F.lit(1)).cast("long").alias("__o")
+    # the observed grid is |types|·7 rows; a lazy localCheckpoint pins
+    # it so the three marginal branches below read the materialized
+    # blocks instead of re-scanning the source once per marginal
+    obs = (
+        ev.groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+        .localCheckpoint(eager=False)
     )
-    rt = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("__rt")
-    )
-    ct = ev.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("__ct"))
-    n = ev.count()
+    rt = obs.groupBy("event_type").agg(F.sum("__o").alias("__rt"))
+    ct = obs.groupBy("dow").agg(F.sum("__o").alias("__ct"))
+    tot = obs.agg(F.sum("__o").alias("__n"))
     grid = (
         F.broadcast(rt)
         .crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
         .join(obs, ["event_type", "dow"], "left")
         .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
     )
     e = (
         F.col("__rt").cast("double")
         * F.col("__ct").cast("double")
-        / F.lit(float(n))
+        / F.col("__n").cast("double")
     )
     contrib = F.round(
         (F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e) / e,
