@@ -3817,52 +3817,20 @@ def ks01_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     switch the comparator to normalized doubles (documented fallback).
 
     Not in the reference (no two-sample statistics anywhere in
-    /root/reference/sql/queries.sql) — training-data extension.
+    /root/reference/sql/queries.sql) — training-data extension. Kernel:
+    operators/stats.two_sample_ks (property-swept against a sequential
+    Python KS in tests/test_stats.py).
     """
-    from ..operators.ranking import attach_global_row_number
+    from ..operators.stats import two_sample_ks
 
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    ev = load(spark, sf, "events").select(
-        "event_type",
-        "value",
-        (F.col("ts") < split).cast("long").alias("__a"),
-    )
-    per_value = ev.groupBy("event_type", "value").agg(
-        F.sum("__a").alias("__ca"),
-        F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
-    )
-    cdf = attach_global_row_number(
-        per_value,
-        order_by=[F.asc("value")],
-        partition_by=["event_type"],
-        rn_col="__rn",
-        running_sum_of=["__ca", "__cb"],
-        running_sum_col=["__cum_a", "__cum_b"],
-    )
-    # sample sizes are the final cumulative counts — aggregating the
-    # (checkpointed) CDF frame avoids a second scan of the source
-    totals = cdf.groupBy("event_type").agg(
-        F.max("__cum_a").cast("long").alias("__na"),
-        F.max("__cum_b").cast("long").alias("__nb"),
-    )
+    ev = load(spark, sf, "events").select("event_type", "value", "ts")
     return (
-        cdf.join(F.broadcast(totals), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("__na").alias("n_early"),
-            F.max("__nb").alias("n_late"),
-            F.round(
-                F.max(
-                    F.abs(
-                        F.col("__cum_a") * F.col("__nb")
-                        - F.col("__cum_b") * F.col("__na")
-                    )
-                ).cast("double")
-                / (F.max("__na") * F.max("__nb")).cast("double"),
-                6,
-            ).alias("ks_stat"),
+        two_sample_ks(
+            ev, "event_type", "value", side_a=F.col("ts") < split
         )
-        .orderBy("event_type")
+        .withColumnRenamed("n_a", "n_early")
+        .withColumnRenamed("n_b", "n_late")
     )
 
 
@@ -4000,47 +3968,18 @@ def cs01_chi_square_mix(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: each cell's (o−e)²/e is computed in double from
     integer counts (identical expression both engines), rounded to
     6 dp, and summed as DECIMAL(25,6) — the sum is order-independent,
-    so shuffle arrival order cannot wiggle the statistic.
+    so shuffle arrival order cannot wiggle the statistic. Kernel:
+    operators/stats.chi_square_independence (property-swept against a
+    sequential Python chi-square in tests/test_stats.py).
     """
+    from ..operators.stats import chi_square_independence
+
     ev = load(spark, sf, "events").select(
         "event_type", (F.expr("weekday(ts)") + F.lit(1)).alias("dow")
     )
-    # the observed grid is |types|·7 rows; a lazy localCheckpoint pins
-    # it so the three marginal branches below read the materialized
-    # blocks instead of re-scanning the source once per marginal
-    obs = (
-        ev.groupBy("event_type", "dow")
-        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
-        .localCheckpoint(eager=False)
-    )
-    rt = obs.groupBy("event_type").agg(F.sum("__o").alias("__rt"))
-    ct = obs.groupBy("dow").agg(F.sum("__o").alias("__ct"))
-    tot = obs.agg(F.sum("__o").alias("__n"))
-    grid = (
-        F.broadcast(rt)
-        .crossJoin(F.broadcast(ct))
-        .crossJoin(F.broadcast(tot))
-        .join(obs, ["event_type", "dow"], "left")
-        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
-    )
-    e = (
-        F.col("__rt").cast("double")
-        * F.col("__ct").cast("double")
-        / F.col("__n").cast("double")
-    )
-    contrib = F.round(
-        (F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e) / e,
-        6,
-    ).cast("decimal(25,6)")
-    return (
-        grid.withColumn("__c", contrib)
-        .groupBy("event_type")
-        .agg(
-            F.max("__rt").cast("bigint").alias("n_events"),
-            F.sum("__c").cast("double").alias("chi2_part"),
-        )
-        .orderBy("event_type")
-    )
+    return chi_square_independence(
+        ev, "event_type", "dow"
+    ).withColumnRenamed("n_rows", "n_events")
 
 
 EXTENSION_ORACLE["cs01_chi_square_mix"] = """
