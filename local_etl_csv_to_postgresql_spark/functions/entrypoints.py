@@ -4013,3 +4013,107 @@ SELECT event_type,
 FROM cells GROUP BY event_type ORDER BY event_type
 """
 EXTENSION_QUERIES["cs01_chi_square_mix"] = cs01_chi_square_mix
+
+
+def win02_locf_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCF gap fill — win01's sibling for ENTITY time series: each
+    tracked user's daily mean value on a dense day spine, with missing
+    days carried forward from the last observed day (the fill a
+    feature store applies to slowly-moving per-entity signals; days
+    before a user's first observation stay NULL, and is_filled marks
+    carried rows).
+
+    The spine is wall-time-bounded (days × tracked users, not event
+    volume); the roster filter (user_id < 200 — keeps the certified
+    output bounded; the plan is identical unfiltered) pushes down to
+    the scan. The carry is last(ignorenulls) over a PER-USER window —
+    user_id is high-cardinality, so partitions stay small and spread;
+    never a single-partition window. Daily means round decimal sums,
+    so the fill propagates deterministic values."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 200).select(
+        "user_id", F.to_date("ts").alias("__d"), "value"
+    )
+    daily = ev.groupBy("user_id", "__d").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__avg"),
+    )
+    spine = ev.agg(
+        F.min("__d").alias("__mn"), F.max("__d").alias("__mx")
+    ).select(
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    grid = spine.crossJoin(F.broadcast(users))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(
+            daily,
+            (grid["day"] == daily["__d"]) & (grid["user_id"] == daily["user_id"]),
+            "left",
+        )
+        .select(
+            grid["user_id"],
+            grid["day"].cast("timestamp").alias("day"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("__avg"),
+        )
+        .withColumn("locf_value", F.last("__avg", ignorenulls=True).over(w))
+        .withColumn(
+            "is_filled",
+            F.col("__avg").isNull() & F.col("locf_value").isNotNull(),
+        )
+        .drop("__avg")
+        .orderBy("user_id", "day")
+    )
+
+
+EXTENSION_ORACLE["win02_locf_fill"] = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, value
+  FROM events WHERE user_id < 200
+), daily AS (
+  SELECT user_id, d, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_v
+  FROM ev GROUP BY user_id, d
+), b AS (
+  SELECT MIN(d) AS mn, MAX(d) AS mx FROM ev
+), spine AS (
+  SELECT unnest(generate_series(CAST(b.mn AS TIMESTAMP),
+                                CAST(b.mx AS TIMESTAMP),
+                                INTERVAL 1 DAY)) AS day
+  FROM b
+), users AS (
+  SELECT DISTINCT user_id FROM ev
+), grid AS (
+  SELECT u.user_id, s.day FROM spine s CROSS JOIN users u
+), joined AS (
+  SELECT g.user_id, g.day,
+         COALESCE(daily.n, 0) AS n_events,
+         daily.avg_v
+  FROM grid g LEFT JOIN daily
+    ON daily.user_id = g.user_id AND daily.d = CAST(g.day AS DATE)
+)
+SELECT user_id, day, n_events,
+       last_value(avg_v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+       (avg_v IS NULL AND last_value(avg_v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL)
+         AS is_filled
+FROM joined ORDER BY user_id, day
+"""
+EXTENSION_QUERIES["win02_locf_fill"] = win02_locf_fill
