@@ -4117,3 +4117,110 @@ SELECT user_id, day, n_events,
 FROM joined ORDER BY user_id, day
 """
 EXTENSION_QUERIES["win02_locf_fill"] = win02_locf_fill
+
+
+def psi01_value_stability(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index per event type — the scorecard-world
+    drift metric next to ks01 (KS weights the worst point; PSI weights
+    the whole histogram shift): fixed-width bins over `value`, early
+    half vs late half, PSI = Σ (p−q)·ln(p/q) with 0.5-count Laplace
+    smoothing so empty bins contribute finite mass (the standard
+    guard). Fixed bins — not sample quantiles — keep the metric
+    reproducible across runs and engines.
+
+    One conditional-count aggregate (map-side combinable) over
+    (type, bin); the dense grid crosses the tiny type roster with a
+    20-bin spine (broadcast both); per-bin contributions round to 6 dp
+    and sum as DECIMAL(25,6) — shuffle-order independent. >0.25 is the
+    conventional act threshold, reported as a flag."""
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(19)).alias(
+            "__bin"
+        ),
+        (F.col("ts") < split).cast("long").alias("__a"),
+    )
+    obs = (
+        ev.groupBy("event_type", "__bin")
+        .agg(
+            F.sum("__a").alias("__ca"),
+            F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = obs.groupBy("event_type").agg(
+        F.sum("__ca").cast("long").alias("__na"),
+        F.sum("__cb").cast("long").alias("__nb"),
+    )
+    bins = spark.range(0, 20).select(F.col("id").cast("int").alias("__bin"))
+    grid = (
+        F.broadcast(totals)
+        .crossJoin(F.broadcast(bins))
+        .join(obs, ["event_type", "__bin"], "left")
+        .select(
+            "event_type",
+            "__bin",
+            "__na",
+            "__nb",
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+    )
+    p = (F.col("__ca").cast("double") + F.lit(0.5)) / (
+        F.col("__na").cast("double") + F.lit(10.0)
+    )
+    q = (F.col("__cb").cast("double") + F.lit(0.5)) / (
+        F.col("__nb").cast("double") + F.lit(10.0)
+    )
+    contrib = F.round((p - q) * F.log(p / q), 6).cast("decimal(25,6)")
+    return (
+        grid.withColumn("__c", contrib)
+        .groupBy("event_type")
+        .agg(
+            F.max("__na").alias("n_early"),
+            F.max("__nb").alias("n_late"),
+            F.sum("__c").cast("double").alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") > 0.25)
+        .orderBy("event_type")
+    )
+
+
+EXTENSION_ORACLE["psi01_value_stability"] = """
+WITH ev AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value / 50) AS INT), 19) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS a
+  FROM events
+), obs AS (
+  SELECT event_type, bin,
+         CAST(SUM(a) AS BIGINT) AS ca,
+         CAST(SUM(1 - a) AS BIGINT) AS cb
+  FROM ev GROUP BY event_type, bin
+), totals AS (
+  SELECT event_type,
+         CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb
+  FROM obs GROUP BY event_type
+), grid AS (
+  SELECT t.event_type, b.bin, t.na, t.nb,
+         COALESCE(obs.ca, 0) AS ca, COALESCE(obs.cb, 0) AS cb
+  FROM totals t CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) b
+  LEFT JOIN obs ON obs.event_type = t.event_type AND obs.bin = b.bin
+), cells AS (
+  SELECT event_type, na, nb,
+         CAST(ROUND(
+           ((ca + 0.5) / (na + 10.0) - (cb + 0.5) / (nb + 10.0))
+           * ln(((ca + 0.5) / (na + 10.0)) / ((cb + 0.5) / (nb + 10.0))),
+           6) AS DECIMAL(25,6)) AS c
+  FROM grid
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_early,
+       CAST(MAX(nb) AS BIGINT) AS n_late,
+       CAST(SUM(c) AS DOUBLE) AS psi,
+       CAST(SUM(c) AS DOUBLE) > 0.25 AS drifted
+FROM cells GROUP BY event_type ORDER BY event_type
+"""
+EXTENSION_QUERIES["psi01_value_stability"] = psi01_value_stability
