@@ -4224,3 +4224,77 @@ SELECT event_type,
 FROM cells GROUP BY event_type ORDER BY event_type
 """
 EXTENSION_QUERIES["psi01_value_stability"] = psi01_value_stability
+
+
+def tx10_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer vocabulary coverage — the go/no-go check before
+    committing a vocab: freeze the top-1000 corpus words (count desc,
+    word asc — the tie at the boundary is deterministic) as the
+    "vocabulary", then per language report token-level and type-level
+    out-of-vocabulary rates (how much running text, and how much of
+    the lexicon, a 1000-entry vocab fails to cover).
+
+    Single tokenize pass: per-(lang, word) counts shuffle once and are
+    pinned with a lazy localCheckpoint; both the global vocab ranking
+    and the per-language coverage derive from that frame. The vocab is
+    top-k via orderBy+limit (TakeOrdered — a distributed heap, no
+    global sort) and broadcasts."""
+    per = (
+        _docs_words(spark, sf)
+        .select("lang", F.explode("__words").alias("__w"))
+        .groupBy("lang", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        per.groupBy("__w")
+        .agg(F.sum("__c").alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__w"))
+        .limit(1000)
+        .select("__w", F.lit(1).alias("__v"))
+    )
+    j = per.join(F.broadcast(vocab), "__w", "left")
+    covered = F.sum(F.when(F.col("__v").isNotNull(), F.col("__c")).otherwise(0))
+    n_tokens = F.sum("__c")
+    n_types = F.count(F.lit(1))
+    oov_types = F.sum(F.col("__v").isNull().cast("long"))
+    return (
+        j.groupBy("lang")
+        .agg(
+            n_tokens.cast("bigint").alias("n_tokens"),
+            n_types.cast("bigint").alias("n_types"),
+            covered.cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.lit(1.0) - covered.cast("double") / n_tokens.cast("double"), 6
+            ).alias("oov_token_rate"),
+            F.round(
+                oov_types.cast("double") / n_types.cast("double"), 6
+            ).alias("oov_type_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXTENSION_ORACLE["tx10_vocab_coverage"] = f"""
+WITH w AS (
+  SELECT lang, unnest({_WORDS}) AS w FROM documents
+), per AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY lang, w
+), wc AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS n FROM per GROUP BY w
+), vocab AS (
+  SELECT w FROM wc ORDER BY n DESC, w ASC LIMIT 1000
+)
+SELECT per.lang,
+       CAST(SUM(per.c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN v.w IS NOT NULL THEN per.c ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       ROUND(1.0 - CAST(SUM(CASE WHEN v.w IS NOT NULL THEN per.c ELSE 0 END)
+                        AS DOUBLE) / SUM(per.c), 6) AS oov_token_rate,
+       ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_type_rate
+FROM per LEFT JOIN vocab v USING (w)
+GROUP BY per.lang ORDER BY per.lang
+"""
+EXTENSION_QUERIES["tx10_vocab_coverage"] = tx10_vocab_coverage
