@@ -4298,3 +4298,72 @@ FROM per LEFT JOIN vocab v USING (w)
 GROUP BY per.lang ORDER BY per.lang
 """
 EXTENSION_QUERIES["tx10_vocab_coverage"] = tx10_vocab_coverage
+
+
+def ia01_interarrival_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-arrival burstiness per event type — the traffic-shape
+    fingerprint (a Poisson stream has CV² ≈ 1; retry storms and
+    crawler bursts push it far above): per user-and-type consecutive
+    gaps via ONE lag window keyed by (user_id, event_type) —
+    high-cardinality, so partitions stay small — then a
+    map-side-combinable aggregate of exact integer second-gaps.
+
+    Gaps are floor-epoch differences (int64) and both moment sums stay
+    integral (gap < ~10^6 s, squares < 10^12, sums < 2^63 far past
+    100 TB), so mean and CV² come from exact integers in one double
+    expression, rounded to 6 dp — no float accumulation anywhere."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("__es"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "__es", "user_id"
+    )
+    gaps = ev.withColumn("__gap", F.col("__es") - F.lag("__es").over(w)).filter(
+        F.col("__gap").isNotNull()
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("__gap")
+    s2 = F.sum(F.col("__gap") * F.col("__gap"))
+    mean = s1.cast("double") / n.cast("double")
+    # population variance / mean^2, all from exact integer sums
+    cv2 = (
+        (n.cast("double") * s2.cast("double") - s1.cast("double") * s1.cast("double"))
+        / (s1.cast("double") * s1.cast("double"))
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            n.cast("bigint").alias("n_gaps"),
+            F.round(mean, 6).alias("mean_gap_s"),
+            F.round(cv2, 6).alias("cv2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENSION_ORACLE["ia01_interarrival_stats"] = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         es - lag(es) OVER (PARTITION BY user_id, event_type
+                            ORDER BY es, user_id) AS gap
+  FROM ev
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap_s,
+       ROUND((COUNT(*) * CAST(SUM(gap * gap) AS DOUBLE)
+              - CAST(SUM(gap) AS DOUBLE) * CAST(SUM(gap) AS DOUBLE))
+             / (CAST(SUM(gap) AS DOUBLE) * CAST(SUM(gap) AS DOUBLE)),
+             6) AS cv2
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+EXTENSION_QUERIES["ia01_interarrival_stats"] = ia01_interarrival_stats
