@@ -4367,3 +4367,112 @@ FROM gaps WHERE gap IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
 EXTENSION_QUERIES["ia01_interarrival_stats"] = ia01_interarrival_stats
+
+
+def dd10_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-quality audit: how well does the 16-permutation MinHash
+    ESTIMATE (matching signature positions / k) track exact Jaccard on
+    the LSH candidate pairs? Binned by exact similarity decade with
+    the estimator's mean and mean absolute error per bin — the
+    calibration table that justifies (or vetoes) trusting the sketch
+    alone at 100 TB, where exact verification is the expensive step
+    this audit lets you sample down.
+
+    Same never-all-pairs discipline as dd03 (kernels shared, not
+    copied): candidates come from the banded join only. Per-pair
+    estimates are multiples of 1/16 and exact Jaccards are 6 dp
+    decimals, so every per-bin mean accumulates DECIMAL(25,10) —
+    shuffle-order independent."""
+    docs = _docs_words(spark, sf).select(
+        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
+    ).persist()
+    sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
+    )
+    ga = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("__ga"))
+    gb = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("__gb"))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    n_eq = F.expr(
+        "size(filter(zip_with(__ga, __gb, (x, y) -> x = y), v -> v))"
+    )
+    scored = (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            (n_eq / F.lit(float(MINHASH_K))).alias("__est"),
+            dd.jaccard(F.col("__sa"), F.col("__sb")).alias("__exact"),
+        )
+    )
+    d10 = lambda c: c.cast("decimal(25,10)")  # noqa: E731
+    n = F.count(F.lit(1))
+    return (
+        scored.withColumn(
+            "bin",
+            F.least(F.floor(F.col("__exact") * 10).cast("int"), F.lit(9)),
+        )
+        .groupBy("bin")
+        .agg(
+            n.cast("bigint").alias("n_pairs"),
+            F.round(F.sum(d10(F.col("__exact"))).cast("double") / n, 6).alias(
+                "mean_exact"
+            ),
+            F.round(F.sum(d10(F.col("__est"))).cast("double") / n, 6).alias(
+                "mean_est"
+            ),
+            F.round(
+                F.sum(
+                    d10(F.round(F.abs(F.col("__est") - F.col("__exact")), 6))
+                ).cast("double")
+                / n,
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("bin")
+    )
+
+
+EXTENSION_ORACLE["dd10_minhash_calibration"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j) GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), eq AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(CASE WHEN pa.mh = pb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+  FROM pairs p
+  JOIN pj pa ON pa.doc_id = p.id_a
+  JOIN pj pb ON pb.doc_id = p.id_b AND pb.j = pa.j
+  GROUP BY p.id_a, p.id_b
+), scored AS (
+  SELECT e.n_eq / {float(MINHASH_K)} AS est,
+         {_JACCARD.format(a='sa.s', b='sb.s')} AS exact
+  FROM eq e JOIN sh sa ON sa.doc_id = e.id_a JOIN sh sb ON sb.doc_id = e.id_b
+)
+SELECT LEAST(CAST(FLOOR(exact * 10) AS INT), 9) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(exact AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_exact,
+       ROUND(CAST(SUM(CAST(est AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_est,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(est - exact), 6) AS DECIMAL(25,10)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+FROM scored GROUP BY 1 ORDER BY bin
+"""
+EXTENSION_QUERIES["dd10_minhash_calibration"] = dd10_minhash_calibration
