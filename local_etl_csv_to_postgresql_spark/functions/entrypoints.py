@@ -4476,3 +4476,115 @@ SELECT LEAST(CAST(FLOOR(exact * 10) AS INT), 9) AS bin,
 FROM scored GROUP BY 1 ORDER BY bin
 """
 EXTENSION_QUERIES["dd10_minhash_calibration"] = dd10_minhash_calibration
+
+
+def es10_label_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-separation quality (silhouette-lite): per vector, the
+    distance to its OWN label centroid (a) vs the nearest OTHER
+    centroid (b), summarized per label as mean (b−a)/max(a,b) — the
+    one-number answer to "are these labels actually separated in
+    embedding space, or is the labeling noise?" run before trusting
+    labels for supervised filtering.
+
+    Exact-distance discipline (es08's): per-term squared diffs cast
+    DECIMAL(30,15) and sum exactly, so a/b are bit-identical
+    cross-engine; the n·L·d explode (L = label count) is the same cost
+    class as exact IVF assignment and shuffles once into the
+    per-(vec, centroid) aggregate. Centroid table broadcasts.
+    Per-vector silhouettes round to 6 dp and average as decimals."""
+    emb = load(spark, sf, "embeddings")
+    ex = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__c")
+    )
+    allc = cent.select(F.col("label").alias("__cl"), "dim", "__c")
+    d2 = (
+        ex.join(F.broadcast(allc), "dim")
+        .withColumn(
+            "__sq",
+            ((F.col("val") - F.col("__c")) * (F.col("val") - F.col("__c")))
+            .cast("decimal(30,15)"),
+        )
+        .groupBy("label", "vec_id", "__cl")
+        .agg(F.sum("__sq").alias("__d2"))
+    )
+    own = d2.filter(F.col("label") == F.col("__cl")).select(
+        "label", "vec_id", F.col("__d2").alias("__a2")
+    )
+    oth = d2.filter(F.col("label") != F.col("__cl")).groupBy(
+        "label", "vec_id"
+    ).agg(F.min("__d2").alias("__b2"))
+    a = F.sqrt(F.col("__a2").cast("double"))
+    b = F.sqrt(F.col("__b2").cast("double"))
+    sil = F.round(
+        F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+            (b - a) / F.greatest(a, b)
+        ),
+        6,
+    )
+    per_vec = own.join(oth, ["label", "vec_id"]).select(
+        "label",
+        sil.alias("__s"),
+        F.round(a, 6).alias("__a"),
+    )
+    n = F.count(F.lit(1))
+    d10 = lambda c: F.col(c).cast("decimal(25,10)")  # noqa: E731
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            n.cast("bigint").alias("n_vecs"),
+            F.round(F.sum(d10("__s")).cast("double") / n, 6).alias(
+                "mean_silhouette"
+            ),
+            F.round(F.sum(d10("__a")).cast("double") / n, 6).alias(
+                "mean_own_dist"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+EXTENSION_ORACLE["es10_label_silhouette"] = """
+WITH ex AS (
+  SELECT label, vec_id, CAST(d - 1 AS INT) AS dim,
+         CAST(embedding[d] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+), cent AS (
+  SELECT label AS cl, dim,
+         CAST(SUM(CAST(val AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, dim
+), d2 AS (
+  SELECT e.label, e.vec_id, c.cl,
+         SUM(CAST((e.val - c.c) * (e.val - c.c) AS DECIMAL(30,15))) AS d2
+  FROM ex e JOIN cent c ON e.dim = c.dim
+  GROUP BY e.label, e.vec_id, c.cl
+), own AS (
+  SELECT label, vec_id, d2 AS a2 FROM d2 WHERE label = cl
+), oth AS (
+  SELECT label, vec_id, MIN(d2) AS b2 FROM d2 WHERE label <> cl
+  GROUP BY label, vec_id
+), per_vec AS (
+  SELECT o.label,
+         ROUND(CASE WHEN GREATEST(sqrt(CAST(o.a2 AS DOUBLE)),
+                                  sqrt(CAST(t.b2 AS DOUBLE))) = 0.0 THEN 0.0
+                    ELSE (sqrt(CAST(t.b2 AS DOUBLE)) - sqrt(CAST(o.a2 AS DOUBLE)))
+                         / GREATEST(sqrt(CAST(o.a2 AS DOUBLE)),
+                                    sqrt(CAST(t.b2 AS DOUBLE)))
+               END, 6) AS s,
+         ROUND(sqrt(CAST(o.a2 AS DOUBLE)), 6) AS a
+  FROM own o JOIN oth t ON o.label = t.label AND o.vec_id = t.vec_id
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_silhouette,
+       ROUND(CAST(SUM(CAST(a AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_own_dist
+FROM per_vec GROUP BY label ORDER BY label
+"""
+EXTENSION_QUERIES["es10_label_silhouette"] = es10_label_silhouette
