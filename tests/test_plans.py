@@ -63,6 +63,9 @@ BNLJ_ALLOWED = {
     "len01_length_histogram",  # 1-row broadcast of the doc total
     "sp02_mixture_resample",  # 1-row broadcast of the mixture normalizer
     "win01_gapfill_rollup",  # hour spine × broadcast 5-type roster
+    "cs01_chi_square_mix",  # type roster × 7-day marginal grid, both broadcast
+    "psi01_value_stability",  # type roster × 20 fixed bins, both broadcast
+    "win02_locf_fill",  # day spine × broadcast tracked-user roster
 }
 
 
