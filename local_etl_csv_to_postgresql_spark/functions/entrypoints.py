@@ -4588,3 +4588,115 @@ SELECT label,
 FROM per_vec GROUP BY label ORDER BY label
 """
 EXTENSION_QUERIES["es10_label_silhouette"] = es10_label_silhouette
+
+
+def src01_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixing map: Jensen-Shannon divergence between every pair
+    of sources' unigram distributions — the distance matrix mixture
+    design reads before weighting sources (near-duplicate feeds show
+    up as JSD≈0; an off-distribution source stands out before it
+    skews training).
+
+    Decomposition that needs ONLY the shared-vocabulary join: for
+    words present in one source but not the other, the JSD term is
+    exactly P·ln2, so JSD = 0.5·[Σ_shared P·ln(2P/(P+Q)) +
+    ln2·(1−Σ_shared P)] + (symmetric in Q). The self-join on word
+    costs Σ_w k_w² rows (k_w = sources containing w) — bounded by
+    vocabulary × S², independent of corpus size; per-source count
+    tables shuffle once, totals broadcast. Per-word terms round to
+    12 dp and sum as DECIMAL(25,12): shuffle-order independent."""
+    counts = (
+        _docs_words(spark, sf)
+        .select("source", F.explode("__words").alias("__w"))
+        .groupBy("source", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("source").agg(F.sum("__c").alias("__n"))
+    a = (
+        counts.join(F.broadcast(totals), "source")
+        .select(
+            F.col("source").alias("source_a"),
+            F.col("__w"),
+            (F.col("__c").cast("double") / F.col("__n").cast("double")).alias("__p"),
+        )
+    )
+    b = (
+        counts.join(F.broadcast(totals), "source")
+        .select(
+            F.col("source").alias("source_b"),
+            F.col("__w"),
+            (F.col("__c").cast("double") / F.col("__n").cast("double")).alias("__q"),
+        )
+    )
+    d12 = lambda c: F.round(c, 12).cast("decimal(25,12)")  # noqa: E731
+    shared = (
+        a.join(b, "__w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                d12(
+                    F.col("__p")
+                    * F.log(F.lit(2.0) * F.col("__p") / (F.col("__p") + F.col("__q")))
+                )
+            ).alias("__ta"),
+            F.sum(
+                d12(
+                    F.col("__q")
+                    * F.log(F.lit(2.0) * F.col("__q") / (F.col("__p") + F.col("__q")))
+                )
+            ).alias("__tb"),
+            F.sum(d12(F.col("__p"))).alias("__pa"),
+            F.sum(d12(F.col("__q"))).alias("__qb"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    jsd = F.round(
+        F.lit(0.5)
+        * (
+            F.col("__ta").cast("double")
+            + F.lit(ln2) * (F.lit(1.0) - F.col("__pa").cast("double"))
+        )
+        + F.lit(0.5)
+        * (
+            F.col("__tb").cast("double")
+            + F.lit(ln2) * (F.lit(1.0) - F.col("__qb").cast("double"))
+        ),
+        6,
+    )
+    return shared.select("source_a", "source_b", jsd.alias("jsd")).orderBy(
+        "source_a", "source_b"
+    )
+
+
+EXTENSION_ORACLE["src01_source_divergence"] = f"""
+WITH w AS (
+  SELECT source, unnest({_WORDS}) AS w FROM documents
+), counts AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY source, w
+), totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source
+), p AS (
+  SELECT c.source, c.w, CAST(c.c AS DOUBLE) / t.n AS p
+  FROM counts c JOIN totals t USING (source)
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(CAST(ROUND(a.p * ln(2.0 * a.p / (a.p + b.p)), 12)
+                  AS DECIMAL(25,12))) AS ta,
+         SUM(CAST(ROUND(b.p * ln(2.0 * b.p / (a.p + b.p)), 12)
+                  AS DECIMAL(25,12))) AS tb,
+         SUM(CAST(ROUND(a.p, 12) AS DECIMAL(25,12))) AS pa,
+         SUM(CAST(ROUND(b.p, 12) AS DECIMAL(25,12))) AS qb
+  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       ROUND(0.5 * (CAST(ta AS DOUBLE)
+                    + 0.6931471805599453 * (1.0 - CAST(pa AS DOUBLE)))
+             + 0.5 * (CAST(tb AS DOUBLE)
+                      + 0.6931471805599453 * (1.0 - CAST(qb AS DOUBLE))),
+             6) AS jsd
+FROM shared ORDER BY source_a, source_b
+"""
+EXTENSION_QUERIES["src01_source_divergence"] = src01_source_divergence
