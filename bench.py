@@ -99,6 +99,7 @@ def main() -> int:
                         or t.name.startswith("stream_enrich_")
                         or t.name.startswith("stream_late_")
                         or t.name.startswith("stream_ssjoin_")
+                        or t.name.startswith("stream_sesswin_")
                     ):
                         spark.catalog.dropTempView(t.name)
     total = round(sum(timings.values()), 3)

@@ -359,3 +359,51 @@ GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """,
 }
+
+
+def st10_session_window_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Native engine-managed session windows from a REAL Structured
+    Streaming run (the built-in sibling of st03's custom sessionizer):
+    watermarked stream, per-user session_window merge, append-mode
+    emission. Only watermark-sealed sessions emit (session_end
+    strictly before max(ts) − 30 min — the live-stream answer at end
+    of input); the oracle reproduces exactly that set with an islands
+    computation. Session merge is strict-overlap (a gap of exactly the
+    30-minute threshold starts a NEW session), mirrored by the
+    oracle's >= break rule."""
+    from .stateful import replay_session_window
+
+    return replay_session_window(spark, f"{sf}/events.parquet").orderBy(
+        "user_id", "session_start"
+    )
+
+
+STREAMING_QUERIES["st10_session_window_stream"] = st10_session_window_stream
+
+STREAMING_ORACLE["st10_session_window_stream"] = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM e
+), sess AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+), wm AS (
+  SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM e
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess, wm WHERE session_end < wm.w
+ORDER BY user_id, session_start
+"""

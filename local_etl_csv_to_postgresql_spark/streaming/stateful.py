@@ -630,3 +630,63 @@ def replay_stream_stream_join(
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
+
+
+def replay_session_window(
+    spark,
+    parquet_path: str,
+    gap: str = "30 minutes",
+    delay: str = "30 minutes",
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Native ``session_window`` session aggregation from a REAL
+    Structured Streaming run (the built-in alternative to the custom
+    applyInPandasWithState sessionizer in replay_sessions): watermarked
+    event stream, per-user session windows merged by the engine's
+    session-state machinery, append-mode emission.
+
+    Append mode only emits sessions the watermark has sealed: after the
+    bounded availableNow replay the final watermark rests at
+    max(ts) − delay, so sessions still inside it stay in state and are
+    NOT emitted — exactly what a live stream would show at that
+    instant. The emitted set is therefore deterministic (watermark
+    from the global max, not batch boundaries) and the DuckDB oracle
+    reproduces it: islands sessions whose end precedes the final
+    watermark."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    table_name = table_name or f"stream_sesswin_{uuid.uuid4().hex[:8]}"
+    batch_schema, stream_path = _schema_and_stage(spark, parquet_path)
+    stream = _normalize_ts(
+        spark.readStream.schema(batch_schema).parquet(stream_path)
+    )
+    sessions = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)
