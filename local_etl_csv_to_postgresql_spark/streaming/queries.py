@@ -368,9 +368,10 @@ def st10_session_window_stream(spark: SparkSession, sf: str) -> DataFrame:
     emission. Only watermark-sealed sessions emit (session_end
     strictly before max(ts) − 30 min — the live-stream answer at end
     of input); the oracle reproduces exactly that set with an islands
-    computation. Session merge is strict-overlap (a gap of exactly the
-    30-minute threshold starts a NEW session), mirrored by the
-    oracle's >= break rule."""
+    computation. Session merge is boundary-INCLUSIVE
+    (a gap of exactly the 30-minute threshold merges — pinned in
+    tests/test_streaming.py), mirrored by the oracle's strict > break
+    rule."""
     from .stateful import replay_session_window
 
     return replay_session_window(spark, f"{sf}/events.parquet").orderBy(
@@ -385,7 +386,7 @@ WITH e AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                 >= INTERVAL 30 MINUTE
+                 > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS brk
   FROM events
 ), s AS (

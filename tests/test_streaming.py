@@ -272,3 +272,46 @@ def test_quota_fn_carries_state_across_batches():
     assert list(out2["event_id"]) == [3]  # only the remaining room
     assert state.get == (3,)
     assert list(fn((7,), iter([b2]), state)) == []  # quota exhausted
+
+
+@pytest.mark.slow
+def test_session_window_replay_boundary(spark, tmp_path):
+    """Pin replay_session_window's two boundary rules against a
+    synthetic stream: (1) a gap of EXACTLY the threshold MERGES into
+    the same session (Spark's session_window is boundary-inclusive),
+    and (2) only sessions whose end is strictly before the final
+    watermark (max ts - delay) are emitted."""
+    import pandas as pd
+
+    from local_etl_csv_to_postgresql_spark.streaming.stateful import (
+        replay_session_window,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_id": [10, 11, 12, 20],
+            "event_type": ["view"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",  # u1 s1
+                    "2024-01-01 00:30:00",  # exactly 30min later: MERGES
+                    "2024-01-01 00:40:00",  # still the same session
+                    "2024-01-01 03:00:00",  # u2: far later; drives watermark
+                ]
+            ),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(path)
+    out = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in replay_session_window(spark, path).collect()
+    }
+    # watermark = 03:00 - 30min = 02:30; u1's single merged session
+    # ends 01:10 -> sealed and emitted; u2's ends 03:30 -> unsealed.
+    assert out == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 01:10:00", 3),
+    }
