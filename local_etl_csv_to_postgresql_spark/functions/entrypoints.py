@@ -4700,3 +4700,85 @@ SELECT source_a, source_b,
 FROM shared ORDER BY source_a, source_b
 """
 EXTENSION_QUERIES["src01_source_divergence"] = src01_source_divergence
+
+
+def gr01_candidate_degree_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree profile of the LSH candidate graph — the health check
+    run before connected components: a power-law tail or a single
+    high-degree hub (a boilerplate/template document matching
+    everything) blows up both the verify stage (candidate count) and
+    the cluster diameter (CC rounds). Reports the degree histogram in
+    powers of two with each bucket's share of all candidate-pair
+    endpoints.
+
+    Reuses dd03's banded candidate kernel (never all-pairs); degrees
+    are one symmetric union + count (single shuffle on doc_id); the
+    histogram is a second tiny aggregate. Bucketing by bit length is
+    exact integer math — no log() doubles."""
+    docs = _docs_words(spark, sf).select(
+        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
+    ).persist()
+    sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
+    pairs = dd.lsh_candidate_pairs(
+        sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
+    )
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__deg"))
+    # bucket = bit length of the degree (1 -> 1, 2-3 -> 2, 4-7 -> 3,
+    # ...): exact integer math via base conversion, no float log2
+    bucket = (
+        F.length(F.conv(F.col("__deg").cast("string"), 10, 2))
+    ).cast("int")
+    total = deg.agg(F.sum("__deg").alias("__tot"))
+    return (
+        deg.withColumn("bucket", bucket)
+        .crossJoin(F.broadcast(total))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("__deg").cast("bigint").alias("min_degree"),
+            F.max("__deg").cast("bigint").alias("max_degree"),
+            F.round(
+                F.sum("__deg").cast("double") / F.max("__tot").cast("double"),
+                6,
+            ).alias("endpoint_share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EXTENSION_ORACLE["gr01_candidate_degree_profile"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j) GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), ends AS (
+  SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs
+), deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM ends GROUP BY doc_id
+), tot AS (
+  SELECT CAST(SUM(deg) AS BIGINT) AS tot FROM deg
+)
+SELECT CAST(length(bin(deg)) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(deg) AS BIGINT) AS min_degree,
+       CAST(MAX(deg) AS BIGINT) AS max_degree,
+       ROUND(CAST(SUM(deg) AS DOUBLE) / MAX(tot.tot), 6) AS endpoint_share
+FROM deg, tot GROUP BY 1 ORDER BY bucket
+"""
+EXTENSION_QUERIES["gr01_candidate_degree_profile"] = gr01_candidate_degree_profile
