@@ -4782,3 +4782,68 @@ SELECT CAST(length(bin(deg)) AS INT) AS bucket,
 FROM deg, tot GROUP BY 1 ORDER BY bucket
 """
 EXTENSION_QUERIES["gr01_candidate_degree_profile"] = gr01_candidate_degree_profile
+
+
+def sk01_key_skew_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew audit — the detector that tells you BEFORE a
+    shuffle join whether sa02's salted join (or AQE skew handling) is
+    needed: for each shuffle key the engine actually joins on, the key
+    cardinality, the heaviest key's row count, and the max/avg skew
+    ratio. A ratio near 1 means hash partitioning balances; 100+ means
+    one task gets the hot key's entire partition.
+
+    One count-aggregate per audited key (map-side combinable) plus a
+    5-number summary — the same O(distinct keys) cost AQE's runtime
+    statistics pay, available at plan time."""
+    def audit(df, table, key):
+        per = df.groupBy(F.col(key).alias("__k")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        return per.agg(
+            F.lit(f"{table}.{key}").alias("join_key"),
+            F.sum("__c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("__c").cast("bigint").alias("max_key_rows"),
+            F.round(
+                F.max("__c").cast("double")
+                * F.count(F.lit(1)).cast("double")
+                / F.sum("__c").cast("double"),
+                6,
+            ).alias("skew_ratio"),
+            F.round(
+                F.max("__c").cast("double") / F.sum("__c").cast("double"), 6
+            ).alias("top1_share"),
+        )
+    ev = load(spark, sf, "events")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        audit(ev, "events", "user_id")
+        .unionByName(audit(orders, "orders", "o_custkey"))
+        .unionByName(audit(li, "lineitem", "l_orderkey"))
+        .orderBy("join_key")
+    )
+
+
+EXTENSION_ORACLE["sk01_key_skew_audit"] = """
+WITH a AS (
+  SELECT 'events.user_id' AS join_key, COUNT(*) AS c
+  FROM events GROUP BY user_id
+), b AS (
+  SELECT 'orders.o_custkey' AS join_key, COUNT(*) AS c
+  FROM orders GROUP BY o_custkey
+), c AS (
+  SELECT 'lineitem.l_orderkey' AS join_key, COUNT(*) AS c
+  FROM lineitem GROUP BY l_orderkey
+), u AS (
+  SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+)
+SELECT join_key,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6) AS skew_ratio,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share
+FROM u GROUP BY join_key ORDER BY join_key
+"""
+EXTENSION_QUERIES["sk01_key_skew_audit"] = sk01_key_skew_audit
