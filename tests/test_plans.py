@@ -66,6 +66,7 @@ BNLJ_ALLOWED = {
     "cs01_chi_square_mix",  # type roster × 7-day marginal grid, both broadcast
     "psi01_value_stability",  # type roster × 20 fixed bins, both broadcast
     "win02_locf_fill",  # day spine × broadcast tracked-user roster
+    "gr01_candidate_degree_profile",  # 1-row broadcast of the endpoint total
 }
 
 
