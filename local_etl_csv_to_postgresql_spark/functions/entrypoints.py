@@ -223,18 +223,47 @@ def dd02_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_LSH_BASE_CACHE: dict = {}
+
+
+def _lsh_base(spark: SparkSession, sf: str):
+    """Shingle table, MinHash signatures, and banded LSH candidate
+    pairs, materialized to parquet ONCE per process per sf dir and
+    shared by every consumer (dd03 verification, dd09 containment,
+    dd10 calibration, gr01 graph QC, and the near-dup clustering
+    build). In a production pipeline the candidate list IS the
+    persisted dedup intermediate — generation runs once, then every
+    downstream pass reads it — so the engine mirrors that instead of
+    re-shingling the corpus per consumer. All three frames are
+    deterministic (distinct pair set, row-local shingles/signatures),
+    so materializing cannot change any result.
+
+    Returns ``(shingles, signatures, pairs)`` DataFrames read back
+    from the materialized parquet."""
+    paths = _LSH_BASE_CACHE.get(sf)
+    if paths is None:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="sparkgraft_lshbase_")
+        docs = _docs_words(spark, sf).select(
+            "doc_id", dd.shingles(F.col("__words")).alias("__sh")
+        ).persist()
+        sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
+        pairs = dd.lsh_candidate_pairs(
+            sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
+        )
+        paths = (f"{root}/shingles", f"{root}/signatures", f"{root}/pairs")
+        docs.write.mode("overwrite").parquet(paths[0])
+        sigs.write.mode("overwrite").parquet(paths[1])
+        pairs.write.mode("overwrite").parquet(paths[2])
+        docs.unpersist()
+        _LSH_BASE_CACHE[sf] = paths
+    return tuple(spark.read.parquet(p) for p in paths)
+
+
 def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified with exact Jaccard."""
-    docs = _docs_words(spark, sf).select(
-        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
-    )
-    # signatures are row-local (no shuffle); persist so the band join and
-    # the Jaccard verification both reuse them without re-shingling
-    docs = docs.persist()
-    sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
-    pairs = dd.lsh_candidate_pairs(
-        sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
-    )
+    docs, _sigs, pairs = _lsh_base(spark, sf)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
     return (
@@ -266,6 +295,9 @@ def reset_shared_intermediates() -> None:
     for path in _NEARDUP_COMPONENTS_CACHE.values():
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
     _NEARDUP_COMPONENTS_CACHE.clear()
+    for paths in _LSH_BASE_CACHE.values():
+        shutil.rmtree(os.path.dirname(paths[0]), ignore_errors=True)
+    _LSH_BASE_CACHE.clear()
 
 
 def _neardup_components(spark: SparkSession, sf: str) -> DataFrame:
@@ -282,13 +314,7 @@ def _neardup_components(spark: SparkSession, sf: str) -> DataFrame:
 
     path = _NEARDUP_COMPONENTS_CACHE.get(sf)
     if path is None:
-        docs = _docs_words(spark, sf).select(
-            "doc_id", dd.shingles(F.col("__words")).alias("__sh")
-        ).persist()
-        sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
-        pairs = dd.lsh_candidate_pairs(
-            sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
-        )
+        docs, _sigs, pairs = _lsh_base(spark, sf)
         a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
         b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
         verified = (
@@ -305,7 +331,6 @@ def _neardup_components(spark: SparkSession, sf: str) -> DataFrame:
 
         path = tempfile.mkdtemp(prefix="sparkgraft_neardup_") + "/components"
         comp.write.mode("overwrite").parquet(path)
-        docs.unpersist()
         _NEARDUP_COMPONENTS_CACHE[sf] = path
     return spark.read.parquet(path)
 
@@ -3561,14 +3586,7 @@ def dd09_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the banded bucket join (never all-pairs); the exact kernels run
     only on the candidate list. Top 50 by max directional containment
     with full deterministic tie-breaks."""
-    docs = _docs_words(spark, sf).select(
-        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
-    )
-    docs = docs.persist()
-    sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
-    pairs = dd.lsh_candidate_pairs(
-        sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
-    )
+    docs, _sigs, pairs = _lsh_base(spark, sf)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
     return (
@@ -4383,13 +4401,7 @@ def dd10_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     estimates are multiples of 1/16 and exact Jaccards are 6 dp
     decimals, so every per-bin mean accumulates DECIMAL(25,10) —
     shuffle-order independent."""
-    docs = _docs_words(spark, sf).select(
-        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
-    ).persist()
-    sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
-    pairs = dd.lsh_candidate_pairs(
-        sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
-    )
+    docs, sigs, pairs = _lsh_base(spark, sf)
     ga = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("__ga"))
     gb = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("__gb"))
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
@@ -4715,13 +4727,7 @@ def gr01_candidate_degree_profile(spark: SparkSession, sf: str) -> DataFrame:
     are one symmetric union + count (single shuffle on doc_id); the
     histogram is a second tiny aggregate. Bucketing by bit length is
     exact integer math — no log() doubles."""
-    docs = _docs_words(spark, sf).select(
-        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
-    ).persist()
-    sigs = dd.minhash_signatures_agg(docs, "doc_id", "__sh", k=MINHASH_K)
-    pairs = dd.lsh_candidate_pairs(
-        sigs, "doc_id", "signature", k=MINHASH_K, bands=MINHASH_BANDS
-    )
+    _docs, _sigs, pairs = _lsh_base(spark, sf)
     ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
         pairs.select(F.col("id_b").alias("doc_id"))
     )
