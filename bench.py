@@ -48,9 +48,19 @@ def main() -> int:
     tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(tiny):
         getattr(entrypoint, "reset_shared_intermediates", lambda: None)()
-        for name, fn in queries.items():
+        # streaming replays first (their one-time machinery is the
+        # biggest fixed cost), bounded by a wall-clock budget so the
+        # whole bench stays inside any external timeout
+        compile_budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_COMPILE_BUDGET", "150")
+        )
+        t_compile = time.time()
+        ordered = sorted(queries, key=lambda n: (not n.startswith("st0"), n))
+        for name in ordered:
+            if time.time() - t_compile > compile_budget:
+                break
             try:
-                fn(spark, tiny).collect()
+                queries[name](spark, tiny).collect()
             except Exception:  # noqa: BLE001
                 pass
             spark.catalog.clearCache()
