@@ -209,10 +209,9 @@ def dd01_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def dd02_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """3-gram Jaccard over consecutive doc-id pairs — the exact
-    similarity kernel on a linear pair list."""
-    docs = _docs_words(spark, sf).select(
-        "doc_id", dd.shingles(F.col("__words")).alias("__sh")
-    )
+    similarity kernel on a linear pair list. Shingles come from the
+    shared materialized LSH base (one tokenize pass per process)."""
+    docs, _sigs, _pairs = _lsh_base(spark, sf)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
     return (
