@@ -47,12 +47,15 @@ def two_sample_ks(
 
     Returns one row per group: ``(group_col, n_a, n_b, ks_col)``;
     ``ks_col`` is NULL when either sample is empty. Rounded to 6 dp.
+    NULL groups and NULL values are dropped up front (a null value has
+    no place on a CDF, and the totals join is null-unsafe); coalesce
+    to sentinels first to treat them as categories.
     """
     tagged = df.select(
         F.col(group_col).alias("__g"),
         F.col(value_col).alias("__val"),
         side_a.cast("long").alias("__a"),
-    )
+    ).na.drop(subset=["__g", "__val"])
     per_value = tagged.groupBy("__g", "__val").agg(
         F.sum("__a").alias("__ca"),
         F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
@@ -111,9 +114,15 @@ def chi_square_independence(
     statistic; dof = (|a|-1)(|b|-1).
 
     Returns ``(a_col, n_rows, chi2_col)``. Both columns must be
-    low-cardinality (the marginal vectors broadcast).
+    low-cardinality (the marginal vectors broadcast). NULL categories
+    are dropped up front — the dense-grid join is null-unsafe, so a
+    null key would silently contribute expectation without its
+    observed count; callers who want nulls as a category must coalesce
+    them to a sentinel first.
     """
-    ev = df.select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+    ev = df.select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b")).na.drop(
+        subset=["__a", "__b"]
+    )
     obs = (
         ev.groupBy("__a", "__b")
         .agg(F.count(F.lit(1)).cast("long").alias("__o"))

@@ -103,3 +103,20 @@ def test_chi_square_independent_uniform_is_zero(spark):
     df = spark.createDataFrame(rows, ["a", "b"])
     for r in chi_square_independence(df, "a", "b").collect():
         assert r["chi2_part"] == 0.0
+
+
+def test_null_categories_and_values_dropped(spark):
+    """NULL group/value rows must be excluded, not silently miscounted
+    (the dense-grid and totals joins are null-unsafe)."""
+    rows = [("g", 1.0, 1), ("g", 2.0, 0), (None, 3.0, 1), ("g", None, 0)]
+    df = spark.createDataFrame(rows, ["g", "v", "side"])
+    got = two_sample_ks(df, "g", "v", side_a=F.col("side") == 1).collect()
+    assert len(got) == 1
+    assert got[0]["n_a"] == 1 and got[0]["n_b"] == 1
+
+    pairs = [(1, 1), (1, 2), (2, 1), (None, 2), (1, None)]
+    df2 = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "a int, b int"
+    )
+    out = {r["a"]: r["n_rows"] for r in chi_square_independence(df2, "a", "b").collect()}
+    assert out == {1: 2, 2: 1}
