@@ -4641,6 +4641,15 @@ def src01_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     d12 = lambda c: F.round(c, 12).cast("decimal(25,12)")  # noqa: E731
+    # dense pair roster: a pair sharing NO vocabulary never reaches the
+    # shared-word join, but its JSD is exactly ln2 — left-join the
+    # roster so disjoint pairs surface instead of silently vanishing
+    srcs = totals.select("source")
+    roster = (
+        F.broadcast(srcs.select(F.col("source").alias("source_a")))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("source_b"))))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
     shared = (
         a.join(b, "__w")
         .filter(F.col("source_a") < F.col("source_b"))
@@ -4661,6 +4670,14 @@ def src01_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(d12(F.col("__p"))).alias("__pa"),
             F.sum(d12(F.col("__q"))).alias("__qb"),
         )
+    )
+    shared = roster.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("decimal(25,12)")).alias(c)
+            for c in ("__ta", "__tb", "__pa", "__qb")
+        ],
     )
     ln2 = 0.6931471805599453
     jsd = F.round(
@@ -4701,6 +4718,15 @@ WITH w AS (
          SUM(CAST(ROUND(b.p, 12) AS DECIMAL(25,12))) AS qb
   FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
   GROUP BY a.source, b.source
+), roster AS (
+  SELECT x.source AS source_a, y.source AS source_b
+  FROM totals x CROSS JOIN totals y WHERE x.source < y.source
+), dense AS (
+  SELECT r.source_a, r.source_b,
+         COALESCE(s.ta, 0) AS ta, COALESCE(s.tb, 0) AS tb,
+         COALESCE(s.pa, 0) AS pa, COALESCE(s.qb, 0) AS qb
+  FROM roster r LEFT JOIN shared s
+    ON s.source_a = r.source_a AND s.source_b = r.source_b
 )
 SELECT source_a, source_b,
        ROUND(0.5 * (CAST(ta AS DOUBLE)
@@ -4708,7 +4734,7 @@ SELECT source_a, source_b,
              + 0.5 * (CAST(tb AS DOUBLE)
                       + 0.6931471805599453 * (1.0 - CAST(qb AS DOUBLE))),
              6) AS jsd
-FROM shared ORDER BY source_a, source_b
+FROM dense ORDER BY source_a, source_b
 """
 EXTENSION_QUERIES["src01_source_divergence"] = src01_source_divergence
 
