@@ -67,6 +67,7 @@ BNLJ_ALLOWED = {
     "psi01_value_stability",  # type roster × 20 fixed bins, both broadcast
     "win02_locf_fill",  # day spine × broadcast tracked-user roster
     "gr01_candidate_degree_profile",  # 1-row broadcast of the endpoint total
+    "src01_source_divergence",  # dense source-pair roster, both sides broadcast
 }
 
 
