@@ -4149,58 +4149,26 @@ def psi01_value_stability(spark: SparkSession, sf: str) -> DataFrame:
     (type, bin); the dense grid crosses the tiny type roster with a
     20-bin spine (broadcast both); per-bin contributions round to 6 dp
     and sum as DECIMAL(25,6) — shuffle-order independent. >0.25 is the
-    conventional act threshold, reported as a flag."""
+    conventional act threshold, reported as a flag. Kernel:
+    operators/stats.population_stability_index (property-swept in
+    tests/test_stats.py)."""
+    from ..operators.stats import population_stability_index
+
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
     ev = load(spark, sf, "events").select(
         "event_type",
         F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(19)).alias(
             "__bin"
         ),
-        (F.col("ts") < split).cast("long").alias("__a"),
+        "ts",
     )
-    obs = (
-        ev.groupBy("event_type", "__bin")
-        .agg(
-            F.sum("__a").alias("__ca"),
-            F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    totals = obs.groupBy("event_type").agg(
-        F.sum("__ca").cast("long").alias("__na"),
-        F.sum("__cb").cast("long").alias("__nb"),
-    )
-    bins = spark.range(0, 20).select(F.col("id").cast("int").alias("__bin"))
-    grid = (
-        F.broadcast(totals)
-        .crossJoin(F.broadcast(bins))
-        .join(obs, ["event_type", "__bin"], "left")
-        .select(
-            "event_type",
-            "__bin",
-            "__na",
-            "__nb",
-            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
-            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
-        )
-    )
-    p = (F.col("__ca").cast("double") + F.lit(0.5)) / (
-        F.col("__na").cast("double") + F.lit(10.0)
-    )
-    q = (F.col("__cb").cast("double") + F.lit(0.5)) / (
-        F.col("__nb").cast("double") + F.lit(10.0)
-    )
-    contrib = F.round((p - q) * F.log(p / q), 6).cast("decimal(25,6)")
     return (
-        grid.withColumn("__c", contrib)
-        .groupBy("event_type")
-        .agg(
-            F.max("__na").alias("n_early"),
-            F.max("__nb").alias("n_late"),
-            F.sum("__c").cast("double").alias("psi"),
+        population_stability_index(
+            ev, "event_type", "__bin", side_a=F.col("ts") < split, n_bins=20
         )
+        .withColumnRenamed("n_a", "n_early")
+        .withColumnRenamed("n_b", "n_late")
         .withColumn("drifted", F.col("psi") > 0.25)
-        .orderBy("event_type")
     )
 
 

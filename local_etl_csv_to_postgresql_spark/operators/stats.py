@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .ranking import attach_global_row_number
 
-__all__ = ["two_sample_ks", "chi_square_independence"]
+__all__ = ["two_sample_ks", "chi_square_independence", "population_stability_index"]
 
 
 def two_sample_ks(
@@ -154,4 +154,81 @@ def chi_square_independence(
         )
         .withColumnRenamed("__a", a_col)
         .orderBy(a_col)
+    )
+
+
+def population_stability_index(
+    df: DataFrame,
+    group_col: str,
+    bin_col: str,
+    side_a: Column,
+    n_bins: int,
+    psi_col: str = "psi",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per ``group_col``: the Population Stability Index between rows
+    where ``side_a`` holds (reference sample) and the rest, over a
+    PRE-BINNED integer column ``bin_col`` in ``[0, n_bins)`` —
+    callers choose the binning (fixed-width keeps the metric
+    reproducible; sample-quantile bins do not replay across engines).
+
+    PSI = Σ_bins (p−q)·ln(p/q) with ``smoothing`` Laplace counts so
+    empty bins contribute finite mass. One conditional-count
+    aggregate; the dense grid crosses per-group totals with the bin
+    spine (both broadcast); per-bin terms round to 6 dp and sum as
+    DECIMAL(25,6) — shuffle-order independent. NULL groups/bins drop
+    (see chi_square_independence for the rationale).
+
+    Returns ``(group_col, n_a, n_b, psi_col)``.
+    """
+    spark = df.sparkSession
+    ev = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(bin_col).alias("__bin"),
+        side_a.cast("long").alias("__a"),
+    ).na.drop(subset=["__g", "__bin"])
+    obs = (
+        ev.groupBy("__g", "__bin")
+        .agg(
+            F.sum("__a").alias("__ca"),
+            F.sum(F.lit(1) - F.col("__a")).alias("__cb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = obs.groupBy("__g").agg(
+        F.sum("__ca").cast("long").alias("__na"),
+        F.sum("__cb").cast("long").alias("__nb"),
+    )
+    bins = spark.range(0, n_bins).select(F.col("id").cast("int").alias("__bin"))
+    grid = (
+        F.broadcast(totals)
+        .crossJoin(F.broadcast(bins))
+        .join(obs, ["__g", "__bin"], "left")
+        .select(
+            "__g",
+            "__na",
+            "__nb",
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+    )
+    # smoothing adds `smoothing` to every bin, so totals grow by
+    # smoothing * n_bins on each side
+    p = (F.col("__ca").cast("double") + F.lit(float(smoothing))) / (
+        F.col("__na").cast("double") + F.lit(float(smoothing) * n_bins)
+    )
+    q = (F.col("__cb").cast("double") + F.lit(float(smoothing))) / (
+        F.col("__nb").cast("double") + F.lit(float(smoothing) * n_bins)
+    )
+    contrib = F.round((p - q) * F.log(p / q), 6).cast("decimal(25,6)")
+    return (
+        grid.withColumn("__c", contrib)
+        .groupBy("__g")
+        .agg(
+            F.max("__na").alias("n_a"),
+            F.max("__nb").alias("n_b"),
+            F.sum("__c").cast("double").alias(psi_col),
+        )
+        .withColumnRenamed("__g", group_col)
+        .orderBy(group_col)
     )

@@ -120,3 +120,33 @@ def test_null_categories_and_values_dropped(spark):
     )
     out = {r["a"]: r["n_rows"] for r in chi_square_independence(df2, "a", "b").collect()}
     assert out == {1: 2, 2: 1}
+
+
+def _python_psi(a_bins, b_bins, n_bins, eps=0.5):
+    na, nb = len(a_bins), len(b_bins)
+    import math
+    total = 0.0
+    for k in range(n_bins):
+        p = (sum(1 for x in a_bins if x == k) + eps) / (na + eps * n_bins)
+        q = (sum(1 for x in b_bins if x == k) + eps) / (nb + eps * n_bins)
+        total += round((p - q) * math.log(p / q), 6)
+    return round(total, 6)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 7), min_size=1, max_size=60),
+    b=st.lists(st.integers(0, 7), min_size=1, max_size=60),
+)
+def test_psi_matches_bruteforce(spark, a, b):
+    from local_etl_csv_to_postgresql_spark.operators.stats import (
+        population_stability_index,
+    )
+
+    rows = [("g", v, 1) for v in a] + [("g", v, 0) for v in b]
+    df = spark.createDataFrame(rows, ["g", "bin", "side"])
+    got = population_stability_index(
+        df, "g", "bin", side_a=F.col("side") == 1, n_bins=8
+    ).collect()[0]
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["psi"] == pytest.approx(_python_psi(a, b, 8), abs=2e-6)
