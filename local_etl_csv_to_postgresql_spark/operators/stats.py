@@ -22,6 +22,9 @@ Scale design (100 TB):
   scanned exactly once. Per-cell contributions round to 6 dp and sum
   as DECIMAL(25,6): order-independent, so shuffle arrival cannot
   wiggle the statistic.
+- ``population_stability_index``: same conditional-count + dense-grid
+  shape as the chi-square, over caller-supplied fixed-width bins —
+  sample-quantile bins would not replay across engines or runs.
 """
 
 from __future__ import annotations
