@@ -53,3 +53,35 @@ def test_certification_priority_names_resolve():
     assert len(prio) == 50, "window must fill exactly the driver's 50 slots"
     first50 = set(list(q)[:50])
     assert set(prio) <= first50
+
+
+def test_window_covers_all_never_certified_queries():
+    """Policy test (round-4 rotation rule): a query that has NEVER
+    received a green driver hash-row must occupy one of the 50
+    certification slots — a stale green row beats no row, so
+    never-certified outranks refresh. Reads every CORRECTNESS_r*.json
+    the driver has produced so far."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    reports = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not reports:
+        pytest.skip("no driver correctness reports yet")
+    green: set = set()
+    for path in reports:
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match") is True:
+                    green.add(name)
+    q = ep.queries()
+    oracles = ep.oracle_sql()
+    window = set(list(q)[:50])
+    stranded = [
+        n for n in q
+        if n in oracles and n not in green and n not in window
+    ]
+    assert stranded == [], (
+        "never-certified queries left outside the 50-slot window: "
+        f"{stranded}"
+    )
