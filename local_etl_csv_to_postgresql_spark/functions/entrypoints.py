@@ -4846,3 +4846,152 @@ SELECT join_key,
 FROM u GROUP BY join_key ORDER BY join_key
 """
 EXTENSION_QUERIES["sk01_key_skew_audit"] = sk01_key_skew_audit
+
+
+def es11_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """MEASURED recall of the sign-LSH ANN path: for ten query vectors,
+    the overlap between the bucketed candidate ranking and the exact
+    top-10 — the number that turns es03's "approximate" from a leap of
+    faith into a dial (raise tables/bits until measured recall meets
+    the SLA, cf. dd05's analytic recall arithmetic; this is its
+    empirical twin).
+
+    Both rankings use the distributed TWO-PHASE top-k-per-group:
+    per-partition row_number keeps k rows per (partition, query) —
+    bounded memory, no collect_list — then the global rank runs over
+    only P·Q·k survivors. Partition layout cannot change the answer
+    (the full (cosine, vec_id) ordering is total), and no window ever
+    sees more than one partition's rows in phase one. The exact side
+    scans n·Q pairs (Q=10 broadcast queries); the ANN side only the
+    bucket-joined candidates."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qe")
+    )
+
+    def topk(scored, k=10):
+        w1 = Window.partitionBy("__pid", "qid").orderBy(
+            F.desc("__cos"), F.asc("vec_id")
+        )
+        w2 = Window.partitionBy("qid").orderBy(F.desc("__cos"), F.asc("vec_id"))
+        return (
+            scored.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .withColumn("__r2", F.row_number().over(w2))
+            .filter(F.col("__r2") <= k)
+            .select("qid", "vec_id")
+        )
+
+    exact_scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            sim.cosine(F.col("embedding"), F.col("__qe")).alias("__cos"),
+        )
+    )
+    exact = topk(exact_scored)
+
+    tables = []
+    for t in range(LSH_TABLES):
+        tables.append(
+            emb.select(
+                "vec_id",
+                "embedding",
+                sim.sign_bucket(
+                    F.col("embedding"), nbits=LSH_NBITS, offset=t * LSH_NBITS
+                ).alias("__bucket"),
+                F.lit(t).alias("__tbl"),
+            )
+        )
+    banded = tables[0]
+    for tdf in tables[1:]:
+        banded = banded.unionByName(tdf)
+    qb = banded.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qe"),
+        "__tbl",
+        "__bucket",
+    )
+    cand = (
+        banded.join(F.broadcast(qb), ["__tbl", "__bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            sim.cosine(F.col("embedding"), F.col("__qe")).alias("__cos"),
+        )
+        .distinct()
+    )
+    ann = topk(cand)
+    n_cand = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ann_candidates")
+    )
+    hits = (
+        exact.join(ann, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        q.select("qid")
+        .join(F.broadcast(n_cand), "qid", "left")
+        .join(F.broadcast(hits), "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_ann_candidates"), F.lit(0)).alias(
+                "n_ann_candidates"
+            ),
+            (F.coalesce(F.col("__h"), F.lit(0)).cast("double") / 10.0).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+EXTENSION_ORACLE["es11_ann_recall"] = f"""
+WITH banded AS ({_BANDED}),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+), exact_scored AS (
+  SELECT q.qid, e.vec_id, {_COS.format(a='e.embedding', b='q.qe')} AS c
+  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+), exact_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+    FROM exact_scored) WHERE r <= 10
+), qb AS (
+  SELECT vec_id AS qid, embedding AS qe, tbl, bucket
+  FROM banded WHERE vec_id < 10
+), cand AS (
+  SELECT DISTINCT q.qid, b.vec_id,
+         {_COS.format(a='b.embedding', b='q.qe')} AS c
+  FROM banded b JOIN qb q ON b.tbl = q.tbl AND b.bucket = q.bucket
+  WHERE b.vec_id <> q.qid
+), ann_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+    FROM cand) WHERE r <= 10
+), nc AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_ann_candidates
+  FROM cand GROUP BY qid
+), hits AS (
+  SELECT e.qid, COUNT(*) AS h
+  FROM exact_top e JOIN ann_top a ON a.qid = e.qid AND a.vec_id = e.vec_id
+  GROUP BY e.qid
+)
+SELECT q.qid AS query_id,
+       COALESCE(nc.n_ann_candidates, 0) AS n_ann_candidates,
+       CAST(COALESCE(hits.h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+FROM qs q
+LEFT JOIN nc ON nc.qid = q.qid
+LEFT JOIN hits ON hits.qid = q.qid
+ORDER BY query_id
+"""
+EXTENSION_QUERIES["es11_ann_recall"] = es11_ann_recall
