@@ -68,6 +68,7 @@ BNLJ_ALLOWED = {
     "win02_locf_fill",  # day spine × broadcast tracked-user roster
     "gr01_candidate_degree_profile",  # 1-row broadcast of the endpoint total
     "src01_source_divergence",  # dense source-pair roster, both sides broadcast
+    "es11_ann_recall",  # 10-row broadcast query-vector panel
 }
 
 
