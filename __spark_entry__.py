@@ -72,9 +72,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # that have NEVER been certified (a stale-but-green r2 row beats no row
 # at all, so never-certified outranks refresh), (3) the queries whose
 # last green row is oldest. Round-4 window: json01 (its r3 hash-fail
-# was an oracle dtype bug, fixed), the 36 round-4 additions that have
-# oracles, then 13 of the 43 queries whose last driver row is r2. The
-# 30 r2-era queries left outside (q20-q33/q35/q36/q37, fn01/aj01/rj01,
+# was an oracle dtype bug, fixed), the 37 round-4 additions that have
+# oracles, then 12 of the 43 queries whose last driver row is r2. The
+# 31 r2-era queries left outside (q19-q33/q35/q36/q37, fn01/aj01/rj01,
 # tx01–tx05, dd01–dd05) keep their pass(r2) union row and rotate in
 # next round; hll01/es06 are rows-only by design and hold r3 rows.
 _CERTIFICATION_PRIORITY: list[str] = [
@@ -117,6 +117,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "gr01_candidate_degree_profile",
     "sk01_key_skew_audit",
     "es11_ann_recall",
+    "q39_sole_late_supplier",
     # last certified in r2 — oldest first, filling the 50
     "q07_day_of_week_patterns",
     "q08_weekend_vs_weekday",
@@ -130,7 +131,6 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "q16_top5_customers_by_type",
     "q17_mom_growth",
     "q18_running_total_by_priority",
-    "q19_anomalous_lineitems",
 ]
 
 

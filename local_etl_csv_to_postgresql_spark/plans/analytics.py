@@ -801,6 +801,53 @@ def aj02_asof_next_purchase(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("click_id")
 
 
+def q39_sole_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema's columns: for finalized ('F') multi-supplier orders,
+    blame the supplier who was the ONLY one to ship late (> 60 days
+    after the order date — q25's late rule). The reference formulation
+    is EXISTS (another supplier on the order) AND NOT EXISTS (another
+    LATE supplier on the order) — the DuckDB oracle runs exactly that
+    textbook correlated form, while this plan uses the standard
+    aggregation rewrite (per-order distinct-supplier and
+    late-supplier counts), turning two correlated self-joins into ONE
+    extra aggregate on the already-shuffled order key. Two shuffles
+    total (orderkey join+agg, suppkey rollup); top-k is TakeOrdered."""
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).withColumn(
+        "__late",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).cast(
+            "int"
+        ),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("__late") == 1, F.col("l_suppkey"))
+        ).alias("__n_late_supp"),
+    )
+    blamed = (
+        lines.filter(F.col("__late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blamed.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_blamed_orders"))
+        .orderBy(F.desc("n_blamed_orders"), "suppkey")
+        .limit(20)
+    )
+
+
 def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join: per error event, how many of the
     same user's view/click events landed in the preceding 60 s. See
@@ -1320,4 +1367,5 @@ RELATIONAL_QUERIES = {
     "aj01_asof_prior_click": aj01_asof_prior_click,
     "aj02_asof_next_purchase": aj02_asof_next_purchase,
     "rj01_error_context_window": rj01_error_context_window,
+    "q39_sole_late_supplier": q39_sole_late_supplier,
 }

@@ -668,3 +668,29 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 ORDER BY gid, l_returnflag, l_linestatus
 """
+
+# q39's oracle runs the TEXTBOOK correlated EXISTS / NOT EXISTS form —
+# certifying that the Spark plan's aggregation rewrite is semantically
+# identical to the reference formulation, not just self-consistent.
+RELATIONAL_ORACLE["q39_sole_late_supplier"] = """
+WITH l AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT CAST(l1.l_suppkey AS BIGINT) AS suppkey,
+       CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_blamed_orders
+FROM l l1
+WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM l l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM l l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY l1.l_suppkey
+ORDER BY n_blamed_orders DESC, suppkey LIMIT 20
+"""
