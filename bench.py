@@ -1,24 +1,70 @@
-"""Benchmark runner: executes the full query library on one shared
-SparkSession and prints ONE JSON line with per-query wall times.
+"""Benchmark runner: executes the full query library and prints ONE
+JSON line with per-query wall times.
+
+Round-5 structure — CHUNKED FRESH-JVM PASSES. Round-4 measured that a
+~260-job shared-session bench ages the JVM (whole-stage-codegen class
+churn + GC pressure): whatever runs late inflates 20-30%, forced GC
+does not recover it, and a fresh process returns to young numbers
+(SCALE.md "shared-session aging"). Restarting the SparkSession is NOT
+enough — the codegen class cache and loaded-class churn live in the
+JVM, and PySpark reuses the gateway JVM across sessions. So the parent
+process splits the library into bounded chunks (each well under the
+~100-job aging onset, counting best-of-2), runs each chunk in its OWN
+subprocess (own JVM, own untimed compile pass for exactly its
+queries), and merges the per-chunk JSON. The library total is
+order-independent (every query does identical work in any order), so
+chunk boundaries are a legitimate measurement boundary — they change
+which JVM runs a query, not what the query does.
+
+Chunk layout: streaming + Arrow (mm*) queries share chunk 0 with the
+ETL leg — these carry the largest fixed costs and are the most
+aging-sensitive, so they always run in a young JVM (this is what the
+round-4 "streaming-first" ordering wanted but could not get inside one
+shared session). The remaining queries split evenly, in library order,
+across the other chunks.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default all cores).
+     SPARK_GRAFT_CPUS (default all cores),
+     SPARK_GRAFT_BENCH_RUNS (best-of-N per query, default 2),
+     SPARK_GRAFT_BENCH_COMPILE_BUDGET (sec per chunk, default 150),
+     SPARK_GRAFT_BENCH_QUERY_CHUNKS (non-stream chunk count, default 2),
+     SPARK_GRAFT_BENCH_ETL_ROWS (comma list of EXTRA ETL row counts,
+       default "1000000" — the 1M-row leg that pins SCALE.md's linear-
+       scaling claim with a driver-measured number; set "" to skip).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrypoint  # noqa: E402
-from local_etl_csv_to_postgresql_spark.session import get_spark  # noqa: E402
+
+_CHUNK_ENV = "SPARK_GRAFT_BENCH_CHUNK"
+_ETL_ENV = "SPARK_GRAFT_BENCH_DO_ETL"
 
 
-def main() -> int:
+def _is_streaming(name: str) -> bool:
+    """st01..st99 replay queries (NOT a bare 'st0' prefix — that missed
+    st10, leaving its memory-sink tables leaking and its replay timed
+    in an aged JVM; round-4 advice)."""
+    return name.startswith("st") and name[2:3].isdigit()
+
+
+def _is_arrow(name: str) -> bool:
+    return name.startswith("mm")
+
+
+def run_chunk(names: list[str], do_etl: bool) -> int:
+    """Worker mode: one fresh JVM, compile pass over exactly these
+    queries, then best-of-N timed passes. Prints one JSON line."""
+    from local_etl_csv_to_postgresql_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -34,32 +80,25 @@ def main() -> int:
     except Exception:  # noqa: BLE001
         pass
 
-    queries = entrypoint.queries()
+    queries = {n: f for n, f in entrypoint.queries().items() if n in set(names)}
 
-    # Untimed COMPILE PASS: run every query once at sf0.001 (~100x
-    # smaller). This pays each plan's one-time costs — whole-stage
-    # codegen compilation, Arrow/pandas worker spin-up, Structured
-    # Streaming machinery + per-query state-worker init (~4-5 s for
-    # the first stateful replay) — so the timed passes below measure
-    # steady-state execution, the same thing the reference's baseline
-    # measures against a warmed PostgreSQL. Data-dependent work at
-    # sf0.1 is untouched: the timed passes still execute every
-    # operator on the full bench dataset.
+    # Untimed COMPILE PASS at sf0.001 (~100x smaller): pays each plan's
+    # one-time costs — whole-stage codegen compilation, Arrow/pandas
+    # worker spin-up, Structured Streaming machinery + state-worker
+    # init — so the timed passes measure steady-state execution, the
+    # same thing the reference's baseline measures against a warmed
+    # PostgreSQL. Data-dependent work at sf0.1 is untouched.
     tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(tiny):
         getattr(entrypoint, "reset_shared_intermediates", lambda: None)()
-        # streaming replays first (their one-time machinery is the
-        # biggest fixed cost), bounded by a wall-clock budget so the
-        # whole bench stays inside any external timeout
         compile_budget = float(
             os.environ.get("SPARK_GRAFT_BENCH_COMPILE_BUDGET", "150")
         )
         t_compile = time.time()
-        # streaming then Arrow-path (mm) queries first: both carry the
+        # streaming then Arrow-path queries first: both carry the
         # largest one-time worker spin-up costs
         ordered = sorted(
-            queries,
-            key=lambda n: (not n.startswith("st0"), not n.startswith("mm"), n),
+            queries, key=lambda n: (not _is_streaming(n), not _is_arrow(n), n)
         )
         for name in ordered:
             if time.time() - t_compile > compile_budget:
@@ -69,79 +108,92 @@ def main() -> int:
             except Exception:  # noqa: BLE001
                 pass
             spark.catalog.clearCache()
+            _drop_stream_views(spark, name)
 
-    # Timed order: streaming replays FIRST, while the session is young.
-    # A 120-query shared-session bench ages the JVM (codegen class
-    # churn, GC pressure); replays are the most sensitive to it (their
-    # micro-batch + state machinery doubles in wall time late in the
-    # run, measured round 4). Running them early makes their timings
-    # reflect the replay cost the SCALE.md floor analysis documents;
-    # every query still runs the same work in every pass, so the
-    # library total is unaffected by ordering.
-    st_names = sorted(n for n in queries if n.startswith("st0"))
-    rest = [n for n in queries if not n.startswith("st0")]
-    queries = {n: queries[n] for n in st_names + rest}
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
 
     # ETL leg (BASELINE.md workload = query set + the pipeline run):
     # rows scale with sf — the reference's 10k-row baseline is sf0.01.
-    # Runs BEFORE the query loop: the JVM is warm (dedicated ETL warm-up
-    # below, matching the reference's warmed-database baseline) but the
-    # session is still young — measured round 4, a 250-job query loop
-    # ages the JVM enough to inflate whatever runs last by 20-30%.
-    etl = {}
-    try:
-        import shutil
-        import tempfile
+    # Runs BEFORE the query loop, in this chunk's young JVM, after its
+    # own untimed 1/100-scale warm-up run (the reference baseline
+    # likewise measures a warmed PostgreSQL). Extra legs from
+    # SPARK_GRAFT_BENCH_ETL_ROWS (default: one 1M-row leg) share the
+    # same warm-up and pin the linear-scaling claim.
+    etl: dict = {}
+    etl_extra: list[dict] = []
+    if do_etl:
+        try:
+            import shutil
+            import tempfile
 
-        from local_etl_csv_to_postgresql_spark.config import (
-            EngineConfig,
-            WarehouseConfig,
-        )
-        from local_etl_csv_to_postgresql_spark.pipeline import run_etl_pipeline
-        from local_etl_csv_to_postgresql_spark.sources.generator import (
-            generate_transactions,
-            write_transactions_csv,
-        )
+            from local_etl_csv_to_postgresql_spark.config import (
+                EngineConfig,
+                WarehouseConfig,
+            )
+            from local_etl_csv_to_postgresql_spark.pipeline import (
+                run_etl_pipeline,
+            )
+            from local_etl_csv_to_postgresql_spark.sources.generator import (
+                generate_transactions,
+                write_transactions_csv,
+            )
 
-        n_rows = max(1_000, int(float(sf) * 1_000_000))
-        work = tempfile.mkdtemp(prefix="bench_etl_")
-        write_transactions_csv(
-            f"{work}/tx.csv", generate_transactions(n_rows, 100, 2)
-        )
-        # untimed warm-up at 1/100 scale into a throwaway warehouse:
-        # same policy as the query warm-up above — the ETL plan shapes
-        # (CSV scan, validation exprs, dedup window, dim/fact writers)
-        # compile once here so the timed run measures the pipeline, not
-        # one-time whole-stage codegen (the reference baseline likewise
-        # measures a warmed PostgreSQL)
-        warm_rows = max(100, n_rows // 100)
-        write_transactions_csv(
-            f"{work}/warm.csv", generate_transactions(warm_rows, 100, 2)
-        )
-        run_etl_pipeline(
-            spark,
-            f"{work}/warm.csv",
-            EngineConfig(warehouse=WarehouseConfig(path=f"{work}/wh_warm")),
-        )
-        cfg = EngineConfig(warehouse=WarehouseConfig(path=f"{work}/wh"))
-        t0 = time.time()
-        res = run_etl_pipeline(spark, f"{work}/tx.csv", cfg)
-        etl = {
-            "rows": n_rows,
-            "sec": round(time.time() - t0, 3),
-            "loaded": res.loaded_rows,
-            "phases": {k: round(v, 2) for k, v in res.phase_times.items()},
-        }
-        shutil.rmtree(work, ignore_errors=True)
-    except Exception as e:  # noqa: BLE001
-        failures["__etl__"] = str(e).split("\n")[0][:200]
+            n_rows = max(1_000, int(float(sf) * 1_000_000))
+            extra_rows = [
+                int(r)
+                for r in os.environ.get(
+                    "SPARK_GRAFT_BENCH_ETL_ROWS", "1000000"
+                ).split(",")
+                if r.strip()
+            ]
+            work = tempfile.mkdtemp(prefix="bench_etl_")
+            warm_rows = max(100, n_rows // 100)
+            write_transactions_csv(
+                f"{work}/warm.csv", generate_transactions(warm_rows, 100, 2)
+            )
+            run_etl_pipeline(
+                spark,
+                f"{work}/warm.csv",
+                EngineConfig(
+                    warehouse=WarehouseConfig(path=f"{work}/wh_warm")
+                ),
+            )
+            for i, rows in enumerate([n_rows] + extra_rows):
+                write_transactions_csv(
+                    f"{work}/tx{i}.csv", generate_transactions(rows, 100, 2)
+                )
+                cfg = EngineConfig(
+                    warehouse=WarehouseConfig(path=f"{work}/wh{i}")
+                )
+                t0 = time.time()
+                res = run_etl_pipeline(spark, f"{work}/tx{i}.csv", cfg)
+                rec = {
+                    "rows": rows,
+                    "sec": round(time.time() - t0, 3),
+                    "loaded": res.loaded_rows,
+                    "phases": {
+                        k: round(v, 2) for k, v in res.phase_times.items()
+                    },
+                }
+                if i == 0:
+                    etl = rec
+                else:
+                    etl_extra.append(rec)
+            shutil.rmtree(work, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001
+            failures["__etl__"] = str(e).split("\n")[0][:200]
 
-    # best-of-2 per query: single-shot wall times on a shared host can
-    # inflate 2-3x from transient contention; the min of two runs is the
-    # standard noise-robust estimate. Reported total = sum of per-query
-    # minima.
+    # Timed order within the chunk: streaming replays first (youngest
+    # JVM state), then Arrow-path, then the rest in library order.
+    ordered = sorted(
+        queries, key=lambda n: (not _is_streaming(n), not _is_arrow(n))
+    )
+    queries = {n: queries[n] for n in ordered}
+
+    # best-of-N per query: single-shot wall times on a shared host can
+    # inflate 2-3x from transient contention; the min of N runs is the
+    # standard noise-robust estimate.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for _ in range(runs):
         # each pass pays one-time materialized intermediates (near-dup
@@ -160,18 +212,97 @@ def main() -> int:
             # drop state a query may leak (persisted frames, streaming
             # memory-sink tables) so later timings don't pay for it
             spark.catalog.clearCache()
-            if name.startswith("st0"):
-                for t in spark.catalog.listTables():
-                    if t.isTemporary and (
-                        t.name.startswith("stateful_sessions_")
-                        or t.name.startswith("stream_dedup_")
-                        or t.name.startswith("stream_quota_")
-                        or t.name.startswith("stream_enrich_")
-                        or t.name.startswith("stream_late_")
-                        or t.name.startswith("stream_ssjoin_")
-                        or t.name.startswith("stream_sesswin_")
-                    ):
-                        spark.catalog.dropTempView(t.name)
+            _drop_stream_views(spark, name)
+
+    out = {
+        "queries": timings,
+        "etl": etl,
+        "etl_extra": etl_extra,
+        "failures": failures,
+        "sf": sf,
+        "runs": runs,
+    }
+    spark.stop()
+    # JSON is the FINAL stdout line, emitted after spark.stop() so no
+    # late JVM chatter can displace it
+    print(json.dumps(out, separators=(",", ":")), flush=True)
+    return 0
+
+
+def _drop_stream_views(spark, name: str) -> None:
+    if not _is_streaming(name):
+        return
+    for t in spark.catalog.listTables():
+        if t.isTemporary and (
+            t.name.startswith("stateful_sessions_")
+            or t.name.startswith("stream_dedup_")
+            or t.name.startswith("stream_quota_")
+            or t.name.startswith("stream_enrich_")
+            or t.name.startswith("stream_late_")
+            or t.name.startswith("stream_ssjoin_")
+            or t.name.startswith("stream_sesswin_")
+        ):
+            spark.catalog.dropTempView(t.name)
+
+
+def main() -> int:
+    chunk_spec = os.environ.get(_CHUNK_ENV)
+    if chunk_spec is not None:
+        return run_chunk(
+            [n for n in chunk_spec.split(",") if n],
+            os.environ.get(_ETL_ENV) == "1",
+        )
+
+    # Parent mode: split the library into chunks, one fresh JVM each
+    # (serialized — two local[32] JVMs fighting over the cores inflates
+    # every timing), merge the chunk records into the contract line.
+    all_names = list(entrypoint.queries())
+    fixed_cost = [n for n in all_names if _is_streaming(n) or _is_arrow(n)]
+    rest = [n for n in all_names if n not in fixed_cost]
+    n_chunks = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_CHUNKS", "2")))
+    size = (len(rest) + n_chunks - 1) // n_chunks if rest else 1
+    chunks: list[tuple[list[str], bool]] = [(fixed_cost, True)]
+    for i in range(0, len(rest), size):
+        chunks.append((rest[i : i + size], False))
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    etl: dict = {}
+    etl_extra: list[dict] = []
+    sf = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    ).rstrip("/").rsplit("sf", 1)[-1]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    for names, do_etl in chunks:
+        if not names:
+            continue
+        env = dict(os.environ)
+        env[_CHUNK_ENV] = ",".join(names)
+        env[_ETL_ENV] = "1" if do_etl else "0"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        rec = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        if rec is None:
+            failures["__chunk__" + names[0]] = (
+                f"rc={proc.returncode} no JSON; stderr tail: "
+                + proc.stderr.strip()[-160:]
+            )
+            continue
+        timings.update(rec.get("queries", {}))
+        failures.update(rec.get("failures", {}))
+        etl = rec.get("etl") or etl
+        etl_extra.extend(rec.get("etl_extra", []))
+
     total = round(sum(timings.values()), 3)
 
     # The driver captures a bounded tail of stdout, so the contract line
@@ -189,22 +320,33 @@ def main() -> int:
         "runs": runs,
         "sf": sf,
     }
+    if etl_extra:
+        out["etl_extra"] = [
+            {k: r[k] for k in ("rows", "sec", "loaded") if k in r}
+            for r in etl_extra
+        ]
     if failures:
         out["failures"] = {
             name.split("_", 1)[0]: msg[:80] for name, msg in failures.items()
         }
-    full = dict(out, queries=timings, etl=etl, failures=failures or None)
+    full = dict(
+        out,
+        queries=timings,
+        etl=etl,
+        etl_extra=etl_extra,
+        failures=failures or None,
+        chunks=[len(c[0]) for c in chunks],
+    )
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            ),
             "w",
         ) as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    spark.stop()
-    # JSON is the FINAL stdout line, emitted after spark.stop() so no
-    # late JVM chatter can displace it from a bounded output capture
     print(json.dumps(out, separators=(",", ":")), flush=True)
     return 1 if failures else 0
 

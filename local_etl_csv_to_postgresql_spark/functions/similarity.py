@@ -313,6 +313,165 @@ def ivf_kmeans_topk(
     )
 
 
+def lloyd_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd's k-means over an embedding
+    column — the cross-engine-reproducible form of ``ivf_kmeans_topk``'s
+    Spark ML training step.
+
+    Determinism discipline (the es05/es09 pattern):
+
+    - init = the ``n_centroids`` lowest-id vectors (no RNG);
+    - assignment = argmax cosine with ties broken on centroid id;
+    - centroid update = per-dimension mean where the SUM runs on
+      DECIMAL(25,12) casts (order-independent under shuffle), divided
+      in double and rounded to 6 dp — so both engines hold bit-identical
+      centroid arrays going into the next iteration;
+    - a centroid that loses every member keeps its previous position.
+
+    Each iteration is one corpus pass (broadcast k·d centroid state,
+    map-side assignment, one groupBy) — the same cost shape per pass as
+    Spark ML KMeans, but hash-certifiable against a DuckDB twin. Like
+    the ML-lib trainer, the k·d centroid state round-trips through the
+    driver between passes (bounded metadata — k·d doubles regardless
+    of corpus size, the quantile.py/ranking.py collect class); that
+    keeps each pass's lineage one job deep instead of compounding all
+    prior iterations into the final plan.
+    Returns (``__cid``, ``__cvec``) with array<double> centroids.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    sess = embeddings.sparkSession
+    schema = StructType(
+        [
+            StructField("__cid", LongType()),
+            StructField("__cvec", ArrayType(DoubleType())),
+        ]
+    )
+    ed = embeddings.select(
+        id_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    state = [
+        (int(r["__cid"]), list(r["__cvec"]))
+        for r in ed.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("__cid"), F.col("__v").alias("__cvec"))
+        .collect()
+    ]
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc_nulls_last("__sim"), F.asc("__cid")
+    )
+    for _ in range(n_iter):
+        cents = sess.createDataFrame(state, schema)
+        assigned = (
+            ed.crossJoin(F.broadcast(cents))
+            .select(
+                id_col,
+                "__v",
+                "__cid",
+                (
+                    dot(F.col("__v"), F.col("__cvec"))
+                    / F.nullif(
+                        norm(F.col("__v")) * norm(F.col("__cvec")),
+                        F.lit(0.0),
+                    )
+                ).alias("__sim"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+        )
+        means = (
+            assigned.select("__cid", F.posexplode("__v").alias("__dim", "__x"))
+            .groupBy("__cid", "__dim")
+            .agg(
+                F.sum(F.col("__x").cast("decimal(25,12)")).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "__cid",
+                "__dim",
+                F.round(
+                    F.col("__s").cast("double") / F.col("__n"), 6
+                ).alias("__m"),
+            )
+            .groupBy("__cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__dim", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__newvec")
+            )
+        )
+        # O(k·d) driver metadata: the new centroid positions
+        new = {
+            int(r["__cid"]): list(r["__newvec"]) for r in means.collect()
+        }
+        state = [(cid, new.get(cid, vec)) for cid, vec in state]
+    return sess.createDataFrame(state, schema)
+
+
+def lloyd_ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF ANN (nprobe=1) over ``lloyd_centroids`` — real iterated
+    k-means coarse quantization with a cross-engine oracle. Same search
+    plumbing as ``ivf_topk``/``ivf_kmeans_topk``: broadcast the final
+    centroids, map-only assignment, then score only the query's cell.
+    """
+    cents = lloyd_centroids(embeddings, n_centroids, n_iter, id_col, vec_col)
+    from pyspark.sql import Window
+
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "__cid",
+        (
+            dot(F.col(vec_col), F.col("__cvec"))
+            / F.nullif(norm(F.col(vec_col)) * norm(F.col("__cvec")), F.lit(0.0))
+        ).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc_nulls_last("__sim"), F.asc("__cid")
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select(id_col, vec_col, F.col("__cid").alias("__centroid"))
+    )
+    q = assigned.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q"), "__centroid"
+    )
+    return (
+        assigned.join(F.broadcast(q), "__centroid")
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("__q")).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,

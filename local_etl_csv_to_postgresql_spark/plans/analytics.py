@@ -848,6 +848,69 @@ def q39_sole_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q40_dominant_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape — the quantity-threshold semi-join chain this
+    library had not yet covered (q39 took the Q21 EXISTS/NOT-EXISTS
+    shape): name the suppliers from a 5-nation panel who in 1997
+    shipped MORE THAN HALF of some PROMO part's total shipped quantity.
+    The oracle runs the textbook nested-IN form (suppkey IN (… partkey
+    IN (…) AND quantity beats a correlated aggregate threshold) AND
+    nationkey IN (…)); this plan is the decorrelated rewrite:
+
+    - the PROMO part set is dim-bounded, so it broadcasts as a
+      left_semi onto lineitem BEFORE aggregation (the filter runs at
+      the scan, not after the shuffle);
+    - per-(part, supplier) quantity then per-part totals are
+      decimal-exact sums, and the second groupBy reuses the first's
+      partkey-prefixed shuffle;
+    - the dominance test compares ``2·sq > tq`` in decimal — no double
+      division, no rounding hazard;
+    - the dominant-supplier set is DATA-DEPENDENT, so its semi join
+      onto the supplier dim carries NO broadcast hint (AQE decides —
+      the cur01/inc01 discipline); the nation panel is bounded and
+      does broadcast.
+    """
+    y0, y1 = "1997-01-01", "1998-01-01"
+    li = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(y0))
+            & (F.col("l_shipdate") < F.lit(y1))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    promo = (
+        load(spark, sf, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = li.join(F.broadcast(promo), "l_partkey", "left_semi")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("__sq")
+    )
+    tot = pq.groupBy("l_partkey").agg(F.sum("__sq").alias("__tq"))
+    dom = (
+        pq.join(tot, "l_partkey")
+        .filter(F.col("__sq") * 2 > F.col("__tq"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    nations = [f"NATION_{i}" for i in range(5)]
+    nat = (
+        load(spark, sf, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(F.col("n_nationkey").alias("s_nationkey"))
+    )
+    sup = load(spark, sf, "supplier").join(
+        F.broadcast(nat), "s_nationkey", "left_semi"
+    )
+    return (
+        sup.join(dom, "s_suppkey", "left_semi")
+        .select(F.col("s_suppkey").cast("bigint").alias("suppkey"), "s_name")
+        .orderBy("suppkey")
+    )
+
+
 def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join: per error event, how many of the
     same user's view/click events landed in the preceding 60 s. See
@@ -1368,4 +1431,5 @@ RELATIONAL_QUERIES = {
     "aj02_asof_next_purchase": aj02_asof_next_purchase,
     "rj01_error_context_window": rj01_error_context_window,
     "q39_sole_late_supplier": q39_sole_late_supplier,
+    "q40_dominant_part_suppliers": q40_dominant_part_suppliers,
 }

@@ -694,3 +694,29 @@ WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
 GROUP BY l1.l_suppkey
 ORDER BY n_blamed_orders DESC, suppkey LIMIT 20
 """
+
+# q40's oracle runs the TEXTBOOK nested-IN chain (TPC-H Q20's
+# correlated-threshold shape) — certifying the Spark plan's
+# decorrelated two-aggregate rewrite against the reference formulation.
+RELATIONAL_ORACLE["q40_dominant_part_suppliers"] = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY l_partkey
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT pq.l_suppkey FROM pq JOIN tot ON pq.l_partkey = tot.l_partkey
+    WHERE 2 * pq.sq > tot.tq)
+  AND s.s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4'))
+ORDER BY suppkey
+"""

@@ -20,11 +20,11 @@ def test_entry_returns_rows(spark):
     assert "sum_qty" in df.columns
 
 
-# queries whose results are engine-specific by design (sketches); the
-# driver records its weaker rows-only check for these
 # rows-only by design: engine-specific results with no cross-engine twin
-# (HLL sketch estimates; k-means initialization)
-NO_ORACLE = {"hll01_distinct_users_sketch", "es06_ivf_kmeans_ann"}
+# (HLL sketch estimates; its deterministic sibling lc01 carries the
+# hash-certified check). es06 left this set in round 5 when its Spark ML
+# trainer was swapped for the oracle-reproducible Lloyd's loop.
+NO_ORACLE = {"hll01_distinct_users_sketch"}
 
 
 def test_every_query_has_oracle():

@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "q13_priority_usage",
     "es01_cosine_topk",
     "es04_ivf_ann",
+    "es06_ivf_kmeans_ann",  # k-row broadcast Lloyd's centroid list
     "q04_amount_quality",  # 1-row broadcast of the selected median
     "dm01_domain_mixture",  # 1-row broadcast of the two mixture totals
     "len01_length_histogram",  # 1-row broadcast of the doc total
@@ -79,7 +80,8 @@ def test_no_query_degrades_to_unbounded_cross_joins(spark):
     the point (see BNLJ_ALLOWED). Catches the classic silent failure
     where a refactor turns an equi-join into a cross product."""
     for name, fn in ep.queries().items():
-        if name.startswith("st0"):  # streaming replays: plan not static
+        # streaming replays (st01..st99): plan not static
+        if name.startswith("st") and name[2:3].isdigit():
             continue
         plan = plan_of(fn(spark, SF))
         assert "CartesianProduct" not in plan, name

@@ -1,0 +1,185 @@
+"""Round-5 additions: deterministic Lloyd's k-means (es06's new
+oracle-certifiable trainer), the corpus-growth manifest (inc02), the
+TPC-H-Q20-shape dominance chain (q40), and the cur01 scale-defect fix
+(no forced broadcast on the data-dependent dup-drop set)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import local_etl_csv_to_postgresql_spark.functions.similarity as sim
+from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+    cur01_curation_funnel,
+    inc02_corpus_growth_manifest,
+)
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def test_lloyd_centroids_refine_and_handle_empty_clusters(spark):
+    """Lloyd's loop on clean cluster structure: after 2 iterations the
+    centroids must land on the true cluster means (to the 6 dp the
+    update rounds to), and a centroid that captures no members must
+    keep its previous position instead of going NULL."""
+    import random
+
+    rnd = random.Random(3)
+    vecs = []
+    for i in range(60):
+        center = [10.0 if (i % 3) == d else 0.0 for d in range(6)]
+        vecs.append((i, [c + rnd.uniform(-0.2, 0.2) for c in center]))
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    # 6 seed centroids over 3 true clusters -> some seeds go empty
+    cents = sim.lloyd_centroids(emb, n_centroids=6, n_iter=2).collect()
+    assert len(cents) == 6
+    assert all(r["__cvec"] is not None for r in cents)
+    # every surviving centroid with members sits near a true center:
+    # its argmax dim holds ~10, the rest ~0
+    for r in cents:
+        v = r["__cvec"]
+        assert max(v) > 9.0
+        assert sorted(v)[-2] < 1.0
+
+
+def test_lloyd_ivf_topk_deterministic_and_plausible(spark):
+    """Same contract the Spark ML variant is pinned to
+    (test_ivf_kmeans_ann_deterministic_and_plausible), now for the
+    oracle-certifiable trainer: reproducible, and the query's cell
+    contains its true neighbors."""
+    import random
+
+    rnd = random.Random(11)
+    vecs = []
+    for i in range(60):
+        center = [10.0 if (i % 3) == d else 0.0 for d in range(8)]
+        vecs.append((i, [c + rnd.uniform(-0.5, 0.5) for c in center]))
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    run = lambda: [  # noqa: E731
+        (r["vec_id"], r["cosine_sim"])
+        for r in sim.lloyd_ivf_topk(
+            emb, query_vec_id=0, k=5, n_centroids=6, n_iter=2
+        ).collect()
+    ]
+    a, b = run(), run()
+    assert a == b
+    assert len(a) == 5
+    assert all(vid % 3 == 0 for vid, _ in a)
+    assert all(s > 0.99 for _, s in a)
+
+
+def test_inc02_collision_semantics(spark, tmp_path):
+    """The driver corpus is dup-free at the fingerprint, so the hash
+    row certifies the zero path; pin the collision paths on constructed
+    batches: batch 0 seeds, batch 1 carries one prior-corpus dup (same
+    text modulo case/punct jitter), batch 2 carries an in-batch dup
+    pair plus one prior dup."""
+    rows = [
+        (0, "src0", "alpha beta gamma"),
+        (1, "src0", "delta epsilon"),
+        (2, "src1", "Alpha, beta GAMMA!"),  # prior dup of doc 0
+        (3, "src1", "zeta eta"),
+        (4, "src2", "theta iota"),
+        (5, "src2", "theta;iota"),  # in-batch dup of doc 4
+        (6, "src2", "delta epsilon"),  # prior dup of doc 1
+    ]
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["batch"]: r
+        for r in inc02_corpus_growth_manifest(spark, str(tmp_path)).collect()
+    }
+    assert (out[0]["n_docs"], out[0]["n_new"], out[0]["corpus_size"]) == (2, 2, 2)
+    assert (out[1]["n_prior_dups"], out[1]["n_new"]) == (1, 1)
+    assert out[1]["corpus_size"] == 3
+    assert (
+        out[2]["n_docs"],
+        out[2]["n_prior_dups"],
+        out[2]["n_inbatch_dups"],
+        out[2]["n_new"],
+    ) == (3, 1, 1, 1)
+    assert out[2]["corpus_size"] == 4
+
+
+@needs_testdata
+def test_inc02_windows_share_one_fingerprint_exchange(spark):
+    """Both classification windows (min-batch and first-occurrence
+    row_number) must ride ONE fingerprint shuffle; the only allowed
+    SinglePartition exchange is the documented metadata-scale running
+    total over per-batch rollup rows."""
+    plan = inc02_corpus_growth_manifest(
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    fp_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(__fp" in l
+    ]
+    assert len(fp_exchanges) == 1, plan
+
+
+@needs_testdata
+def test_cur01_no_forced_broadcast_on_dup_drop(spark):
+    """Round-4 verdict defect #1: the near-dup drop set is
+    data-dependent (10-30% of a real crawl), so its join must carry NO
+    broadcast hint — AQE chooses from measured size. The analyzed plan
+    holds exactly the two bounded-side hints (the contamination-set
+    joins); a third means someone re-forced the dup_drop broadcast."""
+    analyzed = cur01_curation_funnel(
+        spark, SF
+    )._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2, analyzed
+
+
+@needs_testdata
+def test_q40_dominance_threshold_is_exact(spark):
+    """Every returned supplier must genuinely dominate some PROMO part
+    (recompute the threshold independently), and the nation panel must
+    hold — the semi-join chain cannot widen the result."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import (
+        load,
+        q40_dominant_part_suppliers,
+    )
+
+    out = q40_dominant_part_suppliers(spark, SF).collect()
+    suppliers = {r["suppkey"] for r in out}
+    li = (
+        load(spark, SF, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(
+            load(spark, SF, "part").filter(F.col("p_type") == "PROMO"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    tot = li.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominant = {
+        r["l_suppkey"]
+        for r in li.join(tot, "l_partkey")
+        .filter(2 * F.col("sq") > F.col("tq"))
+        .collect()
+    }
+    nat = {
+        r["n_nationkey"]
+        for r in load(spark, SF, "nation")
+        .filter(F.col("n_name").isin([f"NATION_{i}" for i in range(5)]))
+        .collect()
+    }
+    panel = {
+        r["s_suppkey"]
+        for r in load(spark, SF, "supplier")
+        .filter(F.col("s_nationkey").isin(list(nat)))
+        .collect()
+    }
+    assert suppliers == dominant & panel
+    assert suppliers, "sf0.001 must produce at least one dominant supplier"
