@@ -256,10 +256,23 @@ def main() -> int:
     # Parent mode: split the library into chunks, one fresh JVM each
     # (serialized — two local[32] JVMs fighting over the cores inflates
     # every timing), merge the chunk records into the contract line.
+    #
+    # Family co-location: every consumer of the shared materialized LSH
+    # base / cluster labels (functions/entrypoints._lsh_base and
+    # _neardup_components) must land in ONE chunk — the base builds
+    # once per process per pass, so splitting the family across chunks
+    # rebuilds it in each (measured: dd02 0.5 s co-located vs 3.4 s
+    # paying its own build).
     all_names = list(entrypoint.queries())
     fixed_cost = [n for n in all_names if _is_streaming(n) or _is_arrow(n)]
     rest = [n for n in all_names if n not in fixed_cost]
-    n_chunks = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_CHUNKS", "2")))
+    shared_prefixes = {
+        "dd02", "dd03", "dd06", "dd07", "dd08", "dd09", "dd10",
+        "gr01", "cur01", "inc01",
+    }
+    shared = [n for n in rest if n.split("_", 1)[0] in shared_prefixes]
+    rest = shared + [n for n in rest if n not in set(shared)]
+    n_chunks = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_CHUNKS", "3")))
     size = (len(rest) + n_chunks - 1) // n_chunks if rest else 1
     chunks: list[tuple[list[str], bool]] = [(fixed_cost, True)]
     for i in range(0, len(rest), size):

@@ -367,6 +367,49 @@ def tx06_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tx11_bpe_pair_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """First BPE merge iteration — the corpus statistic a tokenizer
+    trainer computes before every merge: over all word occurrences
+    (tx06's certified tokenization), count every ADJACENT CHARACTER
+    PAIR; the top pair is the next merge candidate. Per pair: total
+    occurrences (token-weighted, as real BPE counts) and the number of
+    distinct word types containing it.
+
+    All JVM: one explode of per-word pair arrays
+    (``transform(sequence(...))`` + ``substr`` — no UDF), then ONE
+    aggregate. Scale: pair cardinality is bounded by the alphabet
+    squared (≤1,296 for [a-z0-9]), so the count side map-side-combines
+    to almost nothing; the distinct-word side shuffles (pair, word)
+    pairs bounded by vocabulary × pairs-per-word, not corpus size.
+    Top-k is TakeOrdered. Subsequent merge iterations at 100 TB repeat
+    this exact plan over the re-paired corpus — the statistic, not the
+    loop, is the expensive part.
+    """
+    w = (
+        _docs_words(spark, sf)
+        .select(F.explode("__words").alias("__w"))
+        .filter(F.length("__w") >= 2)
+    )
+    pairs = w.select(
+        "__w",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__w") - 1),
+                lambda i: F.col("__w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("__w").cast("bigint").alias("n_distinct_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )
+
+
 # --- similarity search -----------------------------------------------------
 
 def es01_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2299,49 +2342,66 @@ EXTENSION_QUERIES["qf01_quality_filter"] = qf01_quality_filter
 EXTENSION_QUERIES["es06_ivf_kmeans_ann"] = es06_ivf_kmeans_ann
 
 
+_LLOYD_SIM = (
+    f"{_DOT.format(a='{e}', b='{c}')} / "
+    f"NULLIF({_NORM.format(a='{e}')} * {_NORM.format(a='{c}')}, 0.0)"
+)
+
+
+def _lloyd_chain(
+    prefix: str, vec_sql: str, dims: int, n_centroids: int, n_iter: int
+) -> tuple[list[str], str, str]:
+    """CTE chain for one deterministic Lloyd's run (the DuckDB twin of
+    similarity.lloyd_centroids) over ``vec_sql`` (a list-valued
+    expression on the embeddings table). Returns (ctes, ed_name,
+    final_centroid_cte_name); the caller appends its own final
+    assignment/consumer CTEs. ``prefix`` namespaces the CTEs so two
+    runs (e.g. es12's per-subspace codebooks) can share one query."""
+    ed, c = f"{prefix}ed", f"{prefix}c"
+    ctes = [
+        f"{ed} AS (SELECT vec_id, "
+        f"list_transform({vec_sql}, x -> CAST(x AS DOUBLE)) AS v "
+        f"FROM embeddings)",
+        f"{c}0 AS (SELECT vec_id AS cid, v AS cvec FROM {ed} "
+        f"ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for it in range(1, n_iter + 1):
+        prev, cur = f"{c}{it - 1}", f"{c}{it}"
+        s = _LLOYD_SIM.format(e="e.v", c="c.cvec")
+        ctes.append(
+            f"{prefix}a{it} AS (SELECT vec_id, v, cid FROM ("
+            f"SELECT e.vec_id, e.v, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {s} DESC NULLS LAST, c.cid"
+            f") AS rn FROM {ed} e CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"{prefix}m{it} AS (SELECT cid, list(m ORDER BY dim) AS newvec "
+            f"FROM (SELECT cid, d - 1 AS dim, "
+            f"ROUND(CAST(SUM(CAST(v[d] AS DECIMAL(25,12))) AS DOUBLE) "
+            f"/ COUNT(*), 6) AS m "
+            f"FROM {prefix}a{it} CROSS JOIN "
+            f"(SELECT unnest(range(1, {dims + 1})) AS d) "
+            f"GROUP BY cid, d) GROUP BY cid)"
+        )
+        ctes.append(
+            f"{cur} AS (SELECT c.cid, COALESCE(m.newvec, c.cvec) AS cvec "
+            f"FROM {prev} c LEFT JOIN {prefix}m{it} m ON c.cid = m.cid)"
+        )
+    return ctes, ed, f"{c}{n_iter}"
+
+
 def _lloyd_oracle_sql(n_centroids: int = 16, n_iter: int = 2, k: int = 10) -> str:
     """DuckDB twin of similarity.lloyd_ivf_topk: the same Lloyd's loop
     unrolled as a chained-CTE pipeline (assignment argmax → decimal-
     exact per-dim means → COALESCE for empty clusters), then the
     nprobe=1 cell scan."""
-    sim_expr = (
-        f"{_DOT.format(a='{e}', b='{c}')} / "
-        f"NULLIF({_NORM.format(a='{e}')} * {_NORM.format(a='{c}')}, 0.0)"
-    )
-    ctes = [
-        "ed AS (SELECT vec_id, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
-        "FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, v AS cvec FROM ed "
-        f"ORDER BY vec_id LIMIT {n_centroids})",
-    ]
-    for it in range(1, n_iter + 1):
-        prev, cur = f"c{it - 1}", f"c{it}"
-        s = sim_expr.format(e="e.v", c="c.cvec")
-        ctes.append(
-            f"a{it} AS (SELECT vec_id, v, cid FROM ("
-            f"SELECT e.vec_id, e.v, c.cid, ROW_NUMBER() OVER ("
-            f"PARTITION BY e.vec_id ORDER BY {s} DESC NULLS LAST, c.cid"
-            f") AS rn FROM ed e CROSS JOIN {prev} c) WHERE rn = 1)"
-        )
-        ctes.append(
-            f"m{it} AS (SELECT cid, list(m ORDER BY dim) AS newvec FROM ("
-            f"SELECT cid, d - 1 AS dim, "
-            f"ROUND(CAST(SUM(CAST(v[d] AS DECIMAL(25,12))) AS DOUBLE) "
-            f"/ COUNT(*), 6) AS m "
-            f"FROM a{it} CROSS JOIN (SELECT unnest(range(1, 65)) AS d) "
-            f"GROUP BY cid, d) GROUP BY cid)"
-        )
-        ctes.append(
-            f"{cur} AS (SELECT c.cid, COALESCE(m.newvec, c.cvec) AS cvec "
-            f"FROM {prev} c LEFT JOIN m{it} m ON c.cid = m.cid)"
-        )
-    s_final = sim_expr.format(e="e.v", c="c.cvec")
+    ctes, ed, cfinal = _lloyd_chain("", "embedding", 64, n_centroids, n_iter)
+    s_final = _LLOYD_SIM.format(e="e.v", c="c.cvec")
     ctes.append(
         f"assigned AS (SELECT vec_id, v, cid AS centroid FROM ("
         f"SELECT e.vec_id, e.v, c.cid, ROW_NUMBER() OVER ("
         f"PARTITION BY e.vec_id ORDER BY {s_final} DESC NULLS LAST, c.cid"
-        f") AS rn FROM ed e CROSS JOIN c{n_iter} c) WHERE rn = 1)"
+        f") AS rn FROM {ed} e CROSS JOIN {cfinal} c) WHERE rn = 1)"
     )
     ctes.append(
         "q AS (SELECT v AS qv, centroid AS qc FROM assigned WHERE vec_id = 0)"
@@ -2364,6 +2424,20 @@ EXTENSION_QUERIES["ct01_cross_source_contamination"] = (
 EXTENSION_QUERIES["ct02_decontaminate"] = ct02_decontaminate
 EXTENSION_QUERIES["inc01_incremental_dedup"] = inc01_incremental_dedup
 EXTENSION_QUERIES["inc02_corpus_growth_manifest"] = inc02_corpus_growth_manifest
+EXTENSION_QUERIES["tx11_bpe_pair_mining"] = tx11_bpe_pair_mining
+
+EXTENSION_ORACLE["tx11_bpe_pair_mining"] = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents
+), p AS (
+  SELECT word, substr(word, CAST(i AS INT), 2) AS pair
+  FROM (SELECT word, unnest(range(1, length(word))) AS i FROM w)
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 20
+"""
 
 EXTENSION_ORACLE["inc02_corpus_growth_manifest"] = """
 WITH d AS (
@@ -5153,3 +5227,150 @@ LEFT JOIN hits ON hits.qid = q.qid
 ORDER BY query_id
 """
 EXTENSION_QUERIES["es11_ann_recall"] = es11_ann_recall
+
+
+def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization codebook QC — the go/no-go check before
+    committing a PQ index: split every embedding into M=2 contiguous
+    32-dim subvectors, train a deterministic per-subspace codebook
+    (k=16, one Lloyd refinement — similarity.lloyd_centroids, the es06
+    trainer reused verbatim on sliced vectors), assign each subvector
+    to its codeword (argmax cosine, centroid-id tie-break — the
+    library-wide assignment rule), and report per label: vector count,
+    distinct (code0, code1) product codes in use (collapsed code space
+    = a dead codebook), and the mean / max squared reconstruction
+    error ‖x − concat(c0, c1)‖².
+
+    Scale shape: 2 × (one Lloyd pass + broadcast-codebook assignment)
+    — each a corpus map with a k·d driver round-trip, exactly es06's
+    cost class — then ONE rollup. Per-vector errors round to 6 dp and
+    aggregate as DECIMAL(18,6) sums (shuffle-order independent); the
+    assignment join keys on vec_id, high-cardinality, never a
+    single-partition window."""
+    from pyspark.sql import Window
+
+    M, D, K = 2, 64, 16
+    sub_w = D // M
+    emb = load(spark, sf, "embeddings")
+    df = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc_nulls_last("__sim"), F.asc("__cid")
+    )
+    for m in range(M):
+        sub = df.select(
+            "vec_id", F.slice("__v", m * sub_w + 1, sub_w).alias("embedding")
+        )
+        cents = sim.lloyd_centroids(
+            sub, n_centroids=K, n_iter=1, id_col="vec_id", vec_col="embedding"
+        )
+        assigned = (
+            sub.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "__cid",
+                (
+                    sim.dot(F.col("embedding"), F.col("__cvec"))
+                    / F.nullif(
+                        sim.norm(F.col("embedding"))
+                        * sim.norm(F.col("__cvec")),
+                        F.lit(0.0),
+                    )
+                ).alias("__sim"),
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            "embedding",
+                            "__cvec",
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("__err"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .select(
+                "vec_id",
+                F.col("__cid").alias(f"__c{m}"),
+                F.col("__err").alias(f"__e{m}"),
+            )
+        )
+        df = df.join(assigned, "vec_id")
+    per = df.select(
+        "label",
+        F.concat_ws("_", "__c0", "__c1").alias("__code"),
+        F.round(F.col("__e0") + F.col("__e1"), 6).alias("__err"),
+    )
+    n = F.col("n_vecs").cast("double")
+    return (
+        per.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.countDistinct("__code").cast("bigint").alias("n_codes"),
+            F.sum(F.col("__err").cast("decimal(18,6)")).alias("__s"),
+            F.max("__err").alias("__mx"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_codes",
+            F.round(F.col("__s").cast("double") / n, 6).alias("mse"),
+            F.round(F.col("__mx"), 6).alias("max_err"),
+        )
+        .orderBy("label")
+    )
+
+
+def _es12_oracle_sql() -> str:
+    """DuckDB twin of es12: two namespaced Lloyd chains (one per
+    subspace slice), codeword assignment with the same tie-break, and
+    the identical decimal error rollup."""
+    M, D, K = 2, 64, 16
+    sub_w = D // M
+    ctes: list[str] = []
+    for m in range(M):
+        lo, hi = m * sub_w + 1, (m + 1) * sub_w
+        chain, ed, cfinal = _lloyd_chain(
+            f"s{m}", f"embedding[{lo}:{hi}]", sub_w, K, 1
+        )
+        ctes.extend(chain)
+        s = _LLOYD_SIM.format(e="e.v", c="c.cvec")
+        err = (
+            "ROUND(list_sum(list_transform("
+            f"range(1, {sub_w + 1}), "
+            "i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))), 6)"
+        )
+        ctes.append(
+            f"s{m}asg AS (SELECT vec_id, cid, err FROM ("
+            f"SELECT e.vec_id, c.cid, {err} AS err, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {s} DESC NULLS LAST, c.cid"
+            f") AS rn FROM {ed} e CROSS JOIN {cfinal} c) WHERE rn = 1)"
+        )
+    ctes.append(
+        "per AS (SELECT e.label, "
+        "CONCAT(CAST(a0.cid AS VARCHAR), '_', CAST(a1.cid AS VARCHAR)) "
+        "AS code, ROUND(a0.err + a1.err, 6) AS err "
+        "FROM embeddings e "
+        "JOIN s0asg a0 ON a0.vec_id = e.vec_id "
+        "JOIN s1asg a1 ON a1.vec_id = e.vec_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(label AS INT) AS label,\n"
+        "       CAST(COUNT(*) AS BIGINT) AS n_vecs,\n"
+        "       CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes,\n"
+        "       ROUND(CAST(SUM(CAST(err AS DECIMAL(18,6))) AS DOUBLE)\n"
+        "             / COUNT(*), 6) AS mse,\n"
+        "       ROUND(MAX(err), 6) AS max_err\n"
+        "FROM per GROUP BY label ORDER BY label"
+    )
+
+
+EXTENSION_ORACLE["es12_pq_reconstruction_qc"] = _es12_oracle_sql()
+EXTENSION_QUERIES["es12_pq_reconstruction_qc"] = es12_pq_reconstruction_qc

@@ -911,6 +911,57 @@ def q40_dominant_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q41_dormant_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): per nation in a
+    10-nation panel, count the customers whose account balance beats
+    the panel's positive-balance average but who have placed NO order
+    since 2000-01-01 — the scalar-average subquery + anti join combo
+    (Q22's cntrycode substring becomes the nation panel; "never
+    ordered" becomes "dormant since", which this synthetic corpus
+    actually populates). Scale decisions:
+
+    - the average-balance threshold is ONE row (decimal sum + count),
+      broadcast via crossJoin — the A10 percent-of-total pattern; the
+      comparison runs in multiply form (``bal·n > s``, decimal-exact)
+      so no engine ever divides;
+    - the "no recent order" test is a left_anti join against orders
+      WITH the date filter pushed into the scan (the anti side shrinks
+      before it shuffles);
+    - no hint on the anti join: the customer side is the dim, the
+      filtered orders side is data-dependent (AQE decides).
+    """
+    panel_nations = list(range(10))
+    cust = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_nationkey").isin(panel_nations))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            dec("c_acctbal").alias("__bal"),
+        )
+    )
+    thresh = cust.filter(F.col("__bal") > 0).agg(
+        F.sum("__bal").alias("__s"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    recent = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("__bal") * F.col("__n") > F.col("__s"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum("__bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
 def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join: per error event, how many of the
     same user's view/click events landed in the preceding 60 s. See
@@ -1432,4 +1483,5 @@ RELATIONAL_QUERIES = {
     "rj01_error_context_window": rj01_error_context_window,
     "q39_sole_late_supplier": q39_sole_late_supplier,
     "q40_dominant_part_suppliers": q40_dominant_part_suppliers,
+    "q41_dormant_rich_customers": q41_dormant_rich_customers,
 }

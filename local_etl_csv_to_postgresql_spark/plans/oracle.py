@@ -720,3 +720,23 @@ WHERE s.s_suppkey IN (
     WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4'))
 ORDER BY suppkey
 """
+
+# q41's oracle runs the textbook Q22 form: scalar-average subquery in
+# multiply form (no division on either engine) + correlated NOT EXISTS.
+RELATIONAL_ORACLE["q41_dormant_rich_customers"] = """
+WITH panel AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer WHERE c_nationkey IN (0,1,2,3,4,5,6,7,8,9)
+), thresh AS (
+  SELECT SUM(bal) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM panel WHERE bal > 0
+)
+SELECT c_nationkey AS nation,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+FROM panel p, thresh t
+WHERE p.bal * t.n > t.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey ORDER BY nation
+"""

@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "es01_cosine_topk",
     "es04_ivf_ann",
     "es06_ivf_kmeans_ann",  # k-row broadcast Lloyd's centroid list
+    "es12_pq_reconstruction_qc",  # k-row broadcast per-subspace codebooks
     "q04_amount_quality",  # 1-row broadcast of the selected median
     "dm01_domain_mixture",  # 1-row broadcast of the two mixture totals
     "len01_length_histogram",  # 1-row broadcast of the doc total
@@ -70,6 +71,7 @@ BNLJ_ALLOWED = {
     "gr01_candidate_degree_profile",  # 1-row broadcast of the endpoint total
     "src01_source_divergence",  # dense source-pair roster, both sides broadcast
     "es11_ann_recall",  # 10-row broadcast query-vector panel
+    "q41_dormant_rich_customers",  # 1-row broadcast balance threshold
 }
 
 
