@@ -245,6 +245,38 @@ def _drop_stream_views(spark, name: str) -> None:
             spark.catalog.dropTempView(t.name)
 
 
+# Consumers of the shared materialized LSH base / cluster labels
+# (functions/entrypoints._lsh_base and _neardup_components): the base
+# builds once per process per pass, so splitting this family across
+# chunks rebuilds it in each (measured: dd02 0.5 s co-located vs 3.4 s
+# paying its own build in a split chunk).
+_SHARED_BASE_PREFIXES = {
+    "dd02", "dd03", "dd06", "dd07", "dd08", "dd09", "dd10",
+    "gr01", "cur01", "inc01",
+}
+
+
+def plan_chunks(
+    all_names: list[str], n_chunks: int
+) -> list[tuple[list[str], bool]]:
+    """Chunk layout for the parent process: chunk 0 = streaming + Arrow
+    queries + the ETL legs (largest fixed costs, most aging-sensitive —
+    always a young JVM); the rest splits evenly in library order with
+    the shared-LSH-base family pulled to the front of the first query
+    chunk so its one-time build is paid once per pass, not per chunk."""
+    fixed_cost = [n for n in all_names if _is_streaming(n) or _is_arrow(n)]
+    rest = [n for n in all_names if n not in fixed_cost]
+    shared = [
+        n for n in rest if n.split("_", 1)[0] in _SHARED_BASE_PREFIXES
+    ]
+    rest = shared + [n for n in rest if n not in set(shared)]
+    size = (len(rest) + n_chunks - 1) // n_chunks if rest else 1
+    chunks: list[tuple[list[str], bool]] = [(fixed_cost, True)]
+    for i in range(0, len(rest), size):
+        chunks.append((rest[i : i + size], False))
+    return chunks
+
+
 def main() -> int:
     chunk_spec = os.environ.get(_CHUNK_ENV)
     if chunk_spec is not None:
@@ -256,27 +288,9 @@ def main() -> int:
     # Parent mode: split the library into chunks, one fresh JVM each
     # (serialized — two local[32] JVMs fighting over the cores inflates
     # every timing), merge the chunk records into the contract line.
-    #
-    # Family co-location: every consumer of the shared materialized LSH
-    # base / cluster labels (functions/entrypoints._lsh_base and
-    # _neardup_components) must land in ONE chunk — the base builds
-    # once per process per pass, so splitting the family across chunks
-    # rebuilds it in each (measured: dd02 0.5 s co-located vs 3.4 s
-    # paying its own build).
     all_names = list(entrypoint.queries())
-    fixed_cost = [n for n in all_names if _is_streaming(n) or _is_arrow(n)]
-    rest = [n for n in all_names if n not in fixed_cost]
-    shared_prefixes = {
-        "dd02", "dd03", "dd06", "dd07", "dd08", "dd09", "dd10",
-        "gr01", "cur01", "inc01",
-    }
-    shared = [n for n in rest if n.split("_", 1)[0] in shared_prefixes]
-    rest = shared + [n for n in rest if n not in set(shared)]
     n_chunks = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_CHUNKS", "3")))
-    size = (len(rest) + n_chunks - 1) // n_chunks if rest else 1
-    chunks: list[tuple[list[str], bool]] = [(fixed_cost, True)]
-    for i in range(0, len(rest), size):
-        chunks.append((rest[i : i + size], False))
+    chunks = plan_chunks(all_names, n_chunks)
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

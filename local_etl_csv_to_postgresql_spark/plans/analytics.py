@@ -962,6 +962,47 @@ def q41_dormant_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q42_quarter_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier view): the supplier(s) whose
+    1997-Q1 discounted revenue EQUALS the maximum over all suppliers —
+    the scalar-MAX-equality pattern (Q15's CREATE VIEW + WHERE
+    total_revenue = (SELECT MAX(...))), distinct from top-k LIMIT
+    (q11) because ties must all surface and the threshold is exact.
+    Scale decisions: revenue per supplier is ONE decimal-exact
+    aggregate with the date range pushed to the scan; the MAX is a
+    1-row broadcast (crossJoin — the A10 pattern) compared in DECIMAL,
+    so float drift cannot drop a tied supplier; the supplier dim
+    broadcasts onto the winner set."""
+    rev = (
+        load(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+            ).alias("__rev")
+        )
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    sup = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("suppkey"),
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
 def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join: per error event, how many of the
     same user's view/click events landed in the preceding 60 s. See
@@ -1484,4 +1525,5 @@ RELATIONAL_QUERIES = {
     "q39_sole_late_supplier": q39_sole_late_supplier,
     "q40_dominant_part_suppliers": q40_dominant_part_suppliers,
     "q41_dormant_rich_customers": q41_dormant_rich_customers,
+    "q42_quarter_top_supplier": q42_quarter_top_supplier,
 }

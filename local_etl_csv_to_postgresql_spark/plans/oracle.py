@@ -740,3 +740,21 @@ WHERE p.bal * t.n > t.s
                   AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_nationkey ORDER BY nation
 """
+
+# q15-shape: the oracle keeps the textbook scalar-MAX-equality form.
+RELATIONAL_ORACLE["q42_quarter_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY suppkey
+"""

@@ -690,3 +690,181 @@ def replay_session_window(
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
+
+
+TWS_OUTPUT_SCHEMA = "user_id long, n_events long, total_cents long"
+
+
+def replay_tws_totals(
+    spark,
+    parquet_path: str,
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Per-user lifetime totals on Spark 4's ``transformWithState``
+    arbitrary-state API (the successor of ``applyInPandasWithState``
+    this module's sessionizer uses): a ``StatefulProcessor`` holding
+    one ValueState per user, accumulated across TWO micro-batches
+    (the events file split by event_id parity, ordered mtimes +
+    maxFilesPerTrigger=1), RocksDB state store as the API requires.
+
+    ENVIRONMENT GATE: the transformWithState Python worker speaks a
+    protobuf protocol to its state server, so this operator needs the
+    ``protobuf`` package at runtime. The build container does not ship
+    it (and installs are off), so the driver contract does NOT expose
+    this as a queries() entry; tests/test_streaming_tws.py runs the
+    full replay wherever protobuf exists and skips cleanly here —
+    the same stub-but-declared policy as the multimodal codecs and
+    the live-PostgreSQL JDBC matrix.
+
+    Determinism discipline: money accumulates as integer CENTS
+    (values are exact 2-dp decimals — ``np.round(v·100)`` per row,
+    int64 sums are order-independent), so the emitted cumulative
+    totals are a pure function of the batch split. Each batch emits
+    the key's cumulative row; counts are strictly increasing and
+    cents are non-negative, so the FINAL per-user state is the
+    per-column MAX over emissions — which is what the batch twin
+    (st11's oracle: one GROUP BY over the file) must equal.
+
+    Scale: state is 2 int64s per user in RocksDB, sharded by the
+    groupBy shuffle — 10^9 users is tens of GB across a cluster's
+    state stores, none of it on the driver.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    try:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+    except ImportError:  # pragma: no cover - pyspark < 4
+        from pyspark.sql.streaming import (  # type: ignore
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+    table_name = table_name or f"stream_tws_{uuid.uuid4().hex[:8]}"
+    cache_key = f"tws::{parquet_path}"
+    hit = _REPLAY_STAGE_CACHE.get(cache_key)
+    if hit is not None:
+        batch_schema, stage = hit
+    else:
+        sf_dir = os.path.dirname(os.path.abspath(parquet_path))
+        from ..plans.analytics import load
+
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        stage = tempfile.mkdtemp(prefix="tws_stream_")
+
+        def _write_single(df, name: str, mtime: float) -> None:
+            tmp = os.path.join(stage, "__tmp_" + name)
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(stage, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mtime, mtime))
+
+        import time as _t
+
+        t0 = _t.time() - 300
+        _write_single(
+            ev.filter(F.col("event_id") % 2 == 0), "a_even.parquet", t0
+        )
+        _write_single(
+            ev.filter(F.col("event_id") % 2 == 1), "b_odd.parquet", t0 + 60
+        )
+        batch_schema = spark.read.parquet(
+            os.path.join(stage, "a_even.parquet")
+        ).schema
+        _REPLAY_STAGE_CACHE[cache_key] = (batch_schema, stage)
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = 0
+            cents = 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    np.round(
+                        pdf["value"].to_numpy(dtype="float64") * 100.0
+                    ).astype("int64").sum()
+                )
+            if self._state.exists():
+                prev = self._state.get()
+                n += int(prev[0])
+                cents += int(prev[1])
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = spark.readStream.schema(batch_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stage)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_Totals(),
+                outputStructType=TWS_OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if old_provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return spark.table(table_name)
