@@ -4039,6 +4039,75 @@ FROM events
 EXTENSION_QUERIES["prof02_events_profile"] = prof02_events_profile
 
 
+def dq01_expectations_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative expectations gate over the event stream — the
+    Deequ-shaped audit a pipeline runs before admitting a batch
+    (operators/expectations.evaluate: N named rules + uniqueness, ONE
+    conditional-aggregation scan, never a scan per rule). Rules here:
+    id/user completeness, event_id uniqueness, value in [0, 500], type
+    in the allowed domain, ts inside the ingest window, JSON props
+    parseable (get_json_object null ⇔ DuckDB json field miss — the
+    prof02 equivalence). The driver corpus is synthetic-clean (all
+    rules pass — still hash-checked end-to-end); violation semantics
+    are pinned on dirty constructed rows in
+    tests/test_round5_queries.py."""
+    from ..operators.expectations import Expectation, evaluate
+
+    ev = load(spark, sf, "events")
+    types = ["view", "click", "purchase", "error", "signup"]
+    lo = F.lit("2024-01-01").cast("timestamp")
+    hi = F.lit("2024-03-01").cast("timestamp")
+    rules = [
+        Expectation("event_id_not_null", F.col("event_id").isNull()),
+        Expectation("user_id_not_null", F.col("user_id").isNull()),
+        Expectation(
+            "value_in_range", (F.col("value") < 0) | (F.col("value") > 500)
+        ),
+        Expectation("type_in_domain", ~F.col("event_type").isin(types)),
+        Expectation(
+            "ts_in_window", (F.col("ts") < lo) | (F.col("ts") >= hi)
+        ),
+        Expectation(
+            "props_json_valid",
+            F.get_json_object("props", "$.k").isNull(),
+        ),
+    ]
+    return evaluate(ev, rules, unique_cols=("event_id",))
+
+
+EXTENSION_ORACLE["dq01_expectations_audit"] = """
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS r_event_id_not_null,
+         CAST(COUNT(event_id) - COUNT(DISTINCT event_id) AS BIGINT)
+           AS r_event_id_unique,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS r_user_id_not_null,
+         CAST(SUM(CASE WHEN value IS NULL OR value < 0 OR value > 500
+                       THEN 1 ELSE 0 END) AS BIGINT) AS r_value_in_range,
+         CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+                       ('view','click','purchase','error','signup')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS r_type_in_domain,
+         CAST(SUM(CASE WHEN ts IS NULL OR ts < TIMESTAMP '2024-01-01'
+                       OR ts >= TIMESTAMP '2024-03-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS r_ts_in_window,
+         CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS r_props_json_valid
+  FROM events
+)
+SELECT substr(k, 3) AS rule, v AS violations, v = 0 AS passed,
+       ROUND(1.0 - CAST(v AS DOUBLE) / n, 6) AS pass_rate
+FROM base
+UNPIVOT (v FOR k IN (r_event_id_not_null, r_event_id_unique,
+                     r_user_id_not_null, r_value_in_range,
+                     r_type_in_domain, r_ts_in_window,
+                     r_props_json_valid))
+ORDER BY rule
+"""
+EXTENSION_QUERIES["dq01_expectations_audit"] = dq01_expectations_audit
+
+
 def ks01_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift monitor: per event type, the
     KS statistic between the `value` distribution of the first half of

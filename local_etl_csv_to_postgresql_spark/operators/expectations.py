@@ -1,0 +1,81 @@
+"""Declarative data-quality expectations (a Deequ-shaped audit,
+Spark-first).
+
+The reference hard-codes its validation rules in the transform step
+(``src/transform.py`` null/amount/date checks → P2-P8 in SURVEY §2.2);
+this kernel generalizes them into the declarative form a production
+data-quality gate uses: a list of named row-wise violation predicates
+plus column-uniqueness checks, ALL evaluated in ONE
+conditional-aggregation pass over the table (never a scan per rule —
+at 100 TB, N rules must not mean N scans). Uniqueness rides the same
+aggregate via count - countDistinct.
+
+The one-row aggregate then unpivots (``stack``) into the
+(rule, violations, passed, pass_rate) report shape — a driver-trivial
+projection, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A named row-wise rule: ``violation`` is True for rows that FAIL
+    (NULL predicate results count as violations — an unparseable value
+    cannot satisfy a constraint)."""
+
+    name: str
+    violation: Column
+
+
+def evaluate(
+    df: DataFrame,
+    expectations: list[Expectation],
+    unique_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(rule, violations, passed, pass_rate) — one row per rule, one
+    scan total. pass_rate rounds to 6 dp from exact integer counts."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    names: list[str] = []
+    for e in expectations:
+        names.append(e.name)
+        aggs.append(
+            F.sum(
+                F.coalesce(e.violation, F.lit(True)).cast("long")
+            )
+            .cast("bigint")
+            .alias(f"__r_{e.name}")
+        )
+    for c in unique_cols:
+        names.append(f"{c}_unique")
+        aggs.append(
+            (F.count(c) - F.countDistinct(c))
+            .cast("bigint")
+            .alias(f"__r_{c}_unique")
+        )
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', __r_{n}" for n in names)
+    return (
+        row.select(
+            "__n",
+            F.expr(
+                f"stack({len(names)}, {stack_args}) AS (rule, violations)"
+            ),
+        )
+        .select(
+            "rule",
+            "violations",
+            (F.col("violations") == 0).alias("passed"),
+            F.round(
+                F.lit(1.0)
+                - F.col("violations").cast("double") / F.col("__n"),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy("rule")
+    )

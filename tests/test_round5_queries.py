@@ -137,6 +137,48 @@ def test_cur01_no_forced_broadcast_on_dup_drop(spark):
     assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2, analyzed
 
 
+def test_expectations_violation_semantics(spark):
+    """dq01's kernel on dirty constructed rows: NULL predicate results
+    count as violations, uniqueness rides the same scan, pass_rate is
+    exact-integer-derived."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.operators.expectations import (
+        Expectation,
+        evaluate,
+    )
+
+    rows = [
+        (1, 10.0, "view"),
+        (1, -5.0, "view"),      # dup id + value violation
+        (None, 20.0, "click"),  # null id
+        (3, None, "bogus"),     # NULL value -> violation; bad type
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "value", "event_type"])
+    out = {
+        r["rule"]: (r["violations"], r["passed"], r["pass_rate"])
+        for r in evaluate(
+            df,
+            [
+                Expectation("id_not_null", F.col("event_id").isNull()),
+                Expectation(
+                    "value_nonneg", (F.col("value") < 0)
+                ),
+                Expectation(
+                    "type_ok", ~F.col("event_type").isin(["view", "click"])
+                ),
+            ],
+            unique_cols=("event_id",),
+        ).collect()
+    }
+    assert out["id_not_null"] == (1, False, 0.75)
+    # -5 violates; NULL value coalesces to violation
+    assert out["value_nonneg"] == (2, False, 0.5)
+    assert out["type_ok"] == (1, False, 0.75)
+    # count('event_id')=3 non-null, 2 distinct -> 1 duplicate
+    assert out["event_id_unique"] == (1, False, 0.75)
+
+
 @needs_testdata
 def test_q40_dominance_threshold_is_exact(spark):
     """Every returned supplier must genuinely dominate some PROMO part
