@@ -137,6 +137,85 @@ def test_cur01_no_forced_broadcast_on_dup_drop(spark):
     assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2, analyzed
 
 
+def _ref_lloyd(vecs: dict, k: int, iters: int):
+    """Sequential NumPy/Decimal reference of similarity.lloyd_centroids'
+    contract: lowest-id init, argmax-cosine assignment with lowest-cid
+    tie-break, per-dim means as exact DECIMAL(25,12) sums divided in
+    double and rounded 6 dp HALF_UP (Spark's F.round rule), empty
+    clusters keep position."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def q12(x: float) -> Decimal:
+        return Decimal(repr(float(x))).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    ids = sorted(vecs)
+    cents = {i: list(map(float, vecs[i])) for i in ids[:k]}
+    for _ in range(iters):
+        members: dict = {c: [] for c in cents}
+        for i in ids:
+            v = np.asarray(vecs[i], dtype=np.float64)
+            best, best_sim = None, None
+            for cid in sorted(cents):
+                c = np.asarray(cents[cid], dtype=np.float64)
+                denom = float(np.sqrt((v * v).sum()) * np.sqrt((c * c).sum()))
+                sim = float((v * c).sum()) / denom if denom else None
+                if sim is not None and (best_sim is None or sim > best_sim):
+                    best, best_sim = cid, sim
+            if best is None:
+                best = sorted(cents)[0]
+            members[best].append(i)
+        for cid, mids in members.items():
+            if not mids:
+                continue
+            dims = len(vecs[mids[0]])
+            cents[cid] = [
+                r6(
+                    float(
+                        sum(q12(vecs[m][d]) for m in mids)
+                    )
+                    / len(mids)
+                )
+                for d in range(dims)
+            ]
+    return cents
+
+
+def test_lloyd_matches_sequential_reference(spark):
+    """Independent correctness pin beyond the DuckDB oracle: the
+    distributed Lloyd kernel must equal a sequential NumPy/Decimal
+    reference bit-for-bit on the 6 dp centroid grid."""
+    import random
+
+    rnd = random.Random(17)
+    vecs = {
+        i: [round(rnd.uniform(-1, 1), 3) for _ in range(5)]
+        for i in range(40)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got = {
+        int(r["__cid"]): [round(x, 6) for x in r["__cvec"]]
+        for r in sim.lloyd_centroids(emb, n_centroids=4, n_iter=2).collect()
+    }
+    want = {
+        cid: [round(x, 6) for x in c]
+        for cid, c in _ref_lloyd(vecs, 4, 2).items()
+    }
+    assert got == want
+
+
 def test_expectations_violation_semantics(spark):
     """dq01's kernel on dirty constructed rows: NULL predicate results
     count as violations, uniqueness rides the same scan, pass_rate is
