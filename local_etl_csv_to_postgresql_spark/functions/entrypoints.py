@@ -274,6 +274,76 @@ def dd03_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dd11_prefix_filter_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT similarity join via prefix filtering (the PPJoin family)
+    — the deterministic-complete alternative to MinHash-LSH (dd03):
+    no recall loss, no probability arithmetic, same bucket-join cost
+    shape. All pairs with 3-gram Jaccard ≥ 0.8, certified against a
+    DuckDB oracle that computes the NAIVE all-pairs answer — the hash
+    match proves the filter finds exactly the specified set, not a
+    self-consistent subset.
+
+    Algorithm: order every document's shingle set by a global
+    (document-frequency asc, token asc) total order — rarest first —
+    and keep only the PREFIX of size |s| − ceil(t·|s|) + 1; the
+    prefix-filter theorem guarantees two sets with J ≥ t share a
+    prefix token, so an equi-join on prefix tokens is a COMPLETE
+    candidate generator. Prefix length uses integer arithmetic
+    (ceil(4s/5) = (4s+4) div 5) — a float ceil(0.8·35) = ceil(28.0…4)
+    would silently lengthen prefixes.
+
+    Scale: candidate volume is bounded by the squared prefix-token
+    inverted-list lengths — the rare-first order is what keeps those
+    lists short; everything is keyed shuffles (token, then pair), and
+    the exact verify runs only on candidates. The shingle table comes
+    from the shared materialized LSH base (one tokenize per process).
+    """
+    TN, TD = 4, 5  # threshold t = TN/TD = 0.8
+    docs, _sigs, _pairs = _lsh_base(spark, sf)
+    tok = docs.select("doc_id", F.explode("__sh").alias("__t"))
+    freq = tok.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    ordered = (
+        tok.join(freq, "__t")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__t"))),
+                lambda s: s["__t"],
+            ).alias("__ord")
+        )
+    )
+    plen = (
+        f"greatest(0, size(__ord) - "
+        f"(({TN} * size(__ord) + {TD} - 1) div {TD}) + 1)"
+    )
+    pref = ordered.select(
+        "doc_id", F.explode(F.expr(f"slice(__ord, 1, {plen})")).alias("__t")
+    )
+    a = pref.select(F.col("doc_id").alias("id_a"), "__t")
+    b = pref.select(F.col("doc_id").alias("id_b"), "__t")
+    cand = (
+        a.join(b, "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dd.jaccard(F.col("__sa"), F.col("__sb")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= TN / TD)
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+    )
+
+
 def dd04_simhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs_words(spark, sf)
     return dd.simhash32_agg(docs, "doc_id", F.col("__words")).orderBy("doc_id")
@@ -3872,6 +3942,29 @@ FROM scored
 ORDER BY max_containment DESC, id_a, id_b LIMIT 50
 """
 EXTENSION_QUERIES["dd09_containment_pairs"] = dd09_containment_pairs
+EXTENSION_QUERIES["dd11_prefix_filter_pairs"] = dd11_prefix_filter_pairs
+
+# dd11's oracle is deliberately the NAIVE all-pairs specification (the
+# quadratic scan the prefix filter must exactly reproduce): a hash
+# match certifies the algorithm against the definition, not against a
+# re-implementation of itself.
+EXTENSION_ORACLE["dd11_prefix_filter_pairs"] = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), d AS (
+  SELECT doc_id, {_sql_shingles('w')} AS s FROM w
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS o,
+         len(a.s) AS la, len(b.s) AS lb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(o AS DOUBLE) / (la + lb - o), 6) AS jaccard
+FROM p
+WHERE o > 0 AND ROUND(CAST(o AS DOUBLE) / (la + lb - o), 6) >= 0.8
+ORDER BY jaccard DESC, id_a, id_b
+"""
 
 
 def es08_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:

@@ -216,6 +216,65 @@ def test_lloyd_matches_sequential_reference(spark):
     assert got == want
 
 
+def test_prefix_filter_equals_naive_on_borderline_pairs(spark, tmp_path):
+    """dd11's prefix filter vs a naive all-pairs Jaccard on constructed
+    docs that straddle t=0.8: an exact duplicate, a just-above pair,
+    a just-below pair, and unrelated docs — the filter must return
+    EXACTLY the naive ≥ t set."""
+    from pyspark.sql import functions as F
+
+    import local_etl_csv_to_postgresql_spark.functions.dedup as dd
+    from local_etl_csv_to_postgresql_spark.functions import entrypoints as ep
+
+    base = "w%d"  # distinct words
+    mk = lambda idxs: " ".join(base % i for i in idxs)  # noqa: E731
+    rows = [
+        # docs 0/1: identical 12-word text -> 10 shingles, J = 1.0
+        (0, "src0", mk(range(12))),
+        (1, "src0", mk(range(12))),
+        # docs 2/3: 21 vs 22 words sharing a 21-word prefix:
+        # 19 vs 20 shingles, overlap 19, J = 19/20 = 0.95 >= 0.8
+        (2, "src0", mk(range(21))),
+        (3, "src0", mk(list(range(21)) + [99])),
+        # docs 4/5: share 10 of 13 leading words -> J below 0.8
+        (4, "src0", mk(range(13))),
+        (5, "src0", mk(list(range(10)) + [50, 51, 52])),
+        (6, "src0", mk(range(100, 112))),  # unrelated
+    ]
+    spark.createDataFrame(rows, ["doc_id", "source", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    ep.reset_shared_intermediates()
+    try:
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ep.dd11_prefix_filter_pairs(
+                spark, str(tmp_path)
+            ).collect()
+        }
+    finally:
+        ep.reset_shared_intermediates()
+    docs = ep._docs_words(spark, str(tmp_path)).select(
+        "doc_id", dd.shingles(F.col("__words")).alias("s")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    naive = {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", dd.jaccard(F.col("sa"), F.col("sb")).alias("j")
+        )
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert got == naive
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (2, 3) in got and got[(2, 3)] == 0.95
+    assert (4, 5) not in got
+
+
 def test_expectations_violation_semantics(spark):
     """dq01's kernel on dirty constructed rows: NULL predicate results
     count as violations, uniqueness rides the same scan, pass_rate is
