@@ -27,7 +27,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores),
      SPARK_GRAFT_BENCH_RUNS (best-of-N per query, default 2),
      SPARK_GRAFT_BENCH_COMPILE_BUDGET (sec per chunk, default 150),
-     SPARK_GRAFT_BENCH_QUERY_CHUNKS (non-stream chunk count, default 2),
+     SPARK_GRAFT_BENCH_QUERY_CHUNKS (non-stream chunk count, default 3),
      SPARK_GRAFT_BENCH_ETL_ROWS (comma list of EXTRA ETL row counts,
        default "1000000" — the 1M-row leg that pins SCALE.md's linear-
        scaling claim with a driver-measured number; set "" to skip).
@@ -271,6 +271,10 @@ def plan_chunks(
     ]
     rest = shared + [n for n in rest if n not in set(shared)]
     size = (len(rest) + n_chunks - 1) // n_chunks if rest else 1
+    # never split the co-located family: a chunk count high enough to
+    # make chunks smaller than the family would rebuild the LSH base
+    # per chunk — the exact inflation this layout exists to prevent
+    size = max(size, len(shared))
     chunks: list[tuple[list[str], bool]] = [(fixed_cost, True)]
     for i in range(0, len(rest), size):
         chunks.append((rest[i : i + size], False))
@@ -301,7 +305,10 @@ def main() -> int:
     ).rstrip("/").rsplit("sf", 1)[-1]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for names, do_etl in chunks:
-        if not names:
+        # an empty chunk still runs if it carries the ETL legs (the
+        # fixed-cost chunk can be empty when no streaming/mm queries
+        # are in the library — the ETL record must not silently vanish)
+        if not names and not do_etl:
             continue
         env = dict(os.environ)
         env[_CHUNK_ENV] = ",".join(names)
@@ -315,12 +322,14 @@ def main() -> int:
         rec = None
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
-                rec = json.loads(line)
-                break
+                parsed = json.loads(line)
+                if isinstance(parsed, dict):  # stray scalar lines parse too
+                    rec = parsed
+                    break
             except json.JSONDecodeError:
                 continue
         if rec is None:
-            failures["__chunk__" + names[0]] = (
+            failures["__chunk__" + (names[0] if names else "etl")] = (
                 f"rc={proc.returncode} no JSON; stderr tail: "
                 + proc.stderr.strip()[-160:]
             )
@@ -354,7 +363,11 @@ def main() -> int:
         ]
     if failures:
         out["failures"] = {
-            name.split("_", 1)[0]: msg[:80] for name, msg in failures.items()
+            # sentinel keys (__etl__, __chunk__*) keep their full name —
+            # split-on-underscore would collapse them all to "" and
+            # one failure would overwrite another in the contract line
+            (name if name.startswith("_") else name.split("_", 1)[0]): msg[:80]
+            for name, msg in failures.items()
         }
     full = dict(
         out,

@@ -2418,6 +2418,26 @@ _LLOYD_SIM = (
 )
 
 
+def _lloyd_assign_cte(
+    name: str,
+    ed: str,
+    cents: str,
+    select: str = "vec_id, v, cid",
+    extra_expr: str = "",
+) -> str:
+    """THE assignment rule as SQL — the DuckDB twin of
+    similarity.assign_to_centroids (argmax cosine, DESC NULLS LAST,
+    centroid-id tie-break), shared by every oracle that assigns vectors
+    to centroids so the rule cannot desynchronize between queries."""
+    s = _LLOYD_SIM.format(e="e.v", c="c.cvec")
+    return (
+        f"{name} AS (SELECT {select} FROM ("
+        f"SELECT e.vec_id, e.v, c.cid{extra_expr}, ROW_NUMBER() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {s} DESC NULLS LAST, c.cid"
+        f") AS rn FROM {ed} e CROSS JOIN {cents} c) WHERE rn = 1)"
+    )
+
+
 def _lloyd_chain(
     prefix: str, vec_sql: str, dims: int, n_centroids: int, n_iter: int
 ) -> tuple[list[str], str, str]:
@@ -2437,13 +2457,7 @@ def _lloyd_chain(
     ]
     for it in range(1, n_iter + 1):
         prev, cur = f"{c}{it - 1}", f"{c}{it}"
-        s = _LLOYD_SIM.format(e="e.v", c="c.cvec")
-        ctes.append(
-            f"{prefix}a{it} AS (SELECT vec_id, v, cid FROM ("
-            f"SELECT e.vec_id, e.v, c.cid, ROW_NUMBER() OVER ("
-            f"PARTITION BY e.vec_id ORDER BY {s} DESC NULLS LAST, c.cid"
-            f") AS rn FROM {ed} e CROSS JOIN {prev} c) WHERE rn = 1)"
-        )
+        ctes.append(_lloyd_assign_cte(f"{prefix}a{it}", ed, prev))
         ctes.append(
             f"{prefix}m{it} AS (SELECT cid, list(m ORDER BY dim) AS newvec "
             f"FROM (SELECT cid, d - 1 AS dim, "
@@ -2466,12 +2480,10 @@ def _lloyd_oracle_sql(n_centroids: int = 16, n_iter: int = 2, k: int = 10) -> st
     exact per-dim means → COALESCE for empty clusters), then the
     nprobe=1 cell scan."""
     ctes, ed, cfinal = _lloyd_chain("", "embedding", 64, n_centroids, n_iter)
-    s_final = _LLOYD_SIM.format(e="e.v", c="c.cvec")
     ctes.append(
-        f"assigned AS (SELECT vec_id, v, cid AS centroid FROM ("
-        f"SELECT e.vec_id, e.v, c.cid, ROW_NUMBER() OVER ("
-        f"PARTITION BY e.vec_id ORDER BY {s_final} DESC NULLS LAST, c.cid"
-        f") AS rn FROM {ed} e CROSS JOIN {cfinal} c) WHERE rn = 1)"
+        _lloyd_assign_cte(
+            "assigned", ed, cfinal, select="vec_id, v, cid AS centroid"
+        )
     )
     ctes.append(
         "q AS (SELECT v AS qv, centroid AS qc FROM assigned WHERE vec_id = 0)"
@@ -5409,8 +5421,6 @@ def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
     aggregate as DECIMAL(18,6) sums (shuffle-order independent); the
     assignment join keys on vec_id, high-cardinality, never a
     single-partition window."""
-    from pyspark.sql import Window
-
     M, D, K = 2, 64, 16
     sub_w = D // M
     emb = load(spark, sf, "embeddings")
@@ -5419,9 +5429,17 @@ def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc_nulls_last("__sim"), F.asc("__cid")
-    )
+
+    def sq_err(x, c):
+        return F.round(
+            F.aggregate(
+                F.zip_with(x, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
     for m in range(M):
         sub = df.select(
             "vec_id", F.slice("__v", m * sub_w + 1, sub_w).alias("embedding")
@@ -5429,39 +5447,12 @@ def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
         cents = sim.lloyd_centroids(
             sub, n_centroids=K, n_iter=1, id_col="vec_id", vec_col="embedding"
         )
-        assigned = (
-            sub.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "__cid",
-                (
-                    sim.dot(F.col("embedding"), F.col("__cvec"))
-                    / F.nullif(
-                        sim.norm(F.col("embedding"))
-                        * sim.norm(F.col("__cvec")),
-                        F.lit(0.0),
-                    )
-                ).alias("__sim"),
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            "embedding",
-                            "__cvec",
-                            lambda x, c: (x - c) * (x - c),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("__err"),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .select(
-                "vec_id",
-                F.col("__cid").alias(f"__c{m}"),
-                F.col("__err").alias(f"__e{m}"),
-            )
+        assigned = sim.assign_to_centroids(
+            sub, cents, "vec_id", "embedding", extra={"__err": sq_err}
+        ).select(
+            "vec_id",
+            F.col("__cid").alias(f"__c{m}"),
+            F.col("__err").alias(f"__e{m}"),
         )
         df = df.join(assigned, "vec_id")
     per = df.select(
@@ -5502,17 +5493,19 @@ def _es12_oracle_sql() -> str:
             f"s{m}", f"embedding[{lo}:{hi}]", sub_w, K, 1
         )
         ctes.extend(chain)
-        s = _LLOYD_SIM.format(e="e.v", c="c.cvec")
         err = (
             "ROUND(list_sum(list_transform("
             f"range(1, {sub_w + 1}), "
             "i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i]))), 6)"
         )
         ctes.append(
-            f"s{m}asg AS (SELECT vec_id, cid, err FROM ("
-            f"SELECT e.vec_id, c.cid, {err} AS err, ROW_NUMBER() OVER ("
-            f"PARTITION BY e.vec_id ORDER BY {s} DESC NULLS LAST, c.cid"
-            f") AS rn FROM {ed} e CROSS JOIN {cfinal} c) WHERE rn = 1)"
+            _lloyd_assign_cte(
+                f"s{m}asg",
+                ed,
+                cfinal,
+                select="vec_id, cid, err",
+                extra_expr=f", {err} AS err",
+            )
         )
     ctes.append(
         "per AS (SELECT e.label, "

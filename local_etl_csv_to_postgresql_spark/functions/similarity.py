@@ -234,8 +234,6 @@ def ivf_assign(
     Returns (assigned, centroids): ``assigned`` adds ``__centroid`` to
     each embedding row.
     """
-    from pyspark.sql import Window
-
     cents = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)
@@ -243,22 +241,8 @@ def ivf_assign(
             F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
         )
     )
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        vec_col,
-        "__cid",
-        (
-            dot(F.col(vec_col), F.col("__cvec"))
-            / F.nullif(norm(F.col(vec_col)) * norm(F.col("__cvec")), F.lit(0.0))
-        ).alias("__sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc_nulls_last("__sim"), F.asc("__cid")
-    )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1")
-        .select(id_col, vec_col, F.col("__cid").alias("__centroid"))
+    assigned = assign_to_centroids(embeddings, cents, id_col, vec_col).select(
+        id_col, vec_col, F.col("__cid").alias("__centroid")
     )
     return assigned, cents
 
@@ -313,6 +297,53 @@ def ivf_kmeans_topk(
     )
 
 
+def assign_to_centroids(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra: dict | None = None,
+) -> DataFrame:
+    """THE centroid-assignment rule, shared by every trainer/consumer
+    (lloyd_centroids, lloyd_ivf_topk, ivf_assign, es12's PQ codebooks):
+    broadcast the (``__cid``, ``__cvec``) centroid frame, score every
+    (vector, centroid) pair by cosine, keep the argmax with ties broken
+    on centroid id (``desc_nulls_last`` sim, asc cid — a zero-norm
+    vector lands on the lowest cid). This rule is
+    certification-load-bearing — the DuckDB oracles mirror it verbatim
+    (entrypoints._lloyd_assign_cte) — so it lives in exactly one place.
+
+    ``extra`` maps output column name → fn(vec, cvec) Column computed
+    per candidate pair and kept on the winning row (es12 uses it for
+    the reconstruction error against the winning codeword).
+    """
+    from pyspark.sql import Window
+
+    cols = [
+        id_col,
+        vec_col,
+        "__cid",
+        (
+            dot(F.col(vec_col), F.col("__cvec"))
+            / F.nullif(
+                norm(F.col(vec_col)) * norm(F.col("__cvec")), F.lit(0.0)
+            )
+        ).alias("__sim"),
+    ]
+    for name, fn in (extra or {}).items():
+        cols.append(fn(F.col(vec_col), F.col("__cvec")).alias(name))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc_nulls_last("__sim"), F.asc("__cid")
+    )
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .select(*cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn", "__sim")
+    )
+
+
 def lloyd_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -344,7 +375,6 @@ def lloyd_centroids(
     prior iterations into the final plan.
     Returns (``__cid``, ``__cvec``) with array<double> centroids.
     """
-    from pyspark.sql import Window
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -371,28 +401,9 @@ def lloyd_centroids(
         .select(F.col(id_col).alias("__cid"), F.col("__v").alias("__cvec"))
         .collect()
     ]
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc_nulls_last("__sim"), F.asc("__cid")
-    )
     for _ in range(n_iter):
         cents = sess.createDataFrame(state, schema)
-        assigned = (
-            ed.crossJoin(F.broadcast(cents))
-            .select(
-                id_col,
-                "__v",
-                "__cid",
-                (
-                    dot(F.col("__v"), F.col("__cvec"))
-                    / F.nullif(
-                        norm(F.col("__v")) * norm(F.col("__cvec")),
-                        F.lit(0.0),
-                    )
-                ).alias("__sim"),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-        )
+        assigned = assign_to_centroids(ed, cents, id_col, "__v")
         means = (
             assigned.select("__cid", F.posexplode("__v").alias("__dim", "__x"))
             .groupBy("__cid", "__dim")
@@ -438,24 +449,8 @@ def lloyd_ivf_topk(
     centroids, map-only assignment, then score only the query's cell.
     """
     cents = lloyd_centroids(embeddings, n_centroids, n_iter, id_col, vec_col)
-    from pyspark.sql import Window
-
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        vec_col,
-        "__cid",
-        (
-            dot(F.col(vec_col), F.col("__cvec"))
-            / F.nullif(norm(F.col(vec_col)) * norm(F.col("__cvec")), F.lit(0.0))
-        ).alias("__sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc_nulls_last("__sim"), F.asc("__cid")
-    )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1")
-        .select(id_col, vec_col, F.col("__cid").alias("__centroid"))
+    assigned = assign_to_centroids(embeddings, cents, id_col, vec_col).select(
+        id_col, vec_col, F.col("__cid").alias("__centroid")
     )
     q = assigned.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__q"), "__centroid"

@@ -17,10 +17,16 @@ projection, no extra shuffle.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# rule names are interpolated into a stack() SQL expression, so they
+# are constrained to identifiers — a quote or space would otherwise
+# break (or inject into) the generated SQL
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 @dataclass(frozen=True)
@@ -39,7 +45,18 @@ def evaluate(
     unique_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(rule, violations, passed, pass_rate) — one row per rule, one
-    scan total. pass_rate rounds to 6 dp from exact integer counts."""
+    scan total. pass_rate rounds to 6 dp from exact integer counts.
+
+    Raises ``ValueError`` for an empty rule set (stack(0) is not valid
+    SQL) or a rule/column name that is not a plain identifier (names
+    are interpolated into the generated stack() expression)."""
+    if not expectations and not unique_cols:
+        raise ValueError("evaluate() needs at least one rule")
+    for nm in [e.name for e in expectations] + list(unique_cols):
+        if not _NAME_RE.match(nm):
+            raise ValueError(
+                f"rule/column name must be an identifier: {nm!r}"
+            )
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
     names: list[str] = []
     for e in expectations:

@@ -315,6 +315,14 @@ def test_expectations_violation_semantics(spark):
     assert out["type_ok"] == (1, False, 0.75)
     # count('event_id')=3 non-null, 2 distinct -> 1 duplicate
     assert out["event_id_unique"] == (1, False, 0.75)
+    # names interpolate into the generated stack() SQL, so
+    # non-identifiers and empty rule sets must be rejected up front
+    with pytest.raises(ValueError):
+        evaluate(df, [Expectation("has nulls", F.col("value").isNull())])
+    with pytest.raises(ValueError):
+        evaluate(df, [Expectation("x'); drop", F.col("value").isNull())])
+    with pytest.raises(ValueError):
+        evaluate(df, [])
 
 
 @needs_testdata
