@@ -4540,6 +4540,60 @@ FROM joined ORDER BY user_id, day
 EXTENSION_QUERIES["win02_locf_fill"] = win02_locf_fill
 
 
+def win03_peak_hours(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type peak hour via ``max_by`` — certifying Spark's argmax
+    aggregate against the textbook window specification (the oracle
+    runs ROW_NUMBER ... ORDER BY n DESC, hour ASC). The tie rule rides
+    the comparator: max of (n, −epoch(hour)) = highest count, then
+    EARLIEST hour — struct comparison is lexicographic, so the rule is
+    explicit in the expression, not an implementation accident.
+
+    Scale: the hourly rollup map-side-combines; the argmax is ONE
+    map-side-combinable aggregate over (type) — no per-type window
+    sort, no second shuffle of the hourly frame. This is the shape to
+    prefer over row_number()-filter whenever only the top-1 per group
+    is needed."""
+    ev = load(spark, sf, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    peak = F.max_by(
+        F.struct("hour", "n"),
+        F.struct(F.col("n"), (-F.unix_timestamp("hour")).alias("__negh")),
+    )
+    return (
+        hourly.groupBy("event_type")
+        .agg(peak.alias("__p"))
+        .select(
+            "event_type",
+            F.col("__p.hour").alias("peak_hour"),
+            F.col("__p.n").alias("peak_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENSION_QUERIES["win03_peak_hours"] = win03_peak_hours
+
+EXTENSION_ORACLE["win03_peak_hours"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), ranked AS (
+  SELECT event_type, hour, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, hour ASC) AS rk
+  FROM hourly
+)
+SELECT event_type, hour AS peak_hour, n AS peak_events
+FROM ranked WHERE rk = 1 ORDER BY event_type
+"""
+
+
 def psi01_value_stability(spark: SparkSession, sf: str) -> DataFrame:
     """Population Stability Index per event type — the scorecard-world
     drift metric next to ks01 (KS weights the worst point; PSI weights

@@ -1003,6 +1003,58 @@ def q42_quarter_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q43_first_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated per-group MIN equality): for every
+    small part (p_size ≤ 5), the supplier(s) whose shipment matches
+    that part's earliest ship date — Q2's
+    ``WHERE cost = (SELECT MIN(cost) … WHERE same part)`` pattern on
+    this schema's columns (supply-chain provenance instead of min
+    supplycost; ties all surface, as in Q2). The oracle runs the
+    textbook correlated scalar subquery; this plan decorrelates it:
+    the part panel broadcasts as a left_semi BEFORE aggregation, the
+    per-part MIN is one groupBy that reuses the partkey shuffle for
+    the equality join back, and MIN-equality compares timestamps —
+    exact values, no float thresholds."""
+    part = (
+        load(spark, sf, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_name")
+    )
+    li = (
+        load(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_shipdate")
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+    )
+    firsts = li.groupBy("l_partkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    winners = (
+        li.join(firsts, "l_partkey")
+        .filter(F.col("l_shipdate") == F.col("first_ship"))
+        .select("l_partkey", "l_suppkey", "first_ship")
+        .distinct()
+    )
+    sup = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        winners.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            "p_name",
+            "first_ship",
+            F.col("l_suppkey").cast("bigint").alias("suppkey"),
+            "s_name",
+        )
+        .orderBy("partkey", "suppkey")
+    )
+
+
 def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join: per error event, how many of the
     same user's view/click events landed in the preceding 60 s. See
@@ -1526,4 +1578,5 @@ RELATIONAL_QUERIES = {
     "q40_dominant_part_suppliers": q40_dominant_part_suppliers,
     "q41_dormant_rich_customers": q41_dormant_rich_customers,
     "q42_quarter_top_supplier": q42_quarter_top_supplier,
+    "q43_first_supplier_per_part": q43_first_supplier_per_part,
 }

@@ -758,3 +758,20 @@ FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
 ORDER BY suppkey
 """
+
+# q43's oracle runs the textbook Q2-style correlated scalar-MIN
+# subquery — certifying the decorrelated groupBy+equality-join rewrite.
+RELATIONAL_ORACLE["q43_first_supplier_per_part"] = """
+SELECT CAST(l.l_partkey AS BIGINT) AS partkey, p.p_name,
+       MIN(l.l_shipdate) AS first_ship,
+       CAST(l.l_suppkey AS BIGINT) AS suppkey, s.s_name
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size <= 5
+  AND l.l_shipdate = (
+    SELECT MIN(l2.l_shipdate) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+GROUP BY l.l_partkey, p.p_name, l.l_suppkey, s.s_name
+ORDER BY partkey, suppkey
+"""
