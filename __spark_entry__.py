@@ -74,19 +74,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # row is oldest. Round-5 window: es06 (its Spark ML trainer was swapped
 # for a deterministic Lloyd's loop this round, so it gains an oracle
 # and moves from rows-only to hash-certifiable — never hash-certified
-# until now), the ten round-5 additions (inc02, q40, q41, tx11,
-# es12, q42, dq01, dd11, q43, win03), then the 31 queries whose last green row is r2,
-# then the 8 oldest r3 rows. After this round every query's latest driver row is
+# until now), the eleven round-5 additions (inc02, q40-q44, tx11,
+# es12, dq01, dd11, win03), then the 31 queries whose last green row is r2,
+# then the 7 oldest r3 rows. After this round every query's latest driver row is
 # ≤2 rounds old (the steady state the rotation-policy test pins); the
 # r3-era queries left outside (q00-q06/q34/q38, prof01, std01,
 # es01/es02/es03/es04/es05/es07, tx06/tx08/tx09, ss01, qf01, sp01, pk01, px01,
-# rep01, dm01, mm01-mm04, sa01/sa02, inc01, ct01/ct02, dd07/dd08…) keep their
+# rep01, dm01, mm01-mm04, sa01/sa02, inc01, ct01/ct02, dd06/dd07/dd08…) keep their
 # pass(r3) union row and rotate in next round; hll01 stays rows-only
 # by design (lc01 is its certified deterministic sibling).
 _CERTIFICATION_PRIORITY: list[str] = [
     # never hash-certified: es06 gained its cross-engine oracle this
     # round (deterministic Lloyd's k-means); inc02/q40/q41/tx11/es12/
-    # q42/dq01/dd11/q43/win03 are new
+    # q42/dq01/dd11/q43/win03/q44 are new
     "es06_ivf_kmeans_ann",
     "inc02_corpus_growth_manifest",
     "q40_dominant_part_suppliers",
@@ -98,6 +98,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "dd11_prefix_filter_pairs",
     "q43_first_supplier_per_part",
     "win03_peak_hours",
+    "q44_customer_order_distribution",
     # last certified in r2 — the 31 oldest driver rows in the union
     "q19_anomalous_lineitems",
     "q20_star_join_sample",
@@ -130,7 +131,7 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "dd03_minhash_lsh_pairs",
     "dd04_simhash",
     "dd05_embedding_neardup",
-    # last certified in r3 — the 8 oldest of the r3 block
+    # last certified in r3 — the 7 oldest of the r3 block
     "st01_tumbling_rollup",
     "st02_session_summary",
     "st03_stateful_sessions",
@@ -138,7 +139,6 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "st05_sliding_rollup",
     "st06_quota_enforce",
     "st07_stream_static_enrich",
-    "dd06_neardup_clusters",
 ]
 
 

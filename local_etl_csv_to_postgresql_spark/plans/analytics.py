@@ -1055,6 +1055,38 @@ def q43_first_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q44_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (custdist): the distribution of per-customer
+    order counts INCLUDING zero-order customers — the left-outer join
+    whose filter must live in the JOIN CONDITION, not a WHERE clause
+    (a WHERE would silently drop the zero-count customers the query
+    exists to find; Q13's 'not like special requests' becomes a
+    priority exclusion here — the oracle keeps the textbook
+    join-condition form). This plan uses the aggregate-before-join
+    rewrite: count qualifying orders per custkey FIRST (the fact
+    side reduces to ≤|customer| rows before any join), then LEFT
+    JOIN the customer dim against the counts and coalesce misses to
+    zero. The counts side is customer-dim cardinality by construction
+    — the same size class as the star joins' broadcast customer dim —
+    so it broadcasts and the preserved (left) side never shuffles;
+    the closing histogram groupBy reduces to ~tens of rows."""
+    cust = load(spark, sf, "customer").select("c_custkey")
+    cnt = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    per = cust.join(
+        F.broadcast(cnt), F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join: per error event, how many of the
     same user's view/click events landed in the preceding 60 s. See
@@ -1579,4 +1611,5 @@ RELATIONAL_QUERIES = {
     "q41_dormant_rich_customers": q41_dormant_rich_customers,
     "q42_quarter_top_supplier": q42_quarter_top_supplier,
     "q43_first_supplier_per_part": q43_first_supplier_per_part,
+    "q44_customer_order_distribution": q44_customer_order_distribution,
 }

@@ -775,3 +775,19 @@ WHERE p.p_size <= 5
 GROUP BY l.l_partkey, p.p_name, l.l_suppkey, s.s_name
 ORDER BY partkey, suppkey
 """
+
+# q44's oracle runs the textbook Q13 form: left outer join with the
+# exclusion in the JOIN CONDITION, then the count-of-counts histogram —
+# certifying the aggregate-before-join rewrite against it.
+RELATIONAL_ORACLE["q44_customer_order_distribution"] = """
+WITH per AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
