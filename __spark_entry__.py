@@ -66,79 +66,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness run certifies exactly the FIRST 50 entries of
-# this dict (confirmed four rounds straight). Certifications persist
+# this dict (confirmed five rounds straight). Certifications persist
 # across rounds, so the window is filled in this order: (1) any query
 # whose last driver row FAILED, (2) queries that have NEVER been
 # certified (a stale-but-green old row beats no row at all, so
 # never-certified outranks refresh), (3) the queries whose last green
-# row is oldest. Round-5 window: es06 (its Spark ML trainer was swapped
-# for a deterministic Lloyd's loop this round, so it gains an oracle
-# and moves from rows-only to hash-certifiable — never hash-certified
-# until now), the eleven round-5 additions (inc02, q40-q44, tx11,
-# es12, dq01, dd11, win03), then the 31 queries whose last green row is r2,
-# then the 7 oldest r3 rows. After this round every query's latest driver row is
-# ≤2 rounds old (the steady state the rotation-policy test pins); the
-# r3-era queries left outside (q00-q06/q34/q38, prof01, std01,
-# es01/es02/es03/es04/es05/es07, tx06/tx08/tx09, ss01, qf01, sp01, pk01, px01,
-# rep01, dm01, mm01-mm04, sa01/sa02, inc01, ct01/ct02, dd06/dd07/dd08…) keep their
-# pass(r3) union row and rotate in next round; hll01 stays rows-only
-# by design (lc01 is its certified deterministic sibling).
+# row is oldest. Round-6 window: the round-6 additions (never
+# certified) at the head, then ALL 40 queries whose latest green row
+# is r3-era (two rounds stale — the full rotation queue the r5
+# verdict prioritized), then the oldest r4 rows filling the remainder.
+# After this round every query's latest driver row is ≤2 rounds old.
+# hll01 stays rows-only by design (lc01 is its certified
+# deterministic sibling).
 _CERTIFICATION_PRIORITY: list[str] = [
-    # never hash-certified: es06 gained its cross-engine oracle this
-    # round (deterministic Lloyd's k-means); inc02/q40/q41/tx11/es12/
-    # q42/dq01/dd11/q43/win03/q44 are new
-    "es06_ivf_kmeans_ann",
-    "inc02_corpus_growth_manifest",
-    "q40_dominant_part_suppliers",
-    "q41_dormant_rich_customers",
-    "tx11_bpe_pair_mining",
-    "es12_pq_reconstruction_qc",
-    "q42_quarter_top_supplier",
-    "dq01_expectations_audit",
-    "dd11_prefix_filter_pairs",
-    "q43_first_supplier_per_part",
-    "win03_peak_hours",
-    "q44_customer_order_distribution",
-    # last certified in r2 — the 31 oldest driver rows in the union
-    "q19_anomalous_lineitems",
-    "q20_star_join_sample",
-    "q21_events_hourly",
-    "q22_user_sessions",
-    "q23_shipping_priority",
-    "q24_regional_revenue",
-    "q25_late_shipment_priority",
-    "q26_revenue_deciles",
-    "q27_cube_priority_status",
-    "q28_top_customers_per_nation",
-    "q29_promo_revenue",
-    "q30_revenue_forecast",
-    "q31_large_volume_customers",
-    "q32_daily_revenue_ma7",
-    "q33_user_retention",
-    "q35_top_percentile_orders",
-    "q36_customer_cohort_setops",
-    "q37_grouping_sets",
-    "fn01_purchase_funnel",
-    "aj01_asof_prior_click",
-    "rj01_error_context_window",
-    "tx01_token_stats",
-    "tx02_quality_by_lang",
-    "tx03_langid_confusion",
-    "tx04_fingerprint_stats",
-    "tx05_token_rollup",
-    "dd01_exact_dedup",
-    "dd02_ngram_jaccard_pairs",
-    "dd03_minhash_lsh_pairs",
-    "dd04_simhash",
-    "dd05_embedding_neardup",
-    # last certified in r3 — the 7 oldest of the r3 block
-    "st01_tumbling_rollup",
-    "st02_session_summary",
-    "st03_stateful_sessions",
-    "st04_stream_dedup",
-    "st05_sliding_rollup",
-    "st06_quota_enforce",
-    "st07_stream_static_enrich",
+    # never hash-certified: the round-6 additions
+    "bf01_bloom_prefilter",
+    "tx12_bpe_iterated_merges",
+    "q45_small_quantity_revenue",
+    "q46_part_value_share",
+    "q47_disjunct_revenue",
+    "qf02_gopher_quality_rules",
+    "tx13_bigram_surprisal",
+    "dd12_url_canonical_dedup",
+    # last certified in r3 — the 40 oldest driver rows in the union
+    "q00_pricing_summary",
+    "q01_record_counts",
+    "q02_orphaned_records",
+    "q03_multi_line_orders",
+    "q04_amount_quality",
+    "q05_monthly_trends",
+    "q06_quarterly_comparison",
+    "q34_priority_metrics_unpivot",
+    "q38_price_percentiles",
+    "prof01_orders_profile",
+    "std01_standardized_parts",
+    "es01_cosine_topk",
+    "es02_consecutive_cosine",
+    "es03_bucketed_ann",
+    "es04_ivf_ann",
+    "es05_label_centroids",
+    "es07_quantization_qc",
+    "tx06_top_terms",
+    "tx07_tfidf_top_terms",
+    "tx08_chunk_stats",
+    "tx09_unigram_surprisal",
+    "ss01_hash_sample",
+    "qf01_quality_filter",
+    "sp01_stratified_sample",
+    "pk01_sequence_packing",
+    "px01_pii_scan",
+    "rep01_repetition_stats",
+    "dm01_domain_mixture",
+    "mm01_media_metadata",
+    "mm02_resize_metadata",
+    "mm03_frame_sample",
+    "mm04_feature_means",
+    "sa01_salted_event_totals",
+    "sa02_salted_skew_join",
+    "inc01_incremental_dedup",
+    "ct01_cross_source_contamination",
+    "ct02_decontaminate",
+    "dd06_neardup_clusters",
+    "dd07_cluster_representatives",
+    "dd08_repeated_spans",
+    # oldest r4 rows filling the remaining slots
+    "json01_props_stats",
+    "std02_title_adversarial",
 ]
 
 

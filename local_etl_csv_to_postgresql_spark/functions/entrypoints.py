@@ -5583,3 +5583,532 @@ def _es12_oracle_sql() -> str:
 
 EXTENSION_ORACLE["es12_pq_reconstruction_qc"] = _es12_oracle_sql()
 EXTENSION_QUERIES["es12_pq_reconstruction_qc"] = es12_pq_reconstruction_qc
+
+
+# --- round-6 additions -----------------------------------------------------
+
+# Bloom pre-filter geometry (bf01): m bits in m/64 64-bit words, k
+# seeded xxhash64 probes. m/n ≈ 10 bits per corpus item at sf0.1 →
+# ~8% false-positive rate with k=3; the word table is m/64 rows BY
+# CONSTRUCTION (16k rows ≈ 256 KB at m=2^20) regardless of corpus
+# size, which is what makes its broadcast hint legitimate.
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 3
+
+
+def bf01_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter pre-filtered corpus-membership check — the standard
+    100 TB incremental-dedup admission shape: build a Bloom filter over
+    the accumulated corpus fingerprints, probe every batch row, and
+    run the EXACT membership join only on rows the filter could not
+    rule out. Bloom filters have no false negatives, so the pruned
+    exact join decides the final answer and the certified result is
+    engine-neutral — the DuckDB oracle runs the plain exact join; the
+    Bloom stage only prunes.
+
+    Spark 4 keeps ``bloom_filter_agg``/``might_contain`` internal (the
+    optimizer injects them for runtime join pruning; they are not in
+    the public function registry), so the filter is built as the
+    DISTRIBUTED bit matrix those internals also materialize: k seeded
+    ``xxhash64`` positions per corpus fingerprint → (word index, bit)
+    contributions → ONE ``bit_or`` aggregate into an m/64-row word
+    table, bounded by construction (never by data). The probe side is
+    k broadcast equi-joins on word index + a bitwise-AND test — the
+    batch never shuffles — and only surviving rows reach the exact
+    semi join (no hint there: the corpus side is SF-proportional, AQE
+    decides). At 100 TB the probe eliminates the overwhelmingly-new
+    majority of a crawl batch before anything shuffles
+    (tests/test_plans.py pins the probe-before-join plan). Batch =
+    source 'src19' (inc01's framing), corpus = every other source."""
+    m, k = BLOOM_M_BITS, BLOOM_K
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang", "source", tx.fingerprint("text").alias("__fp")
+    )
+    corpus = d.filter(F.col("source") != "src19").select("__fp").distinct()
+    batch = d.filter(F.col("source") == "src19").select(
+        "doc_id", "lang", "__fp"
+    )
+
+    def widx(i: int) -> str:
+        return f"pmod(xxhash64(__fp, {i}), {m}) div 64"
+
+    def bit(i: int) -> str:
+        return f"CAST(pmod(pmod(xxhash64(__fp, {i}), {m}), 64) AS INT)"
+
+    contribs = None
+    for i in range(k):
+        c = corpus.select(
+            F.expr(widx(i)).alias("__widx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {bit(i)})").alias("__b"),
+        )
+        contribs = c if contribs is None else contribs.unionAll(c)
+    words = contribs.groupBy("__widx").agg(
+        F.expr("bit_or(__b)").alias("__word")
+    )
+    flagged = batch
+    for i in range(k):
+        flagged = flagged.withColumn(f"__w{i}", F.expr(widx(i))).join(
+            F.broadcast(
+                words.select(
+                    F.col("__widx").alias(f"__w{i}"),
+                    F.col("__word").alias(f"__word{i}"),
+                )
+            ),
+            f"__w{i}",
+            "left",
+        )
+    maybe = F.lit(True)
+    for i in range(k):
+        maybe = maybe & F.expr(
+            f"(coalesce(__word{i}, CAST(0 AS BIGINT)) "
+            f"& shiftleft(CAST(1 AS BIGINT), {bit(i)})) != 0"
+        )
+    cand = flagged.filter(maybe).select("doc_id", "lang", "__fp")
+    hits = cand.join(corpus, "__fp", "left_semi")
+    per = batch.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch_docs")
+    )
+    hp = hits.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dups")
+    )
+    return (
+        per.join(hp, "lang", "left")
+        .select(
+            "lang",
+            "n_batch_docs",
+            F.coalesce("__dups", F.lit(0)).cast("bigint").alias(
+                "n_corpus_dups"
+            ),
+            (F.col("n_batch_docs") - F.coalesce("__dups", F.lit(0)))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .orderBy("lang")
+    )
+
+
+EXTENSION_QUERIES["bf01_bloom_prefilter"] = bf01_bloom_prefilter
+
+# The oracle is the EXACT membership join with no Bloom stage — the
+# Bloom filter only prunes, so the certified answer is engine-neutral.
+EXTENSION_ORACLE["bf01_bloom_prefilter"] = """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fp
+  FROM documents
+),
+corpus AS (SELECT DISTINCT fp FROM d WHERE source <> 'src19'),
+batch AS (SELECT doc_id, lang, fp FROM d WHERE source = 'src19')
+SELECT b.lang, CAST(COUNT(*) AS BIGINT) AS n_batch_docs,
+       CAST(SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corpus_dups,
+       CAST(SUM(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new
+FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+GROUP BY b.lang ORDER BY b.lang
+"""
+
+
+def _adjacent_symbol_pairs(symdf: DataFrame, it: int) -> DataFrame:
+    """Adjacent-pair statistics over per-word symbol arrays
+    (token-weighted like tx11): pair label is left||'|'||right so a
+    merged multi-char symbol stays unambiguous."""
+    pairs = symdf.select(
+        "__w",
+        "__wn",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__sym) >= 2 THEN "
+                "transform(sequence(1, size(__sym) - 1), "
+                "i -> concat(element_at(__sym, i), '|', "
+                "element_at(__sym, i + 1))) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("__wn").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("__w").cast("bigint").alias("n_distinct_words"),
+        )
+        .withColumn("merge_iter", F.lit(it))
+    )
+
+
+def tx12_bpe_iterated_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """ITERATED BPE merge mining — tx11 certifies the pair statistic;
+    this certifies the MERGE-APPLY step tokenizer training actually
+    loops on: mine iteration-1 pairs over character symbols, apply the
+    top merge (greedy left-to-right non-overlapping — the BPE rule)
+    to every word, and re-mine iteration-2 pairs over the new symbol
+    sequences. Top-10 pairs per iteration.
+
+    The merge-apply is a sequential per-word fold (``aggregate`` over
+    the char array: merge when the last emitted symbol + next char
+    equals the chosen pair — a merged symbol can never re-merge, which
+    IS the left-to-right non-overlap rule); the DuckDB twin replays
+    the same scan as a recursive CTE over word TYPES, so both engines
+    produce identical symbol sequences by construction. Scale shape:
+    the fold runs over the distinct VOCABULARY (word types ×
+    occurrence weights), not the corpus stream; pair cardinality stays
+    alphabet²-bounded (+ merged-symbol contexts), so each iteration is
+    one bounded aggregate and the 1-row top-pair broadcast — at 100 TB
+    a full tokenizer train repeats exactly this plan per merge."""
+    from pyspark.sql import Window
+
+    vocab = (
+        _docs_words(spark, sf)
+        .select(F.explode("__words").alias("__w"))
+        .filter(F.length("__w") >= 2)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__wn"))
+    )
+    sym0 = vocab.select(
+        "__w", "__wn", F.expr("regexp_extract_all(__w, '.', 0)").alias("__sym")
+    )
+    it1 = _adjacent_symbol_pairs(sym0, 1)
+    top1 = (
+        it1.orderBy(F.desc("n_occurrences"), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("__top"))
+    )
+    fold = (
+        "aggregate(__sym, CAST(array() AS ARRAY<STRING>), "
+        "(acc, ch) -> CASE WHEN size(acc) > 0 "
+        "AND concat(element_at(acc, -1), '|', ch) = __top "
+        "THEN concat(slice(acc, 1, size(acc) - 1), "
+        "array(concat(element_at(acc, -1), ch))) "
+        "ELSE concat(acc, array(ch)) END)"
+    )
+    sym1 = sym0.crossJoin(F.broadcast(top1)).select(
+        "__w", "__wn", F.expr(fold).alias("__sym")
+    )
+    it2 = _adjacent_symbol_pairs(sym1, 2)
+    w = Window.partitionBy("merge_iter").orderBy(
+        F.desc("n_occurrences"), "pair"
+    )
+    return (
+        it1.unionByName(it2)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("merge_iter").cast("int").alias("merge_iter"),
+            "pair",
+            "n_occurrences",
+            "n_distinct_words",
+            "rk",
+        )
+        .orderBy("merge_iter", "rk")
+    )
+
+
+EXTENSION_QUERIES["tx12_bpe_iterated_merges"] = tx12_bpe_iterated_merges
+
+# The oracle replays the SAME greedy left-to-right scan as a recursive
+# CTE over word types: at each position, consume 2 chars when they
+# equal the merged pair, else 1 — the textbook BPE merge definition.
+EXTENSION_ORACLE["tx12_bpe_iterated_merges"] = """
+WITH RECURSIVE w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents)
+  WHERE length(word) >= 2 GROUP BY word
+), p1 AS (
+  SELECT substr(word, CAST(i AS INT), 1) || '|' ||
+         substr(word, CAST(i AS INT) + 1, 1) AS pair, word, wn
+  FROM (SELECT word, wn, unnest(range(1, length(word))) AS i FROM w)
+), it1 AS (
+  SELECT 1 AS merge_iter, pair,
+         CAST(SUM(wn) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+  FROM p1 GROUP BY pair
+), top1 AS (
+  SELECT replace(pair, '|', '') AS ms FROM it1
+  ORDER BY n_occurrences DESC, pair LIMIT 1
+), scan AS (
+  SELECT word, wn, 1 AS pos, CAST('' AS VARCHAR) AS acc,
+         (SELECT ms FROM top1) AS ms
+  FROM w
+  UNION ALL
+  SELECT word, wn,
+         CASE WHEN pos + 1 <= length(word) AND substr(word, pos, 2) = ms
+              THEN pos + 2 ELSE pos + 1 END,
+         acc || CASE WHEN acc = '' THEN '' ELSE '|' END ||
+           CASE WHEN pos + 1 <= length(word) AND substr(word, pos, 2) = ms
+                THEN ms ELSE substr(word, pos, 1) END,
+         ms
+  FROM scan WHERE pos <= length(word)
+), done AS (
+  SELECT word, wn, string_split(acc, '|') AS sym
+  FROM scan WHERE pos > length(word)
+), p2 AS (
+  SELECT sym[CAST(i AS INT)] || '|' || sym[CAST(i AS INT) + 1] AS pair,
+         word, wn
+  FROM (SELECT word, wn, sym, unnest(range(1, len(sym))) AS i FROM done)
+), it2 AS (
+  SELECT 2 AS merge_iter, pair,
+         CAST(SUM(wn) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words
+  FROM p2 GROUP BY pair
+), u AS (
+  SELECT * FROM it1 UNION ALL SELECT * FROM it2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY merge_iter ORDER BY n_occurrences DESC, pair) AS rk
+  FROM u
+)
+SELECT CAST(merge_iter AS INT) AS merge_iter, pair, n_occurrences,
+       n_distinct_words, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 10 ORDER BY merge_iter, rk
+"""
+
+
+def qf02_gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style INDEPENDENT quality rules (the Rae et al. 2021
+    repetition/format rule family, thresholds tuned to this corpus) —
+    qf01 attributes each doc to its FIRST failing rule; production
+    rule audits also need the marginal per-rule failure counts this
+    reports (a doc can fail several rules; the columns overlap and
+    only ``n_pass_all`` is the conjunction). One conditional-aggregate
+    scan: every feature is a shared JVM text expression evaluated once
+    per row (the dq01 discipline — never a scan per rule)."""
+    docs = load(spark, sf, "documents")
+    base = docs.select("source", "text", tx.words("text").alias("__w"))
+    feats = base.select(
+        "source",
+        F.size("__w").alias("__nw"),
+        tx.mean_word_length_from(F.col("__w")).alias("__mwl"),
+        tx.marker_count("text", tx.STOPWORDS).alias("__sw"),
+        tx.punct_ratio("text").alias("__pr"),
+    )
+    f_wc = (F.col("__nw") < 5) | (F.col("__nw") > 1000)
+    f_mwl = (F.col("__mwl") < 2.0) | (F.col("__mwl") > 10.0)
+    f_sw = F.col("__sw") < 1
+    f_pr = F.col("__pr") > 0.2
+    flag = lambda c, name: F.sum(c.cast("long")).cast("bigint").alias(name)  # noqa: E731
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            flag(f_wc, "n_fail_wordcount"),
+            flag(f_mwl, "n_fail_wordlen"),
+            flag(f_sw, "n_fail_stopword"),
+            flag(f_pr, "n_fail_punct"),
+            flag(~(f_wc | f_mwl | f_sw | f_pr), "n_pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+EXTENSION_QUERIES["qf02_gopher_quality_rules"] = qf02_gopher_quality_rules
+
+EXTENSION_ORACLE["qf02_gopher_quality_rules"] = f"""
+WITH base AS (
+  SELECT source, text, {_WORDS} AS w FROM documents
+), feats AS (
+  SELECT source,
+         len(w) AS nw,
+         {_MWL.format(w='w')} AS mwl,
+         len(regexp_extract_all(lower(text),
+             '\\b(the|a|an|and|of|to|in|is|it|for)\\b')) AS sw,
+         {_PR} AS pr
+  FROM base
+), flags AS (
+  SELECT source,
+         CASE WHEN nw < 5 OR nw > 1000 THEN 1 ELSE 0 END AS f_wc,
+         CASE WHEN mwl < 2.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS f_mwl,
+         CASE WHEN sw < 1 THEN 1 ELSE 0 END AS f_sw,
+         CASE WHEN pr > 0.2 THEN 1 ELSE 0 END AS f_pr
+  FROM feats
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wc) AS BIGINT) AS n_fail_wordcount,
+       CAST(SUM(f_mwl) AS BIGINT) AS n_fail_wordlen,
+       CAST(SUM(f_sw) AS BIGINT) AS n_fail_stopword,
+       CAST(SUM(f_pr) AS BIGINT) AS n_fail_punct,
+       CAST(SUM(CASE WHEN f_wc = 0 AND f_mwl = 0 AND f_sw = 0 AND f_pr = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
+def tx13_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM quality scoring — tx09's unigram surprisal upgraded
+    to the conditional model real perplexity filters use: per language,
+    p(w_i | w_{i-1}) = c(w_{i-1}, w_i) / c(w_{i-1}·) over the corpus;
+    each doc scores mean −log2 p over its bigrams, rolled up per
+    (lang, surprisal bucket). Same determinism discipline as tx09:
+    probabilities are ratios of exact counts, log2 applied once per
+    (lang, prev, cur) key, per-doc means rounded to 6 dp before
+    bucketing. Scale: bigrams come straight from the word array
+    (transform over sequence — no self-join, no window over raw
+    tokens); the context total rides a window over the aggregated
+    bigram table (vocab², not corpus, sized); the scoring join is one
+    shuffle of bigram keys that AQE broadcasts when the model table is
+    small. Docs with <2 words have no bigrams and drop out — the same
+    rule on both engines."""
+    from pyspark.sql import Window
+
+    docs = _docs_words(spark, sf)
+    bi = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__words) >= 2 THEN "
+                "transform(sequence(1, size(__words) - 1), "
+                "i -> struct(element_at(__words, i) AS p, "
+                "element_at(__words, i + 1) AS c)) "
+                "ELSE CAST(array() AS "
+                "ARRAY<STRUCT<p: STRING, c: STRING>>) END"
+            )
+        ).alias("__b"),
+    ).select("doc_id", "lang", F.col("__b.p").alias("__p"), F.col("__b.c").alias("__c"))
+    model = (
+        bi.groupBy("lang", "__p", "__c")
+        .agg(F.count(F.lit(1)).alias("__n2"))
+        .withColumn(
+            "__n1", F.sum("__n2").over(Window.partitionBy("lang", "__p"))
+        )
+        .withColumn("__nll", -F.log2(F.col("__n2") / F.col("__n1")))
+    )
+    per_doc = (
+        bi.join(model.select("lang", "__p", "__c", "__nll"), ["lang", "__p", "__c"])
+        .groupBy("doc_id", "lang")
+        .agg(F.avg("__nll").alias("__s"))
+    )
+    bucket = F.least(
+        F.floor(F.round(F.col("__s"), 6) / 2).cast("int"), F.lit(7)
+    )
+    return (
+        per_doc.withColumn("__bk", bucket)
+        .groupBy("lang", "__bk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("__s"), 4).alias("avg_surprisal"),
+        )
+        .select(
+            "lang",
+            F.col("__bk").alias("surprisal_bucket"),
+            "n_docs",
+            "avg_surprisal",
+        )
+        .orderBy("lang", "surprisal_bucket")
+    )
+
+
+EXTENSION_QUERIES["tx13_bigram_surprisal"] = tx13_bigram_surprisal
+
+EXTENSION_ORACLE["tx13_bigram_surprisal"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_WORDS} AS w FROM documents
+), bi AS (
+  SELECT doc_id, lang,
+         w[CAST(i AS INT)] AS p, w[CAST(i AS INT) + 1] AS c
+  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM d)
+), c2 AS (
+  SELECT lang, p, c, COUNT(*) AS n2 FROM bi GROUP BY lang, p, c
+), v AS (
+  SELECT lang, p, c,
+         -log2(CAST(n2 AS DOUBLE)
+               / SUM(n2) OVER (PARTITION BY lang, p)) AS nll
+  FROM c2
+), pd AS (
+  SELECT doc_id, b.lang AS lang, AVG(nll) AS s
+  FROM bi b JOIN v ON b.lang = v.lang AND b.p = v.p AND b.c = v.c
+  GROUP BY doc_id, b.lang
+)
+SELECT lang,
+       CAST(LEAST(FLOOR(ROUND(s, 6) / 2), 7) AS INT) AS surprisal_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(s), 4) AS avg_surprisal
+FROM pd GROUP BY lang, CAST(LEAST(FLOOR(ROUND(s, 6) / 2), 7) AS INT)
+ORDER BY lang, surprisal_bucket
+"""
+
+
+def dd12_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier dedup step that
+    runs BEFORE any content is fetched: normalize scheme / case /
+    ``www.`` prefix / trailing slash / tracking query params away and
+    count how many raw URLs collapse onto each canonical form. The
+    corpus has no URL column (uf01's framing), so a deterministic
+    noisy URL is derived per doc — scheme, www-prefix, host case,
+    trailing slash, and utm query string all vary by doc_id arithmetic
+    — and the operator under test is the CANONICALIZER: Spark's
+    ``parse_url`` (HOST/PATH split drops the query) + two
+    regexp_replaces, one codegen'd map over the scan, no shuffle until
+    the per-source rollup. At 100 TB the URL column comes off crawl
+    metadata and nothing else changes."""
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("http")).otherwise(
+        F.lit("https")
+    )
+    www = F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    host = F.when(
+        F.col("doc_id") % 7 == 0, F.upper(F.col("source"))
+    ).otherwise(F.col("source"))
+    trail = F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("?utm_source=feed&ref="), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    with_url = docs.withColumn(
+        "__url",
+        F.concat(
+            scheme, F.lit("://"), www, host, F.lit(".com/item/"),
+            (F.col("doc_id") % 10).cast("string"), trail, query,
+        ),
+    )
+    canon = F.concat(
+        F.regexp_replace(
+            F.lower(F.parse_url(F.col("__url"), F.lit("HOST"))),
+            r"^www\.", "",
+        ),
+        F.regexp_replace(
+            F.parse_url(F.col("__url"), F.lit("PATH")), r"/$", ""
+        ),
+    )
+    return (
+        with_url.withColumn("__canon", canon)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("__canon").cast("bigint").alias("n_canonical"),
+            (F.count(F.lit(1)) - F.countDistinct("__canon"))
+            .cast("bigint")
+            .alias("n_url_dups"),
+        )
+        .orderBy("source")
+    )
+
+
+EXTENSION_QUERIES["dd12_url_canonical_dedup"] = dd12_url_canonical_dedup
+
+EXTENSION_ORACLE["dd12_url_canonical_dedup"] = """
+WITH u AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN upper(source) ELSE source END)
+         || '.com/item/' || CAST(doc_id % 10 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0
+             THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+             ELSE '' END) AS url
+  FROM documents
+), c AS (
+  SELECT source,
+         regexp_replace(lower(regexp_extract(url, '^https?://([^/]+)', 1)),
+                        '^www\\.', '')
+         || regexp_replace(regexp_extract(url, '^https?://[^/]+([^?]*)', 1),
+                           '/$', '') AS canon
+  FROM u
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+       CAST(COUNT(*) - COUNT(DISTINCT canon) AS BIGINT) AS n_url_dups
+FROM c GROUP BY source ORDER BY source
+"""

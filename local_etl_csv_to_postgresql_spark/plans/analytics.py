@@ -1087,6 +1087,134 @@ def q44_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q45_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if orders for one brand's parts below 20% of that
+    part's average order quantity were no longer taken. The oracle
+    runs the TEXTBOOK correlated scalar-subquery form
+    (``l_quantity < 0.2 * (SELECT AVG(...) WHERE same part)``, in
+    multiply form); this plan decorrelates it:
+
+    - the brand panel restricts lineitem FIRST (semi join — partkey
+      determines brand, so per-part stats over the restricted frame
+      equal the correlated subquery's full-table stats); no broadcast
+      hint — the brand slice of part is SF-proportional, AQE decides;
+    - per-part (sum, count) is ONE aggregate whose partkey shuffle the
+      equality join back onto the lines reuses;
+    - the threshold compares ``5·qty·cnt < sum`` in DECIMAL — exact
+      integer-scaled arithmetic, no 0.2 double multiply that could
+      flip boundary rows between engines."""
+    part = (
+        load(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = (
+        load(spark, sf, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(part, "l_partkey", "left_semi")
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    return (
+        li.join(stats, "l_partkey")
+        .filter(
+            F.col("l_quantity").cast("decimal(9,2)")
+            * F.col("__c").cast("decimal(10,0)")
+            * 5
+            < F.col("__s")
+        )
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+def q46_part_value_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock value): parts whose revenue
+    exceeds 1.5× the mean per-part revenue — the
+    scalar-subquery-in-HAVING pattern, with Q11's scale-factor-scaled
+    fraction (``0.0001/SF``) re-expressed data-relatively (1.5×
+    mean) so the threshold stays selective at every sf. The per-part
+    aggregate reduces the fact before anything else; the (sum, count)
+    threshold re-aggregates the per-part frame (no second fact scan)
+    and broadcasts as ONE row (the A10 pattern); the test runs in
+    integer-multiple form (``2·val·n > 3·tot``) — identical IEEE
+    doubles on both engines, no division at the boundary."""
+    per = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("__val"))
+    )
+    tot = per.agg(
+        F.sum("__val").alias("__tot"), F.count(F.lit(1)).alias("__np")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(
+            2 * F.col("__val").cast("double") * F.col("__np")
+            > 3 * F.col("__tot").cast("double")
+        )
+        .select(
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            F.col("__val").cast("double").alias("part_value"),
+            F.round(
+                F.col("__val").cast("double") * 100.0
+                / F.col("__tot").cast("double"),
+                6,
+            ).alias("pct_of_total"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+def q47_disjunct_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): one equi-join whose
+    residual filter is an OR of three (brand, size-range,
+    quantity-range) conjunctions — the disjunctive-predicate pattern
+    that breaks naive pushdown. The partkey equi-join stays a hash
+    join (Catalyst extracts the common key; the OR lives in the join
+    condition exactly as the textbook query states it, and the
+    l_quantity bounds that appear in every branch are pushed to the
+    scan as ``quantity BETWEEN min-of-mins AND max-of-maxes``); part
+    carries no broadcast hint — it is SF-proportional, AQE decides."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & qty.between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 40)
+            & qty.between(20, 50)
+        )
+    )
+    return li.join(
+        part, (li.l_partkey == part.p_partkey) & branch
+    ).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
 def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join: per error event, how many of the
     same user's view/click events landed in the preceding 60 s. See
@@ -1612,4 +1740,7 @@ RELATIONAL_QUERIES = {
     "q42_quarter_top_supplier": q42_quarter_top_supplier,
     "q43_first_supplier_per_part": q43_first_supplier_per_part,
     "q44_customer_order_distribution": q44_customer_order_distribution,
+    "q45_small_quantity_revenue": q45_small_quantity_revenue,
+    "q46_part_value_share": q46_part_value_share,
+    "q47_disjunct_revenue": q47_disjunct_revenue,
 }

@@ -776,6 +776,56 @@ GROUP BY l.l_partkey, p.p_name, l.l_suppkey, s.s_name
 ORDER BY partkey, suppkey
 """
 
+# q45's oracle runs the textbook Q17 correlated scalar-subquery form
+# (threshold in exact multiply form: 5·qty·cnt < sum, so neither
+# engine computes 0.2·AVG in floating point) — certifying the
+# decorrelated per-part-aggregate + equality-join rewrite.
+RELATIONAL_ORACLE["q45_small_quantity_revenue"] = """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS DECIMAL(9,2))
+      * (SELECT COUNT(*) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey) * 5
+      < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+"""
+
+# q46's oracle keeps the textbook Q11 scalar-subquery-in-HAVING form
+# (threshold in multiply form over IEEE doubles — no division at the
+# boundary; 1.5× the mean per-part value, Q11's 0.0001/SF
+# re-expressed data-relatively).
+RELATIONAL_ORACLE["q46_part_value_share"] = """
+WITH per AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(l_partkey AS BIGINT) AS partkey,
+       CAST(val AS DOUBLE) AS part_value,
+       ROUND(CAST(val AS DOUBLE) * 100.0
+             / CAST((SELECT SUM(val) FROM per) AS DOUBLE), 6) AS pct_of_total
+FROM per
+WHERE 2 * CAST(val AS DOUBLE) * (SELECT COUNT(*) FROM per)
+      > 3 * CAST((SELECT SUM(val) FROM per) AS DOUBLE)
+ORDER BY part_value DESC, partkey
+"""
+
+# q47's oracle states the textbook Q19 OR-of-ANDs join predicate.
+RELATIONAL_ORACLE["q47_disjunct_revenue"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
 # q44's oracle runs the textbook Q13 form: left outer join with the
 # exclusion in the JOIN CONDITION, then the count-of-counts histogram —
 # certifying the aggregate-before-join rewrite against it.

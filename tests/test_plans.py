@@ -72,6 +72,8 @@ BNLJ_ALLOWED = {
     "src01_source_divergence",  # dense source-pair roster, both sides broadcast
     "es11_ann_recall",  # 10-row broadcast query-vector panel
     "q41_dormant_rich_customers",  # 1-row broadcast balance threshold
+    "q46_part_value_share",  # 1-row broadcast (total, count) threshold
+    "tx12_bpe_iterated_merges",  # 1-row broadcast top merge pair
 }
 
 
