@@ -300,10 +300,18 @@ def main() -> int:
     failures: dict[str, str] = {}
     etl: dict = {}
     etl_extra: list[dict] = []
+    chunk_walls: list[float] = []
     sf = os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     ).rstrip("/").rsplit("sf", 1)[-1]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    compile_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_COMPILE_BUDGET", "150")
+    )
+    # Provenance: SCALE.md's load study measured a ±18% co-tenant
+    # envelope on this host — a bench number without the loadavg it ran
+    # under cannot be attributed (r5 verdict, ETL-drift finding).
+    load_before = os.getloadavg()
     for names, do_etl in chunks:
         # an empty chunk still runs if it carries the ETL legs (the
         # fixed-cost chunk can be empty when no streaming/mm queries
@@ -313,12 +321,30 @@ def main() -> int:
         env = dict(os.environ)
         env[_CHUNK_ENV] = ",".join(names)
         env[_ETL_ENV] = "1" if do_etl else "0"
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
+        # Per-chunk timeout (r5 advice: one hung chunk JVM must not
+        # stall the bench forever with no contract line): the chunk's
+        # compile budget, plus best-of-N timed passes at a generous
+        # per-query allowance, plus fixed JVM/ETL/streaming spin-up.
+        chunk_timeout = compile_budget + 30.0 * runs * max(1, len(names)) + (
+            600.0 if do_etl else 120.0
         )
+        t_chunk = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=chunk_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            chunk_walls.append(round(time.time() - t_chunk, 1))
+            failures["__chunk__" + (names[0] if names else "etl")] = (
+                f"timeout after {chunk_timeout:.0f}s "
+                f"({len(names)} queries, etl={do_etl})"
+            )
+            continue
+        chunk_walls.append(round(time.time() - t_chunk, 1))
         rec = None
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
@@ -338,6 +364,7 @@ def main() -> int:
         failures.update(rec.get("failures", {}))
         etl = rec.get("etl") or etl
         etl_extra.extend(rec.get("etl_extra", []))
+    load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
 
@@ -355,6 +382,9 @@ def main() -> int:
         "etl": {k: etl[k] for k in ("rows", "sec", "loaded") if k in etl},
         "runs": runs,
         "sf": sf,
+        # 1-min loadavg before/after — the attribution key for any
+        # round-over-round drift (±18% co-tenant envelope, SCALE.md)
+        "loadavg": [round(load_before[0], 2), round(load_after[0], 2)],
     }
     if etl_extra:
         out["etl_extra"] = [
@@ -376,6 +406,8 @@ def main() -> int:
         etl_extra=etl_extra,
         failures=failures or None,
         chunks=[len(c[0]) for c in chunks],
+        chunk_wall_sec=chunk_walls,
+        loadavg_full=[list(load_before), list(load_after)],
     )
     try:
         with open(

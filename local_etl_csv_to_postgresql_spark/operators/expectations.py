@@ -62,8 +62,12 @@ def evaluate(
     for e in expectations:
         names.append(e.name)
         aggs.append(
-            F.sum(
-                F.coalesce(e.violation, F.lit(True)).cast("long")
+            # outer coalesce: SUM over zero rows is NULL, but an empty
+            # batch has 0 OBSERVED violations (it fails the gate via
+            # the explicit __n = 0 rule instead)
+            F.coalesce(
+                F.sum(F.coalesce(e.violation, F.lit(True)).cast("long")),
+                F.lit(0),
             )
             .cast("bigint")
             .alias(f"__r_{e.name}")
@@ -87,11 +91,21 @@ def evaluate(
         .select(
             "rule",
             "violations",
-            (F.col("violations") == 0).alias("passed"),
-            F.round(
-                F.lit(1.0)
-                - F.col("violations").cast("double") / F.col("__n"),
-                6,
+            # FAIL-CLOSED on an empty batch (r5 advice): 0 rows used to
+            # yield pass_rate NULL (0/0) with passed=True for every
+            # rule, so an upstream outage sailed through the quality
+            # gate looking fully green. Zero rows now fails every rule
+            # explicitly, with pass_rate NULL marking "no evidence".
+            ((F.col("violations") == 0) & (F.col("__n") > 0)).alias(
+                "passed"
+            ),
+            F.when(
+                F.col("__n") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("violations").cast("double") / F.col("__n"),
+                    6,
+                ),
             ).alias("pass_rate"),
         )
         .orderBy("rule")

@@ -33,6 +33,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def _await_or_raise(q, timeout_sec: int = 300) -> None:
+    """availableNow replays terminate on their own; a False return from
+    awaitTermination means the cap elapsed with the query still running
+    and the memory sink holding a PARTIAL replay. Raising beats
+    returning that as if clean (r5 advice)."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(
+            f"streaming replay did not terminate within {timeout_sec}s; "
+            "memory-sink table would be partial"
+        )
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, event_count long"
 )
@@ -231,7 +244,7 @@ def replay_sessions(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -317,7 +330,7 @@ def replay_quota(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -368,7 +381,7 @@ def replay_static_enrich(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -426,7 +439,7 @@ def replay_dedup(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -539,7 +552,7 @@ def replay_late_data(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
         # expose the per-batch drop accounting so tests can pin that
         # the late filter actually fired (not just that output matched)
         global LAST_LATE_DROPPED
@@ -625,7 +638,7 @@ def replay_stream_stream_join(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -685,7 +698,7 @@ def replay_session_window(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -857,7 +870,7 @@ def replay_tws_totals(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_raise(q)
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)

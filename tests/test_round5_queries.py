@@ -325,6 +325,31 @@ def test_expectations_violation_semantics(spark):
         evaluate(df, [])
 
 
+def test_expectations_empty_batch_fails_closed(spark):
+    """r5 advice: a 0-row batch used to report pass_rate NULL (0/0)
+    with passed=True for every rule, so an upstream outage sailed
+    through the gate green. Empty input now FAILS every rule, with
+    pass_rate NULL marking 'no evidence'."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.operators.expectations import (
+        Expectation,
+        evaluate,
+    )
+
+    df = spark.createDataFrame([], "event_id long, value double")
+    out = {
+        r["rule"]: (r["violations"], r["passed"], r["pass_rate"])
+        for r in evaluate(
+            df,
+            [Expectation("value_nonneg", F.col("value") < 0)],
+            unique_cols=("event_id",),
+        ).collect()
+    }
+    assert out["value_nonneg"] == (0, False, None)
+    assert out["event_id_unique"] == (0, False, None)
+
+
 @needs_testdata
 def test_q40_dominance_threshold_is_exact(spark):
     """Every returned supplier must genuinely dominate some PROMO part
