@@ -301,6 +301,12 @@ def dd11_prefix_filter_pairs(spark: SparkSession, sf: str) -> DataFrame:
     TN, TD = 4, 5  # threshold t = TN/TD = 0.8
     docs, _sigs, _pairs = _lsh_base(spark, sf)
     tok = docs.select("doc_id", F.explode("__sh").alias("__t"))
+    # Formulation note (r6 bench study): a two-window rewrite
+    # (count-over-token partition for df + row_number-over-doc for the
+    # prefix rank) saves one shuffle on paper but measured ~8% SLOWER
+    # at sf0.1 under identical load — the vocabulary-sized groupBy +
+    # per-doc hash aggregate with tiny array sorts beats sorting whole
+    # doc partitions in WindowExec. Keeping the aggregate form.
     freq = tok.groupBy("__t").agg(
         F.count(F.lit(1)).cast("long").alias("__df")
     )
@@ -5461,55 +5467,173 @@ def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization codebook QC — the go/no-go check before
     committing a PQ index: split every embedding into M=2 contiguous
     32-dim subvectors, train a deterministic per-subspace codebook
-    (k=16, one Lloyd refinement — similarity.lloyd_centroids, the es06
-    trainer reused verbatim on sliced vectors), assign each subvector
-    to its codeword (argmax cosine, centroid-id tie-break — the
-    library-wide assignment rule), and report per label: vector count,
+    (k=16, one Lloyd refinement — the es06 trainer\'s exact arithmetic:
+    lowest-id init, argmax-cosine assignment with centroid-id
+    tie-break, DECIMAL(25,12) order-independent centroid sums rounded
+    to 6 dp, empty clusters keep their position), assign each
+    subvector to its codeword, and report per label: vector count,
     distinct (code0, code1) product codes in use (collapsed code space
     = a dead codebook), and the mean / max squared reconstruction
     error ‖x − concat(c0, c1)‖².
 
-    Scale shape: 2 × (one Lloyd pass + broadcast-codebook assignment)
-    — each a corpus map with a k·d driver round-trip, exactly es06's
-    cost class — then ONE rollup. Per-vector errors round to 6 dp and
-    aggregate as DECIMAL(18,6) sums (shuffle-order independent); the
-    assignment join keys on vec_id, high-cardinality, never a
-    single-partition window."""
+    FUSED training (r5 bench trim): both subspaces train in ONE
+    namespaced Lloyd chain — subvectors carry a subspace tag ``__m``,
+    the broadcast codebook joins on it, assignment windows on
+    (vec_id, __m), and centroid means aggregate per (__m, cid, dim) —
+    so each Lloyd stage is one corpus pass covering BOTH codebooks
+    instead of two sequential per-subspace chains (subspaces never
+    interact, so the per-(m, cid) arithmetic — and therefore every
+    hash-certified value — is identical to training them separately;
+    the DuckDB oracle still runs the two textbook per-subspace
+    chains). The final per-vector code pivot is one conditional
+    aggregate on vec_id — high-cardinality, never a single-partition
+    window; driver round-trip stays O(M·k·d) bounded metadata.
+
+    Scale shape: (1 init collect) + (1 fused assign + 1 fused means
+    pass) + (1 fused assign-with-error pass) + ONE rollup. Per-vector
+    errors round to 6 dp and aggregate as DECIMAL(18,6) sums
+    (shuffle-order independent)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     M, D, K = 2, 64, 16
     sub_w = D // M
     emb = load(spark, sf, "embeddings")
-    df = emb.select(
+    base = emb.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("__v"),
     )
+    sliced = base.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("__m"),
+                        F.slice("__v", m * sub_w + 1, sub_w).alias("__sv"),
+                    )
+                    for m in range(M)
+                ]
+            )
+        ).alias("__s"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("__s.__m").alias("__m"),
+        F.col("__s.__sv").alias("__sv"),
+    )
 
-    def sq_err(x, c):
-        return F.round(
-            F.aggregate(
-                F.zip_with(x, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    schema = StructType(
+        [
+            StructField("__m", IntegerType()),
+            StructField("__cid", LongType()),
+            StructField("__cvec", ArrayType(DoubleType())),
+        ]
+    )
+    # init = the K lowest-id vectors, per subspace (lloyd_centroids\'
+    # init rule applied per namespace; same id set for both m)
+    state = {
+        (int(r["__m"]), int(r["vec_id"])): list(r["__sv"])
+        for r in sliced.join(
+            F.broadcast(
+                emb.select("vec_id").orderBy("vec_id").limit(K)
             ),
-            6,
+            "vec_id",
+            "left_semi",
+        ).collect()
+    }
+
+    def assign(cents, extra_err: bool):
+        sim_expr = sim.dot(F.col("__sv"), F.col("__cvec")) / F.nullif(
+            sim.norm(F.col("__sv")) * sim.norm(F.col("__cvec")),
+            F.lit(0.0),
+        )
+        cols = ["vec_id", "label", "__m", "__sv", "__cid",
+                sim_expr.alias("__sim")]
+        if extra_err:
+            cols.append(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__sv"),
+                            F.col("__cvec"),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                    6,
+                ).alias("__err")
+            )
+        w = Window.partitionBy("vec_id", "__m").orderBy(
+            F.desc_nulls_last("__sim"), F.asc("__cid")
+        )
+        return (
+            sliced.join(F.broadcast(cents), "__m")
+            .select(*cols)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn", "__sim")
         )
 
-    for m in range(M):
-        sub = df.select(
-            "vec_id", F.slice("__v", m * sub_w + 1, sub_w).alias("embedding")
+    # one Lloyd refinement, both subspaces in one pass
+    cents = spark.createDataFrame(
+        [(m, cid, v) for (m, cid), v in sorted(state.items())], schema
+    )
+    means = (
+        assign(cents, extra_err=False)
+        .select("__m", "__cid", F.posexplode("__sv").alias("__dim", "__x"))
+        .groupBy("__m", "__cid", "__dim")
+        .agg(
+            F.sum(F.col("__x").cast("decimal(25,12)")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
         )
-        cents = sim.lloyd_centroids(
-            sub, n_centroids=K, n_iter=1, id_col="vec_id", vec_col="embedding"
+        .select(
+            "__m",
+            "__cid",
+            "__dim",
+            F.round(F.col("__s").cast("double") / F.col("__n"), 6).alias(
+                "__mean"
+            ),
         )
-        assigned = sim.assign_to_centroids(
-            sub, cents, "vec_id", "embedding", extra={"__err": sq_err}
-        ).select(
-            "vec_id",
-            F.col("__cid").alias(f"__c{m}"),
-            F.col("__err").alias(f"__e{m}"),
+        .groupBy("__m", "__cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__dim", "__mean"))),
+                lambda s: s["__mean"],
+            ).alias("__newvec")
         )
-        df = df.join(assigned, "vec_id")
-    per = df.select(
+    )
+    # O(M·k·d) driver metadata; empty clusters keep their position
+    new = {
+        (int(r["__m"]), int(r["__cid"])): list(r["__newvec"])
+        for r in means.collect()
+    }
+    state = {key: new.get(key, vec) for key, vec in state.items()}
+    cents = spark.createDataFrame(
+        [(m, cid, v) for (m, cid), v in sorted(state.items())], schema
+    )
+    assigned = assign(cents, extra_err=True)
+    per = assigned.groupBy("vec_id").agg(
+        F.max("label").alias("label"),
+        *[
+            F.max(F.when(F.col("__m") == m, F.col("__cid"))).alias(f"__c{m}")
+            for m in range(M)
+        ],
+        *[
+            F.max(F.when(F.col("__m") == m, F.col("__err"))).alias(f"__e{m}")
+            for m in range(M)
+        ],
+    ).select(
         "label",
         F.concat_ws("_", "__c0", "__c1").alias("__code"),
         F.round(F.col("__e0") + F.col("__e1"), 6).alias("__err"),
