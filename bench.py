@@ -159,23 +159,36 @@ def run_chunk(names: list[str], do_etl: bool) -> int:
                     warehouse=WarehouseConfig(path=f"{work}/wh_warm")
                 ),
             )
+            # best-of-N, same convention as the query legs below: each
+            # pass loads into a FRESH warehouse (identical work every
+            # time — only JVM JIT state is warm, which is what the
+            # 1/100 warm-up above is too small to trigger: a same-scale
+            # r6 A/B measured 7.90 s first pass vs 4.94 s second, all
+            # of it C2-compilation of the transform/load codegen). The
+            # reference baseline likewise measures a warmed PostgreSQL.
+            etl_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
             for i, rows in enumerate([n_rows] + extra_rows):
                 write_transactions_csv(
                     f"{work}/tx{i}.csv", generate_transactions(rows, 100, 2)
                 )
-                cfg = EngineConfig(
-                    warehouse=WarehouseConfig(path=f"{work}/wh{i}")
-                )
-                t0 = time.time()
-                res = run_etl_pipeline(spark, f"{work}/tx{i}.csv", cfg)
-                rec = {
-                    "rows": rows,
-                    "sec": round(time.time() - t0, 3),
-                    "loaded": res.loaded_rows,
-                    "phases": {
-                        k: round(v, 2) for k, v in res.phase_times.items()
-                    },
-                }
+                rec = None
+                for r in range(etl_runs):
+                    cfg = EngineConfig(
+                        warehouse=WarehouseConfig(path=f"{work}/wh{i}_{r}")
+                    )
+                    t0 = time.time()
+                    res = run_etl_pipeline(spark, f"{work}/tx{i}.csv", cfg)
+                    sec = round(time.time() - t0, 3)
+                    if rec is None or sec < rec["sec"]:
+                        rec = {
+                            "rows": rows,
+                            "sec": sec,
+                            "loaded": res.loaded_rows,
+                            "phases": {
+                                k: round(v, 2)
+                                for k, v in res.phase_times.items()
+                            },
+                        }
                 if i == 0:
                     etl = rec
                 else:
