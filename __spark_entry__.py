@@ -71,11 +71,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # whose last driver row FAILED, (2) queries that have NEVER been
 # certified (a stale-but-green old row beats no row at all, so
 # never-certified outranks refresh), (3) the queries whose last green
-# row is oldest. Round-6 window: the round-6 additions (never
+# row is oldest. Round-6 window: the TEN round-6 additions (never
 # certified) at the head, then ALL 40 queries whose latest green row
 # is r3-era (two rounds stale — the full rotation queue the r5
-# verdict prioritized), then the oldest r4 rows filling the remainder.
-# After this round every query's latest driver row is ≤2 rounds old.
+# verdict prioritized) — exactly 50, the verdict's "≤10 new slots"
+# allowance spent in full (json01/std02, the two oldest r4 rows,
+# head the round-7 refresh queue instead).
 # hll01 stays rows-only by design (lc01 is its certified
 # deterministic sibling).
 _CERTIFICATION_PRIORITY: list[str] = [
@@ -88,6 +89,8 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "qf02_gopher_quality_rules",
     "tx13_bigram_surprisal",
     "dd12_url_canonical_dedup",
+    "q48_market_share",
+    "rrf01_hybrid_rank_fusion",
     # last certified in r3 — the 40 oldest driver rows in the union
     "q00_pricing_summary",
     "q01_record_counts",
@@ -129,9 +132,6 @@ _CERTIFICATION_PRIORITY: list[str] = [
     "dd06_neardup_clusters",
     "dd07_cluster_representatives",
     "dd08_repeated_spans",
-    # oldest r4 rows filling the remaining slots
-    "json01_props_stats",
-    "std02_title_adversarial",
 ]
 
 

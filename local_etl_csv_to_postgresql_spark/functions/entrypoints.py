@@ -542,6 +542,95 @@ def es06_ivf_kmeans_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RRF_DEPTH = 20  # per-leg candidate depth
+RRF_K = 60      # the standard RRF dampening constant
+
+
+def rrf01_hybrid_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the two-signal
+    search shape retrieval-augmented curation pipelines actually run:
+    a dense leg (cosine against a query embedding) and a sparse leg
+    (distinct-token overlap with the query document) each produce a
+    bounded top-``RRF_DEPTH`` candidate list, fused by
+    ``sum(1/(60+rank))`` over the union. ``doc_id == vec_id`` is the
+    corpus contract (documents and embeddings are row-aligned); doc 0
+    / vec 0 is the query and is excluded from both legs.
+
+    100 TB design: each leg ends in ``orderBy().limit(RRF_DEPTH)`` —
+    TakeOrdered, a per-partition heap + driver merge, never a global
+    sort. Ranks are then row_number over the ALREADY-bounded 20-row
+    frames (the single-partition WindowExec is safe only because its
+    input is bounded by construction — the same two-phase discipline
+    as operators/ranking.py), and the fusion join is 20×20. The dense
+    leg broadcasts one query vector; the sparse leg broadcasts one
+    document's distinct-token set (bounded by one document's length)
+    and reduces corpus tokens through a semi-join BEFORE the per-doc
+    count, so nothing unbounded ever shuffles. Ties at every boundary
+    break on id; cosine rounds to 4 dp first (the es01 convention),
+    so the certified hash is engine-neutral.
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            sim.cosine(F.col("embedding"), F.col("__q")).alias("__cos"),
+        )
+        .orderBy(F.desc("__cos"), "id")
+        .limit(RRF_DEPTH)
+    )
+    dense = dense.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("__cos"), "id"))
+        .cast("int")
+        .alias("dense_rank"),
+    )
+    toks = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.explode(tx.words("text")).alias("__tok"))
+        .distinct()
+    )
+    qtok = toks.filter(F.col("doc_id") == 0).select("__tok")
+    sparse = (
+        toks.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qtok), "__tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__ov"))
+        .orderBy(F.desc("__ov"), "doc_id")
+        .limit(RRF_DEPTH)
+    )
+    sparse = sparse.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("__ov"), "doc_id"))
+        .cast("int")
+        .alias("sparse_rank"),
+    )
+    one = F.lit(1.0)
+    return (
+        dense.join(sparse, "id", "full_outer")
+        .select(
+            "id",
+            "dense_rank",
+            "sparse_rank",
+            F.round(
+                F.coalesce(one / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0))
+                + F.coalesce(one / (F.lit(RRF_K) + F.col("sparse_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "id")
+        .limit(10)
+    )
+
+
 def sa01_salted_event_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-resistant two-stage aggregation over the events table.
 
@@ -1774,6 +1863,49 @@ _BANDED = " UNION ALL ".join(
     for t in range(LSH_TABLES)
 )
 
+# rrf01's oracle ranks BOTH full legs with window functions and cuts
+# to the same depth — certifying that the TakeOrdered-then-rank plan
+# equals the global-rank specification (row_number with the full
+# tie-break order is unique, so top-20-then-rank == rank-then-top-20).
+# 1/(60+rank) is CAST to DOUBLE explicitly: bare 1.0 is DECIMAL in
+# DuckDB and decimal division would diverge from Spark's IEEE double.
+EXTENSION_ORACLE["rrf01_hybrid_rank_fusion"] = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id AS id, {_COS.format(a='embedding', b='qe')} AS cos
+  FROM embeddings, q WHERE vec_id <> 0
+  ORDER BY cos DESC, id LIMIT 20
+),
+dranked AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS INT)
+         AS dense_rank
+  FROM dense
+),
+toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents)
+),
+qtok AS (SELECT tok FROM toks WHERE doc_id = 0),
+sparse AS (
+  SELECT t.doc_id AS id, COUNT(*) AS ov
+  FROM toks t JOIN qtok USING (tok)
+  WHERE t.doc_id <> 0
+  GROUP BY t.doc_id
+  ORDER BY ov DESC, id LIMIT 20
+),
+sranked AS (
+  SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY ov DESC, id) AS INT)
+         AS sparse_rank
+  FROM sparse
+)
+SELECT id, d.dense_rank, s.sparse_rank,
+       ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + d.dense_rank), 0.0)
+             + COALESCE(CAST(1 AS DOUBLE) / (60 + s.sparse_rank), 0.0),
+             6) AS rrf_score
+FROM dranked d FULL JOIN sranked s USING (id)
+ORDER BY rrf_score DESC, id LIMIT 10
+"""
+
 EXTENSION_ORACLE["es03_bucketed_ann"] = f"""
 WITH banded AS ({_BANDED}),
 q AS (SELECT embedding AS qe, tbl, bucket FROM banded WHERE vec_id = 0)
@@ -2416,6 +2548,7 @@ EXTENSION_QUERIES["tx07_tfidf_top_terms"] = tx07_tfidf_top_terms
 EXTENSION_QUERIES["tx06_top_terms"] = tx06_top_terms
 EXTENSION_QUERIES["qf01_quality_filter"] = qf01_quality_filter
 EXTENSION_QUERIES["es06_ivf_kmeans_ann"] = es06_ivf_kmeans_ann
+EXTENSION_QUERIES["rrf01_hybrid_rank_fusion"] = rrf01_hybrid_rank_fusion
 
 
 _LLOYD_SIM = (

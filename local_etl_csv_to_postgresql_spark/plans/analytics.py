@@ -1225,6 +1225,84 @@ def q47_disjunct_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q48_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the one remaining
+    celebrated correlated-shape pattern — the same bounded dimension
+    (nation) joined in TWO ROLES in one star plan. Customer-side,
+    nation→region scopes the market to one region's buyers;
+    supplier-side, nation labels each sale with the SELLING nation;
+    the answer is a per-order-year conditional-sum share of one
+    nation's volume within that market.
+
+    100 TB design: the fact is reduced through keyed hash joins in
+    selectivity order (part filter first — ``p_type='PROMO'`` prunes
+    ~80% of sales before the orders join). part/customer/supplier are
+    SF-proportional, so none carries a broadcast hint (AQE decides
+    from measured size — the q29 convention); nation and region are
+    bounded by construction (25/5 rows) and keep theirs. Both roles
+    of nation broadcast independently, so the double-role join adds
+    no shuffle. The share divides two decimal-exact sums cast to
+    double only at output (no division at any filter boundary)."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount",
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_type")
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf, "nation")
+    reg = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cust_nat = nat.select(
+        F.col("n_nationkey").alias("__c_natkey"),
+        F.col("n_regionkey").alias("__c_regkey"),
+    )
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("__s_natkey"),
+        F.col("n_name").alias("__s_nation"),
+    )
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(
+            part.filter(F.col("p_type") == "PROMO"),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), cust.c_nationkey == F.col("__c_natkey"))
+        .join(F.broadcast(reg), F.col("__c_regkey") == reg.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nat), supp.s_nationkey == F.col("__s_natkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("__s_nation"),
+            vol.alias("__vol"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("__s_nation") == "NATION_2", F.col("__vol"))
+            ).alias("__num"),
+            F.sum("__vol").alias("__den"),
+        )
+        .select(
+            F.col("o_year").cast("int").alias("o_year"),
+            F.coalesce(F.col("__num").cast("double"), F.lit(0.0)).alias(
+                "nation_volume"
+            ),
+            F.col("__den").cast("double").alias("total_volume"),
+            F.round(
+                F.coalesce(F.col("__num").cast("double"), F.lit(0.0))
+                / F.col("__den").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def rj01_error_context_window(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join: per error event, how many of the
     same user's view/click events landed in the preceding 60 s. See
@@ -1754,4 +1832,5 @@ RELATIONAL_QUERIES = {
     "q45_small_quantity_revenue": q45_small_quantity_revenue,
     "q46_part_value_share": q46_part_value_share,
     "q47_disjunct_revenue": q47_disjunct_revenue,
+    "q48_market_share": q48_market_share,
 }

@@ -812,6 +812,41 @@ WHERE 2 * CAST(val AS DOUBLE) * (SELECT COUNT(*) FROM per)
 ORDER BY part_value DESC, partkey
 """
 
+# q48's oracle states the textbook Q8 form — the flat 8-table join
+# with nation appearing twice (n1 = customer market, n2 = selling
+# nation) and the share as a conditional-sum ratio per order year —
+# certifying the two-role broadcast star plan against it. The CASE
+# sums the SAME decimal product as the total (no ELSE 0: SUM skips
+# NULLs, and COALESCE maps an empty year to 0.0 after the double
+# cast, exactly as the Spark side does).
+RELATIONAL_ORACLE["q48_market_share"] = """
+WITH sales AS (
+  SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+         n2.n_name AS nation,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+  FROM lineitem l, part p, orders o, customer c, supplier s,
+       nation n1, nation n2, region r
+  WHERE p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+    AND o.o_orderkey = l.l_orderkey
+    AND c.c_custkey = o.o_custkey
+    AND n1.n_nationkey = c.c_nationkey
+    AND r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+    AND s.s_suppkey = l.l_suppkey
+    AND n2.n_nationkey = s.s_nationkey
+)
+SELECT o_year,
+       COALESCE(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume END)
+                     AS DOUBLE), 0.0) AS nation_volume,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume,
+       ROUND(COALESCE(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume END)
+                           AS DOUBLE), 0.0)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM sales
+GROUP BY o_year
+ORDER BY o_year
+"""
+
 # q47's oracle states the textbook Q19 OR-of-ANDs join predicate.
 RELATIONAL_ORACLE["q47_disjunct_revenue"] = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

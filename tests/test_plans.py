@@ -74,6 +74,7 @@ BNLJ_ALLOWED = {
     "q41_dormant_rich_customers",  # 1-row broadcast balance threshold
     "q46_part_value_share",  # 1-row broadcast (total, count) threshold
     "tx12_bpe_iterated_merges",  # 1-row broadcast top merge pair
+    "rrf01_hybrid_rank_fusion",  # 1-row broadcast query vector (dense leg)
 }
 
 
@@ -201,6 +202,9 @@ BROADCAST_HINT_ALLOWED = {
     "thresh",  # 1-row balance threshold (q41)
     "mx",      # 1-row max-revenue scalar (q42)
     "tot",     # 1-row (total, count) threshold (q46)
+    "cust_nat",  # nation projection, customer role — 25 rows (q48)
+    "supp_nat",  # nation projection, supplier role — 25 rows (q48)
+    "reg",       # region filtered to one name — ≤1 row (q48)
 }
 
 
