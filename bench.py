@@ -272,11 +272,15 @@ _SHARED_BASE_PREFIXES = {
 def plan_chunks(
     all_names: list[str], n_chunks: int
 ) -> list[tuple[list[str], bool]]:
-    """Chunk layout for the parent process: chunk 0 = streaming + Arrow
-    queries + the ETL legs (largest fixed costs, most aging-sensitive —
-    always a young JVM); the rest splits evenly in library order with
-    the shared-LSH-base family pulled to the front of the first query
-    chunk so its one-time build is paid once per pass, not per chunk."""
+    """Chunk layout for the parent process: chunk 0 = the ETL legs
+    ALONE in their own fresh JVM; chunk 1 = streaming + Arrow queries
+    (largest fixed costs, most aging-sensitive — always a young JVM
+    with NOTHING before them: the r6 best-of-2 ETL change doubled the
+    pipeline runs, and when they shared the streaming chunk the extra
+    codegen churn aged st03 4.8 → 8.3 s before its first micro-batch);
+    the rest splits evenly in library order with the shared-LSH-base
+    family pulled to the front of the first query chunk so its
+    one-time build is paid once per pass, not per chunk."""
     fixed_cost = [n for n in all_names if _is_streaming(n) or _is_arrow(n)]
     rest = [n for n in all_names if n not in fixed_cost]
     shared = [
@@ -288,7 +292,7 @@ def plan_chunks(
     # make chunks smaller than the family would rebuild the LSH base
     # per chunk — the exact inflation this layout exists to prevent
     size = max(size, len(shared))
-    chunks: list[tuple[list[str], bool]] = [(fixed_cost, True)]
+    chunks: list[tuple[list[str], bool]] = [([], True), (fixed_cost, False)]
     for i in range(0, len(rest), size):
         chunks.append((rest[i : i + size], False))
     return chunks
