@@ -5596,36 +5596,23 @@ ORDER BY query_id
 EXTENSION_QUERIES["es11_ann_recall"] = es11_ann_recall
 
 
-def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
-    """Product-quantization codebook QC — the go/no-go check before
-    committing a PQ index: split every embedding into M=2 contiguous
-    32-dim subvectors, train a deterministic per-subspace codebook
-    (k=16, one Lloyd refinement — the es06 trainer\'s exact arithmetic:
-    lowest-id init, argmax-cosine assignment with centroid-id
-    tie-break, DECIMAL(25,12) order-independent centroid sums rounded
-    to 6 dp, empty clusters keep their position), assign each
-    subvector to its codeword, and report per label: vector count,
-    distinct (code0, code1) product codes in use (collapsed code space
-    = a dead codebook), and the mean / max squared reconstruction
-    error ‖x − concat(c0, c1)‖².
+# Product-quantization geometry shared by es12 (codebook QC) and es13
+# (ADC search): M contiguous subspaces over D dims, K codewords each.
+PQ_M, PQ_D, PQ_K = 2, 64, 16
 
-    FUSED training (r5 bench trim): both subspaces train in ONE
-    namespaced Lloyd chain — subvectors carry a subspace tag ``__m``,
-    the broadcast codebook joins on it, assignment windows on
-    (vec_id, __m), and centroid means aggregate per (__m, cid, dim) —
-    so each Lloyd stage is one corpus pass covering BOTH codebooks
-    instead of two sequential per-subspace chains (subspaces never
-    interact, so the per-(m, cid) arithmetic — and therefore every
-    hash-certified value — is identical to training them separately;
-    the DuckDB oracle still runs the two textbook per-subspace
-    chains). The final per-vector code pivot is one conditional
-    aggregate on vec_id — high-cardinality, never a single-partition
-    window; driver round-trip stays O(M·k·d) bounded metadata.
 
-    Scale shape: (1 init collect) + (1 fused assign + 1 fused means
-    pass) + (1 fused assign-with-error pass) + ONE rollup. Per-vector
-    errors round to 6 dp and aggregate as DECIMAL(18,6) sums
-    (shuffle-order independent)."""
+def _pq_assigned(
+    spark: SparkSession, sf: str, extra_err: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Train the deterministic per-subspace PQ codebooks (fused
+    namespaced Lloyd chain — see es12's docstring for the full
+    arithmetic discipline) and return ``(assigned, cents)``:
+    ``assigned`` = every (vec_id, label, __m, __sv, __cid[, __err])
+    subvector-to-codeword assignment under the trained codebooks,
+    ``cents`` = the trained (__m, __cid, __cvec) codebook itself
+    (M·K rows — bounded driver metadata). Extracted from es12 as pure
+    code motion so es13 searches the IDENTICAL codebooks es12
+    certifies (both queries' hashes pin the same training)."""
     from pyspark.sql import Window
     from pyspark.sql.types import (
         ArrayType,
@@ -5636,8 +5623,8 @@ def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
         StructType,
     )
 
-    M, D, K = 2, 64, 16
-    sub_w = D // M
+    M, K = PQ_M, PQ_K
+    sub_w = PQ_D // M
     emb = load(spark, sf, "embeddings")
     base = emb.select(
         "vec_id",
@@ -5672,7 +5659,7 @@ def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
             StructField("__cvec", ArrayType(DoubleType())),
         ]
     )
-    # init = the K lowest-id vectors, per subspace (lloyd_centroids\'
+    # init = the K lowest-id vectors, per subspace (lloyd_centroids'
     # init rule applied per namespace; same id set for both m)
     state = {
         (int(r["__m"]), int(r["vec_id"])): list(r["__sv"])
@@ -5755,7 +5742,43 @@ def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
     cents = spark.createDataFrame(
         [(m, cid, v) for (m, cid), v in sorted(state.items())], schema
     )
-    assigned = assign(cents, extra_err=True)
+    return assign(cents, extra_err=extra_err), cents
+
+
+def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization codebook QC — the go/no-go check before
+    committing a PQ index: split every embedding into M=2 contiguous
+    32-dim subvectors, train a deterministic per-subspace codebook
+    (k=16, one Lloyd refinement — the es06 trainer\'s exact arithmetic:
+    lowest-id init, argmax-cosine assignment with centroid-id
+    tie-break, DECIMAL(25,12) order-independent centroid sums rounded
+    to 6 dp, empty clusters keep their position), assign each
+    subvector to its codeword, and report per label: vector count,
+    distinct (code0, code1) product codes in use (collapsed code space
+    = a dead codebook), and the mean / max squared reconstruction
+    error ‖x − concat(c0, c1)‖².
+
+    FUSED training (r5 bench trim): both subspaces train in ONE
+    namespaced Lloyd chain — subvectors carry a subspace tag ``__m``,
+    the broadcast codebook joins on it, assignment windows on
+    (vec_id, __m), and centroid means aggregate per (__m, cid, dim) —
+    so each Lloyd stage is one corpus pass covering BOTH codebooks
+    instead of two sequential per-subspace chains (subspaces never
+    interact, so the per-(m, cid) arithmetic — and therefore every
+    hash-certified value — is identical to training them separately;
+    the DuckDB oracle still runs the two textbook per-subspace
+    chains). The final per-vector code pivot is one conditional
+    aggregate on vec_id — high-cardinality, never a single-partition
+    window; driver round-trip stays O(M·k·d) bounded metadata.
+
+    Scale shape: (1 init collect) + (1 fused assign + 1 fused means
+    pass) + (1 fused assign-with-error pass) + ONE rollup. Per-vector
+    errors round to 6 dp and aggregate as DECIMAL(18,6) sums
+    (shuffle-order independent). Training lives in ``_pq_assigned``
+    (shared with es13's ADC search — pure code motion, identical
+    arithmetic)."""
+    M = PQ_M
+    assigned, _ = _pq_assigned(spark, sf, extra_err=True)
     per = assigned.groupBy("vec_id").agg(
         F.max("label").alias("label"),
         *[
@@ -5840,6 +5863,147 @@ def _es12_oracle_sql() -> str:
 
 EXTENSION_ORACLE["es12_pq_reconstruction_qc"] = _es12_oracle_sql()
 EXTENSION_QUERIES["es12_pq_reconstruction_qc"] = es12_pq_reconstruction_qc
+
+
+PQ_ADC_TOPK = 10
+
+
+def es13_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the SEARCH side of
+    the es12 codebooks, completing the product-quantization story:
+    es12 certifies training + reconstruction QC, es13 certifies the
+    query path an ANN service actually serves. Every corpus vector is
+    represented ONLY by its (code0, code1) codeword pair; the query
+    (vec_id 0) stays uncompressed ("asymmetric"), so per-vector
+    distance is a 2-term table lookup:
+    ``adc = ‖q₀−c(code0)‖² + ‖q₁−c(code1)‖²``.
+
+    100 TB design — the reason PQ exists: the scan side touches only
+    M small integer codes per vector (the M·K×sub_w codebook and the
+    M·K-entry lookup table broadcast as bounded metadata — the LUT is
+    ~32 rows regardless of corpus size), so the search is one
+    map-shaped broadcast join + TakeOrdered(k); no embedding array is
+    read after encoding. Training is byte-identical to es12's
+    (``_pq_assigned`` is shared), so both queries' certified hashes
+    pin the same codebooks. LUT partials round to 6 dp (index-ordered
+    fold, the es12 error convention); ties break on vec_id.
+
+    Staged for the round-7 certification window (the r6 window's
+    ten new-entry slots are spent); locally certified now by
+    tests/test_staged_round7.py against the DuckDB twin."""
+    assigned, cents = _pq_assigned(spark, sf, extra_err=False)
+    M = PQ_M
+    sub_w = PQ_D // M
+    # query subvectors, sliced directly (same slicing as training)
+    qsub = (
+        load(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("__m"),
+                            F.slice(
+                                F.transform(
+                                    "embedding", lambda x: x.cast("double")
+                                ),
+                                m * sub_w + 1,
+                                sub_w,
+                            ).alias("__qv"),
+                        )
+                        for m in range(M)
+                    ]
+                )
+            ).alias("__s")
+        )
+        .select(F.col("__s.__m").alias("__m"), F.col("__s.__qv").alias("__qv"))
+    )
+    # ADC lookup table: squared L2 from each query subvector to each
+    # codeword — M·K rows, bounded by construction
+    lut = cents.join(F.broadcast(qsub), "__m").select(
+        "__m",
+        "__cid",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.col("__cvec"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("__part"),
+    )
+    return (
+        assigned.filter(F.col("vec_id") != 0)
+        .select("vec_id", "__m", "__cid")
+        .join(F.broadcast(lut), ["__m", "__cid"])
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("__m") == 0, F.col("__cid")))
+            .cast("int")
+            .alias("code0"),
+            F.max(F.when(F.col("__m") == 1, F.col("__cid")))
+            .cast("int")
+            .alias("code1"),
+            F.round(F.sum("__part"), 6).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(PQ_ADC_TOPK)
+    )
+
+
+def _es13_oracle_sql() -> str:
+    """DuckDB twin of es13: the same two namespaced Lloyd chains as
+    es12's oracle, a per-subspace ADC lookup table from the raw query
+    row, and the 2-term lookup sum ranked ascending."""
+    M, K = PQ_M, PQ_K
+    sub_w = PQ_D // M
+    ctes: list[str] = []
+    for m in range(M):
+        lo, hi = m * sub_w + 1, (m + 1) * sub_w
+        chain, ed, cfinal = _lloyd_chain(
+            f"s{m}", f"embedding[{lo}:{hi}]", sub_w, K, 1
+        )
+        ctes.extend(chain)
+        ctes.append(
+            _lloyd_assign_cte(f"s{m}asg", ed, cfinal, select="vec_id, cid")
+        )
+        ctes.append(
+            f"s{m}lut AS (SELECT c.cid, ROUND(list_sum(list_transform("
+            f"range(1, {sub_w + 1}), "
+            f"i -> (q.v[i] - c.cvec[i]) * (q.v[i] - c.cvec[i]))), 6) AS part "
+            f"FROM {cfinal} c CROSS JOIN "
+            f"(SELECT v FROM {ed} WHERE vec_id = 0) q)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT e.vec_id, CAST(a0.cid AS INT) AS code0,\n"
+        "       CAST(a1.cid AS INT) AS code1,\n"
+        "       ROUND(l0.part + l1.part, 6) AS adc_dist\n"
+        "FROM embeddings e\n"
+        "JOIN s0asg a0 ON a0.vec_id = e.vec_id\n"
+        "JOIN s1asg a1 ON a1.vec_id = e.vec_id\n"
+        "JOIN s0lut l0 ON l0.cid = a0.cid\n"
+        "JOIN s1lut l1 ON l1.cid = a1.cid\n"
+        f"WHERE e.vec_id <> 0\n"
+        f"ORDER BY adc_dist, e.vec_id LIMIT {PQ_ADC_TOPK}"
+    )
+
+
+# Round-7 staged surface: implemented + locally certified NOW
+# (tests/test_staged_round7.py runs the pair through the same compare
+# harness as the driver gate), registered into queries()/oracle_sql()
+# next round when certification slots free up. NOT merged into
+# EXTENSION_* yet — the never-certified-in-window invariant
+# (tests/test_entry.py) requires every queries() entry without a
+# driver row to sit inside the 50-slot window, and round 6's ten
+# new-entry slots are spent.
+ROUND7_STAGED_QUERIES = {"es13_pq_adc_search": es13_pq_adc_search}
+ROUND7_STAGED_ORACLE = {"es13_pq_adc_search": _es13_oracle_sql()}
 
 
 # --- round-6 additions -----------------------------------------------------

@@ -1,0 +1,76 @@
+"""Round-7 staged surface: operators implemented and locally certified
+this round but not yet registered in ``__spark_entry__.queries()`` (the
+round-6 certification window's ten new-entry slots are spent — see
+``ROUND7_STAGED_QUERIES`` in functions/entrypoints.py).
+
+Each staged query runs through the SAME Spark-vs-DuckDB compare harness
+as the driver gate, so registration next round is a two-line dict move
+with the certification evidence already green.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+    ROUND7_STAGED_ORACLE,
+    ROUND7_STAGED_QUERIES,
+)
+from scripts.check_oracle import compare
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    duckdb = pytest.importorskip("duckdb")
+    from local_etl_csv_to_postgresql_spark.plans.analytics import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_every_staged_query_has_oracle():
+    assert set(ROUND7_STAGED_QUERIES) == set(ROUND7_STAGED_ORACLE)
+
+
+def test_staged_names_not_yet_registered():
+    """A staged query must NOT appear in queries() yet: an unregistered
+    name can never violate the never-certified-in-window invariant, and
+    a registered one must graduate OUT of the staged dict."""
+    import __spark_entry__ as ep
+
+    overlap = set(ROUND7_STAGED_QUERIES) & set(ep.queries())
+    assert overlap == set(), f"graduated queries still staged: {overlap}"
+
+
+@needs_testdata
+@pytest.mark.integration
+@pytest.mark.parametrize("name", list(ROUND7_STAGED_QUERIES))
+def test_staged_query_matches_oracle(spark, duck, name):
+    sdf = ROUND7_STAGED_QUERIES[name](spark, SF).toPandas()
+    odf = duck.execute(ROUND7_STAGED_ORACLE[name]).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_es13_adc_invariants(spark):
+    """ADC search output invariants: k rows, codes within [0, K·init
+    id range), non-negative ascending distances, query excluded."""
+    out = ROUND7_STAGED_QUERIES["es13_pq_adc_search"](spark, SF).collect()
+    assert len(out) == 10
+    dists = [r["adc_dist"] for r in out]
+    assert all(d >= 0 for d in dists)
+    assert dists == sorted(dists)
+    assert all(r["vec_id"] != 0 for r in out)
