@@ -6533,3 +6533,355 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(*) - COUNT(DISTINCT canon) AS BIGINT) AS n_url_dups
 FROM c GROUP BY source ORDER BY source
 """
+
+
+# --- round-7 staged surface, wave 2 -----------------------------------------
+# (dd13 SemDeDup, ir01 DSIR importance weights, q49 TPC-H Q7 shape)
+
+# SemDeDup knobs (dd13): cluster count and the within-cluster cosine
+# threshold (on the 4-dp-rounded cosine, the es01 convention). 8
+# clusters keep the sf-scale in-cluster pair volume tiny while still
+# exercising the real two-stage shape; a production corpus raises
+# SEMDEDUP_K with corpus size so the per-cluster member count — and
+# with it the quadratic in-cluster pair work — stays bounded.
+SEMDEDUP_K = int(_os.environ.get("SPARK_GRAFT_SEMDEDUP_K", "8"))
+SEMDEDUP_THRESHOLD = float(_os.environ.get("SPARK_GRAFT_SEMDEDUP_T", "0.30"))
+
+
+def dd13_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then search for
+    near-duplicate pairs ONLY within each cluster — the clustering is
+    what turns an O(n²) all-pairs cosine scan into k independent
+    O((n/k)²) cells, and at 100 TB k grows with the corpus so the
+    per-cell pair volume stays bounded (the paper runs k=50k over
+    LAION). Keep rule: within every above-threshold pair the lower
+    vec_id survives, so ``n_removed`` counts the distinct higher ids —
+    deterministic and engine-neutral (the paper keeps the item farthest
+    from the centroid; the tie-broken id rule certifies the same
+    two-stage plan without coupling the report to float centroid
+    distances).
+
+    Training reuses the deterministic fixed-iteration Lloyd kernel
+    (similarity.lloyd_centroids — lowest-id init, decimal-exact means,
+    6-dp rounding) so the full pipeline carries a hash-checked DuckDB
+    twin. Plan: 3 corpus passes for training (broadcast k·d state), one
+    map-side assignment, then ONE keyed self-join on cluster id whose
+    fan-out is bounded by the cluster sizes k-means itself equalizes;
+    cosine is rounded to 4 dp BEFORE thresholding on both engines.
+    """
+    emb = load(spark, sf, "embeddings")
+    ed = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "__v"
+        ),
+    )
+    cents = sim.lloyd_centroids(
+        emb, n_centroids=SEMDEDUP_K, n_iter=2
+    )
+    assigned = sim.assign_to_centroids(ed, cents, "vec_id", "__v")
+    a = assigned.select(
+        "__cid", F.col("vec_id").alias("__ida"), F.col("__v").alias("__va")
+    )
+    b = assigned.select(
+        "__cid", F.col("vec_id").alias("__idb"), F.col("__v").alias("__vb")
+    )
+    dups = (
+        a.join(b, "__cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            "__cid",
+            "__idb",
+            sim.cosine(F.col("__va"), F.col("__vb")).alias("__c"),
+        )
+        .filter(F.col("__c") >= F.lit(SEMDEDUP_THRESHOLD))
+    )
+    dup_stats = dups.groupBy("__cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("__idb").alias("n_removed"),
+    )
+    members = assigned.groupBy("__cid").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        members.join(dup_stats, "__cid", "left")
+        .select(
+            F.col("__cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).cast("bigint").alias(
+                "n_dup_pairs"
+            ),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _dd13_oracle_sql() -> str:
+    """DuckDB twin of dd13: the shared Lloyd CTE chain (the es06/es12
+    kernel twin), the shared assignment rule, then the same in-cluster
+    pair join with the 4-dp cosine threshold and keep-lowest-id rule."""
+    ctes, ed, cfinal = _lloyd_chain("sd", "embedding", 64, SEMDEDUP_K, 2)
+    ctes.append(
+        _lloyd_assign_cte("sdasg", ed, cfinal, select="vec_id, v, cid")
+    )
+    cos = _COS.format(a="a.v", b="b.v")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+sddup AS (
+  SELECT a.cid, b.vec_id AS idb, {cos} AS c
+  FROM sdasg a JOIN sdasg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= {SEMDEDUP_THRESHOLD}
+), sdstats AS (
+  SELECT cid, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT idb) AS n_removed
+  FROM sddup GROUP BY cid
+), sdmembers AS (
+  SELECT cid, COUNT(*) AS n_members FROM sdasg GROUP BY cid
+)
+SELECT m.cid AS cluster_id, CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(s.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(s.n_removed, 0) AS BIGINT) AS n_removed
+FROM sdmembers m LEFT JOIN sdstats s ON m.cid = s.cid
+ORDER BY cluster_id"""
+    )
+
+
+# DSIR knobs (ir01): hashed-n-gram feature buckets. 4096 buckets is
+# the bounded-model size — the target/raw bucket distributions and the
+# per-bucket log-ratio table are <= DSIR_BUCKETS rows BY CONSTRUCTION
+# regardless of corpus size, which is what makes their broadcast
+# legitimate (the paper uses 10k buckets over unigram+bigram features).
+DSIR_BUCKETS = int(_os.environ.get("SPARK_GRAFT_DSIR_BUCKETS", "4096"))
+
+
+def ir01_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """Data selection via importance resampling, DSIR-shaped (Xie et
+    al. 2023, arXiv:2302.03169): score every raw-corpus document by how
+    target-like its hashed n-gram features are, ``log p_target(doc) -
+    log p_raw(doc)`` under bag-of-hashed-grams models. Features are
+    word unigrams + bigrams hashed into ``DSIR_BUCKETS`` buckets (the
+    60-bit md5 construction every dedup oracle shares); the target
+    distribution is fit on the ``lang = 'en'`` slice, the raw
+    distribution on everything else, both with add-one smoothing; each
+    raw doc scores the MEAN per-gram log-ratio (so weight is
+    length-invariant) and the top 20 selections are certified.
+
+    Determinism: the log-ratio is computed ONCE per bucket and rounded
+    to 8 dp, and the per-doc mean sums those values as DECIMAL(25,12)
+    (order-independent under shuffle) before a 6-dp rounded divide —
+    the tx09/tx13 discipline. Scale: both bucket histograms and the
+    fused log-ratio table are bounded by DSIR_BUCKETS rows BY
+    CONSTRUCTION (broadcast legitimately); the gram stream itself
+    never shuffles except into those bounded aggregates and the final
+    per-doc mean, so the whole scorer is two map-shaped passes over
+    the corpus + one doc-keyed aggregate at any scale.
+    """
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "lang", tx.words("text").alias("__w")
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "concat(__w, CASE WHEN size(__w) >= 2 THEN "
+                "transform(sequence(1, size(__w) - 1), "
+                "i -> concat(element_at(__w, i), ' ', "
+                "element_at(__w, i + 1))) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END)"
+            )
+        ).alias("__g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+            % DSIR_BUCKETS
+        ).alias("__b"),
+    )
+    tgt = (
+        grams.filter(F.col("lang") == "en")
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__tn"))
+    )
+    rawc = (
+        grams.filter(F.col("lang") != "en")
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__qn"))
+    )
+    # 1-row totals: bounded by construction -> broadcast crossJoin
+    # (the A10 percent-of-total pattern)
+    tot = tgt.agg(F.sum("__tn").alias("__tt")).crossJoin(
+        rawc.agg(F.sum("__qn").alias("__qt"))
+    )
+    nb = F.lit(float(DSIR_BUCKETS))
+    lr = (
+        tgt.join(rawc, "__b", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__tn"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("__tt") + nb)
+                )
+                - F.log(
+                    (F.coalesce(F.col("__qn"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("__qt") + nb)
+                ),
+                8,
+            ).alias("__lr"),
+        )
+    )
+    return (
+        grams.filter(F.col("lang") != "en")
+        .join(F.broadcast(lr), "__b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(
+                F.sum(F.col("__lr").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dsir_weight"),
+        )
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(20)
+    )
+
+
+_IR01_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_WORDS} AS w FROM documents
+), uni AS (
+  SELECT doc_id, lang, unnest(w) AS g FROM d
+), bi AS (
+  SELECT doc_id, lang, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] AS g
+  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM d)
+), grams AS (
+  SELECT doc_id, lang, {_H60.format(x='g')} % {DSIR_BUCKETS} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), tgt AS (
+  SELECT b, COUNT(*) AS tn FROM grams WHERE lang = 'en' GROUP BY b
+), rawc AS (
+  SELECT b, COUNT(*) AS qn FROM grams WHERE lang <> 'en' GROUP BY b
+), tot AS (
+  SELECT (SELECT SUM(tn) FROM tgt) AS tt, (SELECT SUM(qn) FROM rawc) AS qt
+), lr AS (
+  SELECT COALESCE(tgt.b, rawc.b) AS b,
+         ROUND(LN((COALESCE(tn, 0) + 1.0) / (tt + {DSIR_BUCKETS}.0))
+             - LN((COALESCE(qn, 0) + 1.0) / (qt + {DSIR_BUCKETS}.0)), 8) AS lr
+  FROM tgt FULL OUTER JOIN rawc ON tgt.b = rawc.b CROSS JOIN tot
+)
+SELECT g.doc_id, g.lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       ROUND(CAST(SUM(CAST(lr AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6)
+         AS dsir_weight
+FROM grams g JOIN lr ON g.b = lr.b
+WHERE g.lang <> 'en'
+GROUP BY g.doc_id, g.lang
+ORDER BY dsir_weight DESC, g.doc_id LIMIT 20
+"""
+
+
+# TPC-H Q7 volume-shipping nation set: any two distinct members pair.
+_Q49_NATIONS = ("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+
+
+def q49_nation_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the one celebrated star
+    pattern still missing from the relational library — the SAME
+    bounded dimension joined in TWO ROLES with a cross-role PAIR
+    predicate (supplier nation x customer nation, distinct members of
+    a fixed market set, both directions), revenue per (supp_nation,
+    cust_nation, ship year). Reference parity: exercises the J4 star
+    join + F9 calendar extraction + A1 decimal aggregate contract
+    (src/run_queries.py:130-177's query-bank shape) over a pairing
+    its query bank never reaches.
+
+    Scale: both nation roles broadcast (25 rows each, bounded by
+    construction — the q48 convention); supplier/customer/orders are
+    SF-proportional and carry NO hint (AQE decides). The pair
+    predicate prunes at the two broadcast joins, so only in-market
+    rows reach the single aggregate shuffle.
+    """
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    nations = load(spark, sf, "nation").filter(
+        F.col("n_name").isin(*_Q49_NATIONS)
+    )
+    n1 = nations.select(
+        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nations.select(
+        F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("__sk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("__ck"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_IN_Q49 = ", ".join(f"'{n}'" for n in _Q49_NATIONS)
+
+_Q49_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ({_IN_Q49}) AND n2.n_name IN ({_IN_Q49})
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "dd13_semantic_dedup": dd13_semantic_dedup,
+        "ir01_dsir_importance": ir01_dsir_importance,
+        "q49_nation_volume_shipping": q49_nation_volume_shipping,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "dd13_semantic_dedup": _dd13_oracle_sql(),
+        "ir01_dsir_importance": _IR01_ORACLE,
+        "q49_nation_volume_shipping": _Q49_ORACLE,
+    }
+)

@@ -74,3 +74,28 @@ def test_es13_adc_invariants(spark):
     assert all(d >= 0 for d in dists)
     assert dists == sorted(dists)
     assert all(r["vec_id"] != 0 for r in out)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dd13_semdedup_invariants(spark):
+    """Cluster membership is a partition of the corpus; removed docs
+    are a subset of dup-pair participants."""
+    out = ROUND7_STAGED_QUERIES["dd13_semantic_dedup"](spark, SF).collect()
+    assert len(out) == 8
+    assert sum(r["n_members"] for r in out) == 500
+    for r in out:
+        assert 0 <= r["n_removed"] <= r["n_dup_pairs"]
+        assert r["n_removed"] <= r["n_members"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ir01_dsir_invariants(spark):
+    """DSIR scores rank RAW (non-target) docs only, descending."""
+    out = ROUND7_STAGED_QUERIES["ir01_dsir_importance"](spark, SF).collect()
+    assert len(out) == 20
+    assert all(r["lang"] != "en" for r in out)
+    ws = [r["dsir_weight"] for r in out]
+    assert ws == sorted(ws, reverse=True)
+    assert all(r["n_grams"] > 0 for r in out)
