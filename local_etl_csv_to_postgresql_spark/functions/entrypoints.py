@@ -6885,3 +6885,169 @@ ROUND7_STAGED_ORACLE.update(
         "q49_nation_volume_shipping": _Q49_ORACLE,
     }
 )
+
+
+# --- round-7 staged surface, wave 3 (sl01 split leakage, q50 TPC-H Q5) ------
+
+def sl01_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val/test split-leakage audit — the hygiene check every
+    training pipeline runs after splitting: does any CONTENT straddle
+    a split boundary? Doc-level exact dups are the trivial case (this
+    corpus has none); the audit that actually bites measures shared
+    SPANS, so the unit here is the 32-token chunk (tx08's certified
+    chunking convention, reused expression-for-expression) and the
+    split is ss03's certified hash-band rule (multiplicative hash of
+    doc_id, 80/10/10) — composing two certified contracts into the
+    cross-split join neither runs alone. Output: per ordered split
+    pair, the distinct chunk hashes seen on both sides and the
+    distinct docs touched on each side.
+
+    Scale: split assignment is a zero-shuffle map; the audit is ONE
+    equi-join on chunk hash over the DISTINCT (hash, split, doc) frame
+    — fan-out bounded by real duplication multiplicity, never
+    all-pairs — then a 3x3-bounded rollup. At 100 TB this is the same
+    single fingerprint shuffle inc01 pays.
+    """
+    docs = _docs_words(spark, sf)
+    band = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    split = (
+        F.when(band < 80, F.lit("train"))
+        .when(band < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ch = (
+        docs.select(
+            "doc_id",
+            split.alias("__s"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, int(ceil(size(__words) / 32.0))"
+                    " - 1), i -> slice(__words, i * 32 + 1, 32))"
+                )
+            ).alias("__chunk"),
+        )
+        .select(
+            "doc_id", "__s", F.md5(F.concat_ws(" ", "__chunk")).alias("__h")
+        )
+        .distinct()
+    )
+    a = ch.select(
+        F.col("__h"), F.col("__s").alias("split_a"), F.col("doc_id").alias("__ida")
+    )
+    b = ch.select(
+        F.col("__h"), F.col("__s").alias("split_b"), F.col("doc_id").alias("__idb")
+    )
+    return (
+        a.join(b, "__h")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.countDistinct("__h").alias("n_shared_chunks"),
+            F.countDistinct("__ida").alias("n_docs_a"),
+            F.countDistinct("__idb").alias("n_docs_b"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+_SL01_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS s,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+), ch AS (
+  SELECT DISTINCT doc_id, s,
+         md5(array_to_string(w[CAST(ci AS INT) * 32 + 1
+                               : CAST(ci AS INT) * 32 + 32], ' ')) AS h
+  FROM (SELECT doc_id, s, w,
+               unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS ci
+        FROM d)
+)
+SELECT a.s AS split_a, b.s AS split_b,
+       CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_shared_chunks,
+       CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_docs_a,
+       CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_docs_b
+FROM ch a JOIN ch b ON a.h = b.h AND a.s < b.s
+GROUP BY a.s, b.s ORDER BY split_a, split_b
+"""
+
+
+def q50_local_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the star pattern whose
+    signature is an EQUALITY CONSTRAINT BETWEEN TWO DIMENSION ROLES —
+    revenue counts only where the customer's nation equals the
+    supplier's nation, so the join graph is cyclic (lineitem→supplier,
+    lineitem→orders→customer, customer.nation = supplier.nation),
+    unlike every acyclic star in the library. Region-scoped to ASIA,
+    one order-date year, revenue per nation descending.
+
+    Scale: nation/region broadcast (bounded by construction);
+    supplier/customer/orders are SF-proportional, NO hints (AQE
+    decides). The nation-equality edge rides the customer join as a
+    post-join filter-free equi-condition — Catalyst folds it into the
+    join keys, so no extra shuffle appears.
+    """
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation")
+    reg = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_Q50_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "sl01_split_leakage": sl01_split_leakage,
+        "q50_local_supplier_revenue": q50_local_supplier_revenue,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "sl01_split_leakage": _SL01_ORACLE,
+        "q50_local_supplier_revenue": _Q50_ORACLE,
+    }
+)

@@ -99,3 +99,16 @@ def test_ir01_dsir_invariants(spark):
     ws = [r["dsir_weight"] for r in out]
     assert ws == sorted(ws, reverse=True)
     assert all(r["n_grams"] > 0 for r in out)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_sl01_leakage_invariants(spark):
+    """Split pairs are ordered, bounded by the 3 splits; doc counts
+    are at least 1 per side wherever a shared chunk exists."""
+    out = ROUND7_STAGED_QUERIES["sl01_split_leakage"](spark, SF).collect()
+    assert 0 < len(out) <= 3
+    for r in out:
+        assert r["split_a"] < r["split_b"]
+        assert r["n_shared_chunks"] >= 1
+        assert r["n_docs_a"] >= 1 and r["n_docs_b"] >= 1
