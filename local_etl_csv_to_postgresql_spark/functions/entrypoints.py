@@ -7051,3 +7051,89 @@ ROUND7_STAGED_ORACLE.update(
         "q50_local_supplier_revenue": _Q50_ORACLE,
     }
 )
+
+
+# --- round-7 staged surface, wave 4 (xl01 cross-lingual near-dup) -----------
+
+def xl01_crosslingual_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-lingual near-duplicate audit — the translated-duplicate
+    detector a multilingual corpus needs: the same content present in
+    two languages shares no tokens (invisible to every text-hash
+    dedup: dd01-dd04, dd11) but sits close in a multilingual embedding
+    space, silently inflating effective epochs. Candidates come from
+    the SAME multi-table sign-LSH kernel dd05 certifies
+    (similarity.neardup_pairs — banded buckets, never all-pairs); the
+    lang join (documents.doc_id == embeddings.vec_id, the rrf01 corpus
+    contract) keeps only pairs whose languages DIFFER, rolled up per
+    unordered language pair with the decimal-exact mean cosine.
+
+    Scale: candidate volume is the LSH-bounded dd05 set; the two lang
+    joins attach one small column by id (AQE decides the strategy —
+    documents is SF-proportional, no hint); the rollup is bounded by
+    the language-pair vocabulary (|langs|²/2 rows). The lang-pair
+    matrix IS the curation signal: which language pairs share
+    translated content, and how tight.
+    """
+    pairs = sim.neardup_pairs(
+        load(spark, sf, "embeddings"), threshold=0.35,
+        nbits=LSH_NBITS, n_tables=LSH_TABLES,
+    )
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    la = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("__lang_a")
+    )
+    lb = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("__lang_b")
+    )
+    return (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("__lang_a") != F.col("__lang_b"))
+        .select(
+            F.least("__lang_a", "__lang_b").alias("lang_lo"),
+            F.greatest("__lang_a", "__lang_b").alias("lang_hi"),
+            "cosine_sim",
+        )
+        .groupBy("lang_lo", "lang_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("cosine_sim").cast("decimal(25,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cosine"),
+        )
+        .orderBy("lang_lo", "lang_hi")
+    )
+
+
+_XL01_ORACLE = f"""
+WITH banded AS ({_BANDED}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+), pairs AS (
+  SELECT da.lang AS lang_a, db.lang AS lang_b,
+         {_COS.format(a='ea.embedding', b='eb.embedding')} AS cs
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  JOIN documents da ON da.doc_id = c.id_a
+  JOIN documents db ON db.doc_id = c.id_b
+  WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.35
+    AND da.lang <> db.lang
+)
+SELECT LEAST(lang_a, lang_b) AS lang_lo,
+       GREATEST(lang_a, lang_b) AS lang_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(cs AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_cosine
+FROM pairs GROUP BY lang_lo, lang_hi ORDER BY lang_lo, lang_hi
+"""
+
+
+ROUND7_STAGED_QUERIES["xl01_crosslingual_neardup"] = xl01_crosslingual_neardup
+ROUND7_STAGED_ORACLE["xl01_crosslingual_neardup"] = _XL01_ORACLE

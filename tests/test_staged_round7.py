@@ -112,3 +112,18 @@ def test_sl01_leakage_invariants(spark):
         assert r["split_a"] < r["split_b"]
         assert r["n_shared_chunks"] >= 1
         assert r["n_docs_a"] >= 1 and r["n_docs_b"] >= 1
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_xl01_crosslingual_invariants(spark):
+    """Lang pairs are unordered-canonical and never same-language;
+    mean cosine sits at or above the operating threshold."""
+    out = ROUND7_STAGED_QUERIES["xl01_crosslingual_neardup"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["lang_lo"] < r["lang_hi"]
+        assert r["n_pairs"] >= 1
+        assert r["avg_cosine"] >= 0.35
