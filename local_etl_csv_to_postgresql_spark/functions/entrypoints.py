@@ -7137,3 +7137,18 @@ FROM pairs GROUP BY lang_lo, lang_hi ORDER BY lang_lo, lang_hi
 
 ROUND7_STAGED_QUERIES["xl01_crosslingual_neardup"] = xl01_crosslingual_neardup
 ROUND7_STAGED_ORACLE["xl01_crosslingual_neardup"] = _XL01_ORACLE
+
+
+# --- round-7 staged surface, wave 5 (st11 watermarked stream dedup) ---------
+
+def _register_staged_streaming() -> None:
+    """st11 lives with the streaming family (streaming/queries.py);
+    registered here so the staged harness certifies it with the rest
+    of the round-7 queue."""
+    from ..streaming.queries import ST11_STAGED_ORACLE, st11_watermarked_dedup
+
+    ROUND7_STAGED_QUERIES["st11_watermarked_dedup"] = st11_watermarked_dedup
+    ROUND7_STAGED_ORACLE["st11_watermarked_dedup"] = ST11_STAGED_ORACLE
+
+
+_register_staged_streaming()

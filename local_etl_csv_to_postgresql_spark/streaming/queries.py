@@ -408,3 +408,51 @@ SELECT user_id, session_start, session_end, n_events
 FROM sess, wm WHERE session_end < wm.w
 ORDER BY user_id, session_start
 """
+
+
+def st11_watermarked_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-state streaming dedup from an actual three-micro-batch
+    ``dropDuplicatesWithinWatermark`` run (streaming/stateful.
+    replay_dedup_within_watermark): re-deliveries inside the watermark
+    horizon are dropped against live state, old re-deliveries are
+    dropped by the late filter, and a FIRST delivery that arrives
+    after the watermark passed is lost entirely — the semantic
+    difference from st04's unbounded dropDuplicates, which emits every
+    distinct key no matter how late. Rolled up per event type with an
+    id-sum membership pin so the oracle certifies the exact emitted
+    set, not just counts."""
+    from .stateful import replay_dedup_within_watermark
+
+    emitted = replay_dedup_within_watermark(spark, f"{sf}/events.parquet")
+    return (
+        emitted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# DuckDB twin of st11: emitted = on-time batch ∪ stragglers still at or
+# above the watermark the on-time batch established (one scalar
+# watermark; re-deliveries drop either as late rows or as duplicates
+# against live state, so they never appear).
+ST11_STAGED_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type, ts FROM events
+), a AS (
+  SELECT * FROM e WHERE event_id % 20 <> 0
+), wma AS (
+  SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM a
+), emitted AS (
+  SELECT * FROM a
+  UNION ALL
+  SELECT * FROM e
+  WHERE event_id % 20 = 0 AND ts >= (SELECT w FROM wma)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM emitted GROUP BY event_type ORDER BY event_type
+"""

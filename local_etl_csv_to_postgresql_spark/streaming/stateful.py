@@ -570,6 +570,131 @@ def replay_late_data(
 LAST_LATE_DROPPED: int = 0
 
 
+def replay_dedup_within_watermark(
+    spark,
+    parquet_path: str,
+    delay: str = "10 minutes",
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state — ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+), the scale-correct form of ``replay_dedup`` (st04):
+    st04's plain ``dropDuplicates`` holds every key forever, which at
+    100 TB of continuous ingest is an unbounded state store; the
+    watermarked variant evicts a key once the watermark passes its
+    event time + delay, trading "exactly once forever" for "exactly
+    once within the re-delivery horizon" — the contract real ingest
+    pipelines actually run.
+
+    Replay design (the replay_late_data three-batch discipline,
+    SPARK-40925: the late filter uses the PREVIOUS batch's watermark):
+
+    - batch A: every event except the stragglers — the corpus tail
+      advances the watermark to wmA = max(A.ts) − delay;
+    - batch B: re-delivered copies of A's OLD rows (id % LATE_MOD == 1,
+      before LATE_CUTOFF) — dropped either as late or as duplicates,
+      so they never change the emitted set; their role is to roll the
+      filter watermark forward so batch C is filtered by wmA;
+    - batch C: the stragglers (id % LATE_MOD == 0) as FIRST deliveries
+      plus re-delivered copies of A rows (id % LATE_MOD == 2). Old
+      stragglers (ts < wmA) are dropped by the LATE filter — a first
+      delivery lost entirely, the semantic difference from st04, which
+      emits every distinct key no matter how late. Recent stragglers
+      emit. The re-deliveries are duplicates with live state (their
+      ts ≥ wmA ⇒ eviction horizon ts + delay is ahead of the
+      watermark) and are dropped as dups.
+
+    Emitted = A ∪ {stragglers with ts ≥ wmA} — a pure function of
+    (split rule, delay) that the DuckDB twin (st11) computes with one
+    scalar watermark."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..plans.analytics import load
+
+    table_name = table_name or f"stream_wmdedup_{uuid.uuid4().hex[:8]}"
+    cache_key = f"wmdedup::{parquet_path}"
+    hit = _REPLAY_STAGE_CACHE.get(cache_key)
+    if hit is not None:
+        batch_schema, stage = hit
+    else:
+        sf_dir = os.path.dirname(os.path.abspath(parquet_path))
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts"
+        )
+        old = F.col("ts") < F.lit(LATE_CUTOFF).cast("timestamp")
+        s_set = F.col("event_id") % LATE_MOD == 0
+        b_set = (F.col("event_id") % LATE_MOD == 1) & old
+        r_set = F.col("event_id") % LATE_MOD == 2
+        stage = tempfile.mkdtemp(prefix="wmdedup_stream_")
+
+        def _write_single(df, name: str, mtime: float) -> None:
+            tmp = os.path.join(stage, "__tmp_" + name)
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stage, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (mtime, mtime))
+
+        import time as _t
+
+        t0 = _t.time() - 300
+        a = ev.filter(~s_set)
+        _write_single(a, "a_ontime.parquet", t0)
+        _write_single(a.filter(b_set), "b_redeliver_old.parquet", t0 + 60)
+        _write_single(
+            ev.filter(s_set).unionAll(a.filter(r_set)),
+            "c_stragglers_and_dups.parquet",
+            t0 + 120,
+        )
+        batch_schema = spark.read.parquet(
+            os.path.join(stage, "a_ontime.parquet")
+        ).schema
+        _REPLAY_STAGE_CACHE[cache_key] = (batch_schema, stage)
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+        global LAST_WMDEDUP_DROPPED
+        LAST_WMDEDUP_DROPPED = sum(
+            s.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for s in p.get("stateOperators", [])
+        )
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)
+
+
+LAST_WMDEDUP_DROPPED: int = 0
+
+
 def replay_stream_stream_join(
     spark,
     parquet_path: str,

@@ -127,3 +127,24 @@ def test_xl01_crosslingual_invariants(spark):
         assert r["lang_lo"] < r["lang_hi"]
         assert r["n_pairs"] >= 1
         assert r["avg_cosine"] >= 0.35
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_st11_watermarked_dedup_invariants(spark):
+    """The watermark machinery actually fired: the late filter dropped
+    rows, and the emitted set is strictly smaller than st04's
+    unbounded-dedup distinct set (old first deliveries are LOST — the
+    semantic difference bounded state buys)."""
+    out = ROUND7_STAGED_QUERIES["st11_watermarked_dedup"](spark, SF).collect()
+    from local_etl_csv_to_postgresql_spark.streaming import stateful as st
+
+    assert st.LAST_WMDEDUP_DROPPED > 0
+    n_emitted = sum(r["n_events"] for r in out)
+    n_distinct = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert 0 < n_emitted < n_distinct
