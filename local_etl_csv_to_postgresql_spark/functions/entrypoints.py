@@ -782,6 +782,39 @@ def mm04_feature_means(spark: SparkSession, sf: str) -> DataFrame:
 _WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
+# THE 32-token chunk rule (tx08's certified convention, reused by sl01)
+# — one definition so the chunk boundary cannot desynchronize between
+# consumers. The zero-word guard is load-bearing: Spark's
+# sequence(0, -1) yields [0, -1] (descending default step), which would
+# emit two phantom md5('') chunks for a doc with no [a-z0-9] tokens,
+# while the DuckDB twins' range(0, 0) emits none.
+_CHUNKS32_EXPR = (
+    "CASE WHEN size(__words) = 0 "
+    "THEN CAST(array() AS ARRAY<ARRAY<STRING>>) "
+    "ELSE transform(sequence(0, int(ceil(size(__words) / 32.0)) - 1), "
+    "i -> slice(__words, i * 32 + 1, 32)) END"
+)
+
+# THE train/val/test hash-band rule (ss03's certified convention,
+# reused by sl01): multiplicative hash of doc_id, 80/10/10 bands —
+# Spark Column and SQL twin built from one definition each.
+_SPLIT_HASH = 2654435761
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN (doc_id * {_SPLIT_HASH}) % 4294967296 % 100 < 80 "
+    "THEN 'train' "
+    f"WHEN (doc_id * {_SPLIT_HASH}) % 4294967296 % 100 < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+def _split_col() -> "F.Column":
+    band = (F.col("doc_id") * F.lit(_SPLIT_HASH)) % F.lit(4294967296) % 100
+    return (
+        F.when(band < 80, F.lit("train"))
+        .when(band < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
 
 def ss01_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash-based sampling (Knuth multiplicative hash on
@@ -1602,12 +1635,7 @@ def tx08_chunk_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs_words(spark, sf)
     chunks = docs.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, int(ceil(size(__words) / 32.0)) - 1),"
-                " i -> slice(__words, i * 32 + 1, 32))"
-            )
-        ).alias("chunk_idx", "__chunk"),
+        F.posexplode(F.expr(_CHUNKS32_EXPR)).alias("chunk_idx", "__chunk"),
     )
     return chunks.select(
         "doc_id",
@@ -4205,14 +4233,8 @@ def ss03_train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
     property random shuffles lose). Zero shuffle for assignment; one
     rollup. Membership pinned per (lang, split) by doc_id sum."""
     docs = load(spark, sf, "documents")
-    band = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
-    split = (
-        F.when(band < 80, F.lit("train"))
-        .when(band < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        docs.select("lang", "doc_id", split.alias("__s"))
+        docs.select("lang", "doc_id", _split_col().alias("__s"))
         .groupBy("lang", "__s")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -4223,12 +4245,9 @@ def ss03_train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-EXTENSION_ORACLE["ss03_train_val_test_split"] = """
+EXTENSION_ORACLE["ss03_train_val_test_split"] = f"""
 WITH b AS (
-  SELECT lang, doc_id,
-         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
-              ELSE 'test' END AS split
+  SELECT lang, doc_id, {_SPLIT_CASE_SQL} AS split
   FROM documents
 )
 SELECT lang, split, COUNT(*) AS n_docs,
@@ -6909,22 +6928,11 @@ def sl01_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     single fingerprint shuffle inc01 pays.
     """
     docs = _docs_words(spark, sf)
-    band = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
-    split = (
-        F.when(band < 80, F.lit("train"))
-        .when(band < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     ch = (
         docs.select(
             "doc_id",
-            split.alias("__s"),
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, int(ceil(size(__words) / 32.0))"
-                    " - 1), i -> slice(__words, i * 32 + 1, 32))"
-                )
-            ).alias("__chunk"),
+            _split_col().alias("__s"),
+            F.explode(F.expr(_CHUNKS32_EXPR)).alias("__chunk"),
         )
         .select(
             "doc_id", "__s", F.md5(F.concat_ws(" ", "__chunk")).alias("__h")
@@ -6950,13 +6958,9 @@ def sl01_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SL01_ORACLE = """
+_SL01_ORACLE = f"""
 WITH d AS (
-  SELECT doc_id,
-         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
-              ELSE 'test' END AS s,
-         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  SELECT doc_id, {_SPLIT_CASE_SQL} AS s, {_WORDS} AS w
   FROM documents
 ), ch AS (
   SELECT DISTINCT doc_id, s,

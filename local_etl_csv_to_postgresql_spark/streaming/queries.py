@@ -444,7 +444,7 @@ WITH e AS (
 ), a AS (
   SELECT * FROM e WHERE event_id % 20 <> 0
 ), wma AS (
-  SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM a
+  SELECT MAX(ts) - INTERVAL 3 DAY AS w FROM a
 ), emitted AS (
   SELECT * FROM a
   UNION ALL

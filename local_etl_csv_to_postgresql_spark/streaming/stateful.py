@@ -450,6 +450,25 @@ LATE_MOD = 20  # id-space density of the straggler/advancer sets (st08)
 LATE_CUTOFF = "2024-01-29"  # stragglers/advancers come from before this
 
 
+def _stage_single_parquet(stage: str, df, name: str, mtime: float) -> None:
+    """THE micro-batch staging rule, shared by every ordered-replay
+    builder (st08 late-data, st09 stream-stream, st11 watermarked
+    dedup, tws totals): write ``df`` as ONE parquet part file named
+    ``name`` under ``stage`` with a pinned mtime — the file source
+    orders batches by modification time, so the mtime IS the replay's
+    batch schedule and must be set identically everywhere."""
+    import os
+    import shutil
+
+    tmp = os.path.join(stage, "__tmp_" + name)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(stage, name)
+    shutil.move(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp)
+    os.utime(dst, (mtime, mtime))
+
+
 def replay_late_data(
     spark,
     parquet_path: str,
@@ -484,7 +503,6 @@ def replay_late_data(
       the DuckDB twin (st08) reproduces it with two scalar
       watermarks."""
     import os
-    import shutil
     import tempfile
     import uuid
 
@@ -509,23 +527,18 @@ def replay_late_data(
         b_set = (F.col("event_id") % LATE_MOD == 1) & old & ~is_max
         stage = tempfile.mkdtemp(prefix="late_stream_")
 
-        def _write_single(df, name: str, mtime: float) -> None:
-            tmp = os.path.join(stage, "__tmp_" + name)
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = os.path.join(stage, name)
-            shutil.move(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (mtime, mtime))
-
         import time as _t
 
         t0 = _t.time() - 300
-        _write_single(ev.filter(~c_set & ~b_set), "a_ontime.parquet", t0)
-        _write_single(ev.filter(b_set), "b_advancer.parquet", t0 + 60)
-        _write_single(ev.filter(c_set), "c_late.parquet", t0 + 120)
+        _stage_single_parquet(
+            stage, ev.filter(~c_set & ~b_set), "a_ontime.parquet", t0
+        )
+        _stage_single_parquet(
+            stage, ev.filter(b_set), "b_advancer.parquet", t0 + 60
+        )
+        _stage_single_parquet(
+            stage, ev.filter(c_set), "c_late.parquet", t0 + 120
+        )
         batch_schema = spark.read.parquet(
             os.path.join(stage, "a_ontime.parquet")
         ).schema
@@ -573,7 +586,7 @@ LAST_LATE_DROPPED: int = 0
 def replay_dedup_within_watermark(
     spark,
     parquet_path: str,
-    delay: str = "10 minutes",
+    delay: str = "3 days",
     table_name: str | None = None,
     shuffle_partitions: int | None = 8,
 ) -> DataFrame:
@@ -604,11 +617,18 @@ def replay_dedup_within_watermark(
       ts ≥ wmA ⇒ eviction horizon ts + delay is ahead of the
       watermark) and are dropped as dups.
 
+    The default delay (3 days against the corpus's ~30-day span) is
+    what makes all three outcomes non-empty: wmA lands mid-corpus, so
+    batch C carries late stragglers AND recent stragglers AND
+    in-horizon re-deliveries at every shipped sf — a short delay
+    (minutes) would put wmA at the corpus edge and the duplicate-drop
+    path would never execute, certifying only the late filter
+    (tests/test_staged_round7.py pins all three populations).
+
     Emitted = A ∪ {stragglers with ts ≥ wmA} — a pure function of
     (split rule, delay) that the DuckDB twin (st11) computes with one
     scalar watermark."""
     import os
-    import shutil
     import tempfile
     import uuid
 
@@ -632,24 +652,16 @@ def replay_dedup_within_watermark(
         r_set = F.col("event_id") % LATE_MOD == 2
         stage = tempfile.mkdtemp(prefix="wmdedup_stream_")
 
-        def _write_single(df, name: str, mtime: float) -> None:
-            tmp = os.path.join(stage, "__tmp_" + name)
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(
-                f for f in os.listdir(tmp) if f.endswith(".parquet")
-            )
-            dst = os.path.join(stage, name)
-            shutil.move(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (mtime, mtime))
-
         import time as _t
 
         t0 = _t.time() - 300
         a = ev.filter(~s_set)
-        _write_single(a, "a_ontime.parquet", t0)
-        _write_single(a.filter(b_set), "b_redeliver_old.parquet", t0 + 60)
-        _write_single(
+        _stage_single_parquet(stage, a, "a_ontime.parquet", t0)
+        _stage_single_parquet(
+            stage, a.filter(b_set), "b_redeliver_old.parquet", t0 + 60
+        )
+        _stage_single_parquet(
+            stage,
             ev.filter(s_set).unionAll(a.filter(r_set)),
             "c_stragglers_and_dups.parquet",
             t0 + 120,
@@ -869,7 +881,6 @@ def replay_tws_totals(
     state stores, none of it on the driver.
     """
     import os
-    import shutil
     import tempfile
     import uuid
 
@@ -905,23 +916,17 @@ def replay_tws_totals(
         )
         stage = tempfile.mkdtemp(prefix="tws_stream_")
 
-        def _write_single(df, name: str, mtime: float) -> None:
-            tmp = os.path.join(stage, "__tmp_" + name)
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            dst = os.path.join(stage, name)
-            shutil.move(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (mtime, mtime))
-
         import time as _t
 
         t0 = _t.time() - 300
-        _write_single(
-            ev.filter(F.col("event_id") % 2 == 0), "a_even.parquet", t0
+        _stage_single_parquet(
+            stage, ev.filter(F.col("event_id") % 2 == 0), "a_even.parquet", t0
         )
-        _write_single(
-            ev.filter(F.col("event_id") % 2 == 1), "b_odd.parquet", t0 + 60
+        _stage_single_parquet(
+            stage,
+            ev.filter(F.col("event_id") % 2 == 1),
+            "b_odd.parquet",
+            t0 + 60,
         )
         batch_schema = spark.read.parquet(
             os.path.join(stage, "a_even.parquet")

@@ -207,26 +207,75 @@ BROADCAST_HINT_ALLOWED = {
     "reg",       # region filtered to one name — ≤1 row (q48)
 }
 
+# Same rule for the extension library (functions/entrypoints.py): every
+# forced hint there wraps a frame bounded BY CONSTRUCTION — fixed
+# geography, 1-row scalars, LIMIT-k sets, vocabulary-sized aggregates,
+# rosters bounded by an explicit predicate, or eval/query panels that
+# are fixed suites by contract (never grow with the corpus).
+BROADCAST_HINT_ALLOWED_EXT = {
+    "qv",          # 1 query vector (rrf01)
+    "qtok",        # one document's distinct tokens (rrf01)
+    "q",           # fixed query panel (es11)
+    "qb",          # query LSH buckets — panel-sized (es11)
+    "qsub",        # query subspace slices — 1 vector (es13)
+    "lut",         # M·K ADC lookup table — codebook-sized (es13)
+    "cents",       # k·d centroid panel (es05/es08/es10)
+    "allc",        # label-centroid panel — labels × dims (es09)
+    "emb",         # .limit(K) init rows (es12 codebook init)
+    "top1",        # 1-row top merge (tx12)
+    "words",       # Bloom word table — m/64 rows by construction (bf01)
+    "n1", "n2",    # nation projections, two roles — 25 rows (q49)
+    "nat",         # nation, 25 rows (q50; q40 panel)
+    "reg",         # region filtered to one name — ≤1 row (q50)
+    "tot", "total", "totals",  # 1-row / per-group total scalars
+    "targets",     # per-source target counts — source-vocabulary-sized
+    "types",       # distinct event_type — type-vocabulary-sized
+    "nlang",       # per-language counts — language-vocabulary-sized
+    "srcs",        # source roster — source-vocabulary-sized
+    "vocab",       # LIMIT 1000 vocabulary (tx10)
+    "users",       # tracked-user roster, bounded by user_id < 200 (win02)
+    "updates",     # SCD2 update batch — small by contract (scd01)
+    "eval_grams",  # eval-suite grams — fixed benchmark suite (ct02)
+    "contam",      # contaminated ids — bounded by the eval suite (cur01)
+    "n_cand", "hits",  # per-qid counts over the fixed query panel (es11)
+    "lr",          # DSIR log-ratio table — <= DSIR_BUCKETS rows (ir01)
+}
+
+
+def _hint_offenders(relpath: tuple[str, ...], allowed: set[str]) -> list[str]:
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(
+        os.path.join(here, "local_etl_csv_to_postgresql_spark", *relpath)
+    ).read()
+    hinted = re.findall(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", src)
+    assert hinted, f"sweep regex found no hints in {relpath} — pattern rot?"
+    return [n for n in hinted if n not in allowed]
+
 
 def test_no_broadcast_hint_on_sf_proportional_frames():
     """Source sweep (mirrors the BNLJ allowlist): every F.broadcast(..)
     call in the relational query library must wrap a frame from the
     bounded-by-construction allowlist. Catches the regression where a
     customer/supplier/part-sized side regains a forced hint."""
-    import re
+    offenders = _hint_offenders(
+        ("plans", "analytics.py"), BROADCAST_HINT_ALLOWED
+    )
+    assert offenders == [], (
+        "F.broadcast hint on a frame outside the bounded-by-construction "
+        f"allowlist: {offenders}"
+    )
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    src = open(
-        os.path.join(
-            here,
-            "local_etl_csv_to_postgresql_spark",
-            "plans",
-            "analytics.py",
-        )
-    ).read()
-    hinted = re.findall(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", src)
-    assert hinted, "sweep regex found no hints — pattern rot?"
-    offenders = [n for n in hinted if n not in BROADCAST_HINT_ALLOWED]
+
+def test_no_broadcast_hint_on_sf_proportional_frames_extensions():
+    """The same pin for the extension library — a new operator in
+    functions/entrypoints.py (where the staged TPC-H shapes and the
+    LLM-pipeline queries live) cannot force-broadcast an
+    SF-proportional frame without updating the audited allowlist."""
+    offenders = _hint_offenders(
+        ("functions", "entrypoints.py"), BROADCAST_HINT_ALLOWED_EXT
+    )
     assert offenders == [], (
         "F.broadcast hint on a frame outside the bounded-by-construction "
         f"allowlist: {offenders}"
