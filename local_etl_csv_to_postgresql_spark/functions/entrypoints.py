@@ -7156,3 +7156,303 @@ def _register_staged_streaming() -> None:
 
 
 _register_staged_streaming()
+
+
+# --- round-7 staged surface, wave 6 (q51, ss04, gr02, st12) -----------------
+
+def q51_returned_item_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue): which customers sent
+    the most revenue back in a quarter — the classic fact→fact→dim
+    chain (lineitem filtered on return flag, orders filtered to one
+    quarter, customer attributes carried through the aggregate) with a
+    wide GROUP BY (key + 3 carried attributes) and top-20 output.
+
+    Scale: both fact filters push to the parquet scan (returnflag is a
+    low-cardinality dictionary column, orderdate a range — both
+    PushedFilters); the two SF-proportional joins carry NO hints (AQE
+    decides — the quarter-filtered orders side is usually small enough
+    to broadcast at runtime, which is exactly the call AQE should
+    make, not the code); nation is bounded by construction (25 rows,
+    broadcast). The wide GROUP BY keys on c_custkey — the carried
+    attributes are functionally dependent so they add no cardinality,
+    and top-20 is a TakeOrdered, never a global sort."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    cust = load(spark, sf, "customer")
+    nat = load(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q51_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+SS04_CUTOFF = "2024-01-22"  # ~70/30 against the corpus's Jan 1-30 span
+
+
+def ss04_temporal_split_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal train/test split + leakage audit — the OTHER split
+    discipline next to ss03's hash bands: time-series corpora split on
+    a time cutoff (train strictly before, test at/after), and the
+    question a pipeline must answer before training is how many
+    ENTITIES straddle the boundary — a user appearing on both sides
+    leaks test-time behaviour into training features. Per event type:
+    row counts per side, distinct users per side, and the straddling
+    (leaked) user count.
+
+    Scale: split assignment is a pushed-down predicate (zero shuffle);
+    the audit is TWO aggregates — one row rollup, one (type, user)
+    distinct-reduce whose membership flags then roll up to the type
+    vocabulary. Nothing is user×user; the leaked count is
+    sum(in_train AND in_test) over the distinct-reduced frame, the
+    same one-pass flag pattern as ct01's contamination counts."""
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        "user_id",
+        (F.col("ts") < F.lit(SS04_CUTOFF).cast("timestamp")).alias("__tr"),
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("__tr"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("__tr"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.max(F.when(F.col("__tr"), 1).otherwise(0)).alias("__in_tr"),
+        F.max(F.when(F.col("__tr"), 0).otherwise(1)).alias("__in_te"),
+    )
+    users = per_user.groupBy("event_type").agg(
+        F.sum("__in_tr").cast("bigint").alias("n_users_train"),
+        F.sum("__in_te").cast("bigint").alias("n_users_test"),
+        F.sum(F.col("__in_tr") * F.col("__in_te"))
+        .cast("bigint")
+        .alias("n_leaked_users"),
+    )
+    return counts.join(users, "event_type").orderBy("event_type")
+
+
+_SS04_ORACLE = f"""
+WITH lab AS (
+  SELECT event_type, user_id,
+         CASE WHEN ts < TIMESTAMP '{SS04_CUTOFF}' THEN 1 ELSE 0 END AS tr
+  FROM events
+), cnt AS (
+  SELECT event_type,
+         CAST(SUM(tr) AS BIGINT) AS n_train,
+         CAST(SUM(1 - tr) AS BIGINT) AS n_test
+  FROM lab GROUP BY event_type
+), pu AS (
+  SELECT event_type, user_id, MAX(tr) AS in_tr, MAX(1 - tr) AS in_te
+  FROM lab GROUP BY event_type, user_id
+), us AS (
+  SELECT event_type,
+         CAST(SUM(in_tr) AS BIGINT) AS n_users_train,
+         CAST(SUM(in_te) AS BIGINT) AS n_users_test,
+         CAST(SUM(in_tr * in_te) AS BIGINT) AS n_leaked_users
+  FROM pu GROUP BY event_type
+)
+SELECT c.event_type, n_train, n_test,
+       n_users_train, n_users_test, n_leaked_users
+FROM cnt c JOIN us u ON c.event_type = u.event_type
+ORDER BY c.event_type
+"""
+
+
+PR_UNITS = 10**12  # fixed-point rank scale (micro-micro-units)
+PR_ITERS = 3
+PR_TOPK = 20
+
+
+def gr02_candidate_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact PageRank over the verified near-dup graph — the
+    centrality pass a dedup pipeline runs AFTER clustering (dd06) to
+    pick which documents anchor the most duplication: a doc near-dup
+    to many well-connected docs is template/boilerplate material even
+    when its own degree is modest, which is what plain degree (gr01)
+    misses. Standard damping 0.85, PR_ITERS unrolled iterations over
+    the undirected (both-direction) edge list of exact-Jaccard ≥ 0.5
+    pairs on dd06's certified LSH candidates.
+
+    Determinism is the design: ranks live in BIGINT fixed-point units
+    (PR_UNITS = 1e12 per unit mass) and every step is integer —
+    contribution = rank div degree, damping = (85 * sum) div 100 — so
+    the result is exact, order-independent, and engine-portable (the
+    float formulation would hash-mismatch on associativity). Each
+    iteration is one join + one aggregate, both keyed on the vertex id
+    (the dd06/connected-components discipline); the edge list is
+    localCheckpointed once so Catalyst doesn't re-analyze the LSH
+    lineage per iteration, and the corpus-count scalar rides a 1-row
+    broadcast (A10 pattern) — driver state is zero. At 100 TB the
+    frame in the loop is the near-dup SUBGRAPH (orders of magnitude
+    smaller than the corpus), same bound as dd06's fixpoint."""
+    docs, _sigs, pairs = _lsh_base(spark, sf)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    good = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(dd.jaccard(F.col("__sa"), F.col("__sb")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    edges = (
+        good.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            good.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    nodes = (
+        deg.select(F.col("src").alias("doc_id"), "__deg")
+        .crossJoin(F.broadcast(nn))
+        .localCheckpoint()
+    )
+    ranks = nodes.select(
+        "doc_id",
+        "__deg",
+        "__n",
+        F.expr(f"CAST({PR_UNITS} AS BIGINT) div __n").alias("__r"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = ranks.join(edges, ranks.doc_id == edges.src).select(
+            F.col("dst"), F.expr("__r div __deg").alias("__c")
+        )
+        inc = contrib.groupBy("dst").agg(F.sum("__c").alias("__inc"))
+        ranks = nodes.join(inc, nodes.doc_id == inc.dst).select(
+            "doc_id",
+            "__deg",
+            "__n",
+            F.expr(
+                f"(15 * (CAST({PR_UNITS} AS BIGINT) div __n)) div 100"
+                " + (85 * __inc) div 100"
+            ).alias("__r"),
+        )
+    return (
+        ranks.select(
+            "doc_id",
+            F.col("__deg").alias("n_neighbors"),
+            F.col("__r").alias("rank_units"),
+        )
+        .orderBy(F.desc("rank_units"), "doc_id")
+        .limit(PR_TOPK)
+    )
+
+
+def _gr02_oracle_sql() -> str:
+    """dd06's minhash-LSH candidate CTE chain (the certified candidate
+    spec) + unrolled integer-PageRank iterations; `//` is DuckDB's
+    integer floor division = Spark's `div` on the all-positive ranks."""
+    pr_cte = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        pr_cte.append(
+            f"it{i} AS (\n"
+            f"  SELECT e.d AS id,\n"
+            f"         (15 * ({PR_UNITS} // (SELECT n FROM nn))) // 100\n"
+            f"         + (85 * SUM({prev}.r // deg.dg)) // 100 AS r\n"
+            f"  FROM edges e\n"
+            f"  JOIN {prev} ON {prev}.id = e.s\n"
+            f"  JOIN deg ON deg.s = e.s\n"
+            f"  GROUP BY e.d\n)"
+        )
+        prev = f"it{i}"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j) GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), good AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+  WHERE {_JACCARD.format(a='sa.s', b='sb.s')} >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM good
+  UNION ALL SELECT id_b AS s, id_a AS d FROM good
+), deg AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS dg FROM edges GROUP BY s
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
+), r0 AS (
+  SELECT s AS id, {PR_UNITS} // (SELECT n FROM nn) AS r FROM deg
+), {','.join(pr_cte)}
+SELECT d.s AS doc_id, d.dg AS n_neighbors,
+       CAST({prev}.r AS BIGINT) AS rank_units
+FROM {prev} JOIN deg d ON d.s = {prev}.id
+ORDER BY rank_units DESC, doc_id LIMIT {PR_TOPK}
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "q51_returned_item_revenue": q51_returned_item_revenue,
+        "ss04_temporal_split_audit": ss04_temporal_split_audit,
+        "gr02_candidate_pagerank": gr02_candidate_pagerank,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "q51_returned_item_revenue": _Q51_ORACLE,
+        "ss04_temporal_split_audit": _SS04_ORACLE,
+        "gr02_candidate_pagerank": _gr02_oracle_sql(),
+    }
+)
+
+
+def _register_staged_streaming_wave6() -> None:
+    """st12 lives with the streaming family (streaming/queries.py),
+    same discipline as st11's registration above."""
+    from ..streaming.queries import ST12_STAGED_ORACLE, st12_foreachbatch_upsert
+
+    ROUND7_STAGED_QUERIES["st12_foreachbatch_upsert"] = st12_foreachbatch_upsert
+    ROUND7_STAGED_ORACLE["st12_foreachbatch_upsert"] = ST12_STAGED_ORACLE
+
+
+_register_staged_streaming_wave6()

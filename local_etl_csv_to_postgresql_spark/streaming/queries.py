@@ -456,3 +456,43 @@ SELECT event_type,
        CAST(SUM(event_id) AS BIGINT) AS id_sum
 FROM emitted GROUP BY event_type ORDER BY event_type
 """
+
+
+def st12_foreachbatch_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Sink-side exactly-once: an actual two-micro-batch foreachBatch
+    ingest (streaming/stateful.replay_foreachbatch_upsert) running the
+    reference's idempotent-append protocol — in-batch dropDuplicates +
+    anti-join against the target parquet, then append — with batch B
+    re-delivering 10% of batch A. The final table is the distinct
+    corpus BY CONSTRUCTION of the protocol (not of the batch split),
+    so the DuckDB twin is a plain aggregate of the input; the id_sum
+    pin certifies the exact ingested set, the value sum certifies no
+    row was double-appended."""
+    from .stateful import replay_foreachbatch_upsert
+
+    fact = replay_foreachbatch_upsert(spark, f"{sf}/events.parquet")
+    return (
+        fact.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# DuckDB twin of st12: the idempotent sink's final state equals the
+# distinct input corpus (event_id is the key; the replay re-delivers
+# but never fabricates), so the oracle aggregates the events table
+# directly — engine-neutral, batching-independent.
+ST12_STAGED_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -707,6 +707,109 @@ def replay_dedup_within_watermark(
 LAST_WMDEDUP_DROPPED: int = 0
 
 
+def replay_foreachbatch_upsert(
+    spark,
+    parquet_path: str,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming ``foreachBatch`` idempotent-append ingest — the SINK
+    side of exactly-once, which no other replay certifies: st04/st11
+    dedup IN-STREAM (state store holds seen keys), while a production
+    warehouse ingest dedups AT THE SINK (anti-join against the target
+    table per micro-batch), because sink-side state survives stream
+    restarts with a fresh checkpoint and is what the reference's
+    incremental loader actually does (reference src/load.py:585-696;
+    streaming/incremental.start_incremental_load is the CSV→warehouse
+    form of this protocol — this replay certifies the protocol itself
+    over the events corpus with a hash oracle).
+
+    Two ordered micro-batches (file-source mtime discipline, one file
+    per trigger): batch A delivers 90% of the corpus (event_id % 10
+    != 9); batch B delivers the missing 10% PLUS a re-delivery of the
+    % 10 == 3 slice. Each batch runs the idempotent protocol —
+    in-batch ``dropDuplicates`` then ``left_anti`` against the target
+    parquet, then append — so the final table equals the distinct
+    corpus no matter how the source coalesces batches: within-batch
+    dups die in dropDuplicates, cross-batch dups die in the anti-join.
+    That batching-independence is the property that makes the result
+    certifiable (the DuckDB twin is a plain aggregate of the input).
+
+    Scale: the per-batch anti-join is the same plan Warehouse.load_fact
+    runs — at 100 TB it prunes on the target's date partitions (new
+    data is recent); in-batch state is one micro-batch, sink state is
+    the table itself, nothing lives on the driver."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..plans.analytics import load
+
+    cache_key = f"fbupsert::{parquet_path}"
+    hit = _REPLAY_STAGE_CACHE.get(cache_key)
+    if hit is not None:
+        batch_schema, stage = hit
+    else:
+        sf_dir = os.path.dirname(os.path.abspath(parquet_path))
+        ev = load(spark, sf_dir, "events")
+        a_set = F.col("event_id") % 10 != 9
+        redeliver = F.col("event_id") % 10 == 3
+        stage = tempfile.mkdtemp(prefix="fbupsert_stream_")
+
+        import time as _t
+
+        t0 = _t.time() - 300
+        _stage_single_parquet(stage, ev.filter(a_set), "a_bulk.parquet", t0)
+        _stage_single_parquet(
+            stage,
+            ev.filter(~a_set).unionAll(ev.filter(redeliver)),
+            "b_tail_and_redeliver.parquet",
+            t0 + 60,
+        )
+        batch_schema = spark.read.parquet(
+            os.path.join(stage, "a_bulk.parquet")
+        ).schema
+        _REPLAY_STAGE_CACHE[cache_key] = (batch_schema, stage)
+
+    target = os.path.join(
+        tempfile.mkdtemp(prefix="fbupsert_sink_"),
+        f"fact_events_{uuid.uuid4().hex[:8]}",
+    )
+
+    def _upsert(batch_df, _batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates(["event_id"])
+        if os.path.isdir(target):
+            existing = spark.read.parquet(target).select("event_id")
+            fresh = fresh.join(existing, "event_id", "left_anti")
+        fresh.write.mode("append").parquet(target)
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_upsert)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="fbupsert_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.parquet(target)
+
+
 def replay_stream_stream_join(
     spark,
     parquet_path: str,

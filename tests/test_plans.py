@@ -239,6 +239,7 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "contam",      # contaminated ids — bounded by the eval suite (cur01)
     "n_cand", "hits",  # per-qid counts over the fixed query panel (es11)
     "lr",          # DSIR log-ratio table — <= DSIR_BUCKETS rows (ir01)
+    "nn",          # 1-row vertex-count scalar (gr02 integer PageRank)
 }
 
 
