@@ -175,3 +175,86 @@ def test_st11_watermarked_dedup_invariants(spark):
     delivered = n_a + n_b + n_c
     dup_dropped = delivered - st.LAST_WMDEDUP_DROPPED - n_emitted
     assert dup_dropped > 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_q51_returned_revenue_invariants(spark):
+    """Top-20 frame: strictly rank-ordered revenue, distinct customers,
+    every row positive (a returned-item group with zero revenue cannot
+    enter the top 20 while any positive group exists)."""
+    out = ROUND7_STAGED_QUERIES["q51_returned_item_revenue"](
+        spark, SF
+    ).collect()
+    assert len(out) == 20
+    revs = [r["revenue"] for r in out]
+    assert revs == sorted(revs, reverse=True)
+    assert all(v > 0 for v in revs)
+    assert len({r["c_custkey"] for r in out}) == 20
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ss04_temporal_split_invariants(spark):
+    """Conservation + leakage bounds: row counts partition the corpus
+    exactly; leaked users never exceed either side's distinct users;
+    both sides are non-empty for every type (the cutoff sits
+    mid-corpus by construction — the st11 lesson: a boundary split
+    would certify only one path)."""
+    out = ROUND7_STAGED_QUERIES["ss04_temporal_split_audit"](
+        spark, SF
+    ).collect()
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n_train"] + r["n_test"] for r in out) == total
+    for r in out:
+        assert r["n_train"] > 0 and r["n_test"] > 0
+        assert r["n_users_train"] <= r["n_train"]
+        assert r["n_users_test"] <= r["n_test"]
+        assert r["n_leaked_users"] <= min(
+            r["n_users_train"], r["n_users_test"]
+        )
+        assert r["n_leaked_users"] > 0  # mid-corpus cutoff must leak
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_gr02_pagerank_invariants(spark):
+    """Fixed-point sanity: ranks are positive, bounded by total mass,
+    rank-ordered; every ranked node has at least one verified
+    neighbour (isolated docs never enter the graph)."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        PR_UNITS,
+    )
+
+    out = ROUND7_STAGED_QUERIES["gr02_candidate_pagerank"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    ranks = [r["rank_units"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)
+    for r in out:
+        assert 0 < r["rank_units"] <= PR_UNITS
+        assert r["n_neighbors"] >= 1
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_st12_upsert_rejected_redeliveries(spark):
+    """The protocol claim the oracle compare can't see: rows WERE
+    re-delivered (batch B overlaps batch A) and the sink rejected
+    every one — final table cardinality equals the distinct corpus
+    while delivered rows exceed it. Without the overlap check a
+    degenerate split with no duplicates would certify nothing."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.streaming.stateful import (
+        replay_foreachbatch_upsert,
+    )
+
+    fact = replay_foreachbatch_upsert(spark, f"{SF}/events.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_distinct = ev.select("event_id").distinct().count()
+    assert fact.count() == n_distinct
+    assert fact.select("event_id").distinct().count() == n_distinct
+    n_redelivered = ev.filter(F.col("event_id") % 10 == 3).count()
+    assert n_redelivered > 0
