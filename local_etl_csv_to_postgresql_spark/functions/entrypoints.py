@@ -7456,3 +7456,294 @@ def _register_staged_streaming_wave6() -> None:
 
 
 _register_staged_streaming_wave6()
+
+
+# --- round-7 staged surface, wave 7 (ct03, win04) ---------------------------
+
+CT03_EVAL_SOURCE = "src0"  # the source standing in for a benchmark suite
+CT03_THRESHOLD = 0.5  # dd06's verified-near-dup operating point
+
+
+def ct03_fuzzy_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-DUP contamination — the fuzzy complement to ct01/ct02's
+    exact fingerprint/n-gram overlap: a benchmark item that was
+    paraphrased, truncated, or lightly edited before landing in the
+    training corpus shares no exact n-gram fingerprint but still
+    verifies as a near-duplicate, and real decontamination passes
+    check BOTH signals. One source stands in for the eval suite
+    (CT03_EVAL_SOURCE); candidates are the SAME minhash-LSH set dd06
+    certifies (shared materialized base, never all-pairs), verified at
+    exact Jaccard ≥ CT03_THRESHOLD, kept only where exactly one side
+    is the eval source, and rolled up per contaminated corpus source:
+    distinct corpus docs to drop, distinct eval items hit, pair count,
+    and the tightest match.
+
+    Scale: identical cost shape to dd06 (LSH bands bound candidates;
+    the exact kernel runs on candidates only); the source join
+    attaches one dictionary column by id; the rollup is bounded by the
+    source vocabulary. The eval suite itself needs no broadcast or
+    special casing — it is just a predicate on an already-shared
+    intermediate."""
+    docs, _sigs, pairs = _lsh_base(spark, sf)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    good = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            dd.jaccard(F.col("__sa"), F.col("__sb")).alias("__j"),
+        )
+        .filter(F.col("__j") >= CT03_THRESHOLD)
+    )
+    src = load(spark, sf, "documents").select("doc_id", "source")
+    sa_ = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("__src_a")
+    )
+    sb_ = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("__src_b")
+    )
+    ev = F.lit(CT03_EVAL_SOURCE)
+    tagged = (
+        good.join(sa_, "id_a")
+        .join(sb_, "id_b")
+        .filter((F.col("__src_a") == ev) != (F.col("__src_b") == ev))
+        .select(
+            F.when(F.col("__src_a") == ev, F.col("__src_b"))
+            .otherwise(F.col("__src_a"))
+            .alias("source"),
+            F.when(F.col("__src_a") == ev, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("__corpus_doc"),
+            F.when(F.col("__src_a") == ev, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("__eval_doc"),
+            "__j",
+        )
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.countDistinct("__corpus_doc")
+            .cast("bigint")
+            .alias("n_contaminated_docs"),
+            F.countDistinct("__eval_doc")
+            .cast("bigint")
+            .alias("n_eval_docs_hit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.max("__j"), 6).alias("max_jaccard"),
+        )
+        .orderBy("source")
+    )
+
+
+_CT03_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j) GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), good AS (
+  SELECT id_a, id_b, {_JACCARD.format(a='sa.s', b='sb.s')} AS j
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+  WHERE {_JACCARD.format(a='sa.s', b='sb.s')} >= {CT03_THRESHOLD}
+), tagged AS (
+  SELECT CASE WHEN da.source = '{CT03_EVAL_SOURCE}' THEN db.source
+              ELSE da.source END AS source,
+         CASE WHEN da.source = '{CT03_EVAL_SOURCE}' THEN g.id_b
+              ELSE g.id_a END AS corpus_doc,
+         CASE WHEN da.source = '{CT03_EVAL_SOURCE}' THEN g.id_a
+              ELSE g.id_b END AS eval_doc,
+         g.j
+  FROM good g
+  JOIN documents da ON da.doc_id = g.id_a
+  JOIN documents db ON db.doc_id = g.id_b
+  WHERE (da.source = '{CT03_EVAL_SOURCE}') <> (db.source = '{CT03_EVAL_SOURCE}')
+)
+SELECT source,
+       CAST(COUNT(DISTINCT corpus_doc) AS BIGINT) AS n_contaminated_docs,
+       CAST(COUNT(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MAX(j), 6) AS max_jaccard
+FROM tagged GROUP BY source ORDER BY source
+"""
+
+
+def win04_linear_interpolation(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-interpolation gap fill — win02's LOCF sibling for
+    signals where carrying a stale value biases downstream features:
+    each missing day on the per-user day spine gets the straight line
+    between its bracketing observations, ends stay NULL (marked
+    'edge' — no extrapolation). The fill a feature store applies to
+    continuously-moving per-entity signals.
+
+    Determinism is fixed-point, the gr02 lesson taken to floats: a
+    float formulation (v0 + (v1-v0)·Δ/span, ROUND 6) hash-mismatched
+    on a literal .5 boundary — the midpoint of two 6-dp values lands
+    on x.xxxxxx5, where Spark rounds the BINARY double (…49999…, down)
+    and DuckDB the decimal representation (up). So values live in
+    BIGINT micro-units end to end: daily mean = decimal-sum micros
+    div count (floor at 1e-6), interpolation = the POSITIVE weighted
+    sum (v0·(span-Δ) + v1·Δ) div span — all-positive operands keep
+    floor division identical across engines — and the emitted double
+    is units/1e6, an exact-integer division both engines round
+    identically. Scale: the spine is wall-time × roster bounded
+    (never event volume); the bracketing observations come from two
+    last/first IGNORE NULLS windows PER USER — high-cardinality
+    partitions, never a single-partition window; the only
+    volume-proportional shuffle is the daily aggregate."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 200).select(
+        "user_id", F.to_date("ts").alias("__d"), "value"
+    )
+    daily = ev.groupBy("user_id", "__d").agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)"
+            " div COUNT(*)"
+        ).alias("__avg")
+    )
+    spine = ev.agg(
+        F.min("__d").alias("__mn"), F.max("__d").alias("__mx")
+    ).select(
+        F.explode(
+            F.sequence(F.col("__mn"), F.col("__mx"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    grid = spine.crossJoin(F.broadcast(users))
+    g = grid.join(
+        daily,
+        (grid.user_id == daily.user_id) & (grid.day == daily.__d),
+        "left",
+    ).select(grid.user_id, grid.day, daily.__avg)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("__avg").isNotNull(), F.col("day"))
+    v0 = F.last("__avg", ignorenulls=True).over(wp)
+    d0 = F.last(obs_day, ignorenulls=True).over(wp)
+    v1 = F.first("__avg", ignorenulls=True).over(wn)
+    d1 = F.first(obs_day, ignorenulls=True).over(wn)
+    dd_ = F.datediff(F.col("day"), d0).cast("long")
+    span = F.datediff(d1, d0).cast("long")
+    staged = g.select(
+        "user_id",
+        F.col("day"),
+        "__avg",
+        v0.alias("__v0"),
+        v1.alias("__v1"),
+        dd_.alias("__dd"),
+        span.alias("__span"),
+        d0.alias("__d0"),
+        d1.alias("__d1"),
+    )
+    units = F.when(F.col("__avg").isNotNull(), F.col("__avg")).otherwise(
+        F.when(
+            F.col("__d0").isNotNull() & F.col("__d1").isNotNull(),
+            F.expr("(__v0 * (__span - __dd) + __v1 * __dd) div __span"),
+        )
+    )
+    return (
+        staged.select(
+            "user_id",
+            # emit midnight TIMESTAMP, the certified convention for
+            # spine columns (win02): pandas keeps date objects as
+            # dtype=object, which the driver hasher serializes
+            # differently from DuckDB's datetime64
+            F.col("day").cast("timestamp").alias("day"),
+            (units.cast("double") / 1000000).alias("value_filled"),
+            F.when(F.col("__avg").isNotNull(), F.lit("obs"))
+            .when(
+                F.col("__d0").isNotNull() & F.col("__d1").isNotNull(),
+                F.lit("interp"),
+            )
+            .otherwise(F.lit("edge"))
+            .alias("fill_kind"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_WIN04_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+  WHERE user_id < 200
+), daily AS (
+  SELECT user_id, d,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           // COUNT(*) AS avgv
+  FROM ev GROUP BY user_id, d
+), bounds AS (
+  SELECT MIN(d) AS mn, MAX(d) AS mx FROM ev
+), spine AS (
+  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM bounds
+), users AS (
+  SELECT DISTINCT user_id FROM ev
+), grid AS (
+  SELECT u.user_id, s.day FROM spine s CROSS JOIN users u
+), g AS (
+  SELECT grid.user_id, grid.day, daily.avgv
+  FROM grid LEFT JOIN daily
+    ON daily.user_id = grid.user_id AND daily.d = grid.day
+), w AS (
+  SELECT user_id, day, avgv,
+         last_value(avgv IGNORE NULLS) OVER wp AS v0,
+         last_value(CASE WHEN avgv IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wp AS d0,
+         first_value(avgv IGNORE NULLS) OVER wn AS v1,
+         first_value(CASE WHEN avgv IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wn AS d1
+  FROM g
+  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       CAST(CASE WHEN avgv IS NOT NULL THEN avgv
+                 WHEN d0 IS NOT NULL AND d1 IS NOT NULL
+                 THEN (v0 * ((d1 - d0) - (day - d0))
+                       + v1 * (day - d0)) // (d1 - d0)
+            END AS DOUBLE) / 1000000 AS value_filled,
+       CASE WHEN avgv IS NOT NULL THEN 'obs'
+            WHEN d0 IS NOT NULL AND d1 IS NOT NULL THEN 'interp'
+            ELSE 'edge' END AS fill_kind
+FROM w ORDER BY user_id, day
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "ct03_fuzzy_contamination": ct03_fuzzy_contamination,
+        "win04_linear_interpolation": win04_linear_interpolation,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "ct03_fuzzy_contamination": _CT03_ORACLE,
+        "win04_linear_interpolation": _WIN04_ORACLE,
+    }
+)

@@ -258,3 +258,54 @@ def test_st12_upsert_rejected_redeliveries(spark):
     assert fact.select("event_id").distinct().count() == n_distinct
     n_redelivered = ev.filter(F.col("event_id") % 10 == 3).count()
     assert n_redelivered > 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ct03_fuzzy_contamination_invariants(spark):
+    """The eval source never reports itself; counts are consistent
+    (distinct docs <= pairs); every surviving match is at or above
+    the operating threshold."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        CT03_EVAL_SOURCE,
+        CT03_THRESHOLD,
+    )
+
+    out = ROUND7_STAGED_QUERIES["ct03_fuzzy_contamination"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["source"] != CT03_EVAL_SOURCE
+        assert 1 <= r["n_contaminated_docs"] <= r["n_pairs"]
+        assert 1 <= r["n_eval_docs_hit"] <= r["n_pairs"]
+        assert CT03_THRESHOLD <= r["max_jaccard"] <= 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_win04_interpolation_invariants(spark):
+    """Interpolated values sit within each user's observed envelope
+    (a straight line between two points cannot escape them); edge
+    rows are exactly the NULL-valued rows; every (user, day) cell of
+    the grid is present exactly once."""
+    import collections
+
+    rows = ROUND7_STAGED_QUERIES["win04_linear_interpolation"](
+        spark, SF
+    ).collect()
+    seen = collections.Counter((r["user_id"], r["day"]) for r in rows)
+    assert max(seen.values()) == 1
+    by_user: dict = collections.defaultdict(list)
+    for r in rows:
+        if r["fill_kind"] == "obs":
+            by_user[r["user_id"]].append(r["value_filled"])
+        assert (r["value_filled"] is None) == (r["fill_kind"] == "edge")
+    n_interp = 0
+    for r in rows:
+        if r["fill_kind"] == "interp":
+            n_interp += 1
+            lo, hi = min(by_user[r["user_id"]]), max(by_user[r["user_id"]])
+            # floor-at-1e-6 can dip 1 micro-unit below the envelope
+            assert lo - 1e-6 <= r["value_filled"] <= hi
+    assert n_interp > 0  # the gap path must actually execute
