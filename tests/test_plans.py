@@ -75,16 +75,27 @@ BNLJ_ALLOWED = {
     "q46_part_value_share",  # 1-row broadcast (total, count) threshold
     "tx12_bpe_iterated_merges",  # 1-row broadcast top merge pair
     "rrf01_hybrid_rank_fusion",  # 1-row broadcast query vector (dense leg)
+    # staged round-7 surface (swept below so graduation can't trip this)
+    "dd13_semantic_dedup",  # k-row broadcast Lloyd's centroid list
+    "ir01_dsir_importance",  # bounded bucket-model / 1-row total broadcasts
+    "win04_linear_interpolation",  # day spine × broadcast tracked-user roster
 }
 
 
 @needs_testdata
 def test_no_query_degrades_to_unbounded_cross_joins(spark):
-    """Sweep every query in the library: no CartesianProduct anywhere,
-    and BroadcastNestedLoopJoin only where a bounded broadcast side is
+    """Sweep every query in the library — registered AND staged, so a
+    bad plan never graduates: no CartesianProduct anywhere, and
+    BroadcastNestedLoopJoin only where a bounded broadcast side is
     the point (see BNLJ_ALLOWED). Catches the classic silent failure
     where a refactor turns an equi-join into a cross product."""
-    for name, fn in ep.queries().items():
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        ROUND7_STAGED_QUERIES,
+    )
+
+    targets = dict(ep.queries())
+    targets.update(ROUND7_STAGED_QUERIES)
+    for name, fn in targets.items():
         # streaming replays (st01..st99): plan not static
         if name.startswith("st") and name[2:3].isdigit():
             continue
