@@ -7747,3 +7747,166 @@ ROUND7_STAGED_ORACLE.update(
         "win04_linear_interpolation": _WIN04_ORACLE,
     }
 )
+
+
+# --- round-7 staged surface, wave 8 (hll02 deterministic HLL) ---------------
+
+HLL_P = 8  # 2^8 = 256 registers; std err ~ 1.04/sqrt(256) = 6.5%
+HLL_M = 1 << HLL_P
+HLL_REST_BITS = 60 - HLL_P  # _H60 yields 60 hash bits
+
+
+def hll02_deterministic_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog — closes the sketch family's one
+    rows-only asterisk: hll01 rides Spark's engine-internal
+    ``approx_count_distinct`` (no cross-engine oracle by nature), but
+    HLL itself is a pure function of the hash — register j = max
+    leading-zero rank of the hashed values landing in bucket j — so
+    built explicitly on the library's md5-based 60-bit hash the WHOLE
+    sketch certifies by hash, registers and estimate both, exactly
+    like lc01 did for linear counting.
+
+    Determinism discipline (the gr02/win04 rule): the harmonic
+    denominator sum(2^-rho_j) is NOT summed in floats — each term is
+    an exact BIGINT 2^(53-rho) and the register digest is their
+    integer sum (order-independent), with empty buckets folded in as
+    (m - occupied)·2^53; the only float ops are one literal-constant
+    alpha expression and one division/ln on that exact integer,
+    rounded at 2 dp (lc01's certified precedent). Rank needs
+    bit-length, computed as ``length(bin(rest))`` — identical
+    semantics in Spark and DuckDB, verified ('101', '0'-for-zero).
+
+    Scale: THE 100 TB distinct-count shape — per (type, bucket) MAX
+    partials map-side-combine, the shuffle carries at most m rows per
+    group regardless of event volume, and registers merge across
+    batches/days by pairwise MAX (mergeability is the whole point of
+    the sketch; the register digest column is exactly the state a
+    rollup store would persist). Standard small-range correction
+    (raw ≤ 2.5m with empty buckets → linear counting); the 32-bit
+    large-range correction does not apply at a 60-bit hash."""
+    rest_zero_rho = HLL_REST_BITS + 1
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        "user_id",
+        dd.hash60(F.col("user_id").cast("string")).alias("__h"),
+    )
+    hashed = ev.select(
+        "event_type",
+        "user_id",
+        (F.col("__h") % HLL_M).alias("__b"),
+        F.expr(f"__h div {HLL_M}").alias("__rest"),
+    ).select(
+        "event_type",
+        "user_id",
+        "__b",
+        F.expr(
+            f"CASE WHEN __rest = 0 THEN {rest_zero_rho} "
+            f"ELSE {HLL_REST_BITS} - length(bin(__rest)) + 1 END"
+        ).alias("__rho"),
+    )
+    regs = hashed.groupBy("event_type", "__b").agg(
+        F.max("__rho").alias("__mx")
+    )
+    per = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occupied"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {rest_zero_rho} - __mx)"
+            )
+        ).cast("bigint").alias("__occ_sum"),
+    )
+    exact = load(spark, sf, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    two53 = float(1 << rest_zero_rho)
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+    digest = F.col("__occ_sum") + (
+        F.lit(HLL_M) - F.col("occupied")
+    ) * F.lit(1 << rest_zero_rho)
+    raw = (
+        alpha
+        * F.lit(float(HLL_M) * float(HLL_M))
+        * F.lit(two53)
+        / F.col("register_digest").cast("double")
+    )
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col("occupied")).cast("double")
+    )
+    est = F.round(
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (F.col("occupied") < HLL_M), lc
+        ).otherwise(raw),
+        2,
+    )
+    return (
+        per.join(exact, "event_type")
+        .withColumn("register_digest", digest.cast("bigint"))
+        .select(
+            "event_type",
+            "exact_distinct",
+            "occupied",
+            "register_digest",
+            est.alias("estimate"),
+            F.round(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll02_oracle_sql() -> str:
+    rest_zero_rho = HLL_REST_BITS + 1
+    h = _H60.format(x="CAST(user_id AS VARCHAR)")
+    two53 = 1 << rest_zero_rho
+    return f"""
+WITH hashed AS (
+  SELECT event_type, user_id,
+         ({h}) % {HLL_M} AS b,
+         ({h}) // {HLL_M} AS rest
+  FROM events
+), ranked AS (
+  SELECT event_type, b,
+         MAX(CASE WHEN rest = 0 THEN {rest_zero_rho}
+                  ELSE {HLL_REST_BITS} - length(bin(rest)) + 1 END) AS mx
+  FROM hashed GROUP BY event_type, b
+), per AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS occupied,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rest_zero_rho} - mx)) AS BIGINT)
+           AS occ_sum
+  FROM ranked GROUP BY event_type
+), exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS exact_distinct
+  FROM events GROUP BY event_type
+), fused AS (
+  SELECT p.event_type, exact_distinct, occupied,
+         CAST(occ_sum + ({HLL_M} - occupied) * CAST({two53} AS BIGINT)
+              AS BIGINT) AS register_digest
+  FROM per p JOIN exact e ON p.event_type = e.event_type
+), scored AS (
+  SELECT *,
+         (0.7213 / (1.0 + 1.079 / {float(HLL_M)}))
+           * {float(HLL_M) * float(HLL_M)} * {float(two53)}
+           / CAST(register_digest AS DOUBLE) AS raw
+  FROM fused
+)
+SELECT event_type, exact_distinct, occupied, register_digest,
+       ROUND(CASE WHEN raw <= {2.5 * HLL_M} AND occupied < {HLL_M}
+                  THEN {float(HLL_M)}
+                       * ln({float(HLL_M)}
+                            / CAST({HLL_M} - occupied AS DOUBLE))
+                  ELSE raw END, 2) AS estimate,
+       ROUND((CASE WHEN raw <= {2.5 * HLL_M} AND occupied < {HLL_M}
+                   THEN ROUND({float(HLL_M)}
+                        * ln({float(HLL_M)}
+                             / CAST({HLL_M} - occupied AS DOUBLE)), 2)
+                   ELSE ROUND(raw, 2) END - exact_distinct)
+             / exact_distinct, 4) AS rel_err
+FROM scored ORDER BY event_type
+"""
+
+
+ROUND7_STAGED_QUERIES["hll02_deterministic_hll"] = hll02_deterministic_hll
+ROUND7_STAGED_ORACLE["hll02_deterministic_hll"] = _hll02_oracle_sql()

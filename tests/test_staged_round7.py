@@ -309,3 +309,27 @@ def test_win04_interpolation_invariants(spark):
             # floor-at-1e-6 can dip 1 micro-unit below the envelope
             assert lo - 1e-6 <= r["value_filled"] <= hi
     assert n_interp > 0  # the gap path must actually execute
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_hll02_sketch_invariants(spark):
+    """Register digest stays within its construction bounds (m
+    registers, each contributing at most 2^(rest_bits+1) units) and
+    the estimate lands within sane HLL error of the exact count
+    (256 registers -> ~6.5% std err; 25% is a hard regression line)."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        HLL_M,
+        HLL_REST_BITS,
+    )
+
+    out = ROUND7_STAGED_QUERIES["hll02_deterministic_hll"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    cap = HLL_M * (1 << (HLL_REST_BITS + 1))
+    for r in out:
+        assert 1 <= r["occupied"] <= HLL_M
+        assert 0 < r["register_digest"] <= cap
+        assert abs(r["rel_err"]) < 0.25
+        assert r["estimate"] > 0
