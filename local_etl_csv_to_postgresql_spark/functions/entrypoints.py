@@ -7910,3 +7910,439 @@ FROM scored ORDER BY event_type
 
 ROUND7_STAGED_QUERIES["hll02_deterministic_hll"] = hll02_deterministic_hll
 ROUND7_STAGED_ORACLE["hll02_deterministic_hll"] = _hll02_oracle_sql()
+
+
+# --- round-7 staged surface, wave 11 (TPC-H Q3/Q4/Q12/Q14/Q18 shapes) -------
+# The five remaining celebrated TPC-H patterns expressible on this
+# schema (no l_commitdate/l_receiptdate/l_shipmode/partsupp columns
+# exist in the driver tables, so Q4 and Q12 substitute the available
+# date/status columns for the missing ones — the SHAPE under test is
+# identical: the EXISTS semi-join count and the two-level conditional
+# pivot). With these, the relational hard-shape library covers Q1-Q22
+# except the partsupp-only Q11/Q16 variants already adapted as q46/q57.
+
+
+def q52_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top unshipped-revenue
+    orders for one market segment — segment-filtered customer joined
+    through orders to lineitems shipped AFTER the cutoff while the
+    order was placed BEFORE it, revenue per (order, date, priority),
+    top 10.
+
+    Scale: all three filters push to their parquet scans
+    (c_mktsegment is a dictionary column, the two dates are ranges);
+    customer and orders are SF-proportional so neither join carries a
+    hint (AQE decides — the segment-filtered customer side is ~1/5 of
+    the table and usually broadcastable at runtime, which is exactly
+    the call AQE should make from measured size). The GROUP BY keys on
+    l_orderkey — o_orderdate/o_orderpriority are functionally
+    dependent carried attributes adding no cardinality — and the
+    top-10 is a TakeOrdered, never a global sort."""
+    cust = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q52_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+"""
+
+
+def q53_order_priority_check(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): how many orders per
+    priority class had at least one problem line — the canonical
+    correlated-EXISTS count. The reference predicate (l_commitdate <
+    l_receiptdate) needs columns this schema lacks; the stand-in —
+    a line shipped more than 90 days after the order date — is the
+    same cross-table date comparison, so the decorrelation under test
+    is identical: EXISTS(correlated, cross-row predicate) becomes ONE
+    left_semi join whose condition carries both the key equality and
+    the inequality.
+
+    Scale: the order-date range pushes to the orders scan; the semi
+    join shuffles on orderkey only (the inequality rides the same
+    exchange as a post-join filter — no extra pass), emits each order
+    at most once by semi-join semantics (no DISTINCT needed, unlike
+    an inner-join rewrite), and the final rollup is a 5-row
+    aggregate."""
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    flagged = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (
+            li.l_shipdate
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q53_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q55_priority_pivot_by_status(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority pivot): per line class,
+    how many lines belong to critical vs non-critical orders — the
+    two-level conditional pivot (an IN-list CASE inside two SUMs) over
+    a fact-fact join. l_shipmode does not exist in this schema;
+    l_linestatus plays the low-cardinality line-class role, which
+    preserves the shape under test exactly (group on a lineitem
+    attribute, pivot on an orders attribute).
+
+    Scale: the ship-date year range pushes to the lineitem scan; ONE
+    join shuffle on orderkey (orders is SF-proportional — no hint, AQE
+    decides) and the pivot is a 2-row map-side-combinable aggregate.
+    The priority IN-list evaluates inside the same projection, so
+    nothing scans twice."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q55_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q56_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue attributable to promotional parts — a conditional sum
+    divided by an unconditional sum in the SAME single aggregate (the
+    100 * SUM(CASE)/SUM(...) scalar shape).
+
+    Scale: the one-month range pushes to the lineitem scan; part is
+    SF-proportional so the join carries no hint (AQE decides); both
+    sums are decimal-exact and map-side-combinable, the division
+    happens once on the 1-row result, and the answer leaves the
+    cluster as a single row. The ratio casts to double only at output
+    (two exact decimal sums divide deterministically)."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_type")
+    disc = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(disc).cast("double").alias("total_revenue"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+        )
+    )
+
+
+_Q56_ORACLE = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE 0 END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS total_revenue,
+       ROUND(100.0
+             * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q58_large_volume_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity clears a threshold, with customer attributes carried
+    through — the textbook IN-(GROUP BY ... HAVING) subquery. The
+    Spark plan is the decorrelated form: aggregate lineitem ONCE,
+    filter on the aggregate, then enrich — the oracle states the
+    IN-subquery specification, so the rewrite itself is what gets
+    certified.
+
+    Scale: the quantity rollup shuffles lineitem on orderkey once and
+    the HAVING filter reduces it to a tiny frame BEFORE any join —
+    aggregate-before-join is the entire point of the Q18 rewrite (the
+    naive plan joins the full fact first). The two enrichment joins
+    carry no hints (the filtered aggregate is small at runtime — AQE's
+    call); top-20 is a TakeOrdered."""
+    qty = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > F.lit(250))
+    )
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("__q").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q58_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             FROM lineitem WHERE l_orderkey = o_orderkey) AS DOUBLE)
+         AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "q52_shipping_priority": q52_shipping_priority,
+        "q53_order_priority_check": q53_order_priority_check,
+        "q55_priority_pivot_by_status": q55_priority_pivot_by_status,
+        "q56_promo_revenue_share": q56_promo_revenue_share,
+        "q58_large_volume_orders": q58_large_volume_orders,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "q52_shipping_priority": _Q52_ORACLE,
+        "q53_order_priority_check": _Q53_ORACLE,
+        "q55_priority_pivot_by_status": _Q55_ORACLE,
+        "q56_promo_revenue_share": _Q56_ORACLE,
+        "q58_large_volume_orders": _Q58_ORACLE,
+    }
+)
+
+
+# --- round-7 staged surface, wave 12 (q54 TPC-H Q9, q57 TPC-H Q16) ----------
+
+
+def q54_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per (supplying
+    nation, order year) over the parts matching a name pattern — the
+    widest celebrated star (5 joins: lineitem → part / supplier /
+    orders, supplier → nation) with a LIKE predicate and a derived
+    profit measure. This schema has no partsupp, so the cost leg uses
+    p_retailprice · quantity (same dimensional source, same
+    per-line-derived-measure shape as ps_supplycost · quantity).
+
+    Scale: the LIKE filter pushes to the part scan (StringContains is
+    a pushable parquet predicate) and prunes lineitem THROUGH the
+    join — AQE sizes the filtered part side at runtime (no hint;
+    part is SF-proportional). Nation is bounded by construction
+    (broadcast). Profit is decimal-exact per line — the difference of
+    two DECIMAL products — summed exactly, cast to double only at
+    output; the year comes off o_orderdate in the same projection, so
+    the whole measure is one map-side expression feeding one keyed
+    aggregate."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf, "nation")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    profit = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q54_ORACLE = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+def q57_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers can deliver each surviving (brand, type, size)
+    combination, excluding blocklisted suppliers — the NOT-IN
+    anti-join + COUNT(DISTINCT) rollup. The part-supplier association
+    comes from DISTINCT (l_partkey, l_suppkey) pairs (this schema has
+    no partsupp; lineitem IS the observed association), and the
+    supplier blocklist predicate stands in for Q16's comment LIKE.
+
+    Scale: the association distinct-reduce is the first shuffle and
+    collapses the fact to pair cardinality BEFORE any join (the
+    distinct-reduce-first discipline ct01 uses); the NOT IN becomes a
+    left_anti against the filtered supplier keys (no hint — AQE sizes
+    the blocklist at runtime; NULL-key semantics don't arise because
+    s_suppkey is a join key by construction); part's attribute
+    predicates all push to its scan. COUNT(DISTINCT suppkey) keys on
+    (brand, type, size) — Spark's internal two-phase distinct expand
+    handles skew, and the output is bounded by the attribute
+    cross-space, not the corpus."""
+    assoc = (
+        load(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#19")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad = load(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < F.lit(1000)
+    ).select("s_suppkey")
+    return (
+        assoc.join(bad, assoc.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, assoc.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_Q57_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#19'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "q54_product_profit": q54_product_profit,
+        "q57_supplier_part_counts": q57_supplier_part_counts,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "q54_product_profit": _Q54_ORACLE,
+        "q57_supplier_part_counts": _Q57_ORACLE,
+    }
+)
