@@ -8346,3 +8346,266 @@ ROUND7_STAGED_ORACLE.update(
         "q57_supplier_part_counts": _Q57_ORACLE,
     }
 )
+
+
+# --- round-7 staged surface, wave 13 (cm01 Count-Min, es14 truncation) ------
+
+# Count-Min knobs (cm01): D hash rows × W buckets. The cell matrix is
+# D·W rows BY CONSTRUCTION regardless of corpus size — with the
+# standard guarantees err <= e·N/W at confidence 1 - e^-D (Cormode &
+# Muthukrishnan 2005). 4×512 keeps the certified fixture readable;
+# a production corpus sizes W to its tolerated absolute error.
+CM_DEPTH = int(_os.environ.get("SPARK_GRAFT_CM_DEPTH", "4"))
+CM_WIDTH = int(_os.environ.get("SPARK_GRAFT_CM_WIDTH", "512"))
+
+
+def cm01_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch + heavy hitters (Cormode & Muthukrishnan
+    2005): the streaming-agg workhorse for token frequencies at corpus
+    scale — a D×W integer cell matrix (bounded BY CONSTRUCTION, not by
+    data) whose cells are sums, so sketches merge across
+    batches/shards by cell-wise addition, exactly the rollup state a
+    100 TB token-frequency monitor persists. Point estimate for a key
+    = MIN over its D row cells; it can only OVERestimate (collisions
+    add, never subtract), which the output certifies per token
+    (``overestimate >= 0`` is the sketch's defining inequality, and
+    the oracle recomputes both sides exactly).
+
+    Every hash row uses the library's 60-bit md5 hash with a
+    row-seeded key ('cm{d}:{token}') so the whole sketch is a pure
+    function of the data — registers AND estimates hash-certify, the
+    hll02/lc01 discipline. Plan: ONE token-count shuffle (the same
+    aggregate tx06 runs), then the cell matrix is a second bounded
+    aggregate over the count frame (D rows per distinct token in,
+    <= D·W out, map-side-combinable); the top-10 probe side is
+    TakeOrdered-bounded and joins the bounded cell matrix — nothing
+    driver-side, nothing all-pairs."""
+    toks = (
+        _docs_words(spark, sf)
+        .select(F.explode("__words").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    rows = F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))
+    keyed = toks.select(
+        "token",
+        "true_count",
+        F.explode(rows).alias("__d"),
+    ).withColumn(
+        "__b",
+        dd.hash60(
+            F.concat(
+                F.lit("cm"),
+                F.col("__d").cast("string"),
+                F.lit(":"),
+                F.col("token"),
+            )
+        )
+        % CM_WIDTH,
+    )
+    cells = keyed.groupBy("__d", "__b").agg(
+        F.sum("true_count").alias("__cell")
+    )
+    top = (
+        toks.orderBy(F.desc("true_count"), "token")
+        .limit(10)
+        .select(
+            "token",
+            "true_count",
+            F.explode(rows).alias("__d"),
+        )
+        .withColumn(
+            "__b",
+            dd.hash60(
+                F.concat(
+                    F.lit("cm"),
+                    F.col("__d").cast("string"),
+                    F.lit(":"),
+                    F.col("token"),
+                )
+            )
+            % CM_WIDTH,
+        )
+    )
+    return (
+        top.join(cells, ["__d", "__b"])
+        .groupBy("token", "true_count")
+        .agg(F.min("__cell").cast("bigint").alias("cm_estimate"))
+        .select(
+            "token",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), "token")
+    )
+
+
+def _cm01_oracle_sql() -> str:
+    h = _H60.format(x="'cm' || CAST(d AS VARCHAR) || ':' || token")
+    return f"""
+WITH toks AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM (SELECT unnest({_WORDS}) AS token FROM documents)
+  GROUP BY token
+), keyed AS (
+  SELECT token, true_count, d, ({h}) % {CM_WIDTH} AS b
+  FROM toks CROSS JOIN (SELECT unnest(range({CM_DEPTH})) AS d)
+), cells AS (
+  SELECT d, b, SUM(true_count) AS cell FROM keyed GROUP BY d, b
+), top AS (
+  SELECT token, true_count FROM toks
+  ORDER BY true_count DESC, token LIMIT 10
+), probes AS (
+  SELECT t.token, t.true_count, k.d, k.b
+  FROM top t JOIN keyed k ON t.token = k.token
+)
+SELECT p.token, p.true_count,
+       CAST(MIN(c.cell) AS BIGINT) AS cm_estimate,
+       CAST(MIN(c.cell) - p.true_count AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON p.d = c.d AND p.b = c.b
+GROUP BY p.token, p.true_count
+ORDER BY p.true_count DESC, p.token
+"""
+
+
+# Matryoshka truncation depths (es14): recall of prefix-dim retrieval
+# vs the full 64-dim exact ranking.
+MRL_DIMS = (16, 32)
+
+
+def es14_truncated_dim_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall of PREFIX-TRUNCATED retrieval (the
+    Matryoshka-representation trick, Kusupati et al. 2022,
+    arXiv:2205.13147): rank the corpus by cosine over only the first
+    16 / 32 of 64 dims and measure top-10 overlap with the full-dim
+    exact ranking, per query. Truncation is the cheapest ANN there
+    is — same scan shape, 4x / 2x less arithmetic and memory
+    bandwidth, no index to build — IF the embedding model front-loads
+    information; this query measures that 'if' per corpus, the same
+    way es11 measures the sign-LSH dial.
+
+    All three rankings (full, d16, d32) use the distributed two-phase
+    top-k-per-group (bounded per-partition state, no collect_list) on
+    4-dp-rounded cosines with vec_id tie-breaks — total order, so
+    partition layout cannot change the answer. One corpus×10-query
+    broadcast scan per depth; everything downstream of the scans is
+    top-k bounded."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qe")
+    )
+
+    def topk(scored, k=10):
+        w1 = Window.partitionBy("__pid", "qid").orderBy(
+            F.desc("__cos"), F.asc("vec_id")
+        )
+        w2 = Window.partitionBy("qid").orderBy(
+            F.desc("__cos"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .withColumn("__r2", F.row_number().over(w2))
+            .filter(F.col("__r2") <= k)
+            .select("qid", "vec_id")
+        )
+
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    exact = topk(
+        pairs.select(
+            "qid",
+            "vec_id",
+            sim.cosine(F.col("embedding"), F.col("__qe")).alias("__cos"),
+        )
+    )
+    out = q.select("qid")
+    for nd in MRL_DIMS:
+        trunc = topk(
+            pairs.select(
+                "qid",
+                "vec_id",
+                sim.cosine(
+                    F.slice(F.col("embedding"), 1, nd),
+                    F.slice(F.col("__qe"), 1, nd),
+                ).alias("__cos"),
+            )
+        )
+        hits = (
+            exact.join(trunc, ["qid", "vec_id"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("__h"))
+        )
+        out = out.join(F.broadcast(hits), "qid", "left").withColumn(
+            f"recall_d{nd}",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("double") / 10.0,
+        ).drop("__h")
+    return out.select(
+        F.col("qid").alias("query_id"),
+        *[F.col(f"recall_d{nd}") for nd in MRL_DIMS],
+    ).orderBy("query_id")
+
+
+def _es14_oracle_sql() -> str:
+    def leg(nd: int) -> str:
+        a, b = f"e.embedding[1:{nd}]", f"q.qe[1:{nd}]"
+        return f"""
+sc{nd} AS (
+  SELECT q.qid, e.vec_id, {_COS.format(a=a, b=b)} AS c
+  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+), top{nd} AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+    FROM sc{nd}) WHERE r <= 10
+), hit{nd} AS (
+  SELECT x.qid, COUNT(*) AS h
+  FROM exact_top x JOIN top{nd} t ON x.qid = t.qid AND x.vec_id = t.vec_id
+  GROUP BY x.qid
+)"""
+
+    legs = ",".join(leg(nd) for nd in MRL_DIMS)
+    sel = ", ".join(
+        f"COALESCE(h{nd}.h, 0) / 10.0 AS recall_d{nd}" for nd in MRL_DIMS
+    )
+    joins = " ".join(
+        f"LEFT JOIN hit{nd} h{nd} ON q.qid = h{nd}.qid" for nd in MRL_DIMS
+    )
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+), exact_scored AS (
+  SELECT q.qid, e.vec_id,
+         {_COS.format(a='e.embedding', b='q.qe')} AS c
+  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+), exact_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+    FROM exact_scored) WHERE r <= 10
+), {legs}
+SELECT q.qid AS query_id, {sel}
+FROM qs q {joins}
+ORDER BY query_id
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "cm01_countmin_heavy_hitters": cm01_countmin_heavy_hitters,
+        "es14_truncated_dim_recall": es14_truncated_dim_recall,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "cm01_countmin_heavy_hitters": _cm01_oracle_sql(),
+        "es14_truncated_dim_recall": _es14_oracle_sql(),
+    }
+)

@@ -333,3 +333,70 @@ def test_hll02_sketch_invariants(spark):
         assert 0 < r["register_digest"] <= cap
         assert abs(r["rel_err"]) < 0.25
         assert r["estimate"] > 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_q5x_tpch_closeout_invariants(spark):
+    """The wave-11/12 TPC-H shapes: sanity bounds the oracles don't
+    state (non-empty, limits honored, pivot counts partition)."""
+    q52 = ROUND7_STAGED_QUERIES["q52_shipping_priority"](spark, SF).collect()
+    assert 0 < len(q52) <= 10
+    revs = [r["revenue"] for r in q52]
+    assert revs == sorted(revs, reverse=True)
+    q53 = ROUND7_STAGED_QUERIES["q53_order_priority_check"](
+        spark, SF
+    ).collect()
+    assert {r["o_orderpriority"] for r in q53} <= {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    }
+    assert all(r["order_count"] > 0 for r in q53)
+    q55 = ROUND7_STAGED_QUERIES["q55_priority_pivot_by_status"](
+        spark, SF
+    ).collect()
+    assert {r["l_linestatus"] for r in q55} == {"F", "O"}
+    q56 = ROUND7_STAGED_QUERIES["q56_promo_revenue_share"](
+        spark, SF
+    ).collect()
+    assert len(q56) == 1
+    assert 0.0 <= q56[0]["promo_revenue_pct"] <= 100.0
+    assert q56[0]["promo_revenue"] <= q56[0]["total_revenue"]
+    q58 = ROUND7_STAGED_QUERIES["q58_large_volume_orders"](
+        spark, SF
+    ).collect()
+    assert 0 < len(q58) <= 20
+    assert all(r["total_qty"] > 250 for r in q58)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_cm01_sketch_inequality(spark):
+    """The Count-Min defining property: estimates never underestimate,
+    and with 4x512 cells over this vocab most top tokens are exact."""
+    out = ROUND7_STAGED_QUERIES["cm01_countmin_heavy_hitters"](
+        spark, SF
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["cm_estimate"] >= r["true_count"]
+        assert r["overestimate"] == r["cm_estimate"] - r["true_count"]
+    counts = [r["true_count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_es14_truncation_recall_bounds(spark):
+    """Truncated-retrieval recalls are valid fractions, and the wider
+    prefix can't do worse ON AVERAGE (per-query it may tie or flip;
+    the corpus-mean monotonicity is the property truncation sells)."""
+    out = ROUND7_STAGED_QUERIES["es14_truncated_dim_recall"](
+        spark, SF
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert 0.0 <= r["recall_d16"] <= 1.0
+        assert 0.0 <= r["recall_d32"] <= 1.0
+    m16 = sum(r["recall_d16"] for r in out) / len(out)
+    m32 = sum(r["recall_d32"] for r in out) / len(out)
+    assert m32 >= m16 - 0.1
