@@ -8609,3 +8609,252 @@ ROUND7_STAGED_ORACLE.update(
         "es14_truncated_dim_recall": _es14_oracle_sql(),
     }
 )
+
+
+# --- round-7 staged surface, wave 14 (tx14, win05, ss05) --------------------
+
+
+def tx14_bigram_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained word-bigram
+    language model — the CCNet-style perplexity quality signal (Wenzek
+    et al. 2020, arXiv:1911.00359: documents scoring worst under an LM
+    are boilerplate/gibberish and get filtered or bucketed). The model
+    is add-one-smoothed p(w2|w1) = (c(w1 w2)+1) / (ctx(w1)+V), with
+    ctx(w1) = bigram occurrences starting at w1 and V the distinct
+    corpus vocabulary; each doc scores the MEAN -log2 p over its
+    bigram instances (length-invariant, the ir01 rule) and the 20
+    worst docs surface.
+
+    Determinism discipline (ir01/tx09): the per-bigram-TYPE cost
+    -log2(p) is computed ONCE in the bounded stats table and rounded
+    to 8 dp; per-doc aggregation sums those values as DECIMAL(25,12)
+    (order-independent under shuffle) before a 6-dp rounded divide.
+    NO transcendental runs on a per-doc aggregate (the win04 lesson:
+    cross-engine float determinism is constructed, not hoped for) —
+    which is also why cross-entropy, not 2^H perplexity, is the
+    certified column.
+
+    Scale: bigram stats are ONE keyed aggregate over the gram stream;
+    the vocab size is a 1-row broadcast; scoring joins doc bigrams to
+    the stats table on the bigram key — SF-proportional on BOTH sides,
+    so no hint (AQE decides; at 100 TB this is a plain shuffle join on
+    a well-distributed text key) — then one doc-keyed mean. Nothing
+    driver-side, nothing quadratic."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "lang", tx.words("text").alias("__w")
+    )
+    big = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__w) >= 2 THEN "
+                "transform(sequence(1, size(__w) - 1), "
+                "i -> struct(element_at(__w, i) AS w1, "
+                "element_at(__w, i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+                "END"
+            )
+        ).alias("__g"),
+    ).select("doc_id", "lang", "__g.w1", "__g.w2")
+    vocab = (
+        docs.select(F.explode("__w").alias("__t"))
+        .agg(F.countDistinct("__t").alias("__v"))
+    )
+    stats = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c12"))
+        .withColumn("__ctx", F.sum("__c12").over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log2(
+                    (F.col("__c12") + F.lit(1.0))
+                    / (F.col("__ctx") + F.col("__v")).cast("double")
+                ),
+                8,
+            ).alias("__cost"),
+        )
+    )
+    return (
+        big.join(stats, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__cost").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cross_entropy"),
+        )
+        .orderBy(F.desc("cross_entropy"), "doc_id")
+        .limit(20)
+    )
+
+
+_TX14_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, {_WORDS} AS w FROM documents
+), big AS (
+  SELECT doc_id, lang, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
+  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM d)
+), vocab AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(w) AS t FROM d)
+), stats AS (
+  SELECT w1, w2,
+         ROUND(-log2((COUNT(*) + 1.0)
+                     / (SUM(COUNT(*)) OVER (PARTITION BY w1)
+                        + (SELECT v FROM vocab))), 8) AS cost
+  FROM big GROUP BY w1, w2
+)
+SELECT b.doc_id, b.lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(s.cost AS DECIMAL(25,12))) AS DOUBLE)
+             / COUNT(*), 6) AS cross_entropy
+FROM big b JOIN stats s ON b.w1 = s.w1 AND b.w2 = s.w2
+GROUP BY b.doc_id, b.lang
+ORDER BY cross_entropy DESC, b.doc_id LIMIT 20
+"""
+
+
+def win05_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks via
+    the classic day − row_number() island key — the canonical hard
+    SQL shape for session/streak analytics that no single window
+    function expresses directly. Output per user: active days, number
+    of distinct streaks, and the longest streak.
+
+    Scale: the distinct (user, day) reduce collapses the event stream
+    FIRST (bounded by users × days, orders of magnitude below event
+    volume); the row_number window partitions BY USER — its frame is
+    one user's distinct days, bounded by the calendar, never by event
+    volume — and the island rollup is two keyed aggregates. All
+    arithmetic is integer/date; nothing floats."""
+    days = (
+        load(spark, sf, "events")
+        .select("user_id", F.to_date("ts").alias("__day"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("__day")
+    islands = (
+        days.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__grp", F.date_sub(F.col("__day"), F.col("__rn")))
+        .groupBy("user_id", "__grp")
+        .agg(F.count(F.lit(1)).alias("__len"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("__len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("__len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_WIN05_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM days
+), isl AS (
+  SELECT user_id, day - CAST(rn AS INT) AS grp, COUNT(*) AS len
+  FROM r GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM isl GROUP BY user_id ORDER BY user_id
+"""
+
+
+SS05_SHARDS = int(_os.environ.get("SPARK_GRAFT_SS05_SHARDS", "16"))
+
+
+def ss05_shard_balance_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic output-shard assignment + balance audit — the
+    write-side layout op training-data prep ends with: every doc maps
+    to shard = hash(doc_id) mod S (reproducible, growth-stable, no
+    global sort, no RNG), and the audit reports per-shard doc count,
+    token mass, and byte mass plus each shard's load relative to the
+    uniform share — the number that tells you whether the hash is
+    balanced BEFORE 1000 writers start.
+
+    Scale: assignment is a row-local expression (zero shuffle); the
+    audit is ONE S-row aggregate; rel_load divides by a 1-row
+    broadcast total (the A10 pattern). Exact-integer masses; the only
+    division is 6-dp rounded on two exact integers."""
+    docs = load(spark, sf, "documents").select(
+        (dd.hash60(F.col("doc_id").cast("string")) % SS05_SHARDS).alias(
+            "shard"
+        ),
+        F.size(tx.words("text")).cast("bigint").alias("__toks"),
+        F.col("n_chars").cast("bigint").alias("__chars"),
+    )
+    per = docs.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__toks").cast("bigint").alias("token_mass"),
+        F.sum("__chars").cast("bigint").alias("char_mass"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "token_mass",
+            "char_mass",
+            F.round(
+                F.col("n_docs").cast("double")
+                * F.lit(float(SS05_SHARDS))
+                / F.col("__t"),
+                6,
+            ).alias("rel_load"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SS05_ORACLE = f"""
+WITH assigned AS (
+  SELECT ({_H60.format(x="CAST(doc_id AS VARCHAR)")}) % {SS05_SHARDS}
+           AS shard,
+         len({_WORDS}) AS toks, n_chars
+  FROM documents
+), per AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS token_mass,
+         CAST(SUM(n_chars) AS BIGINT) AS char_mass
+  FROM assigned GROUP BY shard
+)
+SELECT shard, n_docs, token_mass, char_mass,
+       ROUND(CAST(n_docs AS DOUBLE) * {float(SS05_SHARDS)}
+             / (SELECT SUM(n_docs) FROM per), 6) AS rel_load
+FROM per ORDER BY shard
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "tx14_bigram_cross_entropy": tx14_bigram_cross_entropy,
+        "win05_activity_streaks": win05_activity_streaks,
+        "ss05_shard_balance_audit": ss05_shard_balance_audit,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "tx14_bigram_cross_entropy": _TX14_ORACLE,
+        "win05_activity_streaks": _WIN05_ORACLE,
+        "ss05_shard_balance_audit": _SS05_ORACLE,
+    }
+)

@@ -400,3 +400,52 @@ def test_es14_truncation_recall_bounds(spark):
     m16 = sum(r["recall_d16"] for r in out) / len(out)
     m32 = sum(r["recall_d32"] for r in out) / len(out)
     assert m32 >= m16 - 0.1
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx14_cross_entropy_invariants(spark):
+    """Cross-entropy is positive and bounded by log2 of the model
+    denominator space; every scored doc has >= 1 bigram."""
+    out = ROUND7_STAGED_QUERIES["tx14_bigram_cross_entropy"](
+        spark, SF
+    ).collect()
+    assert len(out) == 20
+    ces = [r["cross_entropy"] for r in out]
+    assert ces == sorted(ces, reverse=True)
+    for r in out:
+        assert r["n_bigrams"] >= 1
+        assert 0.0 < r["cross_entropy"] < 30.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_win05_streak_invariants(spark):
+    """Islands partition the active days: longest <= total, streak
+    count <= active days, and all users present."""
+    out = ROUND7_STAGED_QUERIES["win05_activity_streaks"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 1 <= r["longest_streak"] <= r["n_active_days"]
+        assert 1 <= r["n_streaks"] <= r["n_active_days"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ss05_shard_partition_invariants(spark):
+    """Shards partition the corpus exactly and rel_load averages 1."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        SS05_SHARDS,
+    )
+
+    out = ROUND7_STAGED_QUERIES["ss05_shard_balance_audit"](
+        spark, SF
+    ).collect()
+    assert len(out) <= SS05_SHARDS
+    assert sum(r["n_docs"] for r in out) == 500
+    mean_rel = sum(r["rel_load"] * r["n_docs"] for r in out)
+    for r in out:
+        assert r["token_mass"] > 0 and r["char_mass"] > 0
+        assert 0 < r["rel_load"]
