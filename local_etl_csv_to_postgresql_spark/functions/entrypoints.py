@@ -8858,3 +8858,150 @@ ROUND7_STAGED_ORACLE.update(
         "ss05_shard_balance_audit": _SS05_ORACLE,
     }
 )
+
+
+# --- round-7 staged surface, wave 15 (es15 JL random projection) ------------
+
+JL_OUT_DIMS = 16
+JL_IN_DIMS = 64
+
+
+def _jl_sign(j: int, i: int) -> float:
+    """Deterministic ±1 from the library's md5 hash family — the
+    projection matrix is a pure function of (row, col), so Spark and
+    the oracle inline IDENTICAL literals and nothing is 'random' at
+    certification time (a production run would seed differently per
+    corpus version; determinism-by-construction is the contract)."""
+    import hashlib
+
+    h = hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+_JL_MATRIX = [
+    [_jl_sign(j, i) for i in range(JL_IN_DIMS)] for j in range(JL_OUT_DIMS)
+]
+
+
+def es15_jl_projection_qc(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection + distortion QC: project
+    64-dim embeddings to 16 dims through a deterministic ±1/sqrt(k)
+    sign matrix (Achlioptas 2003 — database-friendly random
+    projections; the JL lemma bounds pairwise-distance distortion, and
+    THIS query measures it on 20 consecutive-id pairs: projected
+    distance over original distance, per pair). Next to es14's prefix
+    truncation this is the model-free reduction — it needs no
+    assumption that the embedding front-loads information, at the cost
+    of a dense matrix multiply per row.
+
+    Scale: projection is ROW-LOCAL map work (d·k multiply-adds per
+    vector, zero shuffle — the entire point; at 100 TB the 16-dim
+    output is what you persist and index, cutting ANN scan cost 4x),
+    and the matrix itself is inline literal metadata. Distances use
+    the library's certified sequential-fold construction (same index
+    order in both engines, 4-dp rounds at output only); the pair join
+    is an equi-join on vec_id+1."""
+    emb = load(spark, sf, "embeddings")
+    scale = 1.0 / (JL_OUT_DIMS ** 0.5)
+    proj = F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(v) for v in _JL_MATRIX[j]]),
+                        lambda x, m: x.cast("double") * m,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * F.lit(scale)
+            ).alias(f"y{j}")
+            for j in range(JL_OUT_DIMS)
+        ]
+    )
+    p = emb.filter(F.col("vec_id") < 41).select(
+        "vec_id", F.col("embedding").alias("__x"), proj.alias("__y")
+    )
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+    )
+    b = p.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+    )
+
+    def edist(u, v):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    u, v, lambda s, t: (s.cast("double") - t.cast("double"))
+                    * (s.cast("double") - t.cast("double"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    return (
+        a.join(b, "id_a")
+        .filter(F.col("id_a") % 2 == 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(edist(F.col("__xa"), F.col("__xb")), 4).alias("d_full"),
+            F.round(edist(F.col("__ya"), F.col("__yb")), 4).alias("d_proj"),
+            F.round(
+                edist(F.col("__ya"), F.col("__yb"))
+                / F.nullif(edist(F.col("__xa"), F.col("__xb")), F.lit(0.0)),
+                4,
+            ).alias("distortion"),
+        )
+        .orderBy("id_a")
+    )
+
+
+def _es15_oracle_sql() -> str:
+    scale = 1.0 / (JL_OUT_DIMS ** 0.5)
+    rows = []
+    for j in range(JL_OUT_DIMS):
+        lits = ", ".join(str(v) for v in _JL_MATRIX[j])
+        rows.append(
+            f"list_sum(list_transform(range(1, {JL_IN_DIMS} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) "
+            f"* ([{lits}]::DOUBLE[])[i])) * {scale}"
+        )
+    ycols = ", ".join(f"({r}) AS y{j}" for j, r in enumerate(rows))
+    ylist = "[" + ", ".join(f"y{j}" for j in range(JL_OUT_DIMS)) + "]"
+    dfull = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> (CAST(a.x[i] AS DOUBLE) - CAST(b.x[i] AS DOUBLE)) "
+        "* (CAST(a.x[i] AS DOUBLE) - CAST(b.x[i] AS DOUBLE)))))"
+    )
+    dproj = (
+        f"sqrt(list_sum(list_transform(range(1, {JL_OUT_DIMS} + 1), "
+        "i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i]))))"
+    )
+    return f"""
+WITH proj AS (
+  SELECT vec_id, embedding AS x, {ycols}
+  FROM embeddings WHERE vec_id < 41
+), p AS (
+  SELECT vec_id, x, {ylist} AS y FROM proj
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({dfull}, 4) AS d_full,
+       ROUND({dproj}, 4) AS d_proj,
+       ROUND({dproj} / NULLIF({dfull}, 0.0), 4) AS distortion
+FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id % 2 = 0
+ORDER BY id_a
+"""
+
+
+ROUND7_STAGED_QUERIES["es15_jl_projection_qc"] = es15_jl_projection_qc
+ROUND7_STAGED_ORACLE["es15_jl_projection_qc"] = _es15_oracle_sql()

@@ -449,3 +449,22 @@ def test_ss05_shard_partition_invariants(spark):
     for r in out:
         assert r["token_mass"] > 0 and r["char_mass"] > 0
         assert 0 < r["rel_load"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_es15_jl_distortion_bounds(spark):
+    """JL distortion concentrates near 1: every consecutive pair's
+    ratio lands in a generous (0.4, 1.8) band at k=16, and the mean
+    sits inside (0.75, 1.25) — the lemma's whole promise."""
+    out = ROUND7_STAGED_QUERIES["es15_jl_projection_qc"](
+        spark, SF
+    ).collect()
+    assert len(out) == 20
+    ds = [r["distortion"] for r in out]
+    for d in ds:
+        assert 0.4 < d < 1.8
+    assert 0.75 < sum(ds) / len(ds) < 1.25
+    for r in out:
+        assert r["id_b"] == r["id_a"] + 1
+        assert r["d_full"] > 0 and r["d_proj"] > 0
