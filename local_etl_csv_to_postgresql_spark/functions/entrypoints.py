@@ -9005,3 +9005,70 @@ ORDER BY id_a
 
 ROUND7_STAGED_QUERIES["es15_jl_projection_qc"] = es15_jl_projection_qc
 ROUND7_STAGED_ORACLE["es15_jl_projection_qc"] = _es15_oracle_sql()
+
+
+# --- round-7 staged surface, wave 16 (mm06 media payload dedup) -------------
+
+
+def mm06_payload_dedup_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-level media payload dedup audit — the FIRST pass of any
+    multimodal dedup pipeline: before perceptual hashing or embedding
+    similarity, byte-identical payloads (same image fetched twice,
+    mirrored CDN copies) collapse on a content hash. The corpus is
+    replayed under a deterministic re-crawl (every media_id % 17 == 0
+    payload delivered twice — the multi-snapshot ingest shape), and
+    the audit reports, per source: delivered payloads, distinct
+    payloads by md5(content), duplicate deliveries, and byte mass —
+    the exact numbers an ingest monitor alarms on.
+
+    The hash runs on the BINARY content column (the real multimodal
+    schema — utf-8 bytes here, JPEG bytes in production; the
+    Spark-side plumbing is identical), row-locally: zero shuffle until
+    the two bounded keyed aggregates (source×hash distinct-reduce,
+    then source rollup). At 100 TB this is the cheapest dedup there
+    is — one hash per payload, one shuffle on the hash."""
+    media = documents_as_media(load(spark, sf, "documents"))
+    delivered = media.unionByName(
+        media.filter(F.col("media_id") % 17 == 0)
+    )
+    hashed = delivered.select(
+        "source",
+        F.md5(F.col("content")).alias("__h"),
+        F.length(F.col("content")).cast("bigint").alias("__bytes"),
+    )
+    return (
+        hashed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_delivered"),
+            F.countDistinct("__h").cast("bigint").alias("n_distinct_payloads"),
+            (F.count(F.lit(1)) - F.countDistinct("__h"))
+            .cast("bigint")
+            .alias("n_dup_deliveries"),
+            F.sum("__bytes").cast("bigint").alias("byte_mass"),
+        )
+        .orderBy("source")
+    )
+
+
+# DuckDB md5 is VARCHAR-only; md5(text) over utf-8 VARCHAR hashes the
+# SAME bytes Spark's md5(encode(text, 'utf-8')) does, so the twin is
+# exact by construction.
+_MM06_ORACLE = """
+WITH delivered AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, text FROM documents WHERE doc_id % 17 = 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_delivered,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+         AS n_dup_deliveries,
+       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS byte_mass
+FROM delivered
+GROUP BY source ORDER BY source
+"""
+
+
+ROUND7_STAGED_QUERIES["mm06_payload_dedup_audit"] = mm06_payload_dedup_audit
+ROUND7_STAGED_ORACLE["mm06_payload_dedup_audit"] = _MM06_ORACLE

@@ -468,3 +468,19 @@ def test_es15_jl_distortion_bounds(spark):
     for r in out:
         assert r["id_b"] == r["id_a"] + 1
         assert r["d_full"] > 0 and r["d_proj"] > 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_mm06_dedup_accounting(spark):
+    """Re-delivered payloads are all caught: dup count equals the
+    re-crawled subset size, and distinct+dups == delivered."""
+    out = ROUND7_STAGED_QUERIES["mm06_payload_dedup_audit"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    total_dups = sum(r["n_dup_deliveries"] for r in out)
+    assert total_dups == 500 // 17 + (1 if 0 % 17 == 0 else 0)
+    for r in out:
+        assert r["n_delivered"] == r["n_distinct_payloads"] + r["n_dup_deliveries"]
+        assert r["byte_mass"] > 0
