@@ -9072,3 +9072,20 @@ GROUP BY source ORDER BY source
 
 ROUND7_STAGED_QUERIES["mm06_payload_dedup_audit"] = mm06_payload_dedup_audit
 ROUND7_STAGED_ORACLE["mm06_payload_dedup_audit"] = _MM06_ORACLE
+
+
+def _register_staged_streaming_wave17() -> None:
+    """st13 lives with the streaming family (streaming/queries.py),
+    same discipline as st11/st12's registrations above."""
+    from ..streaming.queries import (
+        ST13_STAGED_ORACLE,
+        st13_left_outer_attribution,
+    )
+
+    ROUND7_STAGED_QUERIES["st13_left_outer_attribution"] = (
+        st13_left_outer_attribution
+    )
+    ROUND7_STAGED_ORACLE["st13_left_outer_attribution"] = ST13_STAGED_ORACLE
+
+
+_register_staged_streaming_wave17()

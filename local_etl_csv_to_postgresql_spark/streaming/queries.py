@@ -496,3 +496,69 @@ SELECT event_type,
          AS total_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def st13_left_outer_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Unattributed-view accounting from an actual stream-stream LEFT
+    OUTER interval join run (streaming/stateful.replay_left_outer_join):
+    per user, every view emits — matched views as (view, click) pairs,
+    unmatched views as null rows once the watermark proves no click
+    can arrive. The sentinel advancer pushes the final watermark past
+    every real view's match horizon, so the emitted set equals the
+    batch left-outer join and the oracle is plain SQL with no
+    watermark arithmetic. Id-sum pins certify the exact pair AND
+    null-view sets, not just counts."""
+    from .stateful import replay_left_outer_join
+
+    rows = replay_left_outer_join(spark, f"{sf}/events.parquet").filter(
+        F.col("v_user") >= 0
+    )
+    return (
+        rows.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_output_rows"),
+            F.count("c_id").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("c_id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched_views"),
+            F.sum(
+                F.when(
+                    F.col("c_id").isNotNull(),
+                    F.col("v_id") + F.col("c_id"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pair_id_sum"),
+            F.sum(F.when(F.col("c_id").isNull(), F.col("v_id")).otherwise(0))
+            .cast("bigint")
+            .alias("null_view_id_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ST13_STAGED_ORACLE = """
+WITH v AS (
+  SELECT event_id AS v_id, user_id, ts AS v_ts
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT v.user_id, v.v_id, c.c_id
+  FROM v LEFT JOIN c
+    ON v.user_id = c.user_id
+   AND c.c_ts >= v.v_ts
+   AND c.c_ts <= v.v_ts + INTERVAL 10 MINUTE
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_output_rows,
+       CAST(COUNT(c_id) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched_views,
+       CAST(SUM(CASE WHEN c_id IS NOT NULL THEN v_id + c_id ELSE 0 END)
+            AS BIGINT) AS pair_id_sum,
+       CAST(SUM(CASE WHEN c_id IS NULL THEN v_id ELSE 0 END) AS BIGINT)
+         AS null_view_id_sum
+FROM j GROUP BY user_id ORDER BY user_id
+"""

@@ -1114,3 +1114,127 @@ def replay_tws_totals(
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     return spark.table(table_name)
+
+
+def replay_left_outer_join(
+    spark,
+    parquet_path: str,
+    window_minutes: int = 10,
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Bounded replay of a stream-stream LEFT OUTER interval join —
+    the null-emission semantics st09's inner join never exercises:
+    a view with no click inside its window must STILL emit (with null
+    click columns), and in a live stream that emission can only happen
+    once the watermark proves no matching click can ever arrive, i.e.
+    on state EVICTION, not on data arrival.
+
+    Two mtime-ordered batches + the availableNow final no-data batch:
+
+    - batch A: every real event. Inner matches emit as they join;
+      unmatched views sit in the state store (watermark still -inf —
+      nothing can be evicted).
+    - batch B: two sentinel rows at global-max-ts + 1 hour — one view
+      (user -1), one click (user -2). The join's global watermark is
+      the MIN over both input watermarks, so BOTH sides need an
+      advancer; distinct users keep the sentinels from matching each
+      other. After B the watermark stands at (max+1h − delay), which
+      is beyond every real view's match horizon (v_ts + delay), so
+      the final no-data batch evicts ALL real unmatched views and
+      emits their null rows.
+
+    The sentinel construction makes the emitted set equal the BATCH
+    left-outer interval join of the real events — no watermark
+    arithmetic leaks into the specification, so the DuckDB twin is
+    the plain LEFT JOIN (st13). The sentinel view itself stays below
+    its own eviction horizon and is filtered by user_id >= 0 anyway."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    table_name = table_name or f"stream_loj_{uuid.uuid4().hex[:8]}"
+    cache_key = f"loj::{parquet_path}"
+    hit = _REPLAY_STAGE_CACHE.get(cache_key)
+    if hit is not None:
+        batch_schema, stage = hit
+    else:
+        import os
+        import time as _t
+
+        from ..plans.analytics import load
+
+        sf_dir = os.path.dirname(os.path.abspath(parquet_path))
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        gm = ev.agg(F.max("ts")).first()[0]
+        adv = gm + datetime.timedelta(hours=1)
+        sentinels = spark.createDataFrame(
+            [(-1, -1, "view", adv), (-2, -2, "click", adv)],
+            schema=ev.schema,
+        )
+        stage = tempfile.mkdtemp(prefix="loj_stream_")
+        t0 = _t.time() - 300
+        _stage_single_parquet(stage, ev, "a_events.parquet", t0)
+        _stage_single_parquet(stage, sentinels, "b_advancers.parquet", t0 + 60)
+        batch_schema = spark.read.parquet(
+            os.path.join(stage, "a_events.parquet")
+        ).schema
+        _REPLAY_STAGE_CACHE[cache_key] = (batch_schema, stage)
+
+    def src():
+        return (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(stage)
+        )
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", f"{window_minutes} minutes")
+    )
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", f"{window_minutes} minutes")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"v_user = c_user AND c_ts >= v_ts "
+            f"AND c_ts <= v_ts + interval {window_minutes} minutes"
+        ),
+        "leftOuter",
+    )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)

@@ -484,3 +484,20 @@ def test_mm06_dedup_accounting(spark):
     for r in out:
         assert r["n_delivered"] == r["n_distinct_payloads"] + r["n_dup_deliveries"]
         assert r["byte_mass"] > 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_st13_null_emission_happened(spark):
+    """The left-outer semantics must actually exercise BOTH paths:
+    matched pairs and watermark-evicted null rows, with the
+    per-user accounting partitioning exactly."""
+    out = ROUND7_STAGED_QUERIES["st13_left_outer_attribution"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    assert sum(r["n_pairs"] for r in out) > 0
+    assert sum(r["n_unmatched_views"] for r in out) > 0
+    for r in out:
+        assert r["n_output_rows"] == r["n_pairs"] + r["n_unmatched_views"]
+        assert r["user_id"] >= 0
