@@ -79,6 +79,9 @@ BNLJ_ALLOWED = {
     "dd13_semantic_dedup",  # k-row broadcast Lloyd's centroid list
     "ir01_dsir_importance",  # bounded bucket-model / 1-row total broadcasts
     "win04_linear_interpolation",  # day spine × broadcast tracked-user roster
+    "es14_truncated_dim_recall",  # 10-row broadcast query-vector panel ×3 legs
+    "tx14_bigram_cross_entropy",  # 1-row broadcast vocab-size total
+    "ss05_shard_balance_audit",  # 1-row broadcast corpus total
 }
 
 
