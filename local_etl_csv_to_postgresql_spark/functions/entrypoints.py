@@ -9089,3 +9089,483 @@ def _register_staged_streaming_wave17() -> None:
 
 
 _register_staged_streaming_wave17()
+
+
+# --- round-7 staged surface, wave 18 (fz01, pa01, ii01, rs01, cr01, win06) --
+
+
+def fz01_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution candidate pairs over the part-name vocabulary:
+    blocked fuzzy self-join with exact Levenshtein edit distance — the
+    record-linkage primitive (Fellegi-Sunter blocking + string-metric
+    compare) every catalog/entity-dedup pipeline runs before training
+    on product or entity data.
+
+    Scale design (the dd11/ct01 discipline, in order):
+    1. DISTINCT-REDUCE first: the quadratic runs over the NAME
+       VOCABULARY (64 names at sf0.01), never the row stream (2,000
+       parts) — a 100 TB catalog has millions of rows but a far
+       smaller name dictionary, and the reduce is one keyed aggregate
+       that also carries each name's support count.
+    2. BLOCK, never all-pairs: candidates come from an equi-join on a
+       cheap blocking key (the head noun — last token), so comparisons
+       are bounded by the squared block sizes, not vocabulary². A
+       skewed block at scale is refined by compounding the key
+       (first-char + length band), exactly like dd11 refines its
+       prefix lists; the blocking key choice is the recall/cost dial.
+    3. Exact integer metric ONLY on candidates: levenshtein() is
+       JVM-side codegen, integer-exact in both engines, so the
+       certified output has no float anywhere.
+    Emits the 25 closest pairs (distance, then lexicographic) with
+    each side's support count — the review queue an ER pipeline hands
+    to its merge stage."""
+    names = (
+        load(spark, sf, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("__noun", F.element_at(F.split("p_name", " "), -1))
+        .filter(F.col("__noun").isNotNull() & (F.col("__noun") != ""))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("__noun").alias("__blk"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        F.col("__noun").alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("lev_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev_dist") <= 4)
+        .select("name_a", "name_b", "lev_dist", "n_parts_a", "n_parts_b")
+        .orderBy("lev_dist", "name_a", "name_b")
+        .limit(25)
+    )
+
+
+_FZ01_ORACLE = """
+WITH names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         split_part(p_name, ' ', -1) AS blk
+  FROM part GROUP BY p_name
+  HAVING split_part(p_name, ' ', -1) IS NOT NULL
+     AND split_part(p_name, ' ', -1) <> ''
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+ORDER BY lev_dist, name_a, name_b
+LIMIT 25
+"""
+
+
+def pa01_k_anonymity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over the customer table's quasi-identifiers
+    (market segment × nation × account-balance band) — the standard
+    privacy pre-release check (Sweeney 2002): how many rows sit in
+    equivalence classes smaller than the k threshold, i.e. are
+    re-identifiable by the QID combination alone.
+
+    ONE groupBy over the QID tuple gives every class's size k; a
+    second TINY aggregate (input = one row per class, bounded by the
+    QID value space, not the corpus) bands the classes into the audit
+    report. The balance band uses FLOOR(bal/1000) — both engines run
+    the identical IEEE divide on identical doubles, so the band edges
+    are bit-stable. Nothing here is corpus-quadratic and the report is
+    O(4) rows regardless of scale; at 100 TB the only cost is the one
+    QID shuffle, which map-side combines."""
+    classes = (
+        load(spark, sf, "customer")
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__band"),
+        )
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    band = (
+        F.when(F.col("__k") == 1, F.lit("1 unique"))
+        .when(F.col("__k") <= 4, F.lit("2 k in 2-4"))
+        .when(F.col("__k") <= 9, F.lit("3 k in 5-9"))
+        .otherwise(F.lit("4 k >= 10"))
+    )
+    return (
+        classes.select(band.alias("k_band"), "__k")
+        .groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("__k").cast("bigint").alias("n_rows"),
+            F.min("__k").cast("bigint").alias("min_k"),
+            F.max("__k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("k_band")
+    )
+
+
+_PA01_ORACLE = """
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         FLOOR(c_acctbal / 1000.0) AS band,
+         COUNT(*) AS k
+  FROM customer GROUP BY 1, 2, 3
+), banded AS (
+  SELECT CASE WHEN k = 1 THEN '1 unique'
+              WHEN k <= 4 THEN '2 k in 2-4'
+              WHEN k <= 9 THEN '3 k in 5-9'
+              ELSE '4 k >= 10' END AS k_band,
+         k
+  FROM classes
+)
+SELECT k_band,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM banded GROUP BY k_band ORDER BY k_band
+"""
+
+
+def ii01_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index head: the 20 highest-document-frequency terms
+    with their df, total tf, and the first 10 postings (doc_ids,
+    ascending) — the build step of every retrieval/contamination index
+    over a training corpus.
+
+    ONE explode feeds ONE (term, doc_id) aggregate that yields BOTH
+    statistics (df = COUNT(*), tf = SUM(per-doc count)) — never two
+    passes over the token stream. Posting lists are materialized ONLY
+    for the 20 selected terms (a bounded-by-construction broadcast —
+    the LIMIT is the bound, so the hint is legitimate under the
+    AQE-decides convention) and each is cut to its first 10 postings
+    by a per-term rank BEFORE collect_list, so no task ever holds an
+    unbounded hot-term posting list: at 100 TB a stopword's full list
+    is millions of ids, but this plan never builds it."""
+    from pyspark.sql import Window
+
+    per_doc = (
+        _docs_words(spark, sf)
+        .select("doc_id", F.explode("__words").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    top = (
+        per_doc.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("__c").cast("bigint").alias("tf"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        per_doc.join(F.broadcast(top), "term")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 10)
+        .groupBy("term", "df", "tf")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("top_docs")
+        )
+        .orderBy(F.desc("df"), "term")
+    )
+
+
+_II01_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+), c AS (
+  SELECT term, doc_id, COUNT(*) AS c FROM w GROUP BY 1, 2
+), t AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(c) AS BIGINT) AS tf
+  FROM c GROUP BY term
+), top AS (
+  SELECT * FROM t ORDER BY df DESC, term LIMIT 20
+), p AS (
+  SELECT c.term, c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.term ORDER BY c.doc_id) AS rk
+  FROM c JOIN top USING (term)
+)
+SELECT term, df, tf,
+       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+         AS top_docs
+FROM p JOIN top USING (term)
+WHERE rk <= 10
+GROUP BY term, df, tf
+ORDER BY df DESC, term
+"""
+
+
+def rs01_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-group outlier screen: exact median, exact MAD
+    (median absolute deviation), and the count of |x − med| > 3·MAD
+    rows per event type — the robust-statistics quality gate (median ±
+    k·MAD resists the very outliers a mean ± k·σ gate is dragged by).
+
+    Determinism is constructed, not hoped for (the win04 rule): both
+    medians come from the SAME rank algebra in both engines —
+    row_number over the value order, the (n+1) DIV 2 / n DIV 2 + 1
+    middle ranks, AVG over the one or two selected rows — so the
+    engines pick the same values and fold them identically ((a+b)/2 is
+    an exact power-of-two scale). Ties in value are harmless: the
+    r-th smallest VALUE is tie-permutation-invariant. The 3·MAD
+    compare runs on the unrounded double; rounding happens once, at
+    output.
+
+    Scale: an exact per-group median requires ordering each group —
+    the same work ANY engine's percentile_cont does. Here it is two
+    window sorts over range-partitioned groups (Spark's WindowExec
+    spills, so a hot group degrades to disk, not OOM). This operator
+    is the exact SPECIFICATION; the 100 TB operating path swaps in the
+    two-phase rank kernel (operators/quantile.py, q38) per group or a
+    mergeable sketch (hq01) once groups stop fitting a sort — the gate
+    certifies the spec those approximations are measured against."""
+    from pyspark.sql import Window
+
+    ev = (
+        load(spark, sf, "events")
+        .select("event_type", F.col("value").cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+    )
+
+    def _group_median(df: DataFrame, col: str) -> DataFrame:
+        wo = Window.partitionBy("event_type").orderBy(col)
+        wp = Window.partitionBy("event_type")
+        ranked = df.withColumn("__rk", F.row_number().over(wo)).withColumn(
+            "__n", F.count(F.lit(1)).over(wp)
+        )
+        return (
+            ranked.filter(
+                (F.col("__rk") == F.expr("(__n + 1) div 2"))
+                | (F.col("__rk") == F.expr("__n div 2 + 1"))
+            )
+            .groupBy("event_type")
+            .agg(F.avg(col).alias("__med"))
+        )
+
+    med = _group_median(ev, "__v")
+    dev = ev.join(med, "event_type").withColumn(
+        "__d", F.abs(F.col("__v") - F.col("__med"))
+    )
+    mad = _group_median(dev.select("event_type", F.col("__d").alias("__v")), "__v")
+    mad = mad.select("event_type", F.col("__med").alias("__mad"))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.first("__med"), 6).alias("median"),
+            F.round(F.first("__mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("__d") > F.lit(3.0) * F.col("__mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RS01_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), r1 AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+), m AS (
+  SELECT event_type, AVG(v) AS med
+  FROM r1 WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
+  GROUP BY event_type
+), d AS (
+  SELECT e.event_type, e.v, ABS(e.v - m.med) AS dev, m.med
+  FROM e JOIN m USING (event_type)
+), r2 AS (
+  SELECT event_type, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), md AS (
+  SELECT event_type, AVG(dev) AS mad
+  FROM r2 WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
+  GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(ANY_VALUE(d.med), 6) AS median,
+       ROUND(ANY_VALUE(md.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+def cr01_value_time_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type Pearson correlation between the event value and
+    its second-of-day — the drift/QA companion to ks01/cs01/psi01: a
+    nonzero value↔time-of-day correlation is the classic symptom of a
+    time-sliced corpus whose labels leak collection time.
+
+    Determinism by construction (the ir01/tx09 rule): the five
+    sufficient statistics (Σx, Σy, Σx², Σy², Σxy) are EXACT decimal
+    sums — x is an integer second-of-day, y the established
+    DECIMAL(18,2) cast of value, every product a bounded decimal — so
+    the shuffle order cannot move a bit. Each sum converts to double
+    ONCE, and both engines then evaluate the IDENTICAL closed-form
+    expression (IEEE sqrt is correctly rounded, unlike log/exp, so it
+    is cross-engine safe); one ROUND at output. NULL-variance groups
+    yield NULL via NULLIF, not a crash.
+
+    Scale: ONE map-side-combinable aggregate over the fact stream —
+    the textbook streaming-moments shape; the report is O(#types)."""
+    ev = load(spark, sf, "events").filter(F.col("value").isNotNull())
+    x = (
+        F.hour("ts") * F.lit(3600) + F.minute("ts") * F.lit(60) + F.second("ts")
+    ).cast("decimal(12,0)")
+    y = F.col("value").cast("decimal(12,2)")
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")),
+        F.lit(0.0),
+    )
+    return (
+        sums.select(
+            "event_type",
+            "n",
+            F.round(corr, 6).alias("value_time_corr"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CR01_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+              + date_part('second', ts) AS DECIMAL(12,0)) AS x,
+         CAST(value AS DECIMAL(12,2)) AS y
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / NULLIF(SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * SQRT(CAST(n AS DOUBLE) * syy - sy * sy), 0.0),
+         6
+       ) AS value_time_corr
+FROM s ORDER BY event_type
+"""
+
+
+def win06_daily_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) rollup per event type — the
+    hypertable/time-bucket downsampling shape every time-series store
+    ships (TimescaleDB time_bucket + first/last, InfluxDB aggregate
+    windows), expressed as ONE Spark aggregate.
+
+    Open/close are argmin/argmax over the (ts, event_id) struct
+    comparator — the win03 pattern: min_by/max_by with the tie rule
+    INSIDE the comparator, one map-side-combinable aggregate, no
+    per-group window sort, certified against the textbook ROW_NUMBER
+    oracle. event_id breaks equal-timestamp ties deterministically in
+    both engines.
+
+    Scale: time-bucketed keys are naturally high-cardinality and
+    unskewed (every day × type is its own group), partial aggregation
+    collapses each task's contribution to one row per open bucket, and
+    the plan is a single shuffle — the same rollup at 100 TB is the
+    canonical downsample job, and min_by carries O(1) state per group
+    where the window form sorts whole partitions."""
+    ev = load(spark, sf, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy(
+            # midnight TIMESTAMP, the certified spine-column convention
+            # (win02/win04): pandas keeps date objects as dtype=object,
+            # which the driver hasher serializes differently from
+            # DuckDB's datetime64
+            F.to_date("ts").cast("timestamp").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+_WIN06_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rk_open,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rk_close
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, day,
+       MAX(CASE WHEN rk_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rk_close = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM e GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "fz01_fuzzy_name_pairs": fz01_fuzzy_name_pairs,
+        "pa01_k_anonymity_audit": pa01_k_anonymity_audit,
+        "ii01_inverted_index": ii01_inverted_index,
+        "rs01_mad_outliers": rs01_mad_outliers,
+        "cr01_value_time_correlation": cr01_value_time_correlation,
+        "win06_daily_ohlc": win06_daily_ohlc,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "fz01_fuzzy_name_pairs": _FZ01_ORACLE,
+        "pa01_k_anonymity_audit": _PA01_ORACLE,
+        "ii01_inverted_index": _II01_ORACLE,
+        "rs01_mad_outliers": _RS01_ORACLE,
+        "cr01_value_time_correlation": _CR01_ORACLE,
+        "win06_daily_ohlc": _WIN06_ORACLE,
+    }
+)

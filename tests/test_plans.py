@@ -237,6 +237,7 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "allc",        # label-centroid panel — labels × dims (es09)
     "emb",         # .limit(K) init rows (es12 codebook init)
     "top1",        # 1-row top merge (tx12)
+    "top",         # LIMIT 20 index head — bounded by construction (ii01)
     "words",       # Bloom word table — m/64 rows by construction (bf01)
     "n1", "n2",    # nation projections, two roles — 25 rows (q49)
     "nat",         # nation, 25 rows (q50; q40 panel)

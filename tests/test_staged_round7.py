@@ -501,3 +501,90 @@ def test_st13_null_emission_happened(spark):
     for r in out:
         assert r["n_output_rows"] == r["n_pairs"] + r["n_unmatched_views"]
         assert r["user_id"] >= 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_fz01_fuzzy_pairs_invariants(spark):
+    """Blocking respected (pairs share a head noun), ordering total,
+    distances in the configured band, pairs canonical (a < b)."""
+    out = ROUND7_STAGED_QUERIES["fz01_fuzzy_name_pairs"](spark, SF).collect()
+    assert 0 < len(out) <= 25
+    dists = [r["lev_dist"] for r in out]
+    assert dists == sorted(dists)
+    for r in out:
+        assert 1 <= r["lev_dist"] <= 4
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].split(" ")[-1] == r["name_b"].split(" ")[-1]
+        assert r["n_parts_a"] >= 1 and r["n_parts_b"] >= 1
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_pa01_k_anonymity_invariants(spark):
+    """Class sizes partition the table exactly; band edges honest."""
+    out = ROUND7_STAGED_QUERIES["pa01_k_anonymity_audit"](spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r["n_rows"] for r in out) == n_cust
+    for r in out:
+        assert 1 <= r["min_k"] <= r["max_k"]
+        assert r["n_rows"] >= r["n_classes"] * r["min_k"]
+        assert r["n_rows"] <= r["n_classes"] * r["max_k"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ii01_inverted_index_invariants(spark):
+    """Head is df-ordered; posting prefixes are ascending, bounded by
+    10, and never exceed the term's df."""
+    out = ROUND7_STAGED_QUERIES["ii01_inverted_index"](spark, SF).collect()
+    assert len(out) == 20
+    dfs = [r["df"] for r in out]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in out:
+        ids = [int(x) for x in r["top_docs"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(10, r["df"])
+        assert r["tf"] >= r["df"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_rs01_mad_invariants(spark):
+    """MAD is non-negative; by construction at most half the group can
+    sit beyond 3 MAD (for MAD > 0); median within the value range."""
+    out = ROUND7_STAGED_QUERIES["rs01_mad_outliers"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["mad"] >= 0
+        assert 0 <= r["n_outliers"] <= r["n"] // 2
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_cr01_correlation_invariants(spark):
+    """Pearson r is bounded; every event type reports."""
+    out = ROUND7_STAGED_QUERIES["cr01_value_time_correlation"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n"] > 0
+        assert r["value_time_corr"] is None or -1.0 <= r["value_time_corr"] <= 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_win06_ohlc_invariants(spark):
+    """low <= {open, close} <= high per bucket; bucket counts positive;
+    buckets unique per (type, day)."""
+    out = ROUND7_STAGED_QUERIES["win06_daily_ohlc"](spark, SF).collect()
+    assert len(out) > 0
+    seen = set()
+    for r in out:
+        key = (r["event_type"], r["day"])
+        assert key not in seen
+        seen.add(key)
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
