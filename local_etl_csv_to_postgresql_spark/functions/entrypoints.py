@@ -9569,3 +9569,185 @@ ROUND7_STAGED_ORACLE.update(
         "win06_daily_ohlc": _WIN06_ORACLE,
     }
 )
+
+
+# --- round-7 staged surface, wave 19 (q59, tx15, pa02) ----------------------
+
+
+def q59_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change) — the LAST of the 22
+    classic TPC-H query shapes, closing the set: a pure scan-filter-
+    aggregate with a date range, a numeric band, and a quantity cap,
+    returning ONE row of SUM(extendedprice * discount).
+
+    Deliberately join-free: Q6 exists to measure predicate pushdown and
+    scan throughput. All three predicates reach the parquet scan
+    (PushedFilters), the sum is decimal-exact and map-side-combinable,
+    and the answer leaves the cluster as a single row — at 100 TB this
+    is the I/O-bound probe query whose plan must stay a bare
+    scan→partial-agg→final-agg chain."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+_Q59_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def tx15_heaps_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heap's-law vocabulary growth curve: distinct vocabulary size as
+    a function of corpus prefix (doc_id order), in corpus deciles — the
+    saturation diagnostic a tokenizer/dedup planner reads before
+    deciding whether more data still buys new vocabulary.
+
+    The curve needs NO sequential scan: a term's contribution to the
+    prefix-vocabulary is fully determined by its FIRST occurrence, so
+    ONE (term → MIN(doc_id)) aggregate over the exploded stream,
+    bucketed into deciles and cumulative-summed over the 10-row
+    rollup, reconstructs the whole growth curve. The corpus size is a
+    1-row broadcast (bounded by construction). At 100 TB this is one
+    keyed shuffle over the token stream — same cost class as tx06 —
+    and the window runs on 10 rows."""
+    from pyspark.sql import Window
+
+    tot = load(spark, sf, "documents").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    first_seen = (
+        _docs_words(spark, sf)
+        .select("doc_id", F.explode("__words").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("__first"))
+    )
+    per_decile = (
+        first_seen.crossJoin(F.broadcast(tot))
+        .select(
+            # FLOOR, not a bigint cast: DuckDB CAST(double AS BIGINT)
+            # ROUNDS while Spark truncates — FLOOR is the one spelling
+            # with identical semantics in both engines
+            F.least(
+                F.lit(9).cast("bigint"),
+                F.floor(F.col("__first") * 10 / F.col("__n")),
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_terms"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.withColumn(
+            "cum_vocab", F.sum("new_terms").over(w).cast("bigint")
+        )
+        .orderBy("decile")
+    )
+
+
+_TX15_ORACLE = f"""
+WITH tot AS (
+  SELECT COUNT(*) AS n FROM documents
+), w AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+), first_seen AS (
+  SELECT term, MIN(doc_id) AS first FROM w GROUP BY term
+), per_decile AS (
+  SELECT LEAST(9, CAST(FLOOR(first * 10 / n) AS BIGINT)) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM first_seen CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT decile, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM per_decile ORDER BY decile
+"""
+
+
+def pa02_l_diversity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — pa01's
+    companion: k-anonymity bounds class SIZE, but a class whose
+    sensitive attribute is uniform still leaks it; l-diversity counts
+    DISTINCT sensitive values per quasi-identifier class. QIDs here
+    are (nation, balance band), the sensitive attribute is the market
+    segment; the report histograms classes by their l.
+
+    Two map-side-combinable aggregates — (QID, sensitive) distinct-
+    reduce, then COUNT(*) per QID class — and an O(#distinct-l)-row
+    rollup; class sizes ride along from a sibling aggregate on the
+    same shuffle key. Nothing scales with corpus rows except the two
+    keyed shuffles."""
+    cust = load(spark, sf, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__band"),
+        "c_mktsegment",
+    )
+    l_per_class = (
+        cust.groupBy("c_nationkey", "__band")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("__l"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+    )
+    return (
+        l_per_class.groupBy(F.col("__l").cast("bigint").alias("l_distinct"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("__k").cast("bigint").alias("n_rows"),
+            F.min("__k").cast("bigint").alias("min_k"),
+            F.max("__k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("l_distinct")
+    )
+
+
+_PA02_ORACLE = """
+WITH classes AS (
+  SELECT c_nationkey, FLOOR(c_acctbal / 1000.0) AS band,
+         COUNT(DISTINCT c_mktsegment) AS l, COUNT(*) AS k
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(l AS BIGINT) AS l_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM classes GROUP BY l ORDER BY l_distinct
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "q59_forecast_revenue": q59_forecast_revenue,
+        "tx15_heaps_vocab_growth": tx15_heaps_vocab_growth,
+        "pa02_l_diversity_audit": pa02_l_diversity_audit,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "q59_forecast_revenue": _Q59_ORACLE,
+        "tx15_heaps_vocab_growth": _TX15_ORACLE,
+        "pa02_l_diversity_audit": _PA02_ORACLE,
+    }
+)

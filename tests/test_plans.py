@@ -82,6 +82,7 @@ BNLJ_ALLOWED = {
     "es14_truncated_dim_recall",  # 10-row broadcast query-vector panel ×3 legs
     "tx14_bigram_cross_entropy",  # 1-row broadcast vocab-size total
     "ss05_shard_balance_audit",  # 1-row broadcast corpus total
+    "tx15_heaps_vocab_growth",  # 1-row broadcast corpus-size total
 }
 
 

@@ -588,3 +588,57 @@ def test_win06_ohlc_invariants(spark):
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
         assert r["n_events"] >= 1
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_q59_forecast_revenue_invariants(spark):
+    """One row; revenue positive and consistent with the row count
+    (each qualifying line contributes price*discount <= price*0.07)."""
+    out = ROUND7_STAGED_QUERIES["q59_forecast_revenue"](spark, SF).collect()
+    assert len(out) == 1
+    assert out[0]["n_lineitems"] > 0
+    assert out[0]["revenue"] > 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx15_heaps_invariants(spark):
+    """Cumulative vocab is the running sum, ends at the corpus distinct
+    vocabulary, and decile 0 carries the largest novelty mass."""
+    from pyspark.sql import functions as F
+
+    out = ROUND7_STAGED_QUERIES["tx15_heaps_vocab_growth"](spark, SF).collect()
+    assert 1 <= len(out) <= 10
+    run = 0
+    for r in out:
+        run += r["new_terms"]
+        assert r["cum_vocab"] == run
+        assert 0 <= r["decile"] <= 9
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("t")
+        )
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    assert out[-1]["cum_vocab"] == vocab
+    assert out[0]["new_terms"] == max(r["new_terms"] for r in out)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_pa02_l_diversity_invariants(spark):
+    """l is bounded by the sensitive-attribute cardinality and by every
+    class's size; rows partition the customer table."""
+    out = ROUND7_STAGED_QUERIES["pa02_l_diversity_audit"](spark, SF).collect()
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    n_seg = cust.select("c_mktsegment").distinct().count()
+    assert sum(r["n_rows"] for r in out) == cust.count()
+    for r in out:
+        assert 1 <= r["l_distinct"] <= n_seg
+        assert r["l_distinct"] <= r["max_k"]
+        assert r["min_k"] >= r["l_distinct"]
