@@ -9751,3 +9751,18 @@ ROUND7_STAGED_ORACLE.update(
         "pa02_l_diversity_audit": _PA02_ORACLE,
     }
 )
+
+
+# --- round-7 staged surface, wave 20 (st14) ---------------------------------
+
+
+def _register_staged_streaming_wave20() -> None:
+    """st14 lives with the streaming family (streaming/queries.py),
+    same discipline as st11-st13's registrations above."""
+    from ..streaming.queries import ST14_STAGED_ORACLE, st14_content_dedup
+
+    ROUND7_STAGED_QUERIES["st14_content_dedup"] = st14_content_dedup
+    ROUND7_STAGED_ORACLE["st14_content_dedup"] = ST14_STAGED_ORACLE
+
+
+_register_staged_streaming_wave20()

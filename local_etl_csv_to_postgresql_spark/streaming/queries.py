@@ -562,3 +562,69 @@ SELECT user_id,
          AS null_view_id_sum
 FROM j GROUP BY user_id ORDER BY user_id
 """
+
+
+def st14_content_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CONTENT dedup at ingest — the streaming face of the
+    dd01 exact-dedup family: the documents file is delivered TWICE
+    through a file stream, a row-local 60-bit content fingerprint
+    (functions/dedup.hash60 — the library-wide hash) is computed ON
+    THE STREAM, and ``dropDuplicates`` state keyed on (lang,
+    fingerprint) emits each distinct content exactly once. This is the
+    online dedup every training-data ingest runs so re-crawled /
+    re-delivered documents never double-count — inc01's batch
+    semantics moved into the state store.
+
+    Which PHYSICAL row survives per content group is delivery-order
+    dependent, so the certified rollup only reads content-determined
+    values: per lang, the distinct-content count, the character mass
+    (equal-content rows have equal length), and a fingerprint-modulus
+    membership pin. The oracle is the plain batch distinct — streaming
+    state buys exactly-once, never a different answer.
+
+    Scale: state shards by the dedup key across executors; a
+    continuous ingest bounds it with a watermark horizon (st11's
+    variant). One row per distinct content, O(1) state per key."""
+    from ..functions.dedup import hash60
+    from .stateful import replay_dedup
+
+    def _fingerprint(stream: DataFrame) -> DataFrame:
+        return stream.select(
+            "lang", "text", hash60(F.col("text")).alias("__fp")
+        )
+
+    emitted = replay_dedup(
+        spark,
+        f"{sf}/documents.parquet",
+        dedup_cols=["lang", "__fp"],
+        pre=_fingerprint,
+    )
+    return (
+        emitted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_contents"),
+            F.sum(F.length("text")).cast("bigint").alias("char_mass"),
+            F.sum(F.col("__fp") % F.lit(1000000007))
+            .cast("bigint")
+            .alias("fp_mod_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# batch distinct-content rollup — exactly what the stream must emit;
+# DuckDB md5 over VARCHAR hashes the same utf-8 bytes Spark's
+# md5(text-as-binary) does (the mm06 rule)
+ST14_STAGED_ORACLE = """
+WITH d AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp,
+         MAX(length(text)) AS len
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_contents,
+       CAST(SUM(len) AS BIGINT) AS char_mass,
+       CAST(SUM(fp % 1000000007) AS BIGINT) AS fp_mod_sum
+FROM d GROUP BY lang ORDER BY lang
+"""

@@ -394,6 +394,7 @@ def replay_dedup(
     dedup_cols: list[str] | None = None,
     table_name: str | None = None,
     shuffle_partitions: int | None = 8,
+    pre=None,
 ) -> DataFrame:
     """Streaming exact deduplication: the at-ingest dedup a training
     pipeline runs so re-delivered events never double-count.
@@ -426,6 +427,11 @@ def replay_dedup(
         _REPLAY_STAGE_CACHE[cache_key] = (batch_schema, stage)
 
     stream = _normalize_ts(spark.readStream.schema(batch_schema).parquet(stage))
+    if pre is not None:
+        # row-local projection (e.g. a content fingerprint) computed ON
+        # THE STREAM before state keys in — dedup_cols may name columns
+        # it derives
+        stream = pre(stream)
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions:
