@@ -9766,3 +9766,279 @@ def _register_staged_streaming_wave20() -> None:
 
 
 _register_staged_streaming_wave20()
+
+
+# --- round-7 staged surface, wave 21 (hq02, inc03) --------------------------
+
+
+def hq02_mergeable_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram-sketch MERGEABILITY certification — the property that
+    makes hq01 a 100 TB operator: two disjoint batch histograms merged
+    CELL-WISE must answer quantiles identically to the full-corpus
+    histogram (what cm01 certifies for Count-Min, certified here for
+    quantiles). The corpus splits on event_id parity (growth-stable,
+    like ss03's bands); each half builds hq01's fixed-width (type, bin)
+    histogram; the merge is one full-outer coalesce-sum on the bin key;
+    the quantile read-off is hq01's cumulative crossing rule, run on
+    the MERGED cells AND on the direct full-corpus cells, both emitted
+    side by side with an equality flag.
+
+    The flag is mathematically always true (integer cell addition is
+    associative) — which is the point: the certified output PROVES the
+    merge path, the invariant test pins all-true, and a future edit
+    that breaks mergeability (a non-additive cell statistic, a
+    float bin edge) flips a hash-certified column. Scale: histograms
+    are bounded metadata (≤512 bins × #types); per-batch builds
+    map-side combine; the merge shuffles cells, not events."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.least(F.floor(F.col("value")).cast("int"), F.lit(511)).alias(
+            "__bin"
+        ),
+    )
+
+    def _hist(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("event_type", "__bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    ha = _hist(ev.filter(F.col("event_id") % 2 == 0), "__ca")
+    hb = _hist(ev.filter(F.col("event_id") % 2 == 1), "__cb")
+    merged = (
+        ha.join(hb, ["event_type", "__bin"], "full_outer")
+        .select(
+            "event_type",
+            "__bin",
+            (
+                F.coalesce(F.col("__ca"), F.lit(0))
+                + F.coalesce(F.col("__cb"), F.lit(0))
+            ).alias("__c"),
+        )
+    )
+    full = _hist(ev, "__c")
+
+    def _quantiles(hist: DataFrame, prefix: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy("__bin")
+        cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+            "__n", F.sum("__c").over(Window.partitionBy("event_type"))
+        )
+        pick = lambda p: F.min(  # noqa: E731 — hq01's crossing rule
+            F.when(
+                F.col("__cum") >= F.ceil(F.col("__n") * F.lit(p)),
+                F.col("__bin"),
+            )
+        )
+        return cum.groupBy("event_type").agg(
+            F.max("__n").cast("bigint").alias(f"{prefix}_n"),
+            pick(0.50).cast("int").alias(f"{prefix}_p50"),
+            pick(0.95).cast("int").alias(f"{prefix}_p95"),
+            pick(0.99).cast("int").alias(f"{prefix}_p99"),
+        )
+
+    m = _quantiles(merged, "merged")
+    f = _quantiles(full, "full")
+    return (
+        m.join(f, "event_type")
+        .select(
+            "event_type",
+            "merged_n",
+            "merged_p50",
+            "merged_p95",
+            "merged_p99",
+            "full_p50",
+            "full_p95",
+            "full_p99",
+            (
+                (F.col("merged_n") == F.col("full_n"))
+                & (F.col("merged_p50") == F.col("full_p50"))
+                & (F.col("merged_p95") == F.col("full_p95"))
+                & (F.col("merged_p99") == F.col("full_p99"))
+            ).alias("merge_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HQ02_ORACLE = """
+WITH b AS (
+  SELECT event_type, event_id,
+         LEAST(CAST(FLOOR(value) AS INT), 511) AS bin
+  FROM events
+), ha AS (
+  SELECT event_type, bin, COUNT(*) AS c FROM b
+  WHERE event_id % 2 = 0 GROUP BY 1, 2
+), hb AS (
+  SELECT event_type, bin, COUNT(*) AS c FROM b
+  WHERE event_id % 2 = 1 GROUP BY 1, 2
+), merged AS (
+  SELECT COALESCE(ha.event_type, hb.event_type) AS event_type,
+         COALESCE(ha.bin, hb.bin) AS bin,
+         COALESCE(ha.c, 0) + COALESCE(hb.c, 0) AS c
+  FROM ha FULL OUTER JOIN hb
+    ON ha.event_type = hb.event_type AND ha.bin = hb.bin
+), full_h AS (
+  SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2
+), mq AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS merged_n,
+         CAST(MIN(CASE WHEN cm >= CEIL(n * 0.50) THEN bin END) AS INT) AS merged_p50,
+         CAST(MIN(CASE WHEN cm >= CEIL(n * 0.95) THEN bin END) AS INT) AS merged_p95,
+         CAST(MIN(CASE WHEN cm >= CEIL(n * 0.99) THEN bin END) AS INT) AS merged_p99
+  FROM (
+    SELECT event_type, bin, c,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cm,
+           SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM merged
+  ) GROUP BY event_type
+), fq AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS full_n,
+         CAST(MIN(CASE WHEN cm >= CEIL(n * 0.50) THEN bin END) AS INT) AS full_p50,
+         CAST(MIN(CASE WHEN cm >= CEIL(n * 0.95) THEN bin END) AS INT) AS full_p95,
+         CAST(MIN(CASE WHEN cm >= CEIL(n * 0.99) THEN bin END) AS INT) AS full_p99
+  FROM (
+    SELECT event_type, bin, c,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cm,
+           SUM(c) OVER (PARTITION BY event_type) AS n
+    FROM full_h
+  ) GROUP BY event_type
+)
+SELECT mq.event_type, merged_n,
+       merged_p50, merged_p95, merged_p99,
+       full_p50, full_p95, full_p99,
+       (merged_n = full_n AND merged_p50 = full_p50
+        AND merged_p95 = full_p95 AND merged_p99 = full_p99) AS merge_exact
+FROM mq JOIN fq ON mq.event_type = fq.event_type
+ORDER BY mq.event_type
+"""
+
+
+def inc03_incremental_rollup_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    refresh shape: a per-type rollup (count / decimal sum / min / max)
+    maintained as merge(agg(corpus), agg(batch)) WITHOUT rescanning the
+    corpus, certified equal to the direct full recompute. The corpus /
+    batch split is a time cutoff (the nightly-load reality); the merge
+    combiners are the algebra that makes an aggregate maintainable at
+    100 TB — count and sum ADD, min/max take least/greatest — i.e.
+    exactly the partial-aggregation contract Spark's own map-side
+    combine relies on, lifted to the batch level.
+
+    All statistics are decimal-exact integers/decimals, so merged ==
+    recomputed is bit-certain, and the hash-certified equality flag
+    turns any future non-mergeable statistic (an avg kept as a float,
+    a distinct count kept exact) into a red driver row. Scale: the
+    corpus is touched ONCE at snapshot time; each refresh scans only
+    the batch and merges O(#types) rows."""
+    ev = load(spark, sf, "events").select(
+        "event_type", "ts", dec("value").alias("__v")
+    )
+    cutoff = F.lit("2024-01-16")
+
+    def _agg(df: DataFrame, p: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"{p}_n"),
+            F.sum("__v").alias(f"{p}_sum"),
+            F.min("__v").alias(f"{p}_min"),
+            F.max("__v").alias(f"{p}_max"),
+        )
+
+    snap = _agg(ev.filter(F.col("ts") < cutoff), "s")
+    batch = _agg(ev.filter(F.col("ts") >= cutoff), "b")
+    merged = (
+        snap.join(batch, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce(F.col("s_n"), F.lit(0))
+                + F.coalesce(F.col("b_n"), F.lit(0))
+            ).cast("bigint").alias("n_events"),
+            (
+                F.coalesce(F.col("s_sum"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("b_sum"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("total_value"),
+            F.least(
+                F.coalesce(F.col("s_min"), F.col("b_min")),
+                F.coalesce(F.col("b_min"), F.col("s_min")),
+            ).cast("double").alias("min_value"),
+            F.greatest(
+                F.coalesce(F.col("s_max"), F.col("b_max")),
+                F.coalesce(F.col("b_max"), F.col("s_max")),
+            ).cast("double").alias("max_value"),
+        )
+    )
+    full = _agg(ev, "f").select(
+        "event_type",
+        F.col("f_n").cast("bigint").alias("__fn"),
+        F.col("f_sum").cast("double").alias("__fs"),
+        F.col("f_min").cast("double").alias("__fmin"),
+        F.col("f_max").cast("double").alias("__fmax"),
+    )
+    return (
+        merged.join(full, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "total_value",
+            "min_value",
+            "max_value",
+            (
+                (F.col("n_events") == F.col("__fn"))
+                & (F.col("total_value") == F.col("__fs"))
+                & (F.col("min_value") == F.col("__fmin"))
+                & (F.col("max_value") == F.col("__fmax"))
+            ).alias("merge_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_INC03_ORACLE = """
+WITH e AS (
+  SELECT event_type, ts, CAST(value AS DECIMAL(18,2)) AS v FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v) AS sm, MIN(v) AS mn, MAX(v) AS mx
+  FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1
+), b AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v) AS sm, MIN(v) AS mn, MAX(v) AS mx
+  FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1
+), merged AS (
+  SELECT COALESCE(s.event_type, b.event_type) AS event_type,
+         CAST(COALESCE(s.n, 0) + COALESCE(b.n, 0) AS BIGINT) AS n_events,
+         CAST(COALESCE(s.sm, 0) + COALESCE(b.sm, 0) AS DOUBLE) AS total_value,
+         CAST(LEAST(COALESCE(s.mn, b.mn), COALESCE(b.mn, s.mn)) AS DOUBLE)
+           AS min_value,
+         CAST(GREATEST(COALESCE(s.mx, b.mx), COALESCE(b.mx, s.mx)) AS DOUBLE)
+           AS max_value
+  FROM s FULL OUTER JOIN b ON s.event_type = b.event_type
+), f AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS fn,
+         CAST(SUM(v) AS DOUBLE) AS fs,
+         CAST(MIN(v) AS DOUBLE) AS fmn, CAST(MAX(v) AS DOUBLE) AS fmx
+  FROM e GROUP BY 1
+)
+SELECT m.event_type, n_events, total_value, min_value, max_value,
+       (n_events = fn AND total_value = fs
+        AND min_value = fmn AND max_value = fmx) AS merge_exact
+FROM merged m JOIN f ON m.event_type = f.event_type
+ORDER BY m.event_type
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "hq02_mergeable_histogram": hq02_mergeable_histogram,
+        "inc03_incremental_rollup_maintenance": (
+            inc03_incremental_rollup_maintenance
+        ),
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "hq02_mergeable_histogram": _HQ02_ORACLE,
+        "inc03_incremental_rollup_maintenance": _INC03_ORACLE,
+    }
+)

@@ -680,3 +680,40 @@ def test_st14_content_dedup_invariants(spark):
     expect = {r["lang"]: (r["n"], r["mass"]) for r in batch}
     for r in out:
         assert expect[r["lang"]] == (r["n_contents"], r["char_mass"])
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_hq02_merge_exact_everywhere(spark):
+    """Mergeability holds for EVERY group (the property the operator
+    certifies), and merged quantiles are ordered p50<=p95<=p99."""
+    out = ROUND7_STAGED_QUERIES["hq02_mergeable_histogram"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["merge_exact"] is True
+        assert r["merged_p50"] <= r["merged_p95"] <= r["merged_p99"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_inc03_merge_exact_and_split_nondegenerate(spark):
+    """The snapshot/batch split actually has rows on BOTH sides (else
+    the merge proves nothing), and every merged statistic equals the
+    full recompute."""
+    from pyspark.sql import functions as F
+
+    out = ROUND7_STAGED_QUERIES["inc03_incremental_rollup_maintenance"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    assert all(r["merge_exact"] is True for r in out)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ts = F.timestamp_micros(F.expr("ts div 1000")) if dict(ev.dtypes).get(
+        "ts"
+    ) == "bigint" else F.col("ts").cast("timestamp")
+    n_old = ev.filter(ts < F.lit("2024-01-16")).count()
+    n_new = ev.filter(ts >= F.lit("2024-01-16")).count()
+    assert n_old > 0 and n_new > 0
+    assert sum(r["n_events"] for r in out) == n_old + n_new
