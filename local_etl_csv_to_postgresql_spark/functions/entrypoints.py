@@ -10042,3 +10042,153 @@ ROUND7_STAGED_ORACLE.update(
         "inc03_incremental_rollup_maintenance": _INC03_ORACLE,
     }
 )
+
+
+# --- round-7 staged surface, wave 22 (tx16) ---------------------------------
+
+
+def tx16_trigram_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAINED language identification — a char-trigram naive-Bayes
+    classifier (the fastText/langdetect family's statistical core)
+    trained on the corpus's own labels and evaluated as a confusion
+    matrix against them. tx03 scores a fixed marker-word heuristic;
+    this is the upgrade every production pipeline makes: per-language
+    trigram statistics learned FROM data, add-one smoothed, argmin
+    total cost over candidate languages.
+
+    Determinism is the tx14 recipe end to end: the per-(lang, trigram)
+    cost −log2((c+1)/(ctx_lang+V)) is computed ONCE in the bounded
+    model table and rounded to 8 dp; each language's unseen-trigram
+    default cost is computed ONCE per language (a |L|-row table) and
+    rounded the same way; per-doc scoring sums DECIMAL(25,12) casts of
+    those frozen costs, so shuffle order cannot move a bit; the argmin
+    is min_by over the (cost, lang) struct — the tie rule INSIDE the
+    comparator (win03). No transcendental ever runs on a per-doc
+    aggregate.
+
+    Scale: trigrams explode per word (transform over sequence, the
+    tx11 pattern — no self-join); the model is vocabulary-of-trigrams
+    × |L| sized, NOT corpus sized; scoring joins doc trigrams to the
+    model on the trigram key — both sides SF-proportional at worst, so
+    no hint (AQE decides; a bounded language inventory typically makes
+    the model broadcastable and AQE does exactly that from measured
+    size). The candidate-language fan-out is the |L|-row broadcast
+    roster — the L× cost every NB scorer pays. One doc-keyed aggregate
+    and an O(|L|²) confusion rollup finish it."""
+    docs = _docs_words(spark, sf)
+    tri = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.explode(
+            F.expr(
+                "flatten(transform(filter(__words, w -> length(w) >= 3), "
+                "w -> transform(sequence(1, length(w) - 2), "
+                "i -> substr(w, i, 3))))"
+            )
+        ).alias("__t"),
+    )
+    langs = docs.select(F.col("lang").alias("cand")).distinct()
+    # corpus-wide distinct trigram vocabulary (the shared V in the
+    # add-one denominator) — 1 row, bounded by construction
+    vocab = tri.agg(F.countDistinct("__t").alias("__v"))
+    stats = (
+        tri.groupBy(F.col("lang_true").alias("cand"), "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ctx = stats.groupBy("cand").agg(F.sum("__c").alias("__ctx"))
+    model = (
+        stats.join(ctx, "cand")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "cand",
+            "__t",
+            F.round(
+                -F.log2(
+                    (F.col("__c") + F.lit(1.0))
+                    / (F.col("__ctx") + F.col("__v")).cast("double")
+                ),
+                8,
+            ).alias("__cost"),
+        )
+    )
+    default = (
+        ctx.crossJoin(F.broadcast(vocab))
+        .select(
+            "cand",
+            F.round(
+                -F.log2(
+                    F.lit(1.0)
+                    / (F.col("__ctx") + F.col("__v")).cast("double")
+                ),
+                8,
+            ).alias("__def"),
+        )
+    )
+    scored = (
+        tri.crossJoin(F.broadcast(langs))
+        .join(model, ["cand", "__t"], "left")
+        .join(F.broadcast(default), "cand")
+        .groupBy("doc_id", "lang_true", "cand")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("__cost"), F.col("__def")).cast(
+                    "decimal(25,12)"
+                )
+            ).alias("__total")
+        )
+    )
+    pred = scored.groupBy("doc_id", "lang_true").agg(
+        F.expr("min_by(cand, struct(__total, cand))").alias("lang_pred")
+    )
+    return (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+_TX16_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang AS lang_true, unnest({_WORDS}) AS word FROM documents
+), tri AS (
+  SELECT doc_id, lang_true,
+         substr(word, i, 3) AS t
+  FROM w CROSS JOIN (SELECT unnest(range(1, 200)) AS i)
+  WHERE length(word) >= 3 AND i <= length(word) - 2
+), langs AS (
+  SELECT DISTINCT lang AS cand FROM documents
+), vocab AS (
+  SELECT COUNT(DISTINCT t) AS v FROM tri
+), stats AS (
+  SELECT lang_true AS cand, t, COUNT(*) AS c FROM tri GROUP BY 1, 2
+), ctx AS (
+  SELECT cand, SUM(c) AS ctx FROM stats GROUP BY cand
+), model AS (
+  SELECT s.cand, s.t,
+         ROUND(-log2((s.c + 1.0) / CAST(x.ctx + vocab.v AS DOUBLE)), 8)
+           AS cost
+  FROM stats s JOIN ctx x ON s.cand = x.cand CROSS JOIN vocab
+), dflt AS (
+  SELECT cand,
+         ROUND(-log2(1.0 / CAST(ctx.ctx + vocab.v AS DOUBLE)), 8) AS def
+  FROM ctx CROSS JOIN vocab
+), scored AS (
+  SELECT tri.doc_id, tri.lang_true, langs.cand,
+         SUM(CAST(COALESCE(model.cost, dflt.def) AS DECIMAL(25,12)))
+           AS total
+  FROM tri CROSS JOIN langs
+  LEFT JOIN model ON model.cand = langs.cand AND model.t = tri.t
+  JOIN dflt ON dflt.cand = langs.cand
+  GROUP BY 1, 2, 3
+), pred AS (
+  SELECT doc_id, lang_true, cand AS lang_pred,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY total, cand) AS rk
+  FROM scored
+)
+SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY lang_true, lang_pred
+"""
+
+
+ROUND7_STAGED_QUERIES["tx16_trigram_nb_langid"] = tx16_trigram_nb_langid
+ROUND7_STAGED_ORACLE["tx16_trigram_nb_langid"] = _TX16_ORACLE

@@ -83,6 +83,7 @@ BNLJ_ALLOWED = {
     "tx14_bigram_cross_entropy",  # 1-row broadcast vocab-size total
     "ss05_shard_balance_audit",  # 1-row broadcast corpus total
     "tx15_heaps_vocab_growth",  # 1-row broadcast corpus-size total
+    "tx16_trigram_nb_langid",  # 1-row vocab total + |L|-row language roster
 }
 
 
@@ -239,6 +240,8 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "emb",         # .limit(K) init rows (es12 codebook init)
     "top1",        # 1-row top merge (tx12)
     "top",         # LIMIT 20 index head — bounded by construction (ii01)
+    "langs",       # distinct-language roster — language-vocabulary-sized (tx16)
+    "default",     # |L|-row unseen-trigram default costs (tx16)
     "words",       # Bloom word table — m/64 rows by construction (bf01)
     "n1", "n2",    # nation projections, two roles — 25 rows (q49)
     "nat",         # nation, 25 rows (q50; q40 panel)

@@ -717,3 +717,20 @@ def test_inc03_merge_exact_and_split_nondegenerate(spark):
     n_new = ev.filter(ts >= F.lit("2024-01-16")).count()
     assert n_old > 0 and n_new > 0
     assert sum(r["n_events"] for r in out) == n_old + n_new
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx16_nb_langid_invariants(spark):
+    """The confusion matrix partitions the corpus exactly; the trained
+    classifier beats chance overall (diagonal mass > 1/|L|); labels
+    stay within the language roster."""
+    out = ROUND7_STAGED_QUERIES["tx16_trigram_nb_langid"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert sum(r["n_docs"] for r in out) == n_docs
+    diag = sum(r["n_docs"] for r in out if r["lang_true"] == r["lang_pred"])
+    assert diag > n_docs / len(langs)  # better than chance
+    for r in out:
+        assert r["lang_true"] in langs and r["lang_pred"] in langs
