@@ -4158,26 +4158,7 @@ def es08_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
     per-label window funnels into one task."""
     from ..operators.ranking import attach_global_row_number
 
-    emb = load(spark, sf, "embeddings")
-    ex = emb.select(
-        "label", "vec_id", F.posexplode("embedding").alias("dim", "val")
-    ).withColumn("val", F.col("val").cast("double"))
-    cent = ex.groupBy("label", "dim").agg(
-        (
-            F.sum(F.col("val").cast("decimal(25,10)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("__c")
-    )
-    dist = (
-        ex.join(cent, ["label", "dim"])
-        .withColumn(
-            "__sq",
-            ((F.col("val") - F.col("__c")) * (F.col("val") - F.col("__c")))
-            .cast("decimal(30,15)"),
-        )
-        .groupBy("label", "vec_id")
-        .agg(F.sum("__sq").alias("__d2"))
-    )
+    dist = _label_centroid_sqdist(spark, sf)
     ranked = attach_global_row_number(
         dist,
         order_by=[F.desc("__d2"), F.asc("vec_id")],
@@ -10192,3 +10173,284 @@ FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY lang_true, lang_pred
 
 ROUND7_STAGED_QUERIES["tx16_trigram_nb_langid"] = tx16_trigram_nb_langid
 ROUND7_STAGED_ORACLE["tx16_trigram_nb_langid"] = _TX16_ORACLE
+
+
+# --- round-7 staged surface, wave 23 (ts01) ---------------------------------
+
+
+def ts01_seasonal_naive_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast-baseline QA over the hourly event series — the check a
+    metrics/feature pipeline runs before trusting any model: the
+    seasonal-naive forecast (value 24 h ago) and the 1-step naive
+    forecast (value 1 h ago) scored per event type as MAE, plus their
+    ratio (the MASE shape, Hyndman & Koehler 2006 — a seasonal MASE
+    < 1 means yesterday's-hour beats last-hour, i.e. the series has
+    real daily seasonality worth modeling).
+
+    Determinism: hourly values are exact DECIMAL(18,2) sums; lag
+    alignment is an equi-join on the (type, hour − INTERVAL) key —
+    no window ordering anywhere; absolute errors stay decimal; each
+    MAE is one decimal-sum / count divide cast to double and rounded
+    at output; the ratio divides the two unrounded double means once
+    (NULLIF-guarded). Gap hours simply drop out of the inner join —
+    the same rule in both engines.
+
+    Scale: the error joins run on the AGGREGATED hourly table (types ×
+    hours — metadata next to the event stream), so the only
+    corpus-sized work is the one hourly rollup every monitoring
+    pipeline already pays; both joins are keyed shuffles of that small
+    frame, AQE-sized."""
+    hourly = (
+        load(spark, sf, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("__h")
+        )
+        .agg(F.sum(dec("value")).alias("__v"))
+    )
+    lag24 = hourly.select(
+        "event_type",
+        F.expr("__h + INTERVAL 24 HOURS").alias("__h"),
+        F.col("__v").alias("__v24"),
+    )
+    lag1 = hourly.select(
+        "event_type",
+        F.expr("__h + INTERVAL 1 HOUR").alias("__h"),
+        F.col("__v").alias("__v1"),
+    )
+    e24 = (
+        hourly.join(lag24, ["event_type", "__h"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seasonal"),
+            (
+                F.sum(F.abs(F.col("__v") - F.col("__v24"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__mae24"),
+        )
+    )
+    e1 = (
+        hourly.join(lag1, ["event_type", "__h"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_naive"),
+            (
+                F.sum(F.abs(F.col("__v") - F.col("__v1"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__mae1"),
+        )
+    )
+    return (
+        e24.join(e1, "event_type")
+        .select(
+            "event_type",
+            "n_seasonal",
+            "n_naive",
+            F.round("__mae24", 6).alias("mae_seasonal24"),
+            F.round("__mae1", 6).alias("mae_naive1"),
+            F.round(
+                F.col("__mae24") / F.nullif(F.col("__mae1"), F.lit(0.0)), 6
+            ).alias("mase24"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TS01_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+), e24 AS (
+  SELECT a.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_seasonal,
+         CAST(SUM(ABS(a.v - b.v)) AS DOUBLE) / COUNT(*) AS mae24
+  FROM hourly a
+  JOIN hourly b ON a.event_type = b.event_type
+               AND a.h = b.h + INTERVAL 24 HOURS
+  GROUP BY 1
+), e1 AS (
+  SELECT a.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_naive,
+         CAST(SUM(ABS(a.v - b.v)) AS DOUBLE) / COUNT(*) AS mae1
+  FROM hourly a
+  JOIN hourly b ON a.event_type = b.event_type
+               AND a.h = b.h + INTERVAL 1 HOUR
+  GROUP BY 1
+)
+SELECT e24.event_type, n_seasonal, n_naive,
+       ROUND(mae24, 6) AS mae_seasonal24,
+       ROUND(mae1, 6) AS mae_naive1,
+       ROUND(mae24 / NULLIF(mae1, 0.0), 6) AS mase24
+FROM e24 JOIN e1 ON e24.event_type = e1.event_type
+ORDER BY e24.event_type
+"""
+
+
+ROUND7_STAGED_QUERIES["ts01_seasonal_naive_error"] = ts01_seasonal_naive_error
+ROUND7_STAGED_ORACLE["ts01_seasonal_naive_error"] = _TS01_ORACLE
+
+
+# --- round-7 staged surface, wave 24 (cur02) --------------------------------
+
+
+def _label_centroid_sqdist(spark: SparkSession, sf: str) -> DataFrame:
+    """(label, vec_id, __d2) — each vector's decimal-exact squared
+    distance to its label centroid: es05's decimal-exact mean, per-term
+    double products accumulated through DECIMAL(30,15) sums (exact,
+    partition-order-free), so the key is bit-identical cross-engine.
+    SHARED kernel: es08 ranks it for the outlier screen; cur02's
+    funnel consumes it as stage 1 — one implementation, two certified
+    consumers (the cur01 composition rule)."""
+    emb = load(spark, sf, "embeddings")
+    ex = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__c")
+    )
+    return (
+        ex.join(cent, ["label", "dim"])
+        .withColumn(
+            "__sq",
+            ((F.col("val") - F.col("__c")) * (F.col("val") - F.col("__c")))
+            .cast("decimal(30,15)"),
+        )
+        .groupBy("label", "vec_id")
+        .agg(F.sum("__sq").alias("__d2"))
+    )
+
+
+def cur02_embedding_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END embedding curation funnel — cur01's sibling on the
+    vector side, certified as ONE query over SHARED kernels: centroid
+    outlier screen (es08's _label_centroid_sqdist + the distributed
+    two-phase rank — drop each label's 3 farthest vectors) → near-dup
+    removal over the FULL corpus's sign-LSH verified pairs
+    (similarity.neardup_pairs, dd05's kernel — drop the higher id of
+    any ≥0.35-cosine pair whose BOTH endpoints survived the screen; a
+    single non-iterative rule, so the certified result is closed-form)
+    → per-label survivor accounting at each stage.
+
+    Composition discipline (the cur01 lessons): every stage reuses the
+    already-certified kernel, so this certifies stage INTERACTIONS —
+    anti-join plumbing, drop accounting — not re-implementations; and
+    the drop sets are DATA-DEPENDENT (outlier count scales with
+    labels, dup pairs with corpus dup rate), so neither anti-join
+    carries a broadcast hint — AQE sizes them at runtime (forcing a
+    broadcast on a 10-30% dup-drop set is the round-4 OOM-at-scale
+    defect, fixed once, not to be reintroduced)."""
+    from ..operators.ranking import attach_global_row_number
+
+    emb = load(spark, sf, "embeddings").select("label", "vec_id")
+    ranked = attach_global_row_number(
+        _label_centroid_sqdist(spark, sf),
+        order_by=[F.desc("__d2"), F.asc("vec_id")],
+        partition_by=["label"],
+        rn_col="__rk",
+    )
+    out3 = ranked.filter(F.col("__rk") <= 3).select("vec_id")
+    s1 = emb.join(out3, "vec_id", "left_anti")
+    pairs = sim.neardup_pairs(
+        load(spark, sf, "embeddings"),
+        threshold=0.35,
+        nbits=LSH_NBITS,
+        n_tables=LSH_TABLES,
+    ).select("id_a", "id_b")
+    drop2 = (
+        pairs.join(
+            s1.select(F.col("vec_id").alias("id_a")), "id_a"
+        )
+        .join(s1.select(F.col("vec_id").alias("id_b")), "id_b")
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    s2 = s1.join(drop2, "vec_id", "left_anti")
+    base = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    r1 = s1.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_outlier")
+    )
+    r2 = s2.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_dedup")
+    )
+    return (
+        base.join(r1, "label", "left")
+        .join(r2, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            F.coalesce(F.col("n_after_outlier"), F.lit(0))
+            .cast("bigint")
+            .alias("n_after_outlier"),
+            F.coalesce(F.col("n_after_dedup"), F.lit(0))
+            .cast("bigint")
+            .alias("n_after_dedup"),
+        )
+        .orderBy("label")
+    )
+
+
+_CUR02_ORACLE = f"""
+WITH ex AS (
+  SELECT label, vec_id, CAST(d - 1 AS INT) AS dim,
+         CAST(embedding[d] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+), cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(val AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, dim
+), dist AS (
+  SELECT e.label, e.vec_id,
+         SUM(CAST((e.val - c.c) * (e.val - c.c) AS DECIMAL(30,15))) AS d2
+  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY e.label, e.vec_id
+), rk AS (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY d2 DESC, vec_id) AS rk
+  FROM dist
+), out3 AS (
+  SELECT vec_id FROM rk WHERE rk <= 3
+), s1 AS (
+  SELECT vec_id, label FROM embeddings
+  WHERE vec_id NOT IN (SELECT vec_id FROM out3)
+), banded AS ({_BANDED}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  WHERE {_COS.format(a='ea.embedding', b='eb.embedding')} >= 0.35
+), drop2 AS (
+  SELECT DISTINCT p.id_b AS vec_id
+  FROM pairs p
+  JOIN s1 a ON p.id_a = a.vec_id
+  JOIN s1 b ON p.id_b = b.vec_id
+), s2 AS (
+  SELECT * FROM s1 WHERE vec_id NOT IN (SELECT vec_id FROM drop2)
+)
+SELECT e.label,
+       CAST(e.n_vectors AS BIGINT) AS n_vectors,
+       CAST(COALESCE(a.n1, 0) AS BIGINT) AS n_after_outlier,
+       CAST(COALESCE(b.n2, 0) AS BIGINT) AS n_after_dedup
+FROM (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY 1) e
+LEFT JOIN (SELECT label, COUNT(*) AS n1 FROM s1 GROUP BY 1) a
+       ON e.label = a.label
+LEFT JOIN (SELECT label, COUNT(*) AS n2 FROM s2 GROUP BY 1) b
+       ON e.label = b.label
+ORDER BY e.label
+"""
+
+
+ROUND7_STAGED_QUERIES["cur02_embedding_curation_funnel"] = (
+    cur02_embedding_curation_funnel
+)
+ROUND7_STAGED_ORACLE["cur02_embedding_curation_funnel"] = _CUR02_ORACLE

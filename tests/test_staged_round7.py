@@ -734,3 +734,39 @@ def test_tx16_nb_langid_invariants(spark):
     assert diag > n_docs / len(langs)  # better than chance
     for r in out:
         assert r["lang_true"] in langs and r["lang_pred"] in langs
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ts01_forecast_error_invariants(spark):
+    """Every event type reports; both error legs scored a meaningful
+    share of the series; MAEs are non-negative and the ratio is
+    consistent with its legs."""
+    out = ROUND7_STAGED_QUERIES["ts01_seasonal_naive_error"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_naive"] >= r["n_seasonal"] > 0
+        assert r["mae_seasonal24"] >= 0 and r["mae_naive1"] >= 0
+        if r["mase24"] is not None:
+            expect = r["mae_seasonal24"] / r["mae_naive1"]
+            assert abs(r["mase24"] - expect) < 1e-3
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_cur02_funnel_invariants(spark):
+    """Monotone funnel per label (each stage only removes); stage-1
+    removes exactly 3 per label (the es08 top-3 screen); totals
+    partition the corpus; at least one near-dup was dropped overall
+    (the corpus HAS >=0.35 pairs)."""
+    out = ROUND7_STAGED_QUERIES["cur02_embedding_curation_funnel"](
+        spark, SF
+    ).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert sum(r["n_vectors"] for r in out) == emb.count()
+    for r in out:
+        assert r["n_vectors"] - r["n_after_outlier"] == 3
+        assert r["n_after_dedup"] <= r["n_after_outlier"]
+    assert sum(r["n_after_outlier"] - r["n_after_dedup"] for r in out) > 0
