@@ -10454,3 +10454,93 @@ ROUND7_STAGED_QUERIES["cur02_embedding_curation_funnel"] = (
     cur02_embedding_curation_funnel
 )
 ROUND7_STAGED_ORACLE["cur02_embedding_curation_funnel"] = _CUR02_ORACLE
+
+
+# --- round-7 staged surface, wave 25 (dd14) ---------------------------------
+
+
+def dd14_rolling_hash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLING-HASH document fingerprinting (the Rabin-Karp /
+    winnowing family, Schleimer et al. 2003 — MOSS): every 32-char
+    window of the normalized text gets the polynomial hash
+    h = fold((acc·131 + char) mod (2³¹−1)); the document signature is
+    the MINIMUM window hash (the winnowing selection collapsed to its
+    global-min special case, i.e. a 1-hash MinHash over character
+    windows — tx04/dd01 fingerprint whole documents, this fingerprints
+    documents BY their substrings, so two docs sharing ANY 32-char run
+    can collide). Per source: docs fingerprinted, distinct signatures,
+    collisions (the candidate pool a plagiarism/quote detector feeds
+    to dd08/dd09's span verification).
+
+    The classic rolling O(1) window update is the SEQUENTIAL
+    optimization; the distributed form evaluates every window
+    independently inside one row-local array expression
+    (transform + aggregate over sequence — no UDF, NO SHUFFLE except
+    the final source rollup), which is the right trade at 100 TB:
+    windows of one doc never cross rows, so the scan parallelizes
+    embarrassingly and the only exchange carries (source, signature).
+    Integer-exact everywhere: acc < 2³¹, acc·131 + 127 < 2³⁸ — no
+    BIGINT overflow, both engines fold the identical integer
+    recurrence (DuckDB's list_reduce seeds with the list head, so the
+    twin prepends the same 0 seed Spark's aggregate starts from)."""
+    docs = load(spark, sf, "documents").withColumn(
+        "__s", F.regexp_replace(F.lower("text"), "[^a-z0-9]+", "")
+    )
+    sig = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CASE WHEN length(__s) >= 32 THEN "
+            "array_min(transform(sequence(1, length(__s) - 31), "
+            "i -> aggregate(sequence(0, 31), 0L, "
+            "(acc, j) -> (acc * 131 + ascii(substr(__s, i + j, 1))) "
+            "% 2147483647))) "
+            "ELSE NULL END"
+        ).alias("__sig"),
+    ).filter(F.col("__sig").isNotNull())
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_fingerprinted"),
+            F.countDistinct("__sig").cast("bigint").alias("n_signatures"),
+            (F.count(F.lit(1)) - F.countDistinct("__sig"))
+            .cast("bigint")
+            .alias("n_collisions"),
+            F.min("__sig").cast("bigint").alias("min_signature"),
+        )
+        .orderBy("source")
+    )
+
+
+_DD14_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+  FROM documents
+), sig AS (
+  SELECT doc_id, source,
+         CASE WHEN length(s) >= 32 THEN
+           list_min(list_transform(range(1, length(s) - 30),
+             i -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(0, 32),
+                        j -> CAST(ascii(substr(s, CAST(i + j AS INT), 1))
+                                  AS BIGINT))),
+                    (acc, x) -> (acc * 131 + x) % 2147483647)))
+         ELSE NULL END AS sg
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_fingerprinted,
+       CAST(COUNT(DISTINCT sg) AS BIGINT) AS n_signatures,
+       CAST(COUNT(*) - COUNT(DISTINCT sg) AS BIGINT) AS n_collisions,
+       CAST(MIN(sg) AS BIGINT) AS min_signature
+FROM sig WHERE sg IS NOT NULL
+GROUP BY source ORDER BY source
+"""
+
+
+ROUND7_STAGED_QUERIES["dd14_rolling_hash_signature"] = (
+    dd14_rolling_hash_signature
+)
+ROUND7_STAGED_ORACLE["dd14_rolling_hash_signature"] = _DD14_ORACLE

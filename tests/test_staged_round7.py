@@ -770,3 +770,28 @@ def test_cur02_funnel_invariants(spark):
         assert r["n_vectors"] - r["n_after_outlier"] == 3
         assert r["n_after_dedup"] <= r["n_after_outlier"]
     assert sum(r["n_after_outlier"] - r["n_after_dedup"] for r in out) > 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dd14_rolling_hash_invariants(spark):
+    """Signatures are within the modulus; collisions are consistent
+    (n_docs - n_signatures); at least one collision corpus-wide (the
+    near-dup corpus shares 32-char runs); every long-enough doc is
+    fingerprinted."""
+    from pyspark.sql import functions as F
+
+    out = ROUND7_STAGED_QUERIES["dd14_rolling_hash_signature"](
+        spark, SF
+    ).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_long = docs.filter(
+        F.length(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", "")
+        ) >= 32
+    ).count()
+    assert sum(r["n_docs_fingerprinted"] for r in out) == n_long
+    assert sum(r["n_collisions"] for r in out) > 0
+    for r in out:
+        assert r["n_collisions"] == r["n_docs_fingerprinted"] - r["n_signatures"]
+        assert 0 <= r["min_signature"] < 2147483647
