@@ -10544,3 +10544,245 @@ ROUND7_STAGED_QUERIES["dd14_rolling_hash_signature"] = (
     dd14_rolling_hash_signature
 )
 ROUND7_STAGED_ORACLE["dd14_rolling_hash_signature"] = _DD14_ORACLE
+
+
+# --- round-7 staged surface, wave 26 (bm01, dd15) ----------------------------
+
+
+_BM01_TERMS = ("spark", "query", "window", "merge")
+
+
+def bm01_bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, k1=1.2,
+    b=0.75) of a fixed 4-term probe query over the corpus — the
+    scoring pass on top of ii01's inverted index, and the retrieval
+    primitive behind contamination probes and RAG-corpus QA. Per doc:
+    sum over matched terms of idf(t) * tf*(k1+1) / (tf + k1*(1-b +
+    b*dl/avgdl)); top 15 by score.
+
+    Determinism discipline (tx14/ir01): the transcendental idf =
+    ln((N-df+0.5)/(df+0.5)+1) is computed once per TERM in the
+    bounded (<=4-row) stats table and rounded to 8 dp; avgdl is
+    exact-bigint-sum / N rounded to 6 dp in a 1-row broadcast; each
+    (doc, term) partial score is one identically-parenthesized chain
+    of IEEE double ops rounded once to 6 dp, then DECIMAL(25,12)-
+    summed per doc — no transcendental and no float sum ever runs on
+    an unbounded aggregate.
+
+    Scale: one explode -> one (doc, term)-keyed aggregate restricted
+    to query terms (the filter pushes to the explode side, so the
+    shuffle carries only matching postings); the idf table and corpus
+    stats are bounded-by-construction broadcasts (legitimate under
+    the AQE-decides convention); doc lengths join on doc_id —
+    SF-proportional both sides, no hint. TakeOrdered(15) ends it."""
+    docs = _docs_words(spark, sf).select(
+        "doc_id", "source", F.size("__words").alias("__dl")
+    )
+    toks = _docs_words(spark, sf).select(
+        "doc_id", F.explode("__words").alias("term")
+    ).filter(F.col("term").isin(*_BM01_TERMS))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(
+            F.sum("__dl").cast("double") / F.count(F.lit(1)), 6
+        ).alias("__avgdl"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(stats.select("__n")))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (F.col("__n") - F.col("__df") + F.lit(0.5))
+                    / (F.col("__df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+                8,
+            ).alias("__idf"),
+        )
+    )
+    part = (
+        tf.join(F.broadcast(idf), "term")
+        .join(docs, "doc_id")
+        .crossJoin(F.broadcast(stats.select("__avgdl")))
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.col("__idf")
+                * (
+                    (F.col("__tf").cast("double") * F.lit(2.2))
+                    / (
+                        F.col("__tf").cast("double")
+                        + F.lit(1.2)
+                        * (
+                            F.lit(0.25)
+                            + (
+                                F.lit(0.75)
+                                * F.col("__dl").cast("double")
+                            )
+                            / F.col("__avgdl")
+                        )
+                    )
+                ),
+                6,
+            ).alias("__part"),
+        )
+    )
+    return (
+        part.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.round(
+                F.sum(F.col("__part").cast("decimal(25,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(15)
+    )
+
+
+_BM01_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, source, {_WORDS} AS w FROM documents
+), dl AS (
+  SELECT doc_id, source, len(w) AS dl FROM dw
+), stats AS (
+  SELECT COUNT(*) AS n,
+         ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl
+  FROM dl
+), tok AS (
+  SELECT doc_id, unnest(w) AS term FROM dw
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('spark', 'query', 'window', 'merge')
+  GROUP BY 1, 2
+), idf AS (
+  SELECT term,
+         ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0), 8) AS idf
+  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), stats
+), part AS (
+  SELECT tf.doc_id, dl.source,
+         ROUND(idf.idf *
+               ((CAST(tf.tf AS DOUBLE) * 2.2)
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.2 * (0.25
+                            + (0.75 * CAST(dl.dl AS DOUBLE))
+                              / stats.avgdl))), 6) AS part
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       ROUND(CAST(SUM(CAST(part AS DECIMAL(25,12))) AS DOUBLE), 6)
+         AS bm25_score
+FROM part
+GROUP BY doc_id, source
+ORDER BY bm25_score DESC, doc_id
+LIMIT 15
+"""
+
+
+ROUND7_STAGED_QUERIES["bm01_bm25_retrieval"] = bm01_bm25_retrieval
+ROUND7_STAGED_ORACLE["bm01_bm25_retrieval"] = _BM01_ORACLE
+
+
+def dd15_duplicated_gram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-substring exposure audit — the fixed-length-gram
+    approximation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": substrings repeated
+    across a corpus are memorization fuel even when no document pair
+    is a near-dup). Every 40-char gram of the normalized text sampled
+    at stride 10 is counted corpus-wide; a gram seen in >=2 DISTINCT
+    documents is cross-doc duplicated, and each source reports its
+    gram instances, duplicated instances, and the duplicated fraction
+    — the signal that decides whether a source needs substring-level
+    (not just document-level) dedup.
+
+    The true suffix-array formulation is sequential; fixed-length
+    strided grams are the distributed trade (same one Lee et al.'s
+    MinHash baseline makes): explode is row-local, the corpus-wide
+    gram count is ONE keyed aggregate, the dup flag joins back on the
+    gram key (SF-proportional both sides, no hint — AQE decides), and
+    the per-source rollup is map-side combinable. Stride 10 caps the
+    blowup at len/10 rows per doc; integer counts end-to-end, so both
+    engines agree bit-for-bit (fractions are one IEEE divide rounded
+    to 6 dp)."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", "").alias("__s"),
+    )
+    grams = docs.filter(F.length("__s") >= 40).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(__s) - 39, 10), "
+                "i -> substr(__s, i, 40))"
+            )
+        ).alias("__g"),
+    )
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.countDistinct("doc_id").alias("__dd"))
+        .select("__g", (F.col("__dd") >= 2).alias("__dup"))
+    )
+    return (
+        grams.join(dup, "__g")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_duplicated"),
+            F.round(
+                F.sum(
+                    F.when(F.col("__dup"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+_DD15_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+  FROM documents
+), g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, length(s) - 38, 10),
+                i -> substr(s, CAST(i AS INT), 40))) AS gram
+  FROM d WHERE length(s) >= 40
+), dup AS (
+  SELECT gram, COUNT(DISTINCT doc_id) >= 2 AS is_dup FROM g GROUP BY 1
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicated,
+       ROUND(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_fraction
+FROM g JOIN dup USING (gram)
+GROUP BY source ORDER BY source
+"""
+
+
+ROUND7_STAGED_QUERIES["dd15_duplicated_gram_fraction"] = (
+    dd15_duplicated_gram_fraction
+)
+ROUND7_STAGED_ORACLE["dd15_duplicated_gram_fraction"] = _DD15_ORACLE

@@ -84,6 +84,7 @@ BNLJ_ALLOWED = {
     "ss05_shard_balance_audit",  # 1-row broadcast corpus total
     "tx15_heaps_vocab_growth",  # 1-row broadcast corpus-size total
     "tx16_trigram_nb_langid",  # 1-row vocab total + |L|-row language roster
+    "bm01_bm25_retrieval",  # 1-row corpus stats + ≤4-row query-term idf table
 }
 
 
@@ -258,6 +259,8 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "contam",      # contaminated ids — bounded by the eval suite (cur01)
     "n_cand", "hits",  # per-qid counts over the fixed query panel (es11)
     "lr",          # DSIR log-ratio table — <= DSIR_BUCKETS rows (ir01)
+    "stats",       # 1-row (N, avgdl) corpus scalars (bm01)
+    "idf",         # ≤4-row query-term idf table (bm01)
     "nn",          # 1-row vertex-count scalar (gr02 integer PageRank)
 }
 

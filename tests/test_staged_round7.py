@@ -795,3 +795,35 @@ def test_dd14_rolling_hash_invariants(spark):
     for r in out:
         assert r["n_collisions"] == r["n_docs_fingerprinted"] - r["n_signatures"]
         assert 0 <= r["min_signature"] < 2147483647
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_bm01_bm25_invariants(spark):
+    """Top-15 scores are positive, descending, and every row matched
+    between 1 and 4 query terms; doc_id breaks ties ascending."""
+    out = ROUND7_STAGED_QUERIES["bm01_bm25_retrieval"](spark, SF).collect()
+    assert len(out) == 15
+    scores = [r["bm25_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    for r in out:
+        assert 1 <= r["n_terms_matched"] <= 4
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dd15_dup_gram_invariants(spark):
+    """Duplicated grams are a subset of all grams; the corpus has
+    cross-doc duplication (the near-dup docs guarantee it); fraction
+    is consistent with the counts."""
+    out = ROUND7_STAGED_QUERIES["dd15_duplicated_gram_fraction"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    assert sum(r["n_duplicated"] for r in out) > 0
+    for r in out:
+        assert 0 <= r["n_duplicated"] <= r["n_grams"]
+        assert abs(
+            r["dup_fraction"] - round(r["n_duplicated"] / r["n_grams"], 6)
+        ) < 1e-9
