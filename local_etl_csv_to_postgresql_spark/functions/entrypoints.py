@@ -7298,15 +7298,7 @@ def gr02_candidate_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     broadcast (A10 pattern) — driver state is zero. At 100 TB the
     frame in the loop is the near-dup SUBGRAPH (orders of magnitude
     smaller than the corpus), same bound as dd06's fixpoint."""
-    docs, _sigs, pairs = _lsh_base(spark, sf)
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
-    good = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(dd.jaccard(F.col("__sa"), F.col("__sb")) >= 0.5)
-        .select("id_a", "id_b")
-    )
+    good = _neardup_good_edges(spark, sf)
     edges = (
         good.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(
@@ -7354,26 +7346,29 @@ def gr02_candidate_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _gr02_oracle_sql() -> str:
-    """dd06's minhash-LSH candidate CTE chain (the certified candidate
-    spec) + unrolled integer-PageRank iterations; `//` is DuckDB's
-    integer floor division = Spark's `div` on the all-positive ranks."""
-    pr_cte = []
-    prev = "r0"
-    for i in range(1, PR_ITERS + 1):
-        pr_cte.append(
-            f"it{i} AS (\n"
-            f"  SELECT e.d AS id,\n"
-            f"         (15 * ({PR_UNITS} // (SELECT n FROM nn))) // 100\n"
-            f"         + (85 * SUM({prev}.r // deg.dg)) // 100 AS r\n"
-            f"  FROM edges e\n"
-            f"  JOIN {prev} ON {prev}.id = e.s\n"
-            f"  JOIN deg ON deg.s = e.s\n"
-            f"  GROUP BY e.d\n)"
-        )
-        prev = f"it{i}"
-    return f"""
-WITH sh AS (
+def _neardup_good_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The verified near-dup edge set (id_a < id_b): exact Jaccard
+    >= 0.5 evaluated ONLY on the LSH band candidates from the shared
+    `_lsh_base`. One implementation, every graph analysis consumes it
+    (gr02 PageRank, tc01 triangles) — the Spark twin of
+    `_neardup_good_cte`."""
+    docs, _sigs, pairs = _lsh_base(spark, sf)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(dd.jaccard(F.col("__sa"), F.col("__sb")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+
+
+def _neardup_good_cte() -> str:
+    """dd06's minhash-LSH candidate CTE chain up to the VERIFIED
+    edge set `good` (exact Jaccard >= 0.5 on LSH candidates, id_a <
+    id_b) — the one certified spec of the near-dup graph, shared by
+    every oracle that analyzes it (gr02 PageRank, tc01 triangles)."""
+    return f"""sh AS (
   SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
 ), ex AS (
   SELECT doc_id, unnest(s) AS sg FROM sh
@@ -7394,7 +7389,29 @@ WITH sh AS (
   SELECT id_a, id_b
   FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
   WHERE {_JACCARD.format(a='sa.s', b='sb.s')} >= 0.5
-), edges AS (
+)"""
+
+
+def _gr02_oracle_sql() -> str:
+    """dd06's minhash-LSH candidate CTE chain (the certified candidate
+    spec) + unrolled integer-PageRank iterations; `//` is DuckDB's
+    integer floor division = Spark's `div` on the all-positive ranks."""
+    pr_cte = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        pr_cte.append(
+            f"it{i} AS (\n"
+            f"  SELECT e.d AS id,\n"
+            f"         (15 * ({PR_UNITS} // (SELECT n FROM nn))) // 100\n"
+            f"         + (85 * SUM({prev}.r // deg.dg)) // 100 AS r\n"
+            f"  FROM edges e\n"
+            f"  JOIN {prev} ON {prev}.id = e.s\n"
+            f"  JOIN deg ON deg.s = e.s\n"
+            f"  GROUP BY e.d\n)"
+        )
+        prev = f"it{i}"
+    return f"""
+WITH {_neardup_good_cte()}, edges AS (
   SELECT id_a AS s, id_b AS d FROM good
   UNION ALL SELECT id_b AS s, id_a AS d FROM good
 ), deg AS (
@@ -10786,3 +10803,215 @@ ROUND7_STAGED_QUERIES["dd15_duplicated_gram_fraction"] = (
     dd15_duplicated_gram_fraction
 )
 ROUND7_STAGED_ORACLE["dd15_duplicated_gram_fraction"] = _DD15_ORACLE
+
+
+# --- round-7 staged surface, wave 27 (tc01, pa03) ----------------------------
+
+
+def tc01_neardup_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the verified near-dup graph — the
+    transitivity QA a dedup pipeline runs NEXT to dd06's clustering:
+    connected components say which docs group together; the triangle
+    count says how CLIQUISH those groups are. High transitivity means
+    the clusters are genuine duplicate families (every pair verifies);
+    low transitivity flags chain-shaped components where A~B~C but
+    A!~C — exactly the shape that over-merges under transitive
+    clustering and the reason SemDeDup-style pipelines audit it.
+
+    Edges come from the shared `_neardup_good_edges` (exact Jaccard
+    >= 0.5 on LSH candidates, stored once as id_a < id_b). With every
+    edge id-oriented, each triangle {x<y<z} is counted exactly once
+    by the two-hop join e1=(x,y), e2=(y,z) closed by e3=(x,z) — both
+    joins are equi-joins on vertex keys. Wedge count comes from the
+    degree table alone (sum dg*(dg-1)/2, integer). On a skewed graph
+    the classic refinement orients edges low-degree -> high-degree to
+    bound the wedge fan-out by the arboricity instead of the max
+    degree; the count is orientation-invariant, so that swap would
+    not move this certified result — here the frame is already the
+    near-dup SUBGRAPH (dd06's bound), orders of magnitude smaller
+    than the corpus. Integer counts end-to-end; transitivity = 3T/W
+    is the single IEEE divide, rounded at output, NULL when W = 0."""
+    good = _neardup_good_edges(spark, sf).localCheckpoint()
+    deg = (
+        good.select(F.col("id_a").alias("x"))
+        .unionAll(good.select(F.col("id_b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__dg"))
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("__dg * (__dg - 1) div 2")).cast("bigint").alias(
+            "n_wedges"
+        ),
+    )
+    e1 = good.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = good.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = good.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    n_edges = good.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0)
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                ),
+            ).alias("transitivity"),
+        )
+    )
+
+
+def _tc01_oracle_sql() -> str:
+    return f"""
+WITH {_neardup_good_cte()}, deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+    SELECT id_a AS x FROM good UNION ALL SELECT id_b FROM good
+  ) GROUP BY x
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM good e1
+  JOIN good e2 ON e2.id_a = e1.id_b
+  JOIN good e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+), e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM good
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0 THEN
+         ROUND(3.0 * CAST(n_triangles AS DOUBLE)
+               / CAST(n_wedges AS DOUBLE), 6)
+       END AS transitivity
+FROM s, e, t
+"""
+
+
+ROUND7_STAGED_QUERIES["tc01_neardup_triangles"] = tc01_neardup_triangles
+ROUND7_STAGED_ORACLE["tc01_neardup_triangles"] = _tc01_oracle_sql()
+
+
+def pa03_t_closeness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third rung of the privacy ladder staged with pa01/pa02:
+    k-anonymity bounds class size, l-diversity counts distinct
+    sensitive values, but a class can be large AND diverse while its
+    sensitive DISTRIBUTION still diverges from the population (a
+    90/10 segment split inside a 50/50 corpus leaks). t is the total
+    variation distance between the class's market-segment
+    distribution and the global one, over the same (nation, balance
+    band) quasi-identifier classes as pa01/pa02; the 20 worst classes
+    surface.
+
+    Integer-exact by construction: with c_s the class count of
+    segment s, g_s the global count, n the class size and N the
+    corpus size, t = sum_s |c_s*N - g_s*n| / (2*n*N) — the numerator
+    is a BIGINT sum over the bounded segment roster (classes that
+    MISS a segment still contribute |0 - g_s*n|, which is why the
+    class list crosses the <=5-row roster before the left join), and
+    the only float op is the final divide, rounded at output. Two
+    keyed aggregates + a roster-bounded fan-out; nothing scales past
+    the (QID, segment) table."""
+    cust = load(spark, sf, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__band"),
+        "c_mktsegment",
+    )
+    cls_seg = cust.groupBy("c_nationkey", "__band", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    cls = cls_seg.groupBy("c_nationkey", "__band").agg(
+        F.sum("__c").cast("bigint").alias("__n")
+    )
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__g")
+    )
+    tot = seg.agg(F.sum("__g").cast("bigint").alias("__tot"))
+    full = (
+        cls.crossJoin(F.broadcast(seg))
+        .join(cls_seg, ["c_nationkey", "__band", "c_mktsegment"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            "__band",
+            "__n",
+            "__tot",
+            F.abs(
+                F.coalesce(F.col("__c"), F.lit(0)) * F.col("__tot")
+                - F.col("__g") * F.col("__n")
+            ).alias("__num"),
+        )
+    )
+    return (
+        full.groupBy("c_nationkey", "__band", "__n", "__tot")
+        .agg(F.sum("__num").cast("bigint").alias("__tnum"))
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nation_key"),
+            F.col("__band").cast("bigint").alias("balance_band"),
+            F.col("__n").alias("class_size"),
+            F.round(
+                F.col("__tnum").cast("double")
+                / (F.lit(2.0) * F.col("__n").cast("double")
+                   * F.col("__tot").cast("double")),
+                6,
+            ).alias("t_closeness"),
+        )
+        .orderBy(F.desc("t_closeness"), "nation_key", "balance_band")
+        .limit(20)
+    )
+
+
+_PA03_ORACLE = """
+WITH cust AS (
+  SELECT c_nationkey, FLOOR(c_acctbal / 1000.0) AS band, c_mktsegment
+  FROM customer
+), cls_seg AS (
+  SELECT c_nationkey, band, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cust GROUP BY 1, 2, 3
+), cls AS (
+  SELECT c_nationkey, band, CAST(SUM(c) AS BIGINT) AS n
+  FROM cls_seg GROUP BY 1, 2
+), seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS g FROM cust GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS nn FROM seg
+), terms AS (
+  SELECT cls.c_nationkey, cls.band, cls.n, tot.nn,
+         ABS(COALESCE(cs.c, 0) * tot.nn - seg.g * cls.n) AS num
+  FROM cls CROSS JOIN seg
+  LEFT JOIN cls_seg cs
+    ON cs.c_nationkey = cls.c_nationkey AND cs.band = cls.band
+   AND cs.c_mktsegment = seg.c_mktsegment
+  CROSS JOIN tot
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+       CAST(band AS BIGINT) AS balance_band,
+       n AS class_size,
+       ROUND(CAST(SUM(num) AS DOUBLE)
+             / (2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+         AS t_closeness
+FROM terms
+GROUP BY c_nationkey, band, n, nn
+ORDER BY t_closeness DESC, nation_key, balance_band
+LIMIT 20
+"""
+
+
+ROUND7_STAGED_QUERIES["pa03_t_closeness_audit"] = pa03_t_closeness_audit
+ROUND7_STAGED_ORACLE["pa03_t_closeness_audit"] = _PA03_ORACLE

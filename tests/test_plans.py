@@ -85,6 +85,8 @@ BNLJ_ALLOWED = {
     "tx15_heaps_vocab_growth",  # 1-row broadcast corpus-size total
     "tx16_trigram_nb_langid",  # 1-row vocab total + |L|-row language roster
     "bm01_bm25_retrieval",  # 1-row corpus stats + ≤4-row query-term idf table
+    "tc01_neardup_triangles",  # 1-row edge-count and triangle-count scalars
+    "pa03_t_closeness_audit",  # ≤5-row segment roster + 1-row corpus total
 }
 
 
@@ -261,6 +263,8 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "lr",          # DSIR log-ratio table — <= DSIR_BUCKETS rows (ir01)
     "stats",       # 1-row (N, avgdl) corpus scalars (bm01)
     "idf",         # ≤4-row query-term idf table (bm01)
+    "n_edges", "tri",  # 1-row graph-census scalars (tc01)
+    "seg",         # ≤5-row market-segment roster (pa03)
     "nn",          # 1-row vertex-count scalar (gr02 integer PageRank)
 }
 

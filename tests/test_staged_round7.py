@@ -827,3 +827,35 @@ def test_dd15_dup_gram_invariants(spark):
         assert abs(
             r["dup_fraction"] - round(r["n_duplicated"] / r["n_grams"], 6)
         ) < 1e-9
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tc01_triangle_invariants(spark):
+    """Euler-consistent census: every triangle needs 3 wedges; node
+    and edge counts bound each other; transitivity in (0, 1]."""
+    out = ROUND7_STAGED_QUERIES["tc01_neardup_triangles"](
+        spark, SF
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_triangles"] > 0
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert r["n_nodes"] <= 2 * r["n_edges"]
+    assert 0 < r["transitivity"] <= 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_pa03_t_closeness_invariants(spark):
+    """Total variation distance lies in [0, 1]; output is the sorted
+    top-20; class sizes are positive."""
+    out = ROUND7_STAGED_QUERIES["pa03_t_closeness_audit"](
+        spark, SF
+    ).collect()
+    assert 0 < len(out) <= 20
+    ts = [r["t_closeness"] for r in out]
+    assert ts == sorted(ts, reverse=True)
+    for r in out:
+        assert 0.0 <= r["t_closeness"] <= 1.0
+        assert r["class_size"] >= 1
