@@ -11015,3 +11015,261 @@ LIMIT 20
 
 ROUND7_STAGED_QUERIES["pa03_t_closeness_audit"] = pa03_t_closeness_audit
 ROUND7_STAGED_ORACLE["pa03_t_closeness_audit"] = _PA03_ORACLE
+
+
+# --- round-7 staged surface, wave 28 (ts02, sync01) --------------------------
+
+
+def ts02_cusum_level_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM level-shift detection (Page 1954) per event type over the
+    exact-cents hourly rollup — ts01's companion: seasonal-naive error
+    scores FORECAST quality, CUSUM flags the hour a series' LEVEL
+    drifted from its long-run mean (ingest-volume regressions, schema
+    rollouts, upstream outages). One-sided CUSUM with target = series
+    mean and 5% slack; alarm threshold 8 slack units.
+
+    The textbook recurrence S_i = max(0, S_{i-1} + x_i - t - s) is
+    sequential; distributed, it collapses to the prefix-sum closed
+    form S_i = P_i - min(0, min_{j<=i} P_j) with P the running sum of
+    deviations — two ordinary window functions over the (type, hour)
+    rollup, which is bounded metadata (types x hours), NOT the event
+    stream. Everything is BIGINT cents: target and slack use integer
+    division on all-positive sums (Spark `div` = DuckDB `//` there),
+    deviations/prefix sums/minima are exact, so both engines agree
+    bit-for-bit with no rounding discipline needed at all. The only
+    corpus-sized work is the hourly aggregate every monitoring
+    pipeline already pays."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load(spark, sf, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("__h"))
+        .agg(
+            F.sum((dec("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("__v")
+        )
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__v").cast("bigint").alias("__total"),
+    ).select(
+        "event_type",
+        "__n",
+        F.expr("__total div __n").alias("__target"),
+        F.expr("(__total div __n) div 20").alias("__slack"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = hourly.join(stats, "event_type").select(
+        "event_type",
+        "__h",
+        "__n",
+        "__target",
+        "__slack",
+        (F.col("__v") - F.col("__target") - F.col("__slack")).alias("__d"),
+    )
+    pre = dev.select(
+        "event_type",
+        "__h",
+        "__n",
+        "__target",
+        "__slack",
+        F.sum("__d").over(w).alias("__p"),
+    )
+    cus = pre.select(
+        "event_type",
+        "__h",
+        "__n",
+        "__target",
+        "__slack",
+        (
+            F.col("__p")
+            - F.least(F.lit(0).cast("bigint"), F.min("__p").over(w))
+        ).alias("__s"),
+    )
+    return (
+        cus.groupBy("event_type", "__n", "__target", "__slack")
+        .agg(
+            F.max("__s").cast("bigint").alias("max_cusum_cents"),
+            F.sum(
+                F.when(F.col("__s") > 8 * F.col("__slack"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_alarm_hours"),
+            F.min(
+                F.when(F.col("__s") > 8 * F.col("__slack"), F.col("__h"))
+            ).alias("first_alarm_hour"),
+        )
+        .select(
+            "event_type",
+            F.col("__n").alias("n_hours"),
+            F.col("__target").alias("target_cents"),
+            F.col("__slack").alias("slack_cents"),
+            "max_cusum_cents",
+            "n_alarm_hours",
+            "first_alarm_hour",
+        )
+        .orderBy("event_type")
+    )
+
+
+_TS02_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         (SUM(v) // COUNT(*)) AS target,
+         (SUM(v) // COUNT(*)) // 20 AS slack
+  FROM hourly GROUP BY 1
+), pre AS (
+  SELECT h.event_type, h.h, s.n, s.target, s.slack,
+         SUM(h.v - s.target - s.slack) OVER (
+           PARTITION BY h.event_type ORDER BY h.h
+           ROWS UNBOUNDED PRECEDING) AS p
+  FROM hourly h JOIN stats s USING (event_type)
+), cus AS (
+  SELECT event_type, h, n, target, slack,
+         p - LEAST(CAST(0 AS BIGINT), MIN(p) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS UNBOUNDED PRECEDING)) AS s
+  FROM pre
+)
+SELECT event_type,
+       n AS n_hours,
+       CAST(target AS BIGINT) AS target_cents,
+       CAST(slack AS BIGINT) AS slack_cents,
+       CAST(MAX(s) AS BIGINT) AS max_cusum_cents,
+       CAST(SUM(CASE WHEN s > 8 * slack THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarm_hours,
+       MIN(CASE WHEN s > 8 * slack THEN h END) AS first_alarm_hour
+FROM cus
+GROUP BY event_type, n, target, slack
+ORDER BY event_type
+"""
+
+
+ROUND7_STAGED_QUERIES["ts02_cusum_level_shift"] = ts02_cusum_level_shift
+ROUND7_STAGED_ORACLE["ts02_cusum_level_shift"] = _TS02_ORACLE
+
+
+def sync01_bucket_checksum_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Merkle-style replica reconciliation — the cross-cluster audit
+    that answers "do these two copies of a 100 TB table agree, and if
+    not WHERE" without ever shuffling full rows between sides: each
+    side reduces to (bucket, row count, XOR of row fingerprints), a
+    64-row digest, and only mismatched buckets would be re-read
+    row-level (the anti-entropy pattern behind Dynamo/Cassandra repair
+    and warehouse replication checks). The replica here is the orders
+    table with a deterministic fault injection — rows deleted where
+    o_orderkey % 997 = 0, status corrupted where % 1009 = 0 — so the
+    certified output proves both detection (damaged buckets flagged,
+    with row-count deltas attributing deletions) and the negative
+    (undamaged buckets match exactly).
+
+    Fingerprint = the repo-wide _H60 md5 hash over key|status|price;
+    bucket = fingerprint-hash of the KEY (balanced under any key
+    distribution, unlike key ranges). XOR is the combiner because it
+    is order-independent, overflow-free at any row count, and
+    map-side combinable — the whole audit is two scans + two 64-row
+    aggregates + one 64-row join. Caveat inherent to XOR digests
+    (documented, standard): a pair of identical corruptions in one
+    bucket cancels; the row COUNT column catches deletions
+    independently."""
+    base = load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec("o_totalprice").cast("string").alias("__price"),
+    )
+
+    def digest(df: DataFrame, n_col: str, x_col: str) -> DataFrame:
+        fp = df.select(
+            (
+                dd.hash60(F.col("o_orderkey").cast("string")) % 64
+            ).alias("bucket"),
+            dd.hash60(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    "o_orderstatus",
+                    "__price",
+                )
+            ).alias("__fp"),
+        )
+        return fp.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_col),
+            F.expr("bit_xor(__fp)").cast("bigint").alias(x_col),
+        )
+    replica = base.filter(F.col("o_orderkey") % 997 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 1009 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "__price",
+    )
+    a = digest(base, "rows_primary", "__xa")
+    b = digest(replica, "rows_replica", "__xb")
+    return (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.coalesce("rows_primary", F.lit(0)).cast("bigint").alias(
+                "rows_primary"
+            ),
+            F.coalesce("rows_replica", F.lit(0)).cast("bigint").alias(
+                "rows_replica"
+            ),
+            (
+                F.coalesce("__xa", F.lit(-1))
+                == F.coalesce("__xb", F.lit(-1))
+            ).alias("checksum_match"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SYNC01_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+  FROM orders
+), replica AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 1009 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         price
+  FROM base WHERE o_orderkey % 997 <> 0
+), da AS (
+  SELECT {_H60.format(x="CAST(o_orderkey AS VARCHAR)")} % 64 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS rows_primary,
+         bit_xor({_H60.format(
+             x="CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus"
+               " || '|' || price")}) AS xa
+  FROM base GROUP BY 1
+), db AS (
+  SELECT {_H60.format(x="CAST(o_orderkey AS VARCHAR)")} % 64 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS rows_replica,
+         bit_xor({_H60.format(
+             x="CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus"
+               " || '|' || price")}) AS xb
+  FROM replica GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COALESCE(rows_primary, 0) AS rows_primary,
+       COALESCE(rows_replica, 0) AS rows_replica,
+       COALESCE(xa, -1) = COALESCE(xb, -1) AS checksum_match
+FROM da FULL OUTER JOIN db USING (bucket)
+ORDER BY bucket
+"""
+
+
+ROUND7_STAGED_QUERIES["sync01_bucket_checksum_diff"] = (
+    sync01_bucket_checksum_diff
+)
+ROUND7_STAGED_ORACLE["sync01_bucket_checksum_diff"] = _SYNC01_ORACLE

@@ -859,3 +859,42 @@ def test_pa03_t_closeness_invariants(spark):
     for r in out:
         assert 0.0 <= r["t_closeness"] <= 1.0
         assert r["class_size"] >= 1
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ts02_cusum_invariants(spark):
+    """CUSUM is non-negative by construction; alarms imply the max
+    exceeded the threshold; target/slack are consistent integers."""
+    out = ROUND7_STAGED_QUERIES["ts02_cusum_level_shift"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["max_cusum_cents"] >= 0
+        assert r["slack_cents"] == r["target_cents"] // 20
+        if r["n_alarm_hours"] > 0:
+            assert r["max_cusum_cents"] > 8 * r["slack_cents"]
+            assert r["first_alarm_hour"] is not None
+        else:
+            assert r["first_alarm_hour"] is None
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_sync01_checksum_diff_invariants(spark):
+    """Fault injection is detected: every bucket holding a deleted or
+    corrupted key mismatches, every untouched bucket matches, and the
+    row-count delta equals the number of deleted keys."""
+    out = ROUND7_STAGED_QUERIES["sync01_bucket_checksum_diff"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    n_del = sum(r["rows_primary"] - r["rows_replica"] for r in out)
+    assert n_del > 0
+    mismatched = [r for r in out if not r["checksum_match"]]
+    assert mismatched, "fault injection must flag at least one bucket"
+    for r in out:
+        assert r["rows_primary"] >= r["rows_replica"]
+        if r["rows_primary"] != r["rows_replica"]:
+            assert not r["checksum_match"]
