@@ -11273,3 +11273,200 @@ ROUND7_STAGED_QUERIES["sync01_bucket_checksum_diff"] = (
     sync01_bucket_checksum_diff
 )
 ROUND7_STAGED_ORACLE["sync01_bucket_checksum_diff"] = _SYNC01_ORACLE
+
+
+# --- round-7 staged surface, wave 29 (fs01) ----------------------------------
+
+
+def fs01_fellegi_sunter_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic match scoring (Fellegi & Sunter
+    1969) — the decision layer fz01's candidate generation feeds: each
+    blocked candidate pair gets a log-likelihood-ratio score summed
+    over field comparators, agreement on a RARE field counting for
+    more than agreement on a common one. The 25 best-scoring part
+    pairs surface as the merge-review queue.
+
+    The u-probabilities (chance agreement among non-matches) are
+    estimated from the data the standard way — u_f = sum_v c_v(c_v-1)
+    / N(N-1) over field f's value-frequency table — as INTEGER
+    numerator/denominator pairs with ONE double divide each; the
+    m-probabilities are the conventional pinned constants. Each
+    field's agreement/disagreement weight log2(m/u), log2((1-m)/(1-u))
+    is computed once in the 1-row bounded stats frame and rounded to
+    8 dp (the tx14 transcendental rule); a pair's score is a FIXED
+    3-term sum of those rounded weights — identical expression tree
+    in both engines, no unbounded float aggregation anywhere.
+
+    Scale (the fz01/dd11 discipline): pairs come from an equi-join on
+    the p_size blocking key, so comparisons are bounded by squared
+    block sizes, never all-pairs; a skewed block refines by
+    compounding the key (size + brand would move brand out of the
+    comparator set) — the recall/cost dial every linkage pipeline
+    tunes. Frequency tables are one keyed aggregate each; the weight
+    frame is a 1-row broadcast."""
+    parts = load(spark, sf, "part").select(
+        "p_partkey",
+        "p_size",
+        "p_brand",
+        "p_type",
+        F.element_at(F.split("p_name", " "), 1).alias("__head"),
+    )
+
+    def u_stat(col: str, alias: str) -> DataFrame:
+        return (
+            parts.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+            .agg(
+                F.sum(F.expr("__c * (__c - 1)"))
+                .cast("bigint")
+                .alias(alias)
+            )
+        )
+
+    nrows = parts.agg(F.count(F.lit(1)).cast("bigint").alias("__nr"))
+    m_b, m_t, m_h = 0.9, 0.85, 0.8
+    weights = (
+        u_stat("p_brand", "__ub")
+        .crossJoin(u_stat("p_type", "__ut"))
+        .crossJoin(u_stat("__head", "__uh"))
+        .crossJoin(F.broadcast(nrows))
+        .select(
+            *[
+                expr
+                for name, m, u in [
+                    ("b", m_b, "__ub"),
+                    ("t", m_t, "__ut"),
+                    ("h", m_h, "__uh"),
+                ]
+                for expr in (
+                    F.round(
+                        F.log2(
+                            F.lit(m)
+                            / (
+                                F.col(u).cast("double")
+                                / F.expr("CAST(__nr * (__nr - 1) AS DOUBLE)")
+                            )
+                        ),
+                        8,
+                    ).alias(f"__wa_{name}"),
+                    F.round(
+                        F.log2(
+                            F.lit(1.0 - m)
+                            / (
+                                F.lit(1.0)
+                                - F.col(u).cast("double")
+                                / F.expr("CAST(__nr * (__nr - 1) AS DOUBLE)")
+                            )
+                        ),
+                        8,
+                    ).alias(f"__wd_{name}"),
+                )
+            ]
+        )
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("key_a"),
+        "p_size",
+        F.col("p_brand").alias("__ba"),
+        F.col("p_type").alias("__ta"),
+        F.col("__head").alias("__ha"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("key_b"),
+        "p_size",
+        F.col("p_brand").alias("__bb"),
+        F.col("p_type").alias("__tb"),
+        F.col("__head").alias("__hb"),
+    )
+    pairs = (
+        a.join(b, "p_size")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            (F.col("__ba") == F.col("__bb")).alias("agree_brand"),
+            (F.col("__ta") == F.col("__tb")).alias("agree_type"),
+            (F.col("__ha") == F.col("__hb")).alias("agree_head"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(weights))
+        .select(
+            "key_a",
+            "key_b",
+            "agree_brand",
+            "agree_type",
+            "agree_head",
+            F.round(
+                F.when(F.col("agree_brand"), F.col("__wa_b")).otherwise(
+                    F.col("__wd_b")
+                )
+                + F.when(F.col("agree_type"), F.col("__wa_t")).otherwise(
+                    F.col("__wd_t")
+                )
+                + F.when(F.col("agree_head"), F.col("__wa_h")).otherwise(
+                    F.col("__wd_h")
+                ),
+                6,
+            ).alias("fs_score"),
+        )
+        .orderBy(F.desc("fs_score"), "key_a", "key_b")
+        .limit(25)
+    )
+
+
+_FS01_ORACLE = """
+WITH parts AS (
+  SELECT p_partkey, p_size, p_brand, p_type,
+         str_split(p_name, ' ')[1] AS head
+  FROM part
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM parts
+), ub AS (
+  SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS u FROM (
+    SELECT COUNT(*) AS c FROM parts GROUP BY p_brand)
+), ut AS (
+  SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS u FROM (
+    SELECT COUNT(*) AS c FROM parts GROUP BY p_type)
+), uh AS (
+  SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS u FROM (
+    SELECT COUNT(*) AS c FROM parts GROUP BY head)
+), w AS (
+  SELECT
+    ROUND(log2(0.9 / (CAST(ub.u AS DOUBLE)
+          / CAST(nr * (nr - 1) AS DOUBLE))), 8) AS wa_b,
+    ROUND(log2(0.09999999999999998 / (1.0 - CAST(ub.u AS DOUBLE)
+          / CAST(nr * (nr - 1) AS DOUBLE))), 8) AS wd_b,
+    ROUND(log2(0.85 / (CAST(ut.u AS DOUBLE)
+          / CAST(nr * (nr - 1) AS DOUBLE))), 8) AS wa_t,
+    ROUND(log2(0.15000000000000002 / (1.0 - CAST(ut.u AS DOUBLE)
+          / CAST(nr * (nr - 1) AS DOUBLE))), 8) AS wd_t,
+    ROUND(log2(0.8 / (CAST(uh.u AS DOUBLE)
+          / CAST(nr * (nr - 1) AS DOUBLE))), 8) AS wa_h,
+    ROUND(log2(0.19999999999999996 / (1.0 - CAST(uh.u AS DOUBLE)
+          / CAST(nr * (nr - 1) AS DOUBLE))), 8) AS wd_h
+  FROM ub, ut, uh, n
+), pairs AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         a.p_brand = b.p_brand AS agree_brand,
+         a.p_type = b.p_type AS agree_type,
+         a.head = b.head AS agree_head
+  FROM parts a JOIN parts b USING (p_size)
+  WHERE a.p_partkey < b.p_partkey
+)
+SELECT key_a, key_b, agree_brand, agree_type, agree_head,
+       ROUND(
+         (CASE WHEN agree_brand THEN wa_b ELSE wd_b END)
+         + (CASE WHEN agree_type THEN wa_t ELSE wd_t END)
+         + (CASE WHEN agree_head THEN wa_h ELSE wd_h END), 6)
+         AS fs_score
+FROM pairs CROSS JOIN w
+ORDER BY fs_score DESC, key_a, key_b
+LIMIT 25
+"""
+
+
+ROUND7_STAGED_QUERIES["fs01_fellegi_sunter_scores"] = (
+    fs01_fellegi_sunter_scores
+)
+ROUND7_STAGED_ORACLE["fs01_fellegi_sunter_scores"] = _FS01_ORACLE

@@ -87,6 +87,7 @@ BNLJ_ALLOWED = {
     "bm01_bm25_retrieval",  # 1-row corpus stats + ≤4-row query-term idf table
     "tc01_neardup_triangles",  # 1-row edge-count and triangle-count scalars
     "pa03_t_closeness_audit",  # ≤5-row segment roster + 1-row corpus total
+    "fs01_fellegi_sunter_scores",  # 1-row u-stat / weight scalar frames
 }
 
 
@@ -265,6 +266,8 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "idf",         # ≤4-row query-term idf table (bm01)
     "n_edges", "tri",  # 1-row graph-census scalars (tc01)
     "seg",         # ≤5-row market-segment roster (pa03)
+    "nrows",       # 1-row corpus row count (fs01)
+    "weights",     # 1-row Fellegi-Sunter weight frame (fs01)
     "nn",          # 1-row vertex-count scalar (gr02 integer PageRank)
 }
 

@@ -898,3 +898,26 @@ def test_sync01_checksum_diff_invariants(spark):
         assert r["rows_primary"] >= r["rows_replica"]
         if r["rows_primary"] != r["rows_replica"]:
             assert not r["checksum_match"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_fs01_fellegi_sunter_invariants(spark):
+    """Scores are descending; full-agreement pairs outrank any pair
+    with a disagreement (weights are monotone); agreement flags are
+    booleans on every row."""
+    out = ROUND7_STAGED_QUERIES["fs01_fellegi_sunter_scores"](
+        spark, SF
+    ).collect()
+    assert len(out) == 25
+    scores = [r["fs_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    full = [r for r in out
+            if r["agree_brand"] and r["agree_type"] and r["agree_head"]]
+    partial = [r for r in out
+               if not (r["agree_brand"] and r["agree_type"]
+                       and r["agree_head"])]
+    if full and partial:
+        assert min(r["fs_score"] for r in full) >= max(
+            r["fs_score"] for r in partial
+        )
