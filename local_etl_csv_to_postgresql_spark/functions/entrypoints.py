@@ -11470,3 +11470,209 @@ ROUND7_STAGED_QUERIES["fs01_fellegi_sunter_scores"] = (
     fs01_fellegi_sunter_scores
 )
 ROUND7_STAGED_ORACLE["fs01_fellegi_sunter_scores"] = _FS01_ORACLE
+
+
+# --- round-7 staged surface, wave 30 (dp01, fd01) ----------------------------
+
+
+def dp01_contribution_bounding(spark: SparkSession, sf: str) -> DataFrame:
+    """User-contribution bounding audit — the calibration step before
+    any differentially-private release or DP training run (Abadi et
+    al. 2016 clip-then-noise; Wilson et al. 2020 per-user bounding):
+    DP noise scales with the SENSITIVITY, i.e. the largest single
+    user's contribution, so the pipeline first measures contribution
+    skew and the mass a candidate clipping bound would remove. Per
+    event type: user count, max and mean per-user contribution, the
+    conventional 2x-mean candidate bound, how many users it clips,
+    and the exact fraction of value mass that survives clipping —
+    the utility/privacy dial read directly off the corpus.
+
+    The noise draw itself is deliberately out of scope (random =
+    uncertifiable); the DETERMINISTIC part every DP pipeline runs —
+    the bounding audit — is what's certified. Integer cents
+    end-to-end: per-(type, user) sums are one keyed aggregate (the
+    corpus-sized work), per-type stats are a second over the user
+    table, the bound is integer division on all-positive totals
+    (Spark `div` = DuckDB `//`), and the survival fraction is the
+    single rounded divide at output."""
+    per_user = (
+        load(spark, sf, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum((dec("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("__contrib")
+        )
+    )
+    stats = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.max("__contrib").cast("bigint").alias("max_contrib_cents"),
+        F.expr("SUM(__contrib) div COUNT(*)")
+        .cast("bigint")
+        .alias("mean_contrib_cents"),
+        F.sum("__contrib").cast("bigint").alias("__total"),
+    ).select(
+        "event_type",
+        "n_users",
+        "max_contrib_cents",
+        "mean_contrib_cents",
+        "__total",
+        (F.lit(2) * F.col("mean_contrib_cents")).alias("clip_bound_cents"),
+    )
+    return (
+        per_user.join(stats, "event_type")
+        .groupBy(
+            "event_type",
+            "n_users",
+            "max_contrib_cents",
+            "mean_contrib_cents",
+            "clip_bound_cents",
+            "__total",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("__contrib") > F.col("clip_bound_cents"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_users_clipped"),
+            F.sum(F.least("__contrib", "clip_bound_cents"))
+            .cast("bigint")
+            .alias("__kept"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "max_contrib_cents",
+            "mean_contrib_cents",
+            "clip_bound_cents",
+            "n_users_clipped",
+            F.round(
+                F.col("__kept").cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ).alias("kept_mass_fraction"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DP01_ORACLE = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS contrib
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(MAX(contrib) AS BIGINT) AS max_contrib_cents,
+         CAST(SUM(contrib) // COUNT(*) AS BIGINT) AS mean_contrib_cents,
+         CAST(SUM(contrib) AS BIGINT) AS total,
+         CAST(2 * (SUM(contrib) // COUNT(*)) AS BIGINT) AS clip_bound_cents
+  FROM per_user GROUP BY 1
+)
+SELECT s.event_type, s.n_users, s.max_contrib_cents,
+       s.mean_contrib_cents, s.clip_bound_cents,
+       CAST(SUM(CASE WHEN p.contrib > s.clip_bound_cents THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_users_clipped,
+       ROUND(CAST(SUM(LEAST(p.contrib, s.clip_bound_cents)) AS DOUBLE)
+             / CAST(s.total AS DOUBLE), 6) AS kept_mass_fraction
+FROM per_user p JOIN stats s USING (event_type)
+GROUP BY s.event_type, s.n_users, s.max_contrib_cents,
+         s.mean_contrib_cents, s.clip_bound_cents, s.total
+ORDER BY s.event_type
+"""
+
+
+ROUND7_STAGED_QUERIES["dp01_contribution_bounding"] = (
+    dp01_contribution_bounding
+)
+ROUND7_STAGED_ORACLE["dp01_contribution_bounding"] = _DP01_ORACLE
+
+
+_FD01_CANDIDATES = (
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderdate", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_returnflag"),
+)
+
+
+def fd01_functional_dependencies(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate functional-dependency audit — the data-profiling
+    primitive behind Deequ/Metanome-style constraint suggestion: for
+    each candidate FD X -> Y, the g3 error (Kivinen & Mannila 1995) =
+    the minimum number of rows whose removal makes the FD hold =
+    n_rows - sum over X-groups of the largest Y-count. A zero g3 is a
+    discovered constraint the quality gate (dq01) can then enforce;
+    a small g3 is a near-FD flagging dirty rows.
+
+    Per candidate: ONE (X, Y) keyed aggregate, one X-keyed reduce
+    carrying max/sum per group, one bounded rollup — the same shape
+    repeated per candidate and unioned, so cost is #candidates keyed
+    shuffles over projected two-column scans (column pruning reaches
+    the parquet reader; nothing reads full rows). All counts BIGINT;
+    `holds` is g3 = 0. The candidate list is pinned: FD DISCOVERY
+    over the full column lattice is a search-strategy layer on this
+    same per-candidate kernel."""
+    out = None
+    for tbl, lhs, rhs in _FD01_CANDIDATES:
+        pairs = (
+            load(spark, sf, tbl)
+            .groupBy(
+                F.col(lhs).cast("string").alias("__l"),
+                F.col(rhs).cast("string").alias("__r"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        )
+        per_lhs = pairs.groupBy("__l").agg(
+            F.max("__c").alias("__mx"),
+            F.sum("__c").alias("__tot"),
+            F.count(F.lit(1)).alias("__nr"),
+        )
+        row = per_lhs.agg(
+            F.sum("__tot").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+            F.sum("__nr").cast("bigint").alias("n_lhs_rhs_pairs"),
+            (F.sum("__tot") - F.sum("__mx"))
+            .cast("bigint")
+            .alias("g3_violations"),
+        ).select(
+            F.lit(f"{tbl}.{lhs} -> {rhs}").alias("fd"),
+            "n_rows",
+            "n_lhs_groups",
+            "n_lhs_rhs_pairs",
+            "g3_violations",
+            (F.col("g3_violations") == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("fd")
+
+
+def _fd01_oracle_sql() -> str:
+    legs = []
+    for tbl, lhs, rhs in _FD01_CANDIDATES:
+        legs.append(f"""
+SELECT '{tbl}.{lhs} -> {rhs}' AS fd,
+       CAST(SUM(tot) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+       CAST(SUM(nr) AS BIGINT) AS n_lhs_rhs_pairs,
+       CAST(SUM(tot) - SUM(mx) AS BIGINT) AS g3_violations,
+       SUM(tot) - SUM(mx) = 0 AS holds
+FROM (
+  SELECT l, MAX(c) AS mx, SUM(c) AS tot, COUNT(*) AS nr
+  FROM (
+    SELECT CAST({lhs} AS VARCHAR) AS l, CAST({rhs} AS VARCHAR) AS r,
+           COUNT(*) AS c
+    FROM {tbl} GROUP BY 1, 2
+  ) GROUP BY l
+)""")
+    return " UNION ALL ".join(legs) + " ORDER BY fd"
+
+
+ROUND7_STAGED_QUERIES["fd01_functional_dependencies"] = (
+    fd01_functional_dependencies
+)
+ROUND7_STAGED_ORACLE["fd01_functional_dependencies"] = _fd01_oracle_sql()

@@ -921,3 +921,37 @@ def test_fs01_fellegi_sunter_invariants(spark):
         assert min(r["fs_score"] for r in full) >= max(
             r["fs_score"] for r in partial
         )
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dp01_contribution_invariants(spark):
+    """Mean <= max; clipping keeps a positive fraction <= 1; clipped
+    users exist iff some contribution exceeds the bound."""
+    out = ROUND7_STAGED_QUERIES["dp01_contribution_bounding"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["mean_contrib_cents"] <= r["max_contrib_cents"]
+        assert r["clip_bound_cents"] == 2 * r["mean_contrib_cents"]
+        assert 0 < r["kept_mass_fraction"] <= 1.0
+        if r["max_contrib_cents"] > r["clip_bound_cents"]:
+            assert r["n_users_clipped"] >= 1
+            assert r["kept_mass_fraction"] < 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_fd01_g3_invariants(spark):
+    """Key-based FDs hold with g3 = 0; g3 is bounded by rows minus
+    groups; pair counts sit between group count and row count."""
+    out = {r["fd"]: r for r in ROUND7_STAGED_QUERIES[
+        "fd01_functional_dependencies"](spark, SF).collect()}
+    assert len(out) == 5
+    key_fd = out["orders.o_orderkey -> o_orderstatus"]
+    assert key_fd["holds"] and key_fd["g3_violations"] == 0
+    for r in out.values():
+        assert r["n_lhs_groups"] <= r["n_lhs_rhs_pairs"] <= r["n_rows"]
+        assert 0 <= r["g3_violations"] <= r["n_rows"] - r["n_lhs_groups"]
+        assert r["holds"] == (r["g3_violations"] == 0)
