@@ -10569,13 +10569,12 @@ ROUND7_STAGED_ORACLE["dd14_rolling_hash_signature"] = _DD14_ORACLE
 _BM01_TERMS = ("spark", "query", "window", "merge")
 
 
-def bm01_bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
-    """BM25 ranked retrieval (Robertson & Zaragoza 2009, k1=1.2,
-    b=0.75) of a fixed 4-term probe query over the corpus — the
-    scoring pass on top of ii01's inverted index, and the retrieval
-    primitive behind contamination probes and RAG-corpus QA. Per doc:
-    sum over matched terms of idf(t) * tf*(k1+1) / (tf + k1*(1-b +
-    b*dl/avgdl)); top 15 by score.
+def _bm25_doc_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document BM25 scoring kernel (Robertson & Zaragoza 2009,
+    k1=1.2, b=0.75) for the fixed 4-term probe query — shared: bm01
+    certifies its top-k head, rk01 compares its ranking against the
+    raw-TF leg. Columns: doc_id, source, n_terms_matched, bm25_score,
+    tf_sum (integer total probe-term frequency).
 
     Determinism discipline (tx14/ir01): the transcendental idf =
     ln((N-df+0.5)/(df+0.5)+1) is computed once per TERM in the
@@ -10591,7 +10590,7 @@ def bm01_bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     shuffle carries only matching postings); the idf table and corpus
     stats are bounded-by-construction broadcasts (legitimate under
     the AQE-decides convention); doc lengths join on doc_id —
-    SF-proportional both sides, no hint. TakeOrdered(15) ends it."""
+    SF-proportional both sides, no hint."""
     docs = _docs_words(spark, sf).select(
         "doc_id", "source", F.size("__words").alias("__dl")
     )
@@ -10630,6 +10629,7 @@ def bm01_bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
+            "__tf",
             F.round(
                 F.col("__idf")
                 * (
@@ -10651,17 +10651,23 @@ def bm01_bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("__part"),
         )
     )
+    return part.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+        F.round(
+            F.sum(F.col("__part").cast("decimal(25,12)")).cast("double"),
+            6,
+        ).alias("bm25_score"),
+        F.sum("__tf").cast("bigint").alias("tf_sum"),
+    )
+
+
+def bm01_bm25_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval head — see `_bm25_doc_scores` for the
+    scoring kernel and determinism discipline; this certifies the
+    top-15 ranking an index serves."""
     return (
-        part.groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
-            F.round(
-                F.sum(F.col("__part").cast("decimal(25,12)")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("bm25_score"),
-        )
+        _bm25_doc_scores(spark, sf)
+        .select("doc_id", "source", "n_terms_matched", "bm25_score")
         .orderBy(F.desc("bm25_score"), "doc_id")
         .limit(15)
     )
@@ -11676,3 +11682,226 @@ ROUND7_STAGED_QUERIES["fd01_functional_dependencies"] = (
     fd01_functional_dependencies
 )
 ROUND7_STAGED_ORACLE["fd01_functional_dependencies"] = _fd01_oracle_sql()
+
+
+# --- round-7 staged surface, wave 31 (rk01, tx17) ----------------------------
+
+
+def rk01_rank_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall rank agreement between two retrieval rankings — the
+    metric layer a retrieval stack runs when it swaps scorers (does
+    BM25's length normalization actually reorder results vs raw term
+    frequency?) and the same kernel es11-style recall audits feed.
+    Both rankings come from the shared `_bm25_doc_scores` kernel: the
+    BM25 leg and the raw tf_sum leg, over BM25's top-20 documents.
+
+    Exactness: ranks are ROW_NUMBERs with doc_id tie-breaks (total
+    orders by construction — tau-a over a tie-free ranking), so
+    concordant/discordant counts are INTEGERS from a bounded 20x20
+    pair comparison and tau is one rounded divide. The pair join is a
+    k²-bounded self-join on the 20-row head — the quadratic runs on
+    the RESULT head, never the corpus (the fz01/dd11 bounding rule);
+    corpus-sized work is exactly the shared scoring kernel's."""
+    from pyspark.sql import Window
+
+    head = (
+        _bm25_doc_scores(spark, sf)
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25_score"), "doc_id"))
+            .alias("__rb"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("tf_sum"), "doc_id"))
+            .alias("__rt"),
+        )
+        .localCheckpoint()
+    )
+    lhs = head.select(
+        F.col("__rb").alias("__rb_a"), F.col("__rt").alias("__rt_a")
+    )
+    rhs = head.select(
+        F.col("__rb").alias("__rb_b"), F.col("__rt").alias("__rt_b")
+    )
+    pairs = lhs.crossJoin(F.broadcast(rhs)).filter(
+        F.col("__rb_a") < F.col("__rb_b")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("__rt_a") < F.col("__rt_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_concordant"),
+        F.sum(F.when(F.col("__rt_a") > F.col("__rt_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discordant"),
+    ).select(
+        F.lit(20).cast("bigint").alias("k"),
+        "n_pairs",
+        "n_concordant",
+        "n_discordant",
+        F.round(
+            (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+            / F.col("n_pairs").cast("double"),
+            6,
+        ).alias("kendall_tau"),
+    )
+
+
+_RK01_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, source, {_WORDS} AS w FROM documents
+), dl AS (
+  SELECT doc_id, source, len(w) AS dl FROM dw
+), stats AS (
+  SELECT COUNT(*) AS n,
+         ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl
+  FROM dl
+), tok AS (
+  SELECT doc_id, unnest(w) AS term FROM dw
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('spark', 'query', 'window', 'merge')
+  GROUP BY 1, 2
+), idf AS (
+  SELECT term,
+         ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0), 8) AS idf
+  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), stats
+), part AS (
+  SELECT tf.doc_id, tf.tf,
+         ROUND(idf.idf *
+               ((CAST(tf.tf AS DOUBLE) * 2.2)
+                / (CAST(tf.tf AS DOUBLE)
+                   + 1.2 * (0.25
+                            + (0.75 * CAST(dl.dl AS DOUBLE))
+                              / stats.avgdl))), 6) AS part
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+), scored AS (
+  SELECT doc_id,
+         ROUND(CAST(SUM(CAST(part AS DECIMAL(25,12))) AS DOUBLE), 6)
+           AS bm25_score,
+         CAST(SUM(tf) AS BIGINT) AS tf_sum
+  FROM part GROUP BY doc_id
+), head AS (
+  SELECT doc_id, bm25_score, tf_sum
+  FROM scored ORDER BY bm25_score DESC, doc_id LIMIT 20
+), ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) AS rb,
+         ROW_NUMBER() OVER (ORDER BY tf_sum DESC, doc_id) AS rt
+  FROM head
+), pairs AS (
+  SELECT a.rt AS rt_a, b.rt AS rt_b
+  FROM ranked a JOIN ranked b ON a.rb < b.rb
+)
+SELECT CAST(20 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN rt_a < rt_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_concordant,
+       CAST(SUM(CASE WHEN rt_a > rt_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discordant,
+       ROUND(CAST(SUM(CASE WHEN rt_a < rt_b THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN rt_a > rt_b THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS kendall_tau
+FROM pairs
+"""
+
+
+ROUND7_STAGED_QUERIES["rk01_rank_agreement"] = rk01_rank_agreement
+ROUND7_STAGED_ORACLE["rk01_rank_agreement"] = _RK01_ORACLE
+
+
+def tx17_bigram_continuations(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram continuation table — the language-model HEAD read off
+    tx14's statistics: for the 20 highest-traffic context words, the
+    argmax next word, its count, the context's continuation diversity
+    (distinct next words — the Kneser-Ney continuation statistic),
+    and the conditional probability of the top continuation. The
+    table a next-token suggester or a KN smoother reads directly.
+
+    Argmax with a PINNED tie rule: min_by over the (-count, w2)
+    struct — highest count, then lexicographically smallest
+    continuation (the win03 lesson: DuckDB's arg_min takes no struct
+    comparator, so the twin replays the ROW_NUMBER spec; Spark's
+    min_by is one map-side-combinable aggregate, no per-group window
+    sort). One gram-keyed aggregate + one context-keyed reduce;
+    top_prob is count/ctx_count, ONE rounded divide."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", tx.words("text").alias("__w")
+    )
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__w) >= 2 THEN "
+                "transform(sequence(1, size(__w) - 1), "
+                "i -> struct(element_at(__w, i) AS w1, "
+                "element_at(__w, i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+                "END"
+            )
+        ).alias("__g")
+    ).select("__g.w1", "__g.w2")
+    counts = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    return (
+        counts.groupBy("w1")
+        .agg(
+            F.sum("__c").cast("bigint").alias("ctx_count"),
+            F.count(F.lit(1)).cast("bigint").alias("n_continuations"),
+            F.expr("min_by(w2, struct(-__c, w2))").alias("top_next"),
+            F.max("__c").cast("bigint").alias("top_count"),
+        )
+        .select(
+            F.col("w1").alias("context_word"),
+            "ctx_count",
+            "n_continuations",
+            "top_next",
+            "top_count",
+            F.round(
+                F.col("top_count").cast("double")
+                / F.col("ctx_count").cast("double"),
+                6,
+            ).alias("top_prob"),
+        )
+        .orderBy(F.desc("ctx_count"), "context_word")
+        .limit(20)
+    )
+
+
+_TX17_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), big AS (
+  SELECT w[CAST(i AS INT)] AS w1, w[CAST(i + 1 AS INT)] AS w2
+  FROM dw, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+), counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY 1, 2
+), ranked AS (
+  SELECT w1, w2, c,
+         ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rk
+  FROM counts
+), ctx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx_count,
+         CAST(COUNT(*) AS BIGINT) AS n_continuations
+  FROM counts GROUP BY 1
+)
+SELECT ctx.w1 AS context_word, ctx.ctx_count, ctx.n_continuations,
+       r.w2 AS top_next, r.c AS top_count,
+       ROUND(CAST(r.c AS DOUBLE) / CAST(ctx.ctx_count AS DOUBLE), 6)
+         AS top_prob
+FROM ctx JOIN ranked r ON r.w1 = ctx.w1 AND r.rk = 1
+ORDER BY ctx.ctx_count DESC, context_word
+LIMIT 20
+"""
+
+
+ROUND7_STAGED_QUERIES["tx17_bigram_continuations"] = (
+    tx17_bigram_continuations
+)
+ROUND7_STAGED_ORACLE["tx17_bigram_continuations"] = _TX17_ORACLE

@@ -88,6 +88,7 @@ BNLJ_ALLOWED = {
     "tc01_neardup_triangles",  # 1-row edge-count and triangle-count scalars
     "pa03_t_closeness_audit",  # ≤5-row segment roster + 1-row corpus total
     "fs01_fellegi_sunter_scores",  # 1-row u-stat / weight scalar frames
+    "rk01_rank_agreement",  # 20-row ranking-head pair comparison
 }
 
 
@@ -268,6 +269,7 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "seg",         # ≤5-row market-segment roster (pa03)
     "nrows",       # 1-row corpus row count (fs01)
     "weights",     # 1-row Fellegi-Sunter weight frame (fs01)
+    "rhs",         # LIMIT-20 ranking head — bounded by construction (rk01)
     "nn",          # 1-row vertex-count scalar (gr02 integer PageRank)
 }
 

@@ -955,3 +955,38 @@ def test_fd01_g3_invariants(spark):
         assert r["n_lhs_groups"] <= r["n_lhs_rhs_pairs"] <= r["n_rows"]
         assert 0 <= r["g3_violations"] <= r["n_rows"] - r["n_lhs_groups"]
         assert r["holds"] == (r["g3_violations"] == 0)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_rk01_rank_agreement_invariants(spark):
+    """Tau algebra: C + D = k(k-1)/2 on tie-free rankings; tau in
+    [-1, 1]; the two legs are positively correlated on this corpus
+    (tf dominates BM25 for a fixed short query)."""
+    out = ROUND7_STAGED_QUERIES["rk01_rank_agreement"](spark, SF).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_pairs"] == r["k"] * (r["k"] - 1) // 2
+    assert r["n_concordant"] + r["n_discordant"] == r["n_pairs"]
+    assert -1.0 <= r["kendall_tau"] <= 1.0
+    assert r["kendall_tau"] > 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx17_continuation_invariants(spark):
+    """Top continuation count never exceeds its context total; the
+    conditional probability is consistent; contexts arrive in
+    traffic order."""
+    out = ROUND7_STAGED_QUERIES["tx17_bigram_continuations"](
+        spark, SF
+    ).collect()
+    assert len(out) == 20
+    counts = [r["ctx_count"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    for r in out:
+        assert 1 <= r["top_count"] <= r["ctx_count"]
+        assert r["n_continuations"] >= 1
+        assert abs(
+            r["top_prob"] - round(r["top_count"] / r["ctx_count"], 6)
+        ) < 1e-9
