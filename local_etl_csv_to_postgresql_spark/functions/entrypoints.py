@@ -11905,3 +11905,90 @@ ROUND7_STAGED_QUERIES["tx17_bigram_continuations"] = (
     tx17_bigram_continuations
 )
 ROUND7_STAGED_ORACLE["tx17_bigram_continuations"] = _TX17_ORACLE
+
+
+# --- round-7 staged surface, wave 32 (imb01) ---------------------------------
+
+
+def imb01_label_imbalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-imbalance audit per source — the mixture-QA read a
+    curation pipeline takes before sampling (dm01/wm01's diagnostic
+    sibling): per source, the language-label distribution's effective
+    sample size ESS = (Σc)²/Σc² (Kish 1965 — the equal-weight
+    equivalent count; ESS ≈ n_langs means balanced, ESS ≈ 1 means one
+    label owns the source), the dominant label with a PINNED tie rule
+    (min_by over the (-count, lang) struct, the tx17/win03
+    convention), and its share. Skewed sources feed wm01's reweighting
+    or get capped in the mixture.
+
+    Integer-exact core: ESS's numerator (Σc)² and denominator Σc² are
+    BIGINT from one (source, lang) aggregate + one source-keyed
+    reduce; the two output ratios are single rounded divides. Nothing
+    scales past the (source, lang) table — bounded by the label
+    vocabulary times sources."""
+    counts = (
+        load(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.expr("min_by(lang, struct(-__c, lang))").alias(
+                "dominant_lang"
+            ),
+            F.max("__c").cast("bigint").alias("__top"),
+            F.sum(F.expr("__c * __c")).cast("bigint").alias("__sq"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "dominant_lang",
+            F.round(
+                F.col("__top").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dominant_share"),
+            F.round(
+                F.expr("CAST(n_docs * n_docs AS DOUBLE)")
+                / F.col("__sq").cast("double"),
+                6,
+            ).alias("effective_labels"),
+        )
+        .orderBy("source")
+    )
+
+
+_IMB01_ORACLE = """
+WITH counts AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), ranked AS (
+  SELECT source, lang, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, lang) AS rk
+  FROM counts
+), agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(MAX(c) AS BIGINT) AS top,
+         CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM counts GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.n_langs,
+       r.lang AS dominant_lang,
+       ROUND(CAST(a.top AS DOUBLE) / CAST(a.n_docs AS DOUBLE), 6)
+         AS dominant_share,
+       ROUND(CAST(a.n_docs * a.n_docs AS DOUBLE)
+             / CAST(a.sq AS DOUBLE), 6) AS effective_labels
+FROM agg a JOIN ranked r ON r.source = a.source AND r.rk = 1
+ORDER BY a.source
+"""
+
+
+ROUND7_STAGED_QUERIES["imb01_label_imbalance"] = imb01_label_imbalance
+ROUND7_STAGED_ORACLE["imb01_label_imbalance"] = _IMB01_ORACLE

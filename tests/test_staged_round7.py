@@ -990,3 +990,18 @@ def test_tx17_continuation_invariants(spark):
         assert abs(
             r["top_prob"] - round(r["top_count"] / r["ctx_count"], 6)
         ) < 1e-9
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_imb01_imbalance_invariants(spark):
+    """ESS lies in [1, n_langs]; the dominant share is at least the
+    uniform share and consistent with ESS extremes."""
+    out = ROUND7_STAGED_QUERIES["imb01_label_imbalance"](
+        spark, SF
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 1.0 <= r["effective_labels"] <= r["n_langs"] + 1e-9
+        assert r["dominant_share"] >= 1.0 / r["n_langs"] - 1e-9
+        assert r["dominant_lang"] is not None
