@@ -66,72 +66,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness run certifies exactly the FIRST 50 entries of
-# this dict (confirmed five rounds straight). Certifications persist
+# this dict (confirmed six rounds straight). Certifications persist
 # across rounds, so the window is filled in this order: (1) any query
 # whose last driver row FAILED, (2) queries that have NEVER been
 # certified (a stale-but-green old row beats no row at all, so
 # never-certified outranks refresh), (3) the queries whose last green
-# row is oldest. Round-6 window: the TEN round-6 additions (never
-# certified) at the head, then ALL 40 queries whose latest green row
-# is r3-era (two rounds stale — the full rotation queue the r5
-# verdict prioritized) — exactly 50, the verdict's "≤10 new slots"
-# allowance spent in full (json01/std02, the two oldest r4 rows,
-# head the round-7 refresh queue instead).
-# hll01 stays rows-only by design (lc01 is its certified
-# deterministic sibling).
+# row is oldest. Round-7 window: the FIFTY round-7 promotions — the
+# staged queries graduated this round (functions/entrypoints.py
+# ROUND7_PROMOTED), all never driver-certified, in the r6 verdict's
+# priority order: hll02 first (retires hll01's rows-only asterisk),
+# then q49–q59, dd13–dd15, pa01–pa03, bm01/ii01, st11–st14, then the
+# rest. The refresh queue (json01/std02 and the other r4-era rows)
+# plus the 8 still-staged queries head the round-8 window.
+# hll01 stays rows-only by design (hll02/lc01 are its certified
+# deterministic siblings).
 _CERTIFICATION_PRIORITY: list[str] = [
-    # never hash-certified: the round-6 additions
-    "bf01_bloom_prefilter",
-    "tx12_bpe_iterated_merges",
-    "q45_small_quantity_revenue",
-    "q46_part_value_share",
-    "q47_disjunct_revenue",
-    "qf02_gopher_quality_rules",
-    "tx13_bigram_surprisal",
-    "dd12_url_canonical_dedup",
-    "q48_market_share",
-    "rrf01_hybrid_rank_fusion",
-    # last certified in r3 — the 40 oldest driver rows in the union
-    "q00_pricing_summary",
-    "q01_record_counts",
-    "q02_orphaned_records",
-    "q03_multi_line_orders",
-    "q04_amount_quality",
-    "q05_monthly_trends",
-    "q06_quarterly_comparison",
-    "q34_priority_metrics_unpivot",
-    "q38_price_percentiles",
-    "prof01_orders_profile",
-    "std01_standardized_parts",
-    "es01_cosine_topk",
-    "es02_consecutive_cosine",
-    "es03_bucketed_ann",
-    "es04_ivf_ann",
-    "es05_label_centroids",
-    "es07_quantization_qc",
-    "tx06_top_terms",
-    "tx07_tfidf_top_terms",
-    "tx08_chunk_stats",
-    "tx09_unigram_surprisal",
-    "ss01_hash_sample",
-    "qf01_quality_filter",
-    "sp01_stratified_sample",
-    "pk01_sequence_packing",
-    "px01_pii_scan",
-    "rep01_repetition_stats",
-    "dm01_domain_mixture",
-    "mm01_media_metadata",
-    "mm02_resize_metadata",
-    "mm03_frame_sample",
-    "mm04_feature_means",
-    "sa01_salted_event_totals",
-    "sa02_salted_skew_join",
-    "inc01_incremental_dedup",
-    "ct01_cross_source_contamination",
-    "ct02_decontaminate",
-    "dd06_neardup_clusters",
-    "dd07_cluster_representatives",
-    "dd08_repeated_spans",
+    "hll02_deterministic_hll",
+    "q49_nation_volume_shipping",
+    "q50_local_supplier_revenue",
+    "q51_returned_item_revenue",
+    "q52_shipping_priority",
+    "q53_order_priority_check",
+    "q54_product_profit",
+    "q55_priority_pivot_by_status",
+    "q56_promo_revenue_share",
+    "q57_supplier_part_counts",
+    "q58_large_volume_orders",
+    "q59_forecast_revenue",
+    "dd13_semantic_dedup",
+    "dd14_rolling_hash_signature",
+    "dd15_duplicated_gram_fraction",
+    "pa01_k_anonymity_audit",
+    "pa02_l_diversity_audit",
+    "pa03_t_closeness_audit",
+    "bm01_bm25_retrieval",
+    "ii01_inverted_index",
+    "st11_watermarked_dedup",
+    "st12_foreachbatch_upsert",
+    "st13_left_outer_attribution",
+    "st14_content_dedup",
+    # near-dup/graph family adjacent: shared edge/cluster intermediates
+    # build once and attribute cleanly (SCALE.md carrier-slot rule)
+    "gr02_candidate_pagerank",
+    "tc01_neardup_triangles",
+    "ct03_fuzzy_contamination",
+    "xl01_crosslingual_neardup",
+    "es13_pq_adc_search",
+    "es14_truncated_dim_recall",
+    "es15_jl_projection_qc",
+    "ir01_dsir_importance",
+    "sl01_split_leakage",
+    "ss04_temporal_split_audit",
+    "ss05_shard_balance_audit",
+    "win04_linear_interpolation",
+    "cm01_countmin_heavy_hitters",
+    "tx14_bigram_cross_entropy",
+    "tx15_heaps_vocab_growth",
+    "tx16_trigram_nb_langid",
+    "mm06_payload_dedup_audit",
+    "fz01_fuzzy_name_pairs",
+    "inc03_incremental_rollup_maintenance",
+    "ts02_cusum_level_shift",
+    "cur02_embedding_curation_funnel",
+    "fs01_fellegi_sunter_scores",
+    "dp01_contribution_bounding",
+    "fd01_functional_dependencies",
+    "rk01_rank_agreement",
+    "imb01_label_imbalance",
 ]
 
 

@@ -208,11 +208,35 @@ def run_chunk(names: list[str], do_etl: bool) -> int:
     # inflate 2-3x from transient contention; the min of N runs is the
     # standard noise-robust estimate.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    prefixes = {n.split("_", 1)[0] for n in queries}
     for _ in range(runs):
         # each pass pays one-time materialized intermediates (near-dup
         # cluster labels) exactly once; in-pass reuse is the measured
-        # architecture, cross-pass reuse would hide the build cost
+        # architecture, cross-pass reuse would hide the build cost.
         getattr(entrypoint, "reset_shared_intermediates", lambda: None)()
+        # Pre-build the shared bases as their OWN timed pseudo-entries
+        # ("lshbase"/"ccbase") so family members report steady-state
+        # walls instead of whichever runs first absorbing the build
+        # (r6: dd06 looked 2.3x slower purely from window order —
+        # "carrier-slot" accounting, SCALE.md). The family+base total
+        # is unchanged; attribution is now per-component.
+        try:
+            from local_etl_csv_to_postgresql_spark.functions import (
+                entrypoints as _ep,
+            )
+
+            if prefixes & _SHARED_BASE_PREFIXES:
+                t0 = time.time()
+                _ep._lsh_base(spark, sf_dir)
+                dt = round(time.time() - t0, 3)
+                timings["lshbase"] = min(timings.get("lshbase", dt), dt)
+            if prefixes & _CC_PREFIXES:
+                t0 = time.time()
+                _ep._neardup_components(spark, sf_dir)
+                dt = round(time.time() - t0, 3)
+                timings["ccbase"] = min(timings.get("ccbase", dt), dt)
+        except Exception as e:  # noqa: BLE001
+            failures["__shared_base__"] = str(e).split("\n")[0][:200]
         for name, fn in queries.items():
             t0 = time.time()
             try:
@@ -265,34 +289,52 @@ def _drop_stream_views(spark, name: str) -> None:
 # paying its own build in a split chunk).
 _SHARED_BASE_PREFIXES = {
     "dd02", "dd03", "dd06", "dd07", "dd08", "dd09", "dd10",
-    "dd11", "gr01", "gr02", "ct03", "cur01", "inc01",
+    "dd11", "gr01", "gr02", "ct03", "cur01", "inc01", "tc01",
 }
+
+# The subset that additionally consumes the materialized near-dup
+# cluster labels (_neardup_components — the CC fixpoint on top of the
+# LSH base).
+_CC_PREFIXES = {"dd06", "dd07", "cur01"}
 
 
 def plan_chunks(
     all_names: list[str], n_chunks: int
 ) -> list[tuple[list[str], bool]]:
     """Chunk layout for the parent process: chunk 0 = the ETL legs
-    ALONE in their own fresh JVM; chunk 1 = streaming + Arrow queries
+    ALONE in their own fresh JVM; chunk 1 = streaming queries ALONE
     (largest fixed costs, most aging-sensitive — always a young JVM
     with NOTHING before them: the r6 best-of-2 ETL change doubled the
     pipeline runs, and when they shared the streaming chunk the extra
-    codegen churn aged st03 4.8 → 8.3 s before its first micro-batch);
-    the rest splits evenly in library order with the shared-LSH-base
-    family pulled to the front of the first query chunk so its
-    one-time build is paid once per pass, not per chunk."""
-    fixed_cost = [n for n in all_names if _is_streaming(n) or _is_arrow(n)]
-    rest = [n for n in all_names if n not in fixed_cost]
+    codegen churn aged st03 4.8 → 8.3 s before its first micro-batch;
+    r6 then measured st09/st10 drifting +40/+28% co-located with the
+    Arrow queries, so those moved to their own chunk too — r6 verdict
+    task 3); chunk 2 = Arrow-path (mm*) queries; the rest splits
+    evenly in library order with the shared-LSH-base family pulled to
+    the front of the first query chunk so its one-time build is paid
+    once per pass, not per chunk. Chunk count auto-scales so no query
+    chunk exceeds ~45 queries (the ~100-job aging onset at best-of-2,
+    with headroom for the per-pass shared-base pre-builds)."""
+    streaming = [n for n in all_names if _is_streaming(n)]
+    arrow = [n for n in all_names if _is_arrow(n)]
+    rest = [
+        n for n in all_names if not (_is_streaming(n) or _is_arrow(n))
+    ]
     shared = [
         n for n in rest if n.split("_", 1)[0] in _SHARED_BASE_PREFIXES
     ]
     rest = shared + [n for n in rest if n not in set(shared)]
+    n_chunks = max(n_chunks, -(-len(rest) // 45)) if rest else n_chunks
     size = (len(rest) + n_chunks - 1) // n_chunks if rest else 1
     # never split the co-located family: a chunk count high enough to
     # make chunks smaller than the family would rebuild the LSH base
     # per chunk — the exact inflation this layout exists to prevent
     size = max(size, len(shared))
-    chunks: list[tuple[list[str], bool]] = [([], True), (fixed_cost, False)]
+    chunks: list[tuple[list[str], bool]] = [
+        ([], True),
+        (streaming, False),
+        (arrow, False),
+    ]
     for i in range(0, len(rest), size):
         chunks.append((rest[i : i + size], False))
     return chunks
@@ -385,17 +427,24 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
 
-    # The driver captures a bounded tail of stdout, so the contract line
-    # must stay well under ~2000 chars: per-query keys are the unique
-    # numeric prefix of each query name (q26_revenue_deciles → q26),
-    # compact separators, failures capped. The full long-form record
-    # (complete names, phases) goes to BENCH_LOCAL.json alongside.
+    # The driver captures the LAST 2000 chars of stdout; r6's contract
+    # line overran that and lost its HEAD (metric/value/st* timings,
+    # "parsed": null — r6 verdict task 4). So the line is now SIZED to
+    # the capture: per-query keys are the unique numeric prefix of each
+    # query name (q26_revenue_deciles → q26), compact separators,
+    # failures capped — and if the queries map still does not fit, the
+    # SMALLEST non-streaming timings are dropped from the line (never
+    # the streaming set or the total). The full long-form record
+    # (complete names, every timing, phases) always goes to
+    # BENCH_LOCAL.json alongside.
     short = {name.split("_", 1)[0]: t for name, t in timings.items()}
     out = {
         "metric": "query_library_total_wall_seconds",
         "value": total,
         "unit": "sec",
+        "n_queries": len(timings),
         "queries": short,
+        "detail": "BENCH_LOCAL.json",
         "etl": {k: etl[k] for k in ("rows", "sec", "loaded") if k in etl},
         "runs": runs,
         "sf": sf,
@@ -416,6 +465,15 @@ def main() -> int:
             (name if name.startswith("_") else name.split("_", 1)[0]): msg[:80]
             for name, msg in failures.items()
         }
+    _LINE_BUDGET = 1900  # headroom under the 2000-char tail capture
+    while (
+        len(json.dumps(out, separators=(",", ":"))) > _LINE_BUDGET
+        and out["queries"]
+    ):
+        droppable = [k for k in out["queries"] if not _is_streaming(k)]
+        if not droppable:
+            break
+        out["queries"].pop(min(droppable, key=out["queries"].get))
     full = dict(
         out,
         queries=timings,

@@ -11992,3 +11992,72 @@ ORDER BY a.source
 
 ROUND7_STAGED_QUERIES["imb01_label_imbalance"] = imb01_label_imbalance
 ROUND7_STAGED_ORACLE["imb01_label_imbalance"] = _IMB01_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-7 promotion (VERDICT r6 task 1): graduate 50 staged queries into the
+# live EXTENSION registries, in the verdict's priority order — hll02 first
+# (retires hll01's rows-only asterisk), then the TPC-H shape closeout
+# q49–q59, dd13/dd14/dd15, pa01–pa03, bm01/ii01, st11–st14, then the rest.
+# The remaining 8 (win05/win06/rs01/cr01/ts01/hq02/sync01/tx17) stay staged
+# for the round-8 window — all are locally certified at sf0.001+sf0.01 in
+# tests/test_staged_round7.py, so their graduation is again a dict move.
+ROUND7_PROMOTED: list[str] = [
+    "hll02_deterministic_hll",
+    "q49_nation_volume_shipping",
+    "q50_local_supplier_revenue",
+    "q51_returned_item_revenue",
+    "q52_shipping_priority",
+    "q53_order_priority_check",
+    "q54_product_profit",
+    "q55_priority_pivot_by_status",
+    "q56_promo_revenue_share",
+    "q57_supplier_part_counts",
+    "q58_large_volume_orders",
+    "q59_forecast_revenue",
+    "dd13_semantic_dedup",
+    "dd14_rolling_hash_signature",
+    "dd15_duplicated_gram_fraction",
+    "pa01_k_anonymity_audit",
+    "pa02_l_diversity_audit",
+    "pa03_t_closeness_audit",
+    "bm01_bm25_retrieval",
+    "ii01_inverted_index",
+    "st11_watermarked_dedup",
+    "st12_foreachbatch_upsert",
+    "st13_left_outer_attribution",
+    "st14_content_dedup",
+    # the rest, near-dup/graph family kept adjacent so the shared
+    # edge/cluster intermediates build once and attribute cleanly
+    "gr02_candidate_pagerank",
+    "tc01_neardup_triangles",
+    "ct03_fuzzy_contamination",
+    "xl01_crosslingual_neardup",
+    "es13_pq_adc_search",
+    "es14_truncated_dim_recall",
+    "es15_jl_projection_qc",
+    "ir01_dsir_importance",
+    "sl01_split_leakage",
+    "ss04_temporal_split_audit",
+    "ss05_shard_balance_audit",
+    "win04_linear_interpolation",
+    "cm01_countmin_heavy_hitters",
+    "tx14_bigram_cross_entropy",
+    "tx15_heaps_vocab_growth",
+    "tx16_trigram_nb_langid",
+    "mm06_payload_dedup_audit",
+    "fz01_fuzzy_name_pairs",
+    "inc03_incremental_rollup_maintenance",
+    "ts02_cusum_level_shift",
+    "cur02_embedding_curation_funnel",
+    "fs01_fellegi_sunter_scores",
+    "dp01_contribution_bounding",
+    "fd01_functional_dependencies",
+    "rk01_rank_agreement",
+    "imb01_label_imbalance",
+]
+
+for _name in ROUND7_PROMOTED:
+    EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
+    EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
+del _name

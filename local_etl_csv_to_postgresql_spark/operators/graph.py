@@ -23,10 +23,34 @@ transitive closure oracle-match it exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components"]
+
+
+def _lineage_truncator(
+    spark: SparkSession,
+) -> Callable[[DataFrame], DataFrame]:
+    """Pick the per-round lineage truncation strategy.
+
+    Default: ``localCheckpoint`` — no checkpoint dir needed, right for
+    local mode and static-allocation clusters. It pins the truncated
+    blocks to live executors, so under dynamic allocation a scale-in
+    loses them mid-loop; for that, set ``SPARK_GRAFT_CC_CKPT_DIR`` (env)
+    or ``spark.graft.cc.checkpointDir`` (Spark conf) to a durable path
+    (HDFS/S3) and the loop uses reliable ``checkpoint(dir)`` instead —
+    the same knob GraphX exposes via ``sc.setCheckpointDir``."""
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CC_CKPT_DIR") or spark.conf.get(
+        "spark.graft.cc.checkpointDir", None
+    )
+    if ckpt_dir:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+        return lambda df: df.checkpoint(eager=True)
+    return lambda df: df.localCheckpoint()
 
 
 def connected_components(
@@ -46,13 +70,15 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     und = e.union(e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d")))
-    # localCheckpoint truncates lineage: without it every round's job
+    # Lineage truncation per round: without it every round's job
     # re-analyzes the full upstream plan (LSH candidate generation is a
     # deep tree), and Catalyst time — not the shuffle — dominates the
-    # loop. On a real cluster with dynamic allocation swap this for
-    # reliable checkpoint(dir) (localCheckpoint pins blocks to live
-    # executors), same as GraphX/GraphFrames' periodic checkpointing.
-    und = und.distinct().localCheckpoint()
+    # loop. Strategy is a knob (_lineage_truncator): localCheckpoint by
+    # default, reliable checkpoint(dir) under SPARK_GRAFT_CC_CKPT_DIR /
+    # spark.graft.cc.checkpointDir for dynamic-allocation clusters —
+    # same as GraphX/GraphFrames' periodic checkpointing.
+    trunc = _lineage_truncator(vertices.sparkSession)
+    und = trunc(und.distinct())
 
     # only edge-touched vertices can ever change label — iterate on that
     # (usually tiny) frame and fold the untouched rest back in as
@@ -63,8 +89,8 @@ def connected_components(
         und.select(F.col("__s").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint()
     )
+    labels = trunc(labels)
     id_type = labels.schema["component"].dataType
 
     def _finish(active_labels: DataFrame) -> DataFrame:
@@ -94,8 +120,8 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.min("__old").alias("__old"),
             )
-            .localCheckpoint()
         )
+        agg = trunc(agg)
         changed = agg.filter(F.col("component") != F.col("__old")).count()
         labels = agg.select("id", "component")
         if changed == 0:

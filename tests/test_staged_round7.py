@@ -15,10 +15,17 @@ import os
 import pytest
 
 from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+    EXTENSION_QUERIES,
+    ROUND7_PROMOTED,
     ROUND7_STAGED_ORACLE,
     ROUND7_STAGED_QUERIES,
 )
 from scripts.check_oracle import compare
+
+# Invariant tests below index queries by name. Promoted queries move to
+# EXTENSION_QUERIES at round boundaries (ROUND7_PROMOTED); the ones
+# still staged stay in ROUND7_STAGED_QUERIES — look up in either.
+QUERIES = {**EXTENSION_QUERIES, **ROUND7_STAGED_QUERIES}
 
 SF = "/root/testdata/sf0.001"
 # the scale the round driver's own gate runs at — certification must
@@ -71,8 +78,38 @@ def test_staged_names_not_yet_registered():
 @pytest.mark.integration
 @pytest.mark.parametrize("name", list(ROUND7_STAGED_QUERIES))
 def test_staged_query_matches_oracle(spark, duck, sf_dir, name):
-    sdf = ROUND7_STAGED_QUERIES[name](spark, sf_dir).toPandas()
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
     odf = duck.execute(ROUND7_STAGED_ORACLE[name]).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.oracle
+@pytest.mark.integration
+@pytest.mark.parametrize("name", ROUND7_PROMOTED)
+def test_promoted_query_matches_oracle_at_driver_scale(spark, name):
+    """The round-7 promotions left the staged harness (which certified
+    them at BOTH sf0.001 and sf0.01); test_oracle_gate covers the live
+    registry at sf0.001 only. This keeps the sf0.01 (driver-gate scale)
+    certification pinned locally until the driver's own rows land."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        EXTENSION_ORACLE,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import TABLES
+
+    if not os.path.isdir(DRIVER_SF):
+        pytest.skip("driver testdata not present")
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{DRIVER_SF}/{t}.parquet'"
+            )
+        sdf = QUERIES[name](spark, DRIVER_SF).toPandas()
+        odf = con.execute(EXTENSION_ORACLE[name]).fetchdf()
+    finally:
+        con.close()
     problems = compare(name, sdf, odf)
     assert not problems, f"{name}: " + "; ".join(problems)
 
@@ -82,7 +119,7 @@ def test_staged_query_matches_oracle(spark, duck, sf_dir, name):
 def test_es13_adc_invariants(spark):
     """ADC search output invariants: k rows, codes within [0, K·init
     id range), non-negative ascending distances, query excluded."""
-    out = ROUND7_STAGED_QUERIES["es13_pq_adc_search"](spark, SF).collect()
+    out = QUERIES["es13_pq_adc_search"](spark, SF).collect()
     assert len(out) == 10
     dists = [r["adc_dist"] for r in out]
     assert all(d >= 0 for d in dists)
@@ -95,7 +132,7 @@ def test_es13_adc_invariants(spark):
 def test_dd13_semdedup_invariants(spark):
     """Cluster membership is a partition of the corpus; removed docs
     are a subset of dup-pair participants."""
-    out = ROUND7_STAGED_QUERIES["dd13_semantic_dedup"](spark, SF).collect()
+    out = QUERIES["dd13_semantic_dedup"](spark, SF).collect()
     assert len(out) == 8
     assert sum(r["n_members"] for r in out) == 500
     for r in out:
@@ -107,7 +144,7 @@ def test_dd13_semdedup_invariants(spark):
 @pytest.mark.integration
 def test_ir01_dsir_invariants(spark):
     """DSIR scores rank RAW (non-target) docs only, descending."""
-    out = ROUND7_STAGED_QUERIES["ir01_dsir_importance"](spark, SF).collect()
+    out = QUERIES["ir01_dsir_importance"](spark, SF).collect()
     assert len(out) == 20
     assert all(r["lang"] != "en" for r in out)
     ws = [r["dsir_weight"] for r in out]
@@ -120,7 +157,7 @@ def test_ir01_dsir_invariants(spark):
 def test_sl01_leakage_invariants(spark):
     """Split pairs are ordered, bounded by the 3 splits; doc counts
     are at least 1 per side wherever a shared chunk exists."""
-    out = ROUND7_STAGED_QUERIES["sl01_split_leakage"](spark, SF).collect()
+    out = QUERIES["sl01_split_leakage"](spark, SF).collect()
     assert 0 < len(out) <= 3
     for r in out:
         assert r["split_a"] < r["split_b"]
@@ -133,7 +170,7 @@ def test_sl01_leakage_invariants(spark):
 def test_xl01_crosslingual_invariants(spark):
     """Lang pairs are unordered-canonical and never same-language;
     mean cosine sits at or above the operating threshold."""
-    out = ROUND7_STAGED_QUERIES["xl01_crosslingual_neardup"](
+    out = QUERIES["xl01_crosslingual_neardup"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -155,7 +192,7 @@ def test_st11_watermarked_dedup_invariants(spark):
     all would pass the oracle compare."""
     from pyspark.sql import functions as F
 
-    out = ROUND7_STAGED_QUERIES["st11_watermarked_dedup"](spark, SF).collect()
+    out = QUERIES["st11_watermarked_dedup"](spark, SF).collect()
     from local_etl_csv_to_postgresql_spark.streaming import stateful as st
 
     assert st.LAST_WMDEDUP_DROPPED > 0
@@ -183,7 +220,7 @@ def test_q51_returned_revenue_invariants(spark):
     """Top-20 frame: strictly rank-ordered revenue, distinct customers,
     every row positive (a returned-item group with zero revenue cannot
     enter the top 20 while any positive group exists)."""
-    out = ROUND7_STAGED_QUERIES["q51_returned_item_revenue"](
+    out = QUERIES["q51_returned_item_revenue"](
         spark, SF
     ).collect()
     assert len(out) == 20
@@ -201,7 +238,7 @@ def test_ss04_temporal_split_invariants(spark):
     both sides are non-empty for every type (the cutoff sits
     mid-corpus by construction — the st11 lesson: a boundary split
     would certify only one path)."""
-    out = ROUND7_STAGED_QUERIES["ss04_temporal_split_audit"](
+    out = QUERIES["ss04_temporal_split_audit"](
         spark, SF
     ).collect()
     total = spark.read.parquet(f"{SF}/events.parquet").count()
@@ -226,7 +263,7 @@ def test_gr02_pagerank_invariants(spark):
         PR_UNITS,
     )
 
-    out = ROUND7_STAGED_QUERIES["gr02_candidate_pagerank"](
+    out = QUERIES["gr02_candidate_pagerank"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -271,7 +308,7 @@ def test_ct03_fuzzy_contamination_invariants(spark):
         CT03_THRESHOLD,
     )
 
-    out = ROUND7_STAGED_QUERIES["ct03_fuzzy_contamination"](
+    out = QUERIES["ct03_fuzzy_contamination"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -291,7 +328,7 @@ def test_win04_interpolation_invariants(spark):
     the grid is present exactly once."""
     import collections
 
-    rows = ROUND7_STAGED_QUERIES["win04_linear_interpolation"](
+    rows = QUERIES["win04_linear_interpolation"](
         spark, SF
     ).collect()
     seen = collections.Counter((r["user_id"], r["day"]) for r in rows)
@@ -323,7 +360,7 @@ def test_hll02_sketch_invariants(spark):
         HLL_REST_BITS,
     )
 
-    out = ROUND7_STAGED_QUERIES["hll02_deterministic_hll"](
+    out = QUERIES["hll02_deterministic_hll"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -340,28 +377,28 @@ def test_hll02_sketch_invariants(spark):
 def test_q5x_tpch_closeout_invariants(spark):
     """The wave-11/12 TPC-H shapes: sanity bounds the oracles don't
     state (non-empty, limits honored, pivot counts partition)."""
-    q52 = ROUND7_STAGED_QUERIES["q52_shipping_priority"](spark, SF).collect()
+    q52 = QUERIES["q52_shipping_priority"](spark, SF).collect()
     assert 0 < len(q52) <= 10
     revs = [r["revenue"] for r in q52]
     assert revs == sorted(revs, reverse=True)
-    q53 = ROUND7_STAGED_QUERIES["q53_order_priority_check"](
+    q53 = QUERIES["q53_order_priority_check"](
         spark, SF
     ).collect()
     assert {r["o_orderpriority"] for r in q53} <= {
         "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
     }
     assert all(r["order_count"] > 0 for r in q53)
-    q55 = ROUND7_STAGED_QUERIES["q55_priority_pivot_by_status"](
+    q55 = QUERIES["q55_priority_pivot_by_status"](
         spark, SF
     ).collect()
     assert {r["l_linestatus"] for r in q55} == {"F", "O"}
-    q56 = ROUND7_STAGED_QUERIES["q56_promo_revenue_share"](
+    q56 = QUERIES["q56_promo_revenue_share"](
         spark, SF
     ).collect()
     assert len(q56) == 1
     assert 0.0 <= q56[0]["promo_revenue_pct"] <= 100.0
     assert q56[0]["promo_revenue"] <= q56[0]["total_revenue"]
-    q58 = ROUND7_STAGED_QUERIES["q58_large_volume_orders"](
+    q58 = QUERIES["q58_large_volume_orders"](
         spark, SF
     ).collect()
     assert 0 < len(q58) <= 20
@@ -373,7 +410,7 @@ def test_q5x_tpch_closeout_invariants(spark):
 def test_cm01_sketch_inequality(spark):
     """The Count-Min defining property: estimates never underestimate,
     and with 4x512 cells over this vocab most top tokens are exact."""
-    out = ROUND7_STAGED_QUERIES["cm01_countmin_heavy_hitters"](
+    out = QUERIES["cm01_countmin_heavy_hitters"](
         spark, SF
     ).collect()
     assert len(out) == 10
@@ -390,7 +427,7 @@ def test_es14_truncation_recall_bounds(spark):
     """Truncated-retrieval recalls are valid fractions, and the wider
     prefix can't do worse ON AVERAGE (per-query it may tie or flip;
     the corpus-mean monotonicity is the property truncation sells)."""
-    out = ROUND7_STAGED_QUERIES["es14_truncated_dim_recall"](
+    out = QUERIES["es14_truncated_dim_recall"](
         spark, SF
     ).collect()
     assert len(out) == 10
@@ -407,7 +444,7 @@ def test_es14_truncation_recall_bounds(spark):
 def test_tx14_cross_entropy_invariants(spark):
     """Cross-entropy is positive and bounded by log2 of the model
     denominator space; every scored doc has >= 1 bigram."""
-    out = ROUND7_STAGED_QUERIES["tx14_bigram_cross_entropy"](
+    out = QUERIES["tx14_bigram_cross_entropy"](
         spark, SF
     ).collect()
     assert len(out) == 20
@@ -423,7 +460,7 @@ def test_tx14_cross_entropy_invariants(spark):
 def test_win05_streak_invariants(spark):
     """Islands partition the active days: longest <= total, streak
     count <= active days, and all users present."""
-    out = ROUND7_STAGED_QUERIES["win05_activity_streaks"](
+    out = QUERIES["win05_activity_streaks"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -440,7 +477,7 @@ def test_ss05_shard_partition_invariants(spark):
         SS05_SHARDS,
     )
 
-    out = ROUND7_STAGED_QUERIES["ss05_shard_balance_audit"](
+    out = QUERIES["ss05_shard_balance_audit"](
         spark, SF
     ).collect()
     assert len(out) <= SS05_SHARDS
@@ -457,7 +494,7 @@ def test_es15_jl_distortion_bounds(spark):
     """JL distortion concentrates near 1: every consecutive pair's
     ratio lands in a generous (0.4, 1.8) band at k=16, and the mean
     sits inside (0.75, 1.25) — the lemma's whole promise."""
-    out = ROUND7_STAGED_QUERIES["es15_jl_projection_qc"](
+    out = QUERIES["es15_jl_projection_qc"](
         spark, SF
     ).collect()
     assert len(out) == 20
@@ -475,7 +512,7 @@ def test_es15_jl_distortion_bounds(spark):
 def test_mm06_dedup_accounting(spark):
     """Re-delivered payloads are all caught: dup count equals the
     re-crawled subset size, and distinct+dups == delivered."""
-    out = ROUND7_STAGED_QUERIES["mm06_payload_dedup_audit"](
+    out = QUERIES["mm06_payload_dedup_audit"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -492,7 +529,7 @@ def test_st13_null_emission_happened(spark):
     """The left-outer semantics must actually exercise BOTH paths:
     matched pairs and watermark-evicted null rows, with the
     per-user accounting partitioning exactly."""
-    out = ROUND7_STAGED_QUERIES["st13_left_outer_attribution"](
+    out = QUERIES["st13_left_outer_attribution"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -508,7 +545,7 @@ def test_st13_null_emission_happened(spark):
 def test_fz01_fuzzy_pairs_invariants(spark):
     """Blocking respected (pairs share a head noun), ordering total,
     distances in the configured band, pairs canonical (a < b)."""
-    out = ROUND7_STAGED_QUERIES["fz01_fuzzy_name_pairs"](spark, SF).collect()
+    out = QUERIES["fz01_fuzzy_name_pairs"](spark, SF).collect()
     assert 0 < len(out) <= 25
     dists = [r["lev_dist"] for r in out]
     assert dists == sorted(dists)
@@ -523,7 +560,7 @@ def test_fz01_fuzzy_pairs_invariants(spark):
 @pytest.mark.integration
 def test_pa01_k_anonymity_invariants(spark):
     """Class sizes partition the table exactly; band edges honest."""
-    out = ROUND7_STAGED_QUERIES["pa01_k_anonymity_audit"](spark, SF).collect()
+    out = QUERIES["pa01_k_anonymity_audit"](spark, SF).collect()
     n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
     assert sum(r["n_rows"] for r in out) == n_cust
     for r in out:
@@ -537,7 +574,7 @@ def test_pa01_k_anonymity_invariants(spark):
 def test_ii01_inverted_index_invariants(spark):
     """Head is df-ordered; posting prefixes are ascending, bounded by
     10, and never exceed the term's df."""
-    out = ROUND7_STAGED_QUERIES["ii01_inverted_index"](spark, SF).collect()
+    out = QUERIES["ii01_inverted_index"](spark, SF).collect()
     assert len(out) == 20
     dfs = [r["df"] for r in out]
     assert dfs == sorted(dfs, reverse=True)
@@ -553,7 +590,7 @@ def test_ii01_inverted_index_invariants(spark):
 def test_rs01_mad_invariants(spark):
     """MAD is non-negative; by construction at most half the group can
     sit beyond 3 MAD (for MAD > 0); median within the value range."""
-    out = ROUND7_STAGED_QUERIES["rs01_mad_outliers"](spark, SF).collect()
+    out = QUERIES["rs01_mad_outliers"](spark, SF).collect()
     assert len(out) > 0
     for r in out:
         assert r["mad"] >= 0
@@ -564,7 +601,7 @@ def test_rs01_mad_invariants(spark):
 @pytest.mark.integration
 def test_cr01_correlation_invariants(spark):
     """Pearson r is bounded; every event type reports."""
-    out = ROUND7_STAGED_QUERIES["cr01_value_time_correlation"](
+    out = QUERIES["cr01_value_time_correlation"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -578,7 +615,7 @@ def test_cr01_correlation_invariants(spark):
 def test_win06_ohlc_invariants(spark):
     """low <= {open, close} <= high per bucket; bucket counts positive;
     buckets unique per (type, day)."""
-    out = ROUND7_STAGED_QUERIES["win06_daily_ohlc"](spark, SF).collect()
+    out = QUERIES["win06_daily_ohlc"](spark, SF).collect()
     assert len(out) > 0
     seen = set()
     for r in out:
@@ -595,7 +632,7 @@ def test_win06_ohlc_invariants(spark):
 def test_q59_forecast_revenue_invariants(spark):
     """One row; revenue positive and consistent with the row count
     (each qualifying line contributes price*discount <= price*0.07)."""
-    out = ROUND7_STAGED_QUERIES["q59_forecast_revenue"](spark, SF).collect()
+    out = QUERIES["q59_forecast_revenue"](spark, SF).collect()
     assert len(out) == 1
     assert out[0]["n_lineitems"] > 0
     assert out[0]["revenue"] > 0
@@ -608,7 +645,7 @@ def test_tx15_heaps_invariants(spark):
     vocabulary, and decile 0 carries the largest novelty mass."""
     from pyspark.sql import functions as F
 
-    out = ROUND7_STAGED_QUERIES["tx15_heaps_vocab_growth"](spark, SF).collect()
+    out = QUERIES["tx15_heaps_vocab_growth"](spark, SF).collect()
     assert 1 <= len(out) <= 10
     run = 0
     for r in out:
@@ -634,7 +671,7 @@ def test_tx15_heaps_invariants(spark):
 def test_pa02_l_diversity_invariants(spark):
     """l is bounded by the sensitive-attribute cardinality and by every
     class's size; rows partition the customer table."""
-    out = ROUND7_STAGED_QUERIES["pa02_l_diversity_audit"](spark, SF).collect()
+    out = QUERIES["pa02_l_diversity_audit"](spark, SF).collect()
     cust = spark.read.parquet(f"{SF}/customer.parquet")
     n_seg = cust.select("c_mktsegment").distinct().count()
     assert sum(r["n_rows"] for r in out) == cust.count()
@@ -655,7 +692,7 @@ def test_st14_content_dedup_invariants(spark):
     from pyspark.sql import functions as F
     from local_etl_csv_to_postgresql_spark.functions.dedup import hash60
 
-    out = ROUND7_STAGED_QUERIES["st14_content_dedup"](spark, SF).collect()
+    out = QUERIES["st14_content_dedup"](spark, SF).collect()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     n_docs = docs.count()
     n_emitted = sum(r["n_contents"] for r in out)
@@ -687,7 +724,7 @@ def test_st14_content_dedup_invariants(spark):
 def test_hq02_merge_exact_everywhere(spark):
     """Mergeability holds for EVERY group (the property the operator
     certifies), and merged quantiles are ordered p50<=p95<=p99."""
-    out = ROUND7_STAGED_QUERIES["hq02_mergeable_histogram"](
+    out = QUERIES["hq02_mergeable_histogram"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -704,7 +741,7 @@ def test_inc03_merge_exact_and_split_nondegenerate(spark):
     full recompute."""
     from pyspark.sql import functions as F
 
-    out = ROUND7_STAGED_QUERIES["inc03_incremental_rollup_maintenance"](
+    out = QUERIES["inc03_incremental_rollup_maintenance"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -725,7 +762,7 @@ def test_tx16_nb_langid_invariants(spark):
     """The confusion matrix partitions the corpus exactly; the trained
     classifier beats chance overall (diagonal mass > 1/|L|); labels
     stay within the language roster."""
-    out = ROUND7_STAGED_QUERIES["tx16_trigram_nb_langid"](spark, SF).collect()
+    out = QUERIES["tx16_trigram_nb_langid"](spark, SF).collect()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     n_docs = docs.count()
     langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
@@ -742,7 +779,7 @@ def test_ts01_forecast_error_invariants(spark):
     """Every event type reports; both error legs scored a meaningful
     share of the series; MAEs are non-negative and the ratio is
     consistent with its legs."""
-    out = ROUND7_STAGED_QUERIES["ts01_seasonal_naive_error"](
+    out = QUERIES["ts01_seasonal_naive_error"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -761,7 +798,7 @@ def test_cur02_funnel_invariants(spark):
     removes exactly 3 per label (the es08 top-3 screen); totals
     partition the corpus; at least one near-dup was dropped overall
     (the corpus HAS >=0.35 pairs)."""
-    out = ROUND7_STAGED_QUERIES["cur02_embedding_curation_funnel"](
+    out = QUERIES["cur02_embedding_curation_funnel"](
         spark, SF
     ).collect()
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -781,7 +818,7 @@ def test_dd14_rolling_hash_invariants(spark):
     fingerprinted."""
     from pyspark.sql import functions as F
 
-    out = ROUND7_STAGED_QUERIES["dd14_rolling_hash_signature"](
+    out = QUERIES["dd14_rolling_hash_signature"](
         spark, SF
     ).collect()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
@@ -802,7 +839,7 @@ def test_dd14_rolling_hash_invariants(spark):
 def test_bm01_bm25_invariants(spark):
     """Top-15 scores are positive, descending, and every row matched
     between 1 and 4 query terms; doc_id breaks ties ascending."""
-    out = ROUND7_STAGED_QUERIES["bm01_bm25_retrieval"](spark, SF).collect()
+    out = QUERIES["bm01_bm25_retrieval"](spark, SF).collect()
     assert len(out) == 15
     scores = [r["bm25_score"] for r in out]
     assert scores == sorted(scores, reverse=True)
@@ -817,7 +854,7 @@ def test_dd15_dup_gram_invariants(spark):
     """Duplicated grams are a subset of all grams; the corpus has
     cross-doc duplication (the near-dup docs guarantee it); fraction
     is consistent with the counts."""
-    out = ROUND7_STAGED_QUERIES["dd15_duplicated_gram_fraction"](
+    out = QUERIES["dd15_duplicated_gram_fraction"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -834,7 +871,7 @@ def test_dd15_dup_gram_invariants(spark):
 def test_tc01_triangle_invariants(spark):
     """Euler-consistent census: every triangle needs 3 wedges; node
     and edge counts bound each other; transitivity in (0, 1]."""
-    out = ROUND7_STAGED_QUERIES["tc01_neardup_triangles"](
+    out = QUERIES["tc01_neardup_triangles"](
         spark, SF
     ).collect()
     assert len(out) == 1
@@ -850,7 +887,7 @@ def test_tc01_triangle_invariants(spark):
 def test_pa03_t_closeness_invariants(spark):
     """Total variation distance lies in [0, 1]; output is the sorted
     top-20; class sizes are positive."""
-    out = ROUND7_STAGED_QUERIES["pa03_t_closeness_audit"](
+    out = QUERIES["pa03_t_closeness_audit"](
         spark, SF
     ).collect()
     assert 0 < len(out) <= 20
@@ -866,7 +903,7 @@ def test_pa03_t_closeness_invariants(spark):
 def test_ts02_cusum_invariants(spark):
     """CUSUM is non-negative by construction; alarms imply the max
     exceeded the threshold; target/slack are consistent integers."""
-    out = ROUND7_STAGED_QUERIES["ts02_cusum_level_shift"](
+    out = QUERIES["ts02_cusum_level_shift"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -886,7 +923,7 @@ def test_sync01_checksum_diff_invariants(spark):
     """Fault injection is detected: every bucket holding a deleted or
     corrupted key mismatches, every untouched bucket matches, and the
     row-count delta equals the number of deleted keys."""
-    out = ROUND7_STAGED_QUERIES["sync01_bucket_checksum_diff"](
+    out = QUERIES["sync01_bucket_checksum_diff"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -906,7 +943,7 @@ def test_fs01_fellegi_sunter_invariants(spark):
     """Scores are descending; full-agreement pairs outrank any pair
     with a disagreement (weights are monotone); agreement flags are
     booleans on every row."""
-    out = ROUND7_STAGED_QUERIES["fs01_fellegi_sunter_scores"](
+    out = QUERIES["fs01_fellegi_sunter_scores"](
         spark, SF
     ).collect()
     assert len(out) == 25
@@ -928,7 +965,7 @@ def test_fs01_fellegi_sunter_invariants(spark):
 def test_dp01_contribution_invariants(spark):
     """Mean <= max; clipping keeps a positive fraction <= 1; clipped
     users exist iff some contribution exceeds the bound."""
-    out = ROUND7_STAGED_QUERIES["dp01_contribution_bounding"](
+    out = QUERIES["dp01_contribution_bounding"](
         spark, SF
     ).collect()
     assert len(out) > 0
@@ -946,7 +983,7 @@ def test_dp01_contribution_invariants(spark):
 def test_fd01_g3_invariants(spark):
     """Key-based FDs hold with g3 = 0; g3 is bounded by rows minus
     groups; pair counts sit between group count and row count."""
-    out = {r["fd"]: r for r in ROUND7_STAGED_QUERIES[
+    out = {r["fd"]: r for r in QUERIES[
         "fd01_functional_dependencies"](spark, SF).collect()}
     assert len(out) == 5
     key_fd = out["orders.o_orderkey -> o_orderstatus"]
@@ -963,7 +1000,7 @@ def test_rk01_rank_agreement_invariants(spark):
     """Tau algebra: C + D = k(k-1)/2 on tie-free rankings; tau in
     [-1, 1]; the two legs are positively correlated on this corpus
     (tf dominates BM25 for a fixed short query)."""
-    out = ROUND7_STAGED_QUERIES["rk01_rank_agreement"](spark, SF).collect()
+    out = QUERIES["rk01_rank_agreement"](spark, SF).collect()
     assert len(out) == 1
     r = out[0]
     assert r["n_pairs"] == r["k"] * (r["k"] - 1) // 2
@@ -978,7 +1015,7 @@ def test_tx17_continuation_invariants(spark):
     """Top continuation count never exceeds its context total; the
     conditional probability is consistent; contexts arrive in
     traffic order."""
-    out = ROUND7_STAGED_QUERIES["tx17_bigram_continuations"](
+    out = QUERIES["tx17_bigram_continuations"](
         spark, SF
     ).collect()
     assert len(out) == 20
@@ -997,7 +1034,7 @@ def test_tx17_continuation_invariants(spark):
 def test_imb01_imbalance_invariants(spark):
     """ESS lies in [1, n_langs]; the dominant share is at least the
     uniform share and consistent with ESS extremes."""
-    out = ROUND7_STAGED_QUERIES["imb01_label_imbalance"](
+    out = QUERIES["imb01_label_imbalance"](
         spark, SF
     ).collect()
     assert len(out) > 0
