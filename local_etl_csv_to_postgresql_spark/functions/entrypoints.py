@@ -12080,3 +12080,280 @@ for _name in ROUND7_PROMOTED:
     EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
     EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Round-8 staging, wave 33: mw01 Mann-Whitney U drift, tx18 Flesch
+# readability, tx19 lexical richness.
+
+
+def mw01_mann_whitney_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) drift test between every
+    source pair on the document-length distribution — the
+    nonparametric two-sample location test (Mann & Whitney 1947) that
+    complements ks01's KS statistic: U/(n_a*n_b) is the probability a
+    random doc from one source is longer than one from the other
+    (the AUC identity), robust to outliers and exact under ties.
+
+    Integer-exact by construction: instead of per-doc ranks (whose
+    tie-averaging introduces .5 fractions), U is computed from the
+    per-source VALUE HISTOGRAM via the identity
+    ``2U(a,b) = sum_v c_a(v) * (2 * cum_b(<v) + c_b(v))`` — the
+    doubled statistic stays BIGINT until one rounded divide at output.
+
+    Scale: the histogram is bounded by the value domain (distinct doc
+    lengths), NOT the corpus; the grid x source fill is a bounded
+    crossJoin (BNLJ-allowlisted); the pair stage is a value-keyed
+    equi-join over that bounded table. No corpus-sized shuffle beyond
+    the one groupBy building the histogram."""
+    docs = load(spark, sf, "documents")
+    hist = (
+        docs.groupBy("source", F.col("n_chars").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    grid = docs.select(F.col("n_chars").alias("__v")).distinct()
+    srcs = docs.select("source").distinct()
+    filled = (
+        grid.crossJoin(F.broadcast(srcs))
+        .join(hist, ["source", "__v"], "left")
+        .select(
+            "source", "__v", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = filled.select(
+        "source",
+        "__v",
+        "__c",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__cum"),
+    )
+    a = cum.select(
+        F.col("source").alias("source_a"),
+        "__v",
+        F.col("__c").alias("__ca"),
+    )
+    b = cum.select(
+        F.col("source").alias("source_b"),
+        "__v",
+        F.col("__c").alias("__cb"),
+        F.col("__cum").alias("__cumb"),
+    )
+    return (
+        a.join(b, "__v")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("__ca").alias("n_a"),
+            F.sum("__cb").alias("n_b"),
+            F.sum(
+                F.col("__ca") * (F.lit(2) * F.col("__cumb") + F.col("__cb"))
+            ).alias("u2"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("u2").cast("bigint").alias("u2"),
+            F.round(
+                F.col("u2").cast("double")
+                / (F.lit(2.0) * (F.col("n_a") * F.col("n_b")).cast("double")),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_MW01_ORACLE = """
+WITH hist AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), grid AS (
+  SELECT DISTINCT n_chars AS v FROM documents
+), srcs AS (
+  SELECT DISTINCT source FROM documents
+), filled AS (
+  SELECT s.source, g.v, COALESCE(h.c, 0) AS c
+  FROM grid g CROSS JOIN srcs s
+  LEFT JOIN hist h ON h.source = s.source AND h.v = g.v
+), cum AS (
+  SELECT source, v, c,
+         COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cm
+  FROM filled
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(a.c) AS BIGINT) AS n_a,
+       CAST(SUM(b.c) AS BIGINT) AS n_b,
+       CAST(SUM(a.c * (2 * b.cm + b.c)) AS BIGINT) AS u2,
+       ROUND(CAST(SUM(a.c * (2 * b.cm + b.c)) AS DOUBLE)
+             / (2.0 * CAST(SUM(a.c) * SUM(b.c) AS DOUBLE)), 6) AS auc
+FROM cum a JOIN cum b ON a.v = b.v AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+def tx18_flesch_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease scoring (Flesch 1948) per language — the
+    classic readability heuristic every text-quality pipeline carries
+    next to the Gopher/C4 rules: ``206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words)``, with syllables approximated as vowel
+    groups ([aeiouy]+ runs) — the standard dictionary-free proxy.
+
+    Determinism: all three per-doc counts are INTEGERS from shared
+    regexp extractions (the _WORDS twin discipline); the score is one
+    fixed-order double expression over them, rounded to 6 dp per doc,
+    cast to DECIMAL(18,6), and decimal-summed per language — the
+    tx09/ir01 rule, so shuffle order cannot move a bit.
+
+    Scale: one corpus pass, row-local feature extraction, one bounded
+    per-lang aggregate. Nothing joins, nothing reshuffles."""
+    docs = _docs_words(spark, sf)
+    feats = docs.select(
+        "lang",
+        F.size("__words").alias("__w"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+        ).alias("__s"),
+        F.expr(
+            "aggregate(transform(__words, "
+            "w -> size(regexp_extract_all(w, '[aeiouy]+', 0))), "
+            "0L, (a, x) -> a + x)"
+        ).alias("__syl"),
+    ).filter(F.col("__w") >= 1)
+    scored = feats.select(
+        "lang",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("__w").cast("double") / F.col("__s").cast("double"))
+            - F.lit(84.6)
+            * (F.col("__syl").cast("double") / F.col("__w").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("__fl"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("__fl").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_flesch"),
+            F.round(
+                F.count_if(F.col("__fl") >= 60).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("share_easy"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TX18_ORACLE = f"""
+WITH feats AS (
+  SELECT lang,
+         len({_WORDS}) AS w,
+         GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         list_sum(list_transform({_WORDS},
+           w -> len(regexp_extract_all(w, '[aeiouy]+')))) AS syl
+  FROM documents
+), scored AS (
+  SELECT lang,
+         CAST(ROUND(206.835
+           - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+           - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 6)
+           AS DECIMAL(18,6)) AS fl
+  FROM feats WHERE w >= 1
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(fl) AS DOUBLE) / COUNT(*), 6) AS avg_flesch,
+       ROUND(CAST(COUNT(*) FILTER (WHERE fl >= 60) AS DOUBLE)
+             / COUNT(*), 6) AS share_easy
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+def tx19_lexical_richness(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical-richness profile per language: type-token ratio and
+    hapax-legomenon share — the vocabulary-health diagnostics next to
+    tx15's Heap's-law growth curve (a corpus whose TTR or hapax share
+    collapses is template/boilerplate-heavy; one whose hapax share
+    explodes is OCR-noise-heavy).
+
+    One (lang, word)-keyed aggregate (map-side combinable) feeding a
+    bounded per-lang rollup; integers until two rounded divides."""
+    docs = _docs_words(spark, sf)
+    wc = (
+        docs.select("lang", F.explode("__words").alias("__w"))
+        .groupBy("lang", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        wc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            F.count_if(F.col("__c") == 1).cast("bigint").alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_types",
+            "n_tokens",
+            "n_hapax",
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+            F.round(
+                F.col("n_hapax").cast("double")
+                / F.col("n_types").cast("double"),
+                6,
+            ).alias("hapax_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TX19_ORACLE = f"""
+WITH w AS (
+  SELECT lang, unnest({_WORDS}) AS word FROM documents
+), wc AS (
+  SELECT lang, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+       ROUND(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+FROM wc GROUP BY lang ORDER BY lang
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "mw01_mann_whitney_drift": mw01_mann_whitney_drift,
+        "tx18_flesch_readability": tx18_flesch_readability,
+        "tx19_lexical_richness": tx19_lexical_richness,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "mw01_mann_whitney_drift": _MW01_ORACLE,
+        "tx18_flesch_readability": _TX18_ORACLE,
+        "tx19_lexical_richness": _TX19_ORACLE,
+    }
+)

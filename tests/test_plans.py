@@ -89,6 +89,8 @@ BNLJ_ALLOWED = {
     "pa03_t_closeness_audit",  # ≤5-row segment roster + 1-row corpus total
     "fs01_fellegi_sunter_scores",  # 1-row u-stat / weight scalar frames
     "rk01_rank_agreement",  # 20-row ranking-head pair comparison
+    # staged round-8 surface
+    "mw01_mann_whitney_drift",  # value grid × ≤5-row source roster fill
 }
 
 

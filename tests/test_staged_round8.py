@@ -1,0 +1,103 @@
+"""Round-8 staged surface invariants: operators implemented during
+round 7 and registered into ``ROUND7_STAGED_QUERIES`` AFTER the
+round-7 promotion block, awaiting the round-8 certification window.
+
+Oracle certification at sf0.001 AND sf0.01 rides the shared
+parametrized harness in tests/test_staged_round7.py (which sweeps the
+staged dict); this file pins the semantic invariants the hash compare
+alone can't express."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+    ROUND7_STAGED_QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_mw01_mann_whitney_invariants(spark):
+    """AUC is in [0,1]; u2 never exceeds 2*n_a*n_b (U <= n_a*n_b);
+    every unordered source pair appears exactly once; the doubled
+    statistic is exactly consistent with the reported AUC."""
+    out = ROUND7_STAGED_QUERIES["mw01_mann_whitney_drift"](
+        spark, SF
+    ).collect()
+    assert len(out) >= 1
+    seen = set()
+    for r in out:
+        assert r["source_a"] < r["source_b"]
+        assert (r["source_a"], r["source_b"]) not in seen
+        seen.add((r["source_a"], r["source_b"]))
+        assert 0 <= r["u2"] <= 2 * r["n_a"] * r["n_b"]
+        assert 0.0 <= r["auc"] <= 1.0
+        assert abs(r["auc"] - r["u2"] / (2.0 * r["n_a"] * r["n_b"])) < 1e-6
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_mw01_symmetry_against_flipped_ranks(spark):
+    """U(a,b) + U(b,a) = n_a*n_b: recompute the flipped statistic by
+    swapping the histogram roles and check the doubled identity —
+    catches a cum-vs-count transposition the oracle (built the same
+    way) would reproduce rather than reject."""
+    from pyspark.sql import functions as F
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = ROUND7_STAGED_QUERIES["mw01_mann_whitney_drift"](
+        spark, SF
+    ).collect()
+    docs = load(spark, SF, "documents").select("source", "n_chars")
+    pdf = docs.toPandas()
+    r = rows[0]
+    a = sorted(pdf[pdf.source == r["source_a"]].n_chars.tolist())
+    b = sorted(pdf[pdf.source == r["source_b"]].n_chars.tolist())
+    # exact O(n^2) reference on the tiny sf0.001 slice
+    u2_ref = sum(
+        2 if x > y else (1 if x == y else 0) for x in a for y in b
+    )
+    assert u2_ref == r["u2"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx18_flesch_invariants(spark):
+    """Per-lang doc counts partition the corpus; share_easy in [0,1];
+    scores are finite (no div-by-zero leak through the guards)."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    out = ROUND7_STAGED_QUERIES["tx18_flesch_readability"](
+        spark, SF
+    ).collect()
+    n_total = load(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in out) <= n_total
+    assert sum(r["n_docs"] for r in out) > 0
+    for r in out:
+        assert 0.0 <= r["share_easy"] <= 1.0
+        assert r["avg_flesch"] == r["avg_flesch"]  # not NaN
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx19_lexical_richness_invariants(spark):
+    """hapax <= types <= tokens per language; ratios consistent."""
+    out = ROUND7_STAGED_QUERIES["tx19_lexical_richness"](
+        spark, SF
+    ).collect()
+    assert len(out) >= 2
+    for r in out:
+        # the synthetic corpus is template-generated (31 types/lang,
+        # no hapaxes) — the bounds are what the operator guarantees
+        assert 0 <= r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert 0.0 < r["ttr"] <= 1.0
+        assert 0.0 <= r["hapax_share"] <= 1.0
