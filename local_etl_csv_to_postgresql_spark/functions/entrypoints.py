@@ -12357,3 +12357,297 @@ ROUND7_STAGED_ORACLE.update(
         "tx19_lexical_richness": _TX19_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 staging, wave 34: qf03 C4 heuristic filters, ret01 weekly
+# cohort retention, zo01 z-order locality audit.
+
+
+def qf03_c4_heuristic_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, the T5 corpus
+    recipe) as a per-source audit — the third quality battery next to
+    qf01 (generic) and qf02 (Gopher): terminal punctuation, >= 3
+    sentences, >= 50 words, no curly brace (code/JSON leak), no
+    'lorem ipsum' (placeholder leak), mean word length in [3, 10].
+
+    The mean-word-length band is evaluated INTEGER-EXACTLY as
+    ``3*W <= total_chars <= 10*W`` — no division, so no float
+    boundary case can disagree between engines. One conditional-agg
+    corpus pass for all six rules plus the conjunction."""
+    docs = _docs_words(spark, sf)
+    feats = docs.select(
+        "source",
+        F.expr("rtrim(text) rlike '[.!?]$'").alias("__r1"),
+        (
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+            >= F.lit(3)
+        ).alias("__r2"),
+        (F.size("__words") >= F.lit(50)).alias("__r3"),
+        (~F.col("text").contains("{")).alias("__r4"),
+        (~F.lower(F.col("text")).contains("lorem ipsum")).alias("__r5"),
+        F.expr(
+            "3 * size(__words) <= aggregate(transform(__words, "
+            "w -> length(w)), 0L, (a, x) -> a + x) AND "
+            "aggregate(transform(__words, w -> length(w)), 0L, "
+            "(a, x) -> a + x) <= 10 * size(__words)"
+        ).alias("__r6"),
+    )
+    conj = (
+        F.col("__r1")
+        & F.col("__r2")
+        & F.col("__r3")
+        & F.col("__r4")
+        & F.col("__r5")
+        & F.col("__r6")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.count_if(F.col(f"__r{i}")).cast("bigint").alias(name)
+            for i, name in enumerate(
+                [
+                    "pass_terminal_punct",
+                    "pass_min_sentences",
+                    "pass_min_words",
+                    "pass_no_brace",
+                    "pass_no_lorem",
+                    "pass_word_length",
+                ],
+                start=1,
+            )
+        ],
+        F.count_if(conj).cast("bigint").alias("n_pass_all"),
+    ]
+    return (
+        feats.groupBy("source")
+        .agg(*aggs)
+        .withColumn(
+            "retention",
+            F.round(
+                F.col("n_pass_all").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_QF03_ORACLE = f"""
+WITH feats AS (
+  SELECT source,
+         regexp_matches(rtrim(text), '[.!?]$') AS r1,
+         len(regexp_extract_all(text, '[.!?]+')) >= 3 AS r2,
+         len({_WORDS}) >= 50 AS r3,
+         NOT contains(text, '{{') AS r4,
+         NOT contains(lower(text), 'lorem ipsum') AS r5,
+         3 * len({_WORDS}) <= list_sum(list_transform({_WORDS},
+             w -> len(w)))
+           AND list_sum(list_transform({_WORDS}, w -> len(w)))
+             <= 10 * len({_WORDS}) AS r6
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE r1) AS BIGINT) AS pass_terminal_punct,
+       CAST(COUNT(*) FILTER (WHERE r2) AS BIGINT) AS pass_min_sentences,
+       CAST(COUNT(*) FILTER (WHERE r3) AS BIGINT) AS pass_min_words,
+       CAST(COUNT(*) FILTER (WHERE r4) AS BIGINT) AS pass_no_brace,
+       CAST(COUNT(*) FILTER (WHERE r5) AS BIGINT) AS pass_no_lorem,
+       CAST(COUNT(*) FILTER (WHERE r6) AS BIGINT) AS pass_word_length,
+       CAST(COUNT(*) FILTER (WHERE r1 AND r2 AND r3 AND r4 AND r5 AND r6)
+         AS BIGINT) AS n_pass_all,
+       ROUND(CAST(COUNT(*) FILTER (WHERE r1 AND r2 AND r3 AND r4 AND r5
+         AND r6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS retention
+FROM feats GROUP BY source ORDER BY source
+"""
+
+
+def ret01_weekly_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the standard product-analytics
+    triangle (cohort = the ISO week of a user's first event; retention
+    at offset k = share of the cohort active k weeks later). q33 does
+    day-over-day retention; this is the cohortized form every
+    warehouse reports.
+
+    Plan: one user-keyed aggregate for first-seen week, one distinct
+    (user, week) activity projection, one equi-join back, one bounded
+    (cohort x offset) rollup — integers until one rounded divide.
+    date_trunc('week') is Monday-start in BOTH engines, and the
+    day-difference of two week-starts is divisible by 7 exactly."""
+    ev = load(spark, sf, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("__w")
+    ).distinct()
+    first = wk.groupBy("user_id").agg(F.min("__w").alias("__w0"))
+    joined = wk.join(first, "user_id").select(
+        "user_id",
+        "__w0",
+        (F.datediff(F.col("__w"), F.col("__w0")) / F.lit(7))
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    size = first.groupBy("__w0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        joined.groupBy("__w0", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(size, "__w0")
+        .select(
+            F.col("__w0").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.lit(100.0)
+                * F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+                4,
+            ).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_RET01_ORACLE = """
+WITH wk AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+), first AS (
+  SELECT user_id, MIN(w) AS w0 FROM wk GROUP BY user_id
+), joined AS (
+  SELECT wk.user_id, f.w0,
+         CAST(date_diff('day', f.w0, wk.w) / 7 AS BIGINT) AS week_offset
+  FROM wk JOIN first f ON wk.user_id = f.user_id
+), size_t AS (
+  SELECT w0, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM first GROUP BY w0
+)
+SELECT j.w0 AS cohort_week, j.week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       s.cohort_size,
+       ROUND(100.0 * CAST(COUNT(*) AS DOUBLE)
+             / CAST(s.cohort_size AS DOUBLE), 4) AS retention_pct
+FROM joined j JOIN size_t s ON j.w0 = s.w0
+GROUP BY j.w0, j.week_offset, s.cohort_size
+ORDER BY cohort_week, week_offset
+"""
+
+
+def _z_interleave_sql(x: str, y: str, nbits: int = 8, idiv: str = "div") -> str:
+    """Bit-interleaved Morton code as pure div/mod integer arithmetic —
+    identical VALUES in Spark SQL and DuckDB; only the integer-division
+    spelling differs (Spark ``div``, DuckDB ``//``), so it's a
+    parameter. Operands are non-negative, where the two engines'
+    division semantics agree exactly."""
+    terms = []
+    for i in range(nbits):
+        p = 1 << i
+        q = 1 << (2 * i)
+        terms.append(
+            f"{q} * ((({x}) {idiv} {p}) % 2 + 2 * ((({y}) {idiv} {p}) % 2))"
+        )
+    return " + ".join(terms)
+
+
+def zo01_zorder_locality(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton-curve) data-layout audit — the multi-dimensional
+    clustering diagnostic behind Delta/Iceberg Z-ORDER BY: interleave
+    the bits of (user_id mod 16, time-of-day in 90-min cells) into one
+    Morton key, bucket rows into 16 'files' by its high bits (two top
+    bits per dimension), and compare each file's
+    per-dimension min/max span against the naive time-partitioned
+    layout. Narrow spans = effective min/max file skipping for point
+    filters on EITHER dimension; the time layout's user span is the
+    full domain (every user appears in every window), which is
+    exactly why single-dimension layouts can't prune the other column.
+
+    All-integer: the Morton code is div/mod arithmetic, buckets are
+    integer division, spans are max-min; two rounded divides at
+    output. One corpus pass per layout, bounded 16-row rollups."""
+    ev = load(spark, sf, "events")
+    base = ev.select(
+        (F.col("user_id") % 16).alias("__x"),
+        (
+            (F.hour("ts").cast("long") * 60 + F.minute("ts").cast("long"))
+            / F.lit(90)
+        ).cast("long").alias("__y"),
+        F.dayofmonth("ts").alias("__day"),
+    )
+    z = F.expr(_z_interleave_sql("__x", "__y", nbits=4))
+    zed = base.select(
+        "__x", "__y", (z / F.lit(16)).cast("long").alias("__bucket")
+    ).withColumn("layout", F.lit("zorder"))
+    ted = base.select(
+        "__x",
+        "__y",
+        ((F.col("__day") - 1) / F.lit(2)).cast("long").alias("__bucket"),
+    ).withColumn("layout", F.lit("time"))
+    both = zed.unionByName(ted)
+    spans = both.groupBy("layout", "__bucket").agg(
+        (F.max("__x") - F.min("__x")).alias("__ux"),
+        (F.max("__y") - F.min("__y")).alias("__uy"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        spans.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.round(
+                F.sum("__ux").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_user_span"),
+            F.round(
+                F.sum("__uy").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_cell_span"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _zo01_oracle_sql() -> str:
+    zexpr = _z_interleave_sql("x", "y", nbits=4, idiv="//")
+    return f"""
+WITH base AS (
+  SELECT user_id % 16 AS x,
+         CAST((EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts))
+              // 90 AS BIGINT) AS y,
+         EXTRACT(day FROM ts) AS day
+  FROM events
+), both_t AS (
+  SELECT 'zorder' AS layout, x, y,
+         CAST(({zexpr}) // 16 AS BIGINT) AS bucket
+  FROM base
+  UNION ALL
+  SELECT 'time' AS layout, x, y,
+         CAST((day - 1) // 2 AS BIGINT) AS bucket
+  FROM base
+), spans AS (
+  SELECT layout, bucket,
+         MAX(x) - MIN(x) AS ux, MAX(y) - MIN(y) AS uy,
+         COUNT(*) AS n
+  FROM both_t GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(ux) AS DOUBLE) / COUNT(*), 4) AS avg_user_span,
+       ROUND(CAST(SUM(uy) AS DOUBLE) / COUNT(*), 4) AS avg_cell_span
+FROM spans GROUP BY layout ORDER BY layout
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "qf03_c4_heuristic_filters": qf03_c4_heuristic_filters,
+        "ret01_weekly_cohort_retention": ret01_weekly_cohort_retention,
+        "zo01_zorder_locality": zo01_zorder_locality,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "qf03_c4_heuristic_filters": _QF03_ORACLE,
+        "ret01_weekly_cohort_retention": _RET01_ORACLE,
+        "zo01_zorder_locality": _zo01_oracle_sql(),
+    }
+)

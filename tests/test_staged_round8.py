@@ -101,3 +101,63 @@ def test_tx19_lexical_richness_invariants(spark):
         assert 0 <= r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
         assert 0.0 < r["ttr"] <= 1.0
         assert 0.0 <= r["hapax_share"] <= 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_qf03_c4_invariants(spark):
+    """Conjunction never exceeds any single rule; retention consistent;
+    every rule column bounded by n_docs."""
+    out = ROUND7_STAGED_QUERIES["qf03_c4_heuristic_filters"](
+        spark, SF
+    ).collect()
+    assert len(out) >= 2
+    rules = [
+        "pass_terminal_punct", "pass_min_sentences", "pass_min_words",
+        "pass_no_brace", "pass_no_lorem", "pass_word_length",
+    ]
+    for r in out:
+        for c in rules:
+            assert 0 <= r[c] <= r["n_docs"]
+            assert r["n_pass_all"] <= r[c]
+        assert abs(r["retention"] - r["n_pass_all"] / r["n_docs"]) < 1e-6
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ret01_retention_invariants(spark):
+    """Offset 0 is 100% by construction (the first-seen week is an
+    active week); later offsets never exceed the cohort size; offsets
+    are non-negative."""
+    out = ROUND7_STAGED_QUERIES["ret01_weekly_cohort_retention"](
+        spark, SF
+    ).collect()
+    assert len(out) >= 2
+    zero = [r for r in out if r["week_offset"] == 0]
+    assert zero and all(r["n_active"] == r["cohort_size"] for r in zero)
+    for r in out:
+        assert r["week_offset"] >= 0
+        assert 1 <= r["n_active"] <= r["cohort_size"]
+        assert 0.0 < r["retention_pct"] <= 100.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_zo01_zorder_beats_time_layout_on_user_span(spark):
+    """THE claim of the operator: the Morton layout's average per-file
+    user span must be strictly narrower than the time layout's (whose
+    files contain essentially every user), while both partition the
+    same row count."""
+    out = {
+        r["layout"]: r
+        for r in ROUND7_STAGED_QUERIES["zo01_zorder_locality"](
+            spark, SF
+        ).collect()
+    }
+    assert set(out) == {"zorder", "time"}
+    assert out["zorder"]["n_rows"] == out["time"]["n_rows"]
+    assert (
+        out["zorder"]["avg_user_span"] < out["time"]["avg_user_span"]
+    ), out
+    for r in out.values():
+        assert 2 <= r["n_buckets"] <= 16
