@@ -12651,3 +12651,184 @@ ROUND7_STAGED_ORACLE.update(
         "zo01_zorder_locality": _zo01_oracle_sql(),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 staging, wave 35: ln01 near-dup source-conflict audit, ts03
+# revenue autocorrelation table.
+
+
+def ln01_neardup_source_conflict(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-conflict audit over the verified near-dup graph: how
+    many near-duplicate pairs CROSS source boundaries (the same text
+    syndicated/mirrored into two feeds) versus stay within one. A
+    high cross-source share means per-source dedup alone under-
+    deduplicates the union corpus and a global pass is mandatory —
+    the go/no-go number for sharding dedup BY source at scale.
+
+    Rides the shared `_neardup_good_edges` kernel (exact Jaccard
+    >= 0.5 on the LSH band candidates — one tokenize/sign per
+    process, the dd06/gr02/tc01 contract), so the only new work is
+    two doc-keyed label joins and a bounded source-pair rollup."""
+    good = _neardup_good_edges(spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    labeled = (
+        good.join(
+            docs.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_lo"),
+            F.greatest("__sa", "__sb").alias("source_hi"),
+        )
+    )
+    return (
+        labeled.groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "source_lo",
+            "source_hi",
+            "n_pairs",
+            (F.col("source_lo") != F.col("source_hi")).alias("is_cross"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+def _ln01_oracle_sql() -> str:
+    return f"""
+WITH {_neardup_good_cte()}, labeled AS (
+  SELECT LEAST(da.source, db.source) AS source_lo,
+         GREATEST(da.source, db.source) AS source_hi
+  FROM good g
+  JOIN documents da ON da.doc_id = g.id_a
+  JOIN documents db ON db.doc_id = g.id_b
+)
+SELECT source_lo, source_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       source_lo <> source_hi AS is_cross
+FROM labeled GROUP BY 1, 2 ORDER BY source_lo, source_hi
+"""
+
+
+def ts03_revenue_autocorrelation(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation table (lags 1–7) of the daily order-revenue
+    series — the seasonality detector that tells a pipeline WHICH
+    seasonal-naive baseline ts01 should use and whether ts02's CUSUM
+    needs de-seasonalizing first (a weekly cycle shows up as a lag-7
+    peak).
+
+    Determinism: the daily series is an exact DECIMAL(18,2) sum; all
+    five Pearson moments accumulate as DECIMAL/BIGINT (products as
+    DECIMAL(38,4) — exact), and the correlation is ONE fixed-order
+    double expression over those exact sums, rounded at output. The
+    lag join is an equi-join on (day_index + lag) after exploding the
+    bounded 7-lag roster; the series itself is bounded by the
+    calendar, not the corpus."""
+    orders = load(spark, sf, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("__d"))
+        .agg(F.sum(dec("o_totalprice")).alias("__rev"))
+        .select(
+            F.datediff(F.col("__d"), F.lit("1992-01-01")).cast("long").alias(
+                "__i"
+            ),
+            "__rev",
+        )
+    )
+    lags = daily.select(
+        "__i", "__rev", F.explode(F.expr("sequence(1, 7)")).alias("lag")
+    )
+    x = lags.select(
+        (F.col("__i") + F.col("lag")).alias("__j"),
+        "lag",
+        F.col("__rev").alias("__x"),
+    )
+    y = daily.select(F.col("__i").alias("__j"), F.col("__rev").alias("__y"))
+    m = x.join(y, "__j")
+    moments = m.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(
+            (F.col("__x") * F.col("__y")).cast("decimal(38,4)")
+        ).alias("__sxy"),
+        F.sum(
+            (F.col("__x") * F.col("__x")).cast("decimal(38,4)")
+        ).alias("__sxx"),
+        F.sum(
+            (F.col("__y") * F.col("__y")).cast("decimal(38,4)")
+        ).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    return (
+        moments.select(
+            "lag",
+            F.col("__n").cast("bigint").alias("n_pairs"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+_TS03_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+              AS BIGINT) AS i,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+), lags AS (
+  SELECT i, rev, lag FROM daily
+  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag)
+), m AS (
+  SELECT l.lag, l.rev AS x, d.rev AS y
+  FROM lags l JOIN daily d ON d.i = l.i + l.lag
+), mom AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,4))) AS syy
+  FROM m GROUP BY lag
+)
+SELECT lag, n AS n_pairs,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS acf
+FROM mom ORDER BY lag
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "ln01_neardup_source_conflict": ln01_neardup_source_conflict,
+        "ts03_revenue_autocorrelation": ts03_revenue_autocorrelation,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "ln01_neardup_source_conflict": _ln01_oracle_sql(),
+        "ts03_revenue_autocorrelation": _TS03_ORACLE,
+    }
+)

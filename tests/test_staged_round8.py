@@ -161,3 +161,40 @@ def test_zo01_zorder_beats_time_layout_on_user_span(spark):
     ), out
     for r in out.values():
         assert 2 <= r["n_buckets"] <= 16
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ln01_source_conflict_invariants(spark):
+    """Pair total equals the verified edge count; lo <= hi; is_cross
+    consistent with the key pair."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        _neardup_good_edges,
+    )
+
+    out = ROUND7_STAGED_QUERIES["ln01_neardup_source_conflict"](
+        spark, SF
+    ).collect()
+    n_edges = _neardup_good_edges(spark, SF).count()
+    assert sum(r["n_pairs"] for r in out) == n_edges
+    for r in out:
+        assert r["source_lo"] <= r["source_hi"]
+        assert r["is_cross"] == (r["source_lo"] != r["source_hi"])
+        assert r["n_pairs"] >= 1
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ts03_acf_invariants(spark):
+    """Exactly 7 lags; |acf| <= 1; pair counts strictly decrease as
+    the lag eats the series tail... (non-strictly: the calendar may
+    have gaps, so merely non-increasing plus a sane floor)."""
+    out = ROUND7_STAGED_QUERIES["ts03_revenue_autocorrelation"](
+        spark, SF
+    ).collect()
+    assert [r["lag"] for r in out] == list(range(1, 8))
+    ns = [r["n_pairs"] for r in out]
+    assert all(ns[i] >= ns[i + 1] - 7 for i in range(6))  # near-monotone
+    assert all(n > 100 for n in ns)
+    for r in out:
+        assert r["acf"] is None or -1.0 <= r["acf"] <= 1.0
