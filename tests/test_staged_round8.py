@@ -186,15 +186,13 @@ def test_ln01_source_conflict_invariants(spark):
 @needs_testdata
 @pytest.mark.integration
 def test_ts03_acf_invariants(spark):
-    """Exactly 7 lags; |acf| <= 1; pair counts strictly decrease as
-    the lag eats the series tail... (non-strictly: the calendar may
-    have gaps, so merely non-increasing plus a sane floor)."""
+    """Exactly 7 lags; |acf| <= 1; every lag keeps a substantial pair
+    count (the daily grid has calendar gaps, so counts wobble rather
+    than decrease monotonically — only the floor is guaranteed)."""
     out = ROUND7_STAGED_QUERIES["ts03_revenue_autocorrelation"](
         spark, SF
     ).collect()
     assert [r["lag"] for r in out] == list(range(1, 8))
-    ns = [r["n_pairs"] for r in out]
-    assert all(ns[i] >= ns[i + 1] - 7 for i in range(6))  # near-monotone
-    assert all(n > 100 for n in ns)
+    assert all(r["n_pairs"] > 100 for r in out)
     for r in out:
         assert r["acf"] is None or -1.0 <= r["acf"] <= 1.0
