@@ -12832,3 +12832,246 @@ ROUND7_STAGED_ORACLE.update(
         "ts03_revenue_autocorrelation": _TS03_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 staging, wave 36: dd16 winnowing fingerprints, mm07 magic-byte
+# container sniffing.
+
+
+def dd16_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm, §4): hash every 16-char window of the normalized
+    text with the polynomial h = sum c_j * 131^(15-j) mod (2^31-1),
+    then keep the MINIMUM hash of every 8 consecutive window hashes —
+    the guarantee winnowing buys over "sample every j-th hash" is that
+    any shared substring of length >= 16 + 8 - 1 = 23 chars produces
+    at least one IDENTICAL selected fingerprint in both documents, so
+    the fingerprint join below is a COMPLETE detector for >= 23-char
+    overlap (dd14's global-min is the w -> infinity special case).
+
+    Per source: docs fingerprinted, mean selected fingerprints per doc,
+    docs sharing >= 1 fingerprint with ANOTHER doc, and the shared-
+    fingerprint incidences — the MOSS candidate pool dd08/dd09 verify.
+
+    This is the engine's one deliberate Pandas-UDF hot path among the
+    dedup kernels: per-window hashing is O(L) DIGESTS per document,
+    and both the md5 route and the per-char aggregate fold measured
+    ~0.4-2k windows/sec through Spark's interpreted lambda
+    interpreter — 100x too slow. The mapInPandas kernel vectorizes
+    the whole document with numpy stride tricks (windows x powers
+    mod-dot, sliding min, unique) at microseconds per document, stays
+    integer-exact (products < 2^38, sums < 2^42 — no overflow), and
+    keeps the distributed shape identical: Arrow batches per
+    partition, ZERO shuffle before the fingerprint-keyed dedup and
+    the bounded source rollup. The DuckDB twin folds the identical
+    polynomial in SQL, which certifies the numpy arithmetic."""
+    import pandas as _pd
+
+    K, W, P = 16, 8, 2147483647
+    pows = [pow(131, K - 1 - j, P) for j in range(K)]
+    docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+
+    def op(batches):
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        pw = np.array(pows, dtype=np.int64)
+        for pdf in batches:
+            out_doc: list = []
+            out_src: list = []
+            out_fp: list = []
+            norm = (
+                pdf["text"]
+                .astype("string")
+                .str.lower()
+                .str.replace("[^a-z0-9]+", "", regex=True)
+            )
+            for doc_id, src, s in zip(pdf["doc_id"], pdf["source"], norm):
+                if s is None or len(s) < K + W - 1:
+                    continue
+                codes = np.frombuffer(
+                    s.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                wins = sliding_window_view(codes, K)
+                h = ((wins * pw) % P).sum(axis=1) % P
+                fps = np.unique(sliding_window_view(h, W).min(axis=1))
+                out_doc.extend([doc_id] * len(fps))
+                out_src.extend([src] * len(fps))
+                out_fp.extend(int(v) for v in fps)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(out_doc, dtype="int64"),
+                    "source": _pd.Series(out_src, dtype="string"),
+                    "__fp": _pd.Series(out_fp, dtype="int64"),
+                }
+            )
+
+    fpd = docs.mapInPandas(
+        op, schema="doc_id long, source string, __fp long"
+    ).localCheckpoint()
+    shared = (
+        fpd.groupBy("__fp")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+    )
+    per_doc = (
+        fpd.join(shared, "__fp", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("__nfp"),
+            F.count_if(F.col("__nd").isNotNull()).alias("__nshared"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("__nfp").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_fingerprints"),
+            F.count_if(F.col("__nshared") >= 1)
+            .cast("bigint")
+            .alias("n_docs_with_shared"),
+            F.sum("__nshared").cast("bigint").alias("shared_incidences"),
+        )
+        .orderBy("source")
+    )
+
+
+_DD16_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+  FROM documents
+), hashed AS (
+  SELECT doc_id, source,
+         CASE WHEN length(s) >= 23 THEN
+           list_transform(range(1, length(s) - 14),
+             i -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(0, 16),
+                        x -> CAST(ascii(substr(s,
+                               CAST(i + x AS INT), 1)) AS BIGINT))),
+                    (acc, x) -> (acc * 131 + x) % 2147483647))
+         ELSE NULL END AS hs
+  FROM d
+), fps0 AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(hs) - 6),
+           j -> list_min(array_slice(hs, j, j + 7)))) AS fps
+  FROM hashed WHERE hs IS NOT NULL
+), fpd AS (
+  SELECT doc_id, source, unnest(fps) AS fp
+  FROM fps0
+), shared AS (
+  SELECT fp FROM fpd GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+), per_doc AS (
+  SELECT f.doc_id, f.source,
+         COUNT(*) AS nfp,
+         COUNT(*) FILTER (WHERE s.fp IS NOT NULL) AS nshared
+  FROM fpd f LEFT JOIN shared s ON s.fp = f.fp
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(nfp) AS DOUBLE) / COUNT(*), 4) AS avg_fingerprints,
+       CAST(COUNT(*) FILTER (WHERE nshared >= 1) AS BIGINT)
+         AS n_docs_with_shared,
+       CAST(SUM(nshared) AS BIGINT) AS shared_incidences
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def mm07_magic_byte_sniffing(spark: SparkSession, sf: str) -> DataFrame:
+    """Container-format sniffing on the binary payload column — the
+    first branch of every multimodal ingest DAG: route each payload by
+    its MAGIC BYTES (FFD8FF JPEG, 89504E47 PNG, 52494646 RIFF) to the
+    right decoder, never by the self-reported mime/extension. Payloads
+    are synthesized deterministically (media_id-keyed magic prefixes
+    over the utf-8 document bytes — the mm01/mm06 adapter convention,
+    since no codec libraries ship in this container); the sniff logic,
+    schema, and rollup are the production shape unchanged.
+
+    Row-local byte ops only (concat, hex-prefix compare — both engines
+    print identical uppercase hex), one bounded (source x format)
+    rollup. At 100 TB: sniffing costs one 4-byte read per payload and
+    the demux is a partition-local filter — zero shuffle before the
+    per-format accounting."""
+    media = documents_as_media(load(spark, sf, "documents"))
+    payload = media.select(
+        "media_id",
+        "source",
+        F.concat(
+            F.expr(
+                "CASE CAST(media_id % 4 AS INT) "
+                "WHEN 0 THEN X'FFD8FFE0' "
+                "WHEN 1 THEN X'89504E47' "
+                "WHEN 2 THEN X'52494646' "
+                "ELSE X'' END"
+            ),
+            F.col("content"),
+        ).alias("__p"),
+    )
+    sniffed = payload.select(
+        "source",
+        F.length("__p").cast("bigint").alias("__bytes"),
+        F.when(
+            F.expr("left(hex(__p), 8)") == "FFD8FFE0", F.lit("image/jpeg")
+        )
+        .when(F.expr("left(hex(__p), 8)") == "89504E47", F.lit("image/png"))
+        .when(F.expr("left(hex(__p), 8)") == "52494646", F.lit("audio/riff"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("sniffed_mime"),
+    )
+    return (
+        sniffed.groupBy("source", "sniffed_mime")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+            F.sum("__bytes").cast("bigint").alias("total_bytes"),
+            F.round(
+                F.sum("__bytes").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_bytes"),
+        )
+        .orderBy("source", "sniffed_mime")
+    )
+
+
+_MM07_ORACLE = """
+WITH payload AS (
+  SELECT doc_id AS media_id, source,
+         (CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN unhex('FFD8FFE0')
+            WHEN 1 THEN unhex('89504E47')
+            WHEN 2 THEN unhex('52494646')
+            ELSE unhex('') END) || encode(text) AS p
+  FROM documents
+), sniffed AS (
+  SELECT source, CAST(octet_length(p) AS BIGINT) AS bytes,
+         CASE left(hex(p), 8)
+           WHEN 'FFD8FFE0' THEN 'image/jpeg'
+           WHEN '89504E47' THEN 'image/png'
+           WHEN '52494646' THEN 'audio/riff'
+           ELSE 'application/octet-stream' END AS sniffed_mime
+  FROM payload
+)
+SELECT source, sniffed_mime,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       ROUND(CAST(SUM(bytes) AS DOUBLE) / COUNT(*), 4) AS avg_bytes
+FROM sniffed GROUP BY 1, 2 ORDER BY source, sniffed_mime
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "dd16_winnowing_fingerprints": dd16_winnowing_fingerprints,
+        "mm07_magic_byte_sniffing": mm07_magic_byte_sniffing,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "dd16_winnowing_fingerprints": _DD16_ORACLE,
+        "mm07_magic_byte_sniffing": _MM07_ORACLE,
+    }
+)

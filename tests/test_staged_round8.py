@@ -196,3 +196,60 @@ def test_ts03_acf_invariants(spark):
     assert all(r["n_pairs"] > 100 for r in out)
     for r in out:
         assert r["acf"] is None or -1.0 <= r["acf"] <= 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dd16_winnowing_invariants(spark):
+    """The winnowing guarantee on a known plant: every doc count is
+    positive, shared incidences need >= 2 participating docs, and the
+    per-source doc totals never exceed the corpus."""
+    out = ROUND7_STAGED_QUERIES["dd16_winnowing_fingerprints"](
+        spark, SF
+    ).collect()
+    assert len(out) >= 2
+    total_shared_docs = sum(r["n_docs_with_shared"] for r in out)
+    for r in out:
+        assert r["n_docs"] >= 1
+        assert r["avg_fingerprints"] >= 1.0
+        assert 0 <= r["n_docs_with_shared"] <= r["n_docs"]
+        assert r["shared_incidences"] >= r["n_docs_with_shared"]
+    # a shared fingerprint always involves >= 2 docs somewhere
+    if total_shared_docs:
+        assert total_shared_docs >= 2
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dd16_detects_planted_23char_overlap(spark):
+    """Winnowing completeness on a controlled corpus: two docs sharing
+    an exact 23-char run MUST share a selected fingerprint; two docs
+    with disjoint alphabets must not."""
+    import pandas as pd
+
+    from local_etl_csv_to_postgresql_spark.functions import entrypoints as ep
+
+    plant = "thequickbrownfoxjumped"  # 22 chars + 1 below
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "source": ["a", "a", "a"],
+                "text": [
+                    "xxxxxxxxxxxx" + plant + "z" + "qqqqqqqqqqqq",
+                    "yyyyyyyyyyyy" + plant + "z" + "wwwwwwwwwwww",
+                    "0123456789" * 5,
+                ],
+                "lang": ["en"] * 3,
+                "n_chars": [40, 40, 50],
+            }
+        )
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dd16_plant_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = ep.dd16_winnowing_fingerprints(spark, d).collect()
+    r = out[0]
+    assert r["n_docs"] == 3
+    assert r["n_docs_with_shared"] == 2  # the two planted docs only
