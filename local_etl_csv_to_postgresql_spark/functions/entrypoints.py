@@ -13075,3 +13075,13 @@ ROUND7_STAGED_ORACLE.update(
         "mm07_magic_byte_sniffing": _MM07_ORACLE,
     }
 )
+
+
+def _register_staged_streaming_wave37() -> None:
+    from ..streaming.queries import ST15_STAGED_ORACLE, st15_scd_asof_enrich
+
+    ROUND7_STAGED_QUERIES["st15_scd_asof_enrich"] = st15_scd_asof_enrich
+    ROUND7_STAGED_ORACLE["st15_scd_asof_enrich"] = ST15_STAGED_ORACLE
+
+
+_register_staged_streaming_wave37()

@@ -628,3 +628,67 @@ SELECT lang,
        CAST(SUM(fp % 1000000007) AS BIGINT) AS fp_mod_sum
 FROM d GROUP BY lang ORDER BY lang
 """
+
+
+# --- round-8 staged streaming surface (wave 37) -----------------------------
+
+def st15_scd_asof_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-type-2 as-of enrichment from an actual Structured Streaming
+    run: each user's SIGNUP events define dimension versions
+    (version_no = n-th signup, effective until the next), and the
+    purchase stream joins the version in effect AT ITS EVENT TIME —
+    stream-static join on user_id plus the effective-range predicate,
+    the standard point-in-time dimension lookup (st07's equi-join is
+    its versionless special case). Versions are disjoint per user, so
+    the join is stateless; purchases before a user's first signup
+    carry no version and drop out (inner semantics, the audit-visible
+    choice). Bounded replay == batch as-of join + rollup == the
+    DuckDB oracle (same window, same tie order ts then event_id)."""
+    from pyspark.sql import Window
+
+    from .stateful import replay_scd_asof_enrich
+
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", "event_id")
+        .select(
+            F.col("user_id").alias("__uid"),
+            F.row_number().over(w).alias("version_no"),
+            F.col("ts").alias("eff_from"),
+            F.coalesce(
+                F.lead("ts").over(w),
+                F.lit("9999-12-31 00:00:00").cast("timestamp"),
+            ).alias("eff_to"),
+        )
+    )
+    out = replay_scd_asof_enrich(spark, f"{sf}/events.parquet", versions)
+    return out.select(
+        F.col("version_no").cast("bigint").alias("version_no"),
+        F.col("n_purchases").cast("bigint").alias("n_purchases"),
+        F.round(F.col("__tv").cast("double"), 4).alias("total_value"),
+    ).orderBy("version_no")
+
+
+ST15_STAGED_ORACLE = """
+WITH ver AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS version_no,
+         ts AS eff_from,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                  TIMESTAMP '9999-12-31 00:00:00') AS eff_to
+  FROM events WHERE event_type = 'signup'
+), pur AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(v.version_no AS BIGINT) AS version_no,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_value
+FROM pur p JOIN ver v
+  ON p.user_id = v.user_id AND p.ts >= v.eff_from AND p.ts < v.eff_to
+GROUP BY 1 ORDER BY version_no
+"""

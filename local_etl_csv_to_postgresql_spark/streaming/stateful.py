@@ -1244,3 +1244,59 @@ def replay_left_outer_join(
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
+
+
+def replay_scd_asof_enrich(
+    spark,
+    parquet_path: str,
+    versions: DataFrame,
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Stream-static SLOWLY-CHANGING-DIMENSION enrichment: the purchase
+    stream joins a versioned dimension on ``user_id`` PLUS the
+    effective-range predicate ``eff_from <= ts < eff_to`` — the as-of
+    lookup every SCD-type-2 warehouse join performs, executed as a
+    stream-static join (static side broadcast per micro-batch, no
+    state store, no watermark: versions are disjoint per user, so each
+    event matches at most one row and the join is stateless by
+    construction). Complete-mode rollup over the bounded availableNow
+    replay == the batch join + aggregate == the DuckDB oracle."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    table_name = table_name or f"stream_scd_{uuid.uuid4().hex[:8]}"
+    batch_schema, stream_path = _schema_and_stage(spark, parquet_path)
+    stream = _normalize_ts(
+        spark.readStream.schema(batch_schema).parquet(stream_path)
+    ).filter(F.col("event_type") == "purchase")
+    cond = (
+        (stream["user_id"] == versions["__uid"])
+        & (stream["ts"] >= versions["eff_from"])
+        & (stream["ts"] < versions["eff_to"])
+    )
+    rollup = (
+        stream.join(F.broadcast(versions), cond)
+        .groupBy("version_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__tv"),
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)

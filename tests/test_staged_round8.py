@@ -253,3 +253,35 @@ def test_dd16_detects_planted_23char_overlap(spark):
     r = out[0]
     assert r["n_docs"] == 3
     assert r["n_docs_with_shared"] == 2  # the two planted docs only
+
+
+@needs_testdata
+@pytest.mark.integration
+@pytest.mark.slow
+def test_st15_scd_asof_invariants(spark):
+    """Versions partition each user's purchase timeline: total enriched
+    purchases = purchases at-or-after their user's first signup (inner
+    as-of semantics); version numbers are a dense 1..max range."""
+    from pyspark.sql import functions as F
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    out = ROUND7_STAGED_QUERIES["st15_scd_asof_enrich"](
+        spark, SF
+    ).collect()
+    assert out and [r["version_no"] for r in out] == sorted(
+        r["version_no"] for r in out
+    )
+    assert out[0]["version_no"] == 1
+    ev = load(spark, SF, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t0"))
+    )
+    eligible = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .filter(F.col("ts") >= F.col("__t0"))
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in out) == eligible
