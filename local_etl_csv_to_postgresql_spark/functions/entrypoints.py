@@ -10510,30 +10510,56 @@ def dd14_rolling_hash_signature(spark: SparkSession, sf: str) -> DataFrame:
 
     The classic rolling O(1) window update is the SEQUENTIAL
     optimization; the distributed form evaluates every window
-    independently inside one row-local array expression
-    (transform + aggregate over sequence — no UDF, NO SHUFFLE except
-    the final source rollup), which is the right trade at 100 TB:
-    windows of one doc never cross rows, so the scan parallelizes
-    embarrassingly and the only exchange carries (source, signature).
-    Integer-exact everywhere: acc < 2³¹, acc·131 + 127 < 2³⁸ — no
-    BIGINT overflow, both engines fold the identical integer
-    recurrence (DuckDB's list_reduce seeds with the list head, so the
-    twin prepends the same 0 seed Spark's aggregate starts from)."""
-    docs = load(spark, sf, "documents").withColumn(
-        "__s", F.regexp_replace(F.lower("text"), "[^a-z0-9]+", "")
-    )
-    sig = docs.select(
-        "doc_id",
-        "source",
-        F.expr(
-            "CASE WHEN length(__s) >= 32 THEN "
-            "array_min(transform(sequence(1, length(__s) - 31), "
-            "i -> aggregate(sequence(0, 31), 0L, "
-            "(acc, j) -> (acc * 131 + ascii(substr(__s, i + j, 1))) "
-            "% 2147483647))) "
-            "ELSE NULL END"
-        ).alias("__sig"),
-    ).filter(F.col("__sig").isNotNull())
+    independently — windows of one doc never cross rows, so the scan
+    parallelizes embarrassingly and the only exchange carries
+    (source, signature). The per-window evaluation is a vectorized
+    numpy mapInPandas kernel (the dd16 rule, learned the hard way:
+    this operator's original transform+aggregate expression form
+    measured 397 s at sf0.1 — Spark's interpreted lambda interpreter
+    does ~2k window-hash evals/sec; the stride-trick kernel does the
+    identical integer arithmetic in microseconds per document).
+    Integer-exact everywhere: c·131^j mod p products < 2^38, window
+    sums < 2^42 — no BIGINT overflow; the DuckDB twin folds the
+    identical recurrence in SQL (list_reduce seeded with the same 0),
+    which certifies the numpy arithmetic bit-for-bit."""
+    import pandas as _pd
+
+    K, P = 32, 2147483647
+    pows = [pow(131, K - 1 - j, P) for j in range(K)]
+    docs = load(spark, sf, "documents").select("doc_id", "source", "text")
+
+    def op(batches):
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        pw = np.array(pows, dtype=np.int64)
+        for pdf in batches:
+            out_src: list = []
+            out_sig: list = []
+            norm = (
+                pdf["text"]
+                .astype("string")
+                .str.lower()
+                .str.replace("[^a-z0-9]+", "", regex=True)
+            )
+            for src_, s in zip(pdf["source"], norm):
+                if s is None or len(s) < K:
+                    continue
+                codes = np.frombuffer(
+                    s.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                wins = sliding_window_view(codes, K)
+                h = ((wins * pw) % P).sum(axis=1) % P
+                out_src.append(src_)
+                out_sig.append(int(h.min()))
+            yield _pd.DataFrame(
+                {
+                    "source": _pd.Series(out_src, dtype="string"),
+                    "__sig": _pd.Series(out_sig, dtype="int64"),
+                }
+            )
+
+    sig = docs.mapInPandas(op, schema="source string, __sig long")
     return (
         sig.groupBy("source")
         .agg(
@@ -13085,3 +13111,307 @@ def _register_staged_streaming_wave37() -> None:
 
 
 _register_staged_streaming_wave37()
+
+
+# ---------------------------------------------------------------------------
+# Round-8 staging, wave 38: hll03 HLL merge certification, mi01
+# lang-source mutual information, ab01 two-proportion drift z-test.
+
+
+def hll03_hll_mergeability(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL MERGE certification — the property that makes hll02 a
+    100 TB operator at all: registers built independently on DISJOINT
+    shards (user_id % 3 — three simulated ingest batches) and merged
+    by bucket-wise MAX must equal the full-corpus registers digest-
+    for-digest. hq02 certifies this additivity for the histogram
+    sketch and cm01 for Count-Min; this closes the triple for HLL.
+    A red ``merge_exact`` turns any future non-max-mergeable register
+    statistic (the classic bug: merging ESTIMATES instead of
+    registers) into a failing driver row.
+
+    Same shuffle shape as hll02 twice over: per-(type, shard, bucket)
+    MAX partials map-side combine, and both digests are exact BIGINT
+    sums — no float enters the comparison."""
+    rest_zero_rho = HLL_REST_BITS + 1
+    hashed = (
+        load(spark, sf, "events")
+        .select(
+            "event_type",
+            "user_id",
+            dd.hash60(F.col("user_id").cast("string")).alias("__h"),
+        )
+        .select(
+            "event_type",
+            (F.col("user_id") % 3).alias("__shard"),
+            (F.col("__h") % HLL_M).alias("__b"),
+            F.expr(
+                f"CASE WHEN __h div {HLL_M} = 0 THEN {rest_zero_rho} "
+                f"ELSE {HLL_REST_BITS} - length(bin(__h div {HLL_M})) + 1 "
+                f"END"
+            ).alias("__rho"),
+        )
+    )
+
+    def digest(regs):
+        return regs.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("occupied"),
+            (
+                F.sum(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"{rest_zero_rho} - __mx)"
+                    )
+                )
+                + (F.count(F.lit(1)) - F.lit(HLL_M)).cast("bigint")
+                * F.lit(-(1 << rest_zero_rho))
+            ).cast("bigint").alias("register_digest"),
+        )
+
+    full = digest(
+        hashed.groupBy("event_type", "__b").agg(F.max("__rho").alias("__mx"))
+    )
+    shard_regs = hashed.groupBy("event_type", "__shard", "__b").agg(
+        F.max("__rho").alias("__mx")
+    )
+    merged = digest(
+        shard_regs.groupBy("event_type", "__b").agg(
+            F.max("__mx").alias("__mx")
+        )
+    )
+    f = full.select(
+        "event_type",
+        F.col("occupied").alias("occupied_full"),
+        F.col("register_digest").alias("digest_full"),
+    )
+    m = merged.select(
+        "event_type",
+        F.col("occupied").alias("occupied_merged"),
+        F.col("register_digest").alias("digest_merged"),
+    )
+    return (
+        f.join(m, "event_type")
+        .select(
+            "event_type",
+            "occupied_full",
+            "digest_full",
+            "digest_merged",
+            (
+                (F.col("digest_full") == F.col("digest_merged"))
+                & (F.col("occupied_full") == F.col("occupied_merged"))
+            ).alias("merge_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll03_oracle_sql() -> str:
+    rest_zero_rho = HLL_REST_BITS + 1
+    h = _H60.format(x="CAST(user_id AS VARCHAR)")
+    two53 = 1 << rest_zero_rho
+    return f"""
+WITH hashed AS (
+  SELECT event_type, user_id % 3 AS shard,
+         ({h}) % {HLL_M} AS b,
+         CASE WHEN ({h}) // {HLL_M} = 0 THEN {rest_zero_rho}
+              ELSE {HLL_REST_BITS}
+                   - length(bin(({h}) // {HLL_M})) + 1 END AS rho
+  FROM events
+), fullr AS (
+  SELECT event_type, b, MAX(rho) AS mx FROM hashed GROUP BY 1, 2
+), shardr AS (
+  SELECT event_type, shard, b, MAX(rho) AS mx FROM hashed GROUP BY 1, 2, 3
+), mergedr AS (
+  SELECT event_type, b, MAX(mx) AS mx FROM shardr GROUP BY 1, 2
+), df AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS occupied,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rest_zero_rho} - mx))
+              + ({HLL_M} - COUNT(*)) * CAST({two53} AS BIGINT) AS BIGINT)
+           AS digest
+  FROM fullr GROUP BY 1
+), dm AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS occupied,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rest_zero_rho} - mx))
+              + ({HLL_M} - COUNT(*)) * CAST({two53} AS BIGINT) AS BIGINT)
+           AS digest
+  FROM mergedr GROUP BY 1
+)
+SELECT f.event_type,
+       f.occupied AS occupied_full,
+       f.digest AS digest_full,
+       m.digest AS digest_merged,
+       f.digest = m.digest AND f.occupied = m.occupied AS merge_exact
+FROM df f JOIN dm m ON f.event_type = m.event_type
+ORDER BY event_type
+"""
+
+
+def mi01_label_source_mutual_information(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Mutual information between the language label and the source
+    feed — the feature-label LEAKAGE detector for mixture design: high
+    MI means source identity predicts language (training on source-
+    stratified splits then leaks label information; near-zero MI means
+    the mixture is language-balanced per feed).
+
+    The tx09 determinism rule end to end: joint and marginal counts
+    are exact BIGINTs on a bounded |L|x|S| table; each cell's
+    pointwise log2 term is computed ONCE on that bounded table and
+    rounded to 8 dp; contributions weight the rounded value by the
+    exact probability ratio and round at output. Nothing corpus-sized
+    ever meets a transcendental."""
+    docs = load(spark, sf, "documents")
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    cells = joint.select(
+        "lang",
+        "source",
+        "__c",
+        F.sum("__c").over(wl).alias("__rl"),
+        F.sum("__c").over(ws).alias("__cs"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+    pmi = F.round(
+        F.log2(
+            F.col("__c").cast("double")
+            * F.col("__n").cast("double")
+            / (F.col("__rl").cast("double") * F.col("__cs").cast("double"))
+        ),
+        8,
+    )
+    return (
+        cells.select(
+            "lang",
+            "source",
+            F.col("__c").cast("bigint").alias("n_docs"),
+            pmi.alias("pmi"),
+            F.round(
+                (F.col("__c").cast("double") / F.col("__n").cast("double"))
+                * pmi,
+                8,
+            ).alias("mi_contribution"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_MI01_ORACLE = """
+WITH joint AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), cells AS (
+  SELECT lang, source, c,
+         SUM(c) OVER (PARTITION BY lang) AS rl,
+         SUM(c) OVER (PARTITION BY source) AS cs,
+         SUM(c) OVER () AS n
+  FROM joint
+)
+SELECT lang, source, c AS n_docs,
+       ROUND(log2(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE))), 8) AS pmi,
+       ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * ROUND(log2(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+               / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE))), 8), 8)
+         AS mi_contribution
+FROM cells ORDER BY lang, source
+"""
+
+
+def ab01_proportion_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test between every source pair on a quality
+    pass rate (terminal punctuation, qf03's rule 1) — the A/B-shaped
+    drift alarm for binary quality metrics, next to ks01 (continuous)
+    and mw01 (ordinal): z = (p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b))
+    with the pooled p under H0.
+
+    The per-source (n, k) table is bounded (|S| rows) from ONE
+    conditional-agg corpus pass; the pair stage is an S² self-join on
+    that bounded frame (BNLJ-allowlisted); the statistic is one
+    fixed-order double expression over exact integers, rounded at
+    output — both engines evaluate the identical literal tree."""
+    docs = load(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.count_if(F.expr("rtrim(text) rlike '[.!?]$'"))
+        .cast("long")
+        .alias("__k"),
+    )
+    a = per.select(
+        F.col("source").alias("source_a"),
+        F.col("__n").alias("__na"),
+        F.col("__k").alias("__ka"),
+    )
+    b = per.select(
+        F.col("source").alias("source_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__k").alias("__kb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    ka = F.col("__ka").cast("double")
+    kb = F.col("__kb").cast("double")
+    pool = (ka + kb) / (na + nb)
+    z = (ka / na - kb / nb) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("__na").cast("bigint").alias("n_a"),
+            F.col("__nb").cast("bigint").alias("n_b"),
+            F.round(ka / na, 6).alias("rate_a"),
+            F.round(kb / nb, 6).alias("rate_b"),
+            F.round(z, 6).alias("z_stat"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_AB01_ORACLE = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (
+           WHERE regexp_matches(rtrim(text), '[.!?]$')) AS BIGINT) AS k
+  FROM documents GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.n AS n_a, b.n AS n_b,
+       ROUND(CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE), 6) AS rate_a,
+       ROUND(CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS rate_b,
+       ROUND((CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)
+              - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / sqrt(((CAST(a.k AS DOUBLE) + CAST(b.k AS DOUBLE))
+                     / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)))
+                    * (1.0 - (CAST(a.k AS DOUBLE) + CAST(b.k AS DOUBLE))
+                       / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)))
+                    * (1.0 / CAST(a.n AS DOUBLE)
+                       + 1.0 / CAST(b.n AS DOUBLE))), 6) AS z_stat
+FROM per a JOIN per b ON a.source < b.source
+ORDER BY source_a, source_b
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "hll03_hll_mergeability": hll03_hll_mergeability,
+        "mi01_label_source_mutual_information": (
+            mi01_label_source_mutual_information
+        ),
+        "ab01_proportion_drift": ab01_proportion_drift,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "hll03_hll_mergeability": _hll03_oracle_sql(),
+        "mi01_label_source_mutual_information": _MI01_ORACLE,
+        "ab01_proportion_drift": _AB01_ORACLE,
+    }
+)

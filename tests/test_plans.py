@@ -91,6 +91,7 @@ BNLJ_ALLOWED = {
     "rk01_rank_agreement",  # 20-row ranking-head pair comparison
     # staged round-8 surface
     "mw01_mann_whitney_drift",  # value grid × ≤5-row source roster fill
+    "ab01_proportion_drift",  # ≤5-row per-source (n, k) self-pairing
 }
 
 

@@ -285,3 +285,65 @@ def test_st15_scd_asof_invariants(spark):
         .count()
     )
     assert sum(r["n_purchases"] for r in out) == eligible
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_hll03_merge_exact_everywhere(spark):
+    """THE claim: shard-built registers merged by bucket-wise MAX are
+    digest-identical to the full-corpus build, for every group."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        HLL_M,
+    )
+
+    out = ROUND7_STAGED_QUERIES["hll03_hll_mergeability"](
+        spark, SF
+    ).collect()
+    assert len(out) >= 3
+    for r in out:
+        assert r["merge_exact"] is True
+        assert 1 <= r["occupied_full"] <= HLL_M
+        assert r["digest_full"] == r["digest_merged"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_mi01_mutual_information_invariants(spark):
+    """Cell doc counts partition the corpus; total MI is non-negative
+    (up to the 8-dp per-cell rounding); every |pmi| is finite."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    out = ROUND7_STAGED_QUERIES[
+        "mi01_label_source_mutual_information"
+    ](spark, SF).collect()
+    n_total = load(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_total
+    mi = sum(r["mi_contribution"] for r in out)
+    assert mi >= -1e-6
+    for r in out:
+        assert r["pmi"] == r["pmi"]  # not NaN
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ab01_proportion_drift_invariants(spark):
+    """All unordered source pairs exactly once; rates in [0,1]; the
+    z statistic recomputes from the reported integers."""
+    import math
+
+    out = ROUND7_STAGED_QUERIES["ab01_proportion_drift"](
+        spark, SF
+    ).collect()
+    srcs = set()
+    for r in out:
+        srcs.add(r["source_a"])
+        srcs.add(r["source_b"])
+        assert 0.0 <= r["rate_a"] <= 1.0 and 0.0 <= r["rate_b"] <= 1.0
+        ka, kb = r["rate_a"] * r["n_a"], r["rate_b"] * r["n_b"]
+        pool = (ka + kb) / (r["n_a"] + r["n_b"])
+        z = (r["rate_a"] - r["rate_b"]) / math.sqrt(
+            pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"])
+        )
+        assert abs(z - r["z_stat"]) < 1e-3
+    s = len(srcs)
+    assert len(out) == s * (s - 1) // 2
