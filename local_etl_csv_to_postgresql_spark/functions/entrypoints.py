@@ -13241,7 +13241,7 @@ SELECT f.event_type,
        m.digest AS digest_merged,
        f.digest = m.digest AND f.occupied = m.occupied AS merge_exact
 FROM df f JOIN dm m ON f.event_type = m.event_type
-ORDER BY event_type
+ORDER BY f.event_type
 """
 
 
@@ -13357,8 +13357,15 @@ def ab01_proportion_drift(spark: SparkSession, sf: str) -> DataFrame:
     ka = F.col("__ka").cast("double")
     kb = F.col("__kb").cast("double")
     pool = (ka + kb) / (na + nb)
-    z = (ka / na - kb / nb) / F.sqrt(
-        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    # pooled rate exactly 0 or 1 => zero variance: the test is
+    # undefined, emit NULL (both engines via NULLIF)
+    z = (ka / na - kb / nb) / F.nullif(
+        F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+        F.lit(0.0),
     )
     return (
         a.join(b, F.col("source_a") < F.col("source_b"))
@@ -13388,12 +13395,12 @@ SELECT a.source AS source_a, b.source AS source_b,
        ROUND(CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS rate_b,
        ROUND((CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)
               - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE))
-             / sqrt(((CAST(a.k AS DOUBLE) + CAST(b.k AS DOUBLE))
+             / NULLIF(sqrt(((CAST(a.k AS DOUBLE) + CAST(b.k AS DOUBLE))
                      / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)))
                     * (1.0 - (CAST(a.k AS DOUBLE) + CAST(b.k AS DOUBLE))
                        / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)))
                     * (1.0 / CAST(a.n AS DOUBLE)
-                       + 1.0 / CAST(b.n AS DOUBLE))), 6) AS z_stat
+                       + 1.0 / CAST(b.n AS DOUBLE))), 0.0), 6) AS z_stat
 FROM per a JOIN per b ON a.source < b.source
 ORDER BY source_a, source_b
 """

@@ -341,9 +341,11 @@ def test_ab01_proportion_drift_invariants(spark):
         assert 0.0 <= r["rate_a"] <= 1.0 and 0.0 <= r["rate_b"] <= 1.0
         ka, kb = r["rate_a"] * r["n_a"], r["rate_b"] * r["n_b"]
         pool = (ka + kb) / (r["n_a"] + r["n_b"])
-        z = (r["rate_a"] - r["rate_b"]) / math.sqrt(
-            pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"])
-        )
+        var = pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"])
+        if var <= 0:
+            assert r["z_stat"] is None  # zero pooled variance => NULL
+            continue
+        z = (r["rate_a"] - r["rate_b"]) / math.sqrt(var)
         assert abs(z - r["z_stat"]) < 1e-3
     s = len(srcs)
     assert len(out) == s * (s - 1) // 2
