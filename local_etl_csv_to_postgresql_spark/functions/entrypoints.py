@@ -13422,3 +13422,128 @@ ROUND7_STAGED_ORACLE.update(
         "ab01_proportion_drift": _AB01_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 staging, wave 39: gr03 star-contraction connected components,
+# en01 per-source character entropy.
+
+
+def gr03_cc_star_contraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clustering recomputed with the ALTERNATING-STAR
+    connected-components algorithm (Kiveris et al. SOCC'14 — see
+    operators/graph.connected_components_star) over the SAME verified
+    edge set dd06 clusters with min-label propagation. Same fixpoint
+    by construction (labels = min reachable doc_id), so it certifies
+    against dd06's recursive-CTE oracle UNCHANGED — one spec, two
+    distributed algorithms, which is exactly the guarantee that makes
+    the O(log n)-round variant safe to swap in for long-diameter
+    graphs at scale."""
+    from ..operators.graph import connected_components_star
+
+    good = _neardup_good_edges(spark, sf)
+    verts = load(spark, sf, "documents").select("doc_id")
+    return (
+        connected_components_star(
+            verts, good, id_col="doc_id", src="id_a", dst="id_b"
+        )
+        .select(F.col("id").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+def en01_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source character-level Shannon entropy over the normalized
+    alphabet — the cheapest gibberish/encoding-noise detector there
+    is: natural-language feeds sit in a narrow entropy band, OCR
+    noise and base64 blobs spike it, template spam collapses it. The
+    information-theory sibling of mi01 (which measures BETWEEN-column
+    information; this measures within-column spread).
+
+    tx09/mi01 determinism rule: char counts are exact BIGINTs on a
+    bounded |alphabet|x|S| table; each cell's log2 term is computed
+    once there, rounded to 8 dp, weighted by the exact probability,
+    rounded to 10 dp, cast DECIMAL(20,10), and the entropy is the
+    ORDER-INDEPENDENT decimal sum of those cells. The only corpus-
+    sized operation is one explode + keyed count (map-side
+    combinable)."""
+    docs = load(spark, sf, "documents").select(
+        "source",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", "").alias("__s"),
+    )
+    chars = docs.select(
+        "source", F.explode(F.expr("split(__s, '')")).alias("__ch")
+    ).filter(F.col("__ch") != "")
+    counts = chars.groupBy("source", "__ch").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("source")
+    cells = counts.select(
+        "source",
+        "__ch",
+        "__c",
+        F.sum("__c").over(ws).alias("__n"),
+    )
+    contrib = F.round(
+        -(F.col("__c").cast("double") / F.col("__n").cast("double"))
+        * F.round(
+            F.log2(
+                F.col("__c").cast("double") / F.col("__n").cast("double")
+            ),
+            8,
+        ),
+        10,
+    ).cast("decimal(20,10)")
+    return (
+        cells.select("source", "__c", "__n", contrib.alias("__e"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.max("__n").cast("bigint").alias("n_chars_total"),
+            F.round(F.sum("__e").cast("double"), 6).alias("entropy_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+_EN01_ORACLE = """
+WITH d AS (
+  SELECT source,
+         regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+  FROM documents
+), chars AS (
+  SELECT source, unnest(string_split(s, '')) AS ch FROM d
+), counts AS (
+  SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars WHERE ch <> '' GROUP BY 1, 2
+), cells AS (
+  SELECT source, ch, c, SUM(c) OVER (PARTITION BY source) AS n
+  FROM counts
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(MAX(n) AS BIGINT) AS n_chars_total,
+       ROUND(CAST(SUM(CAST(ROUND(
+           -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           * ROUND(log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 8), 10)
+         AS DECIMAL(20,10))) AS DOUBLE), 6) AS entropy_bits
+FROM cells GROUP BY source ORDER BY source
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "gr03_cc_star_contraction": gr03_cc_star_contraction,
+        "en01_char_entropy": en01_char_entropy,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "gr03_cc_star_contraction": EXTENSION_ORACLE[
+            "dd06_neardup_clusters"
+        ],
+        "en01_char_entropy": _EN01_ORACLE,
+    }
+)

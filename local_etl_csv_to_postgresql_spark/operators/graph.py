@@ -29,7 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "connected_components_star"]
 
 
 def _lineage_truncator(
@@ -130,4 +130,103 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter exceeds max_iter — raise it or use "
         "star-contraction for long-chain graphs"
+    )
+
+
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SOCC'14) — the O(log n)-round alternative this
+    module's docstring promises for adversarially long chain graphs,
+    where min-label propagation (`connected_components`) needs
+    diameter rounds.
+
+    large-star: every node u links each LARGER neighbor to
+    m = min(Γ(u) ∪ {u}); small-star: links each smaller-or-equal
+    neighbor AND ITSELF to m. Each operator is one groupBy(min) + one
+    keyed join — the same shuffle primitives as the label-propagation
+    loop — and the alternation provably halves star heights, reaching
+    the star forest whose centers are the component minima. The
+    FIXPOINT (leaf -> component-min star edges) is identical to
+    `connected_components`' labels, so both algorithms certify
+    against the same recursive-CTE oracle; which one to run is purely
+    a diameter-vs-rounds cost choice.
+
+    Per-round lineage truncation shares `_lineage_truncator` (the
+    SPARK_GRAFT_CC_CKPT_DIR knob applies here too). Convergence is an
+    exact symmetric-difference check (two anti-joins on the bounded
+    edge frame), not a hash that could collide."""
+    trunc = _lineage_truncator(vertices.sparkSession)
+    e = (
+        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+        .filter(F.col("__u") != F.col("__v"))
+        .distinct()
+    )
+    e = trunc(e)
+
+    def _und(frame: DataFrame) -> DataFrame:
+        return frame.union(
+            frame.select(
+                F.col("__v").alias("__u"), F.col("__u").alias("__v")
+            )
+        )
+
+    def _mins(und: DataFrame) -> DataFrame:
+        return und.groupBy("__u").agg(
+            F.least(F.min("__v"), F.first("__u")).alias("__m")
+        )
+
+    def _large_star(frame: DataFrame) -> DataFrame:
+        und = _und(frame)
+        m = _mins(und)
+        return (
+            und.filter(F.col("__v") > F.col("__u"))
+            .join(m, "__u")
+            .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
+            .filter(F.col("__u") != F.col("__v"))
+            .distinct()
+        )
+
+    def _small_star(frame: DataFrame) -> DataFrame:
+        und = _und(frame)
+        m = _mins(und)
+        smaller = (
+            und.filter(F.col("__v") < F.col("__u"))
+            .join(m, "__u")
+            .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
+        )
+        selfe = m.select("__u", F.col("__m").alias("__v"))
+        return (
+            smaller.union(selfe)
+            .filter(F.col("__u") != F.col("__v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new = trunc(_small_star(_large_star(e)))
+        changed = (
+            new.exceptAll(e).limit(1).count()
+            + e.exceptAll(new).limit(1).count()
+        )
+        e = new
+        if changed == 0:
+            # star forest: __u = leaf, __v = component min
+            labels = e.groupBy(F.col("__u").alias("id")).agg(
+                F.min("__v").alias("component")
+            )
+            allv = vertices.select(F.col(id_col).alias("id"))
+            return allv.join(labels, "id", "left").select(
+                "id",
+                F.coalesce("component", F.col("id")).alias("component"),
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} "
+        "alternations"
     )

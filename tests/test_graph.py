@@ -62,3 +62,35 @@ def test_reliable_checkpoint_knob(spark, tmp_path, monkeypatch):
     fn = g._lineage_truncator(spark)
     df = spark.range(3)
     assert fn(df).count() == 3
+
+
+def _cc_star(spark, ids, pairs, **kw):
+    from local_etl_csv_to_postgresql_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    v = spark.createDataFrame([(i,) for i in ids], "id long")
+    e = spark.createDataFrame(
+        [(a, b) for a, b in pairs] or [(None, None)], "src long, dst long"
+    ).dropna()
+    out = connected_components_star(v, e)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Same fixpoint as connected_components on every shape: cliques,
+    a pair, an isolate, and a long chain (the case star contraction
+    exists for — O(log n) alternations, not diameter rounds)."""
+    ids = list(range(1, 21))
+    pairs = (
+        [(2, 1), (2, 3), (5, 6)]
+        + [(i, i + 1) for i in range(10, 20)]  # 10..20 chain
+    )
+    star = _cc_star(spark, ids, pairs)
+    label = _cc(spark, ids, pairs)
+    assert star == label
+    assert star[20] == 10 and star[4] == 4
+
+
+def test_star_contraction_no_edges(spark):
+    assert _cc_star(spark, [3, 9], []) == {3: 3, 9: 9}

@@ -349,3 +349,32 @@ def test_ab01_proportion_drift_invariants(spark):
         assert abs(z - r["z_stat"]) < 1e-3
     s = len(srcs)
     assert len(out) == s * (s - 1) // 2
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_gr03_star_cc_equals_dd06_labels(spark):
+    """One spec, two algorithms: the star-contraction labels must be
+    row-identical to dd06's min-label-propagation clustering."""
+    import __spark_entry__ as ep
+
+    star = ROUND7_STAGED_QUERIES["gr03_cc_star_contraction"](
+        spark, SF
+    ).collect()
+    prop = ep.queries()["dd06_neardup_clusters"](spark, SF).collect()
+    assert [tuple(r) for r in star] == [tuple(r) for r in prop]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_en01_entropy_invariants(spark):
+    """0 <= H <= log2(alphabet); distinct chars bounded by the
+    36-char normalized alphabet; char mass consistent."""
+    import math
+
+    out = ROUND7_STAGED_QUERIES["en01_char_entropy"](spark, SF).collect()
+    assert len(out) >= 2
+    for r in out:
+        assert 1 <= r["n_distinct_chars"] <= 36
+        assert r["n_chars_total"] >= r["n_distinct_chars"]
+        assert 0.0 <= r["entropy_bits"] <= math.log2(r["n_distinct_chars"]) + 1e-9
