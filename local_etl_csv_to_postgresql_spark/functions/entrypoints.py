@@ -13547,3 +13547,368 @@ ROUND7_STAGED_ORACLE.update(
         "en01_char_entropy": _EN01_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 staging, wave 40: tx20 stupid-backoff LM scoring, ev01 ANN
+# ranking-quality metrics (MRR / nDCG@10).
+
+
+def tx20_stupid_backoff_scoring(spark: SparkSession, sf: str) -> DataFrame:
+    """HELD-OUT language-model scoring with STUPID BACKOFF (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — the
+    smoothing web-scale LMs actually shipped): the bigram model trains
+    on EVEN doc_ids and scores the ODD held-out docs, so unseen
+    bigrams genuinely exercise the backoff path (score = 0.4 ·
+    unigram relative frequency; a self-trained model would never back
+    off, which is tx13's in-corpus regime). Per language: held-out
+    docs scored, mean per-doc log2-score, and the backoff rate — the
+    coverage number that says whether the bigram table is big enough.
+
+    Determinism: each distinct (lang, prev, cur) score is computed
+    ONCE on the bounded model join and rounded to 8 dp; per-doc means
+    sum those as DECIMAL(18,8) (order-independent) with one 6-dp
+    rounded divide; the per-lang rollup decimal-sums the rounded
+    per-doc means. Unseen-unigram fallback counts COALESCE to 1 in
+    both engines. Scale: model tables are vocab-sized; the scoring
+    join is one bigram-keyed shuffle AQE broadcasts when the model is
+    small; train/eval split is a pushed row-local predicate."""
+    from pyspark.sql import Window
+
+    docs = _docs_words(spark, sf)
+    bi = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__words) >= 2 THEN "
+                "transform(sequence(1, size(__words) - 1), "
+                "i -> struct(element_at(__words, i) AS p, "
+                "element_at(__words, i + 1) AS c)) "
+                "ELSE CAST(array() AS "
+                "ARRAY<STRUCT<p: STRING, c: STRING>>) END"
+            )
+        ).alias("__b"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("__b.p").alias("__p"),
+        F.col("__b.c").alias("__c"),
+    )
+    train = bi.filter(F.col("doc_id") % 2 == 0)
+    model = (
+        train.groupBy("lang", "__p", "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c12"))
+        .withColumn(
+            "__c1",
+            F.sum("__c12").over(Window.partitionBy("lang", "__p")),
+        )
+    )
+    uni = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("lang", F.explode("__words").alias("__w"))
+        .groupBy("lang", "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c2"))
+        .withColumn("__nl", F.sum("__c2").over(Window.partitionBy("lang")))
+    )
+    nl = uni.groupBy("lang").agg(F.max("__nl").alias("__n"))
+    ev = bi.filter(F.col("doc_id") % 2 == 1)
+    scored = (
+        ev.join(model, ["lang", "__p", "__c"], "left")
+        .join(
+            uni.select("lang", F.col("__w").alias("__c"), "__c2"),
+            ["lang", "__c"],
+            "left",
+        )
+        .join(nl, "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("__c12").isNull().alias("__bo"),
+            F.when(
+                F.col("__c12").isNotNull(),
+                F.round(
+                    F.log2(
+                        F.col("__c12").cast("double")
+                        / F.col("__c1").cast("double")
+                    ),
+                    8,
+                ),
+            )
+            .otherwise(
+                F.round(
+                    F.log2(
+                        F.lit(0.4)
+                        * F.coalesce(F.col("__c2"), F.lit(1)).cast("double")
+                        / F.col("__n").cast("double")
+                    ),
+                    8,
+                )
+            )
+            .cast("decimal(18,8)")
+            .alias("__s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum("__s").cast("double") / F.count(F.lit(1)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("__m"),
+        F.count(F.lit(1)).alias("__nb"),
+        F.count_if(F.col("__bo")).alias("__nbo"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_heldout_docs"),
+            F.round(
+                F.sum("__m").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_log2_score"),
+            F.round(
+                F.sum("__nbo").cast("double")
+                / F.sum("__nb").cast("double"),
+                6,
+            ).alias("backoff_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TX20_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_WORDS} AS ws FROM documents
+), bi AS (
+  SELECT doc_id, lang, ws[i] AS p, ws[i + 1] AS c
+  FROM w CROSS JOIN (SELECT unnest(range(1, 2000)) AS i)
+  WHERE len(ws) >= 2 AND i <= len(ws) - 1
+), model AS (
+  SELECT lang, p, c, CAST(COUNT(*) AS BIGINT) AS c12,
+         SUM(COUNT(*)) OVER (PARTITION BY lang, p) AS c1
+  FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3
+), uni AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c2,
+         SUM(COUNT(*)) OVER (PARTITION BY lang) AS nl
+  FROM (SELECT lang, unnest(ws) AS word FROM w WHERE doc_id % 2 = 0)
+  GROUP BY 1, 2
+), nlang AS (
+  SELECT lang, MAX(nl) AS n FROM uni GROUP BY lang
+), scored AS (
+  SELECT e.doc_id, e.lang,
+         m.c12 IS NULL AS bo,
+         CAST(CASE WHEN m.c12 IS NOT NULL THEN
+             ROUND(log2(CAST(m.c12 AS DOUBLE) / CAST(m.c1 AS DOUBLE)), 8)
+           ELSE
+             ROUND(log2(0.4 * CAST(COALESCE(u.c2, 1) AS DOUBLE)
+                        / CAST(nl2.n AS DOUBLE)), 8)
+           END AS DECIMAL(18,8)) AS s
+  FROM bi e
+  LEFT JOIN model m ON m.lang = e.lang AND m.p = e.p AND m.c = e.c
+  LEFT JOIN uni u ON u.lang = e.lang AND u.word = e.c
+  JOIN nlang nl2 ON nl2.lang = e.lang
+  WHERE e.doc_id % 2 = 1
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(18,6)) AS m,
+         COUNT(*) AS nb,
+         COUNT(*) FILTER (WHERE bo) AS nbo
+  FROM scored GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_heldout_docs,
+       ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6) AS mean_log2_score,
+       ROUND(CAST(SUM(nbo) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE), 6)
+         AS backoff_rate
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def ev01_ann_ranking_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-aware retrieval evaluation of the sign-LSH ANN path: MRR
+    and binary-relevance nDCG@10 per query — the standard IR metrics
+    next to es11's set-overlap recall (recall says WHETHER the true
+    neighbors surface; MRR/nDCG say WHERE, which is what a retrieval-
+    augmented pipeline actually pays for). Relevance = the exact
+    cosine top-10 (es01's certified ranking), system = the bucketed
+    candidate ranking (es03's certified path).
+
+    Determinism: positions are integers from the two-phase ranked
+    top-k; every DCG gain 1/log2(pos+1) is rounded to 8 dp and summed
+    as DECIMAL(18,8) (order-independent); IDCG is the SAME gain
+    expression over the exact leg's own positions, so the ratio never
+    mixes engine-printed float literals. The exact leg is the bounded
+    10-query eval baseline (broadcast panel), the ANN leg only scans
+    bucket-joined candidates."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qe")
+    )
+
+    def ranked(scored, k=10):
+        w1 = Window.partitionBy("__pid", "qid").orderBy(
+            F.desc("__cos"), F.asc("vec_id")
+        )
+        w2 = Window.partitionBy("qid").orderBy(
+            F.desc("__cos"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .withColumn("pos", F.row_number().over(w2))
+            .filter(F.col("pos") <= k)
+            .select("qid", "vec_id", "pos")
+        )
+
+    exact = ranked(
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            sim.cosine(F.col("embedding"), F.col("__qe")).alias("__cos"),
+        )
+    )
+    tables = []
+    for t in range(LSH_TABLES):
+        tables.append(
+            emb.select(
+                "vec_id",
+                "embedding",
+                sim.sign_bucket(
+                    F.col("embedding"), nbits=LSH_NBITS, offset=t * LSH_NBITS
+                ).alias("__bucket"),
+                F.lit(t).alias("__tbl"),
+            )
+        )
+    banded = tables[0]
+    for tdf in tables[1:]:
+        banded = banded.unionByName(tdf)
+    qb = banded.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("__qe"),
+        "__tbl",
+        "__bucket",
+    )
+    ann = ranked(
+        banded.join(F.broadcast(qb), ["__tbl", "__bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            sim.cosine(F.col("embedding"), F.col("__qe")).alias("__cos"),
+        )
+        .distinct()
+    )
+    gain = lambda pos: F.round(  # noqa: E731
+        F.lit(1.0) / F.log2(pos.cast("double") + F.lit(1.0)), 8
+    ).cast("decimal(18,8)")
+    idcg = exact.groupBy("qid").agg(
+        F.sum(gain(F.col("pos"))).alias("__idcg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant"),
+    )
+    hits = ann.join(exact.select("qid", "vec_id"), ["qid", "vec_id"])
+    dcg = hits.groupBy("qid").agg(
+        F.sum(gain(F.col("pos"))).alias("__dcg"),
+        F.min("pos").alias("__first"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+    )
+    return (
+        q.select("qid")
+        .join(F.broadcast(idcg), "qid")
+        .join(F.broadcast(dcg), "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_relevant",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("__first").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(
+                    F.col("__dcg").cast("double")
+                    / F.col("__idcg").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_EV01_ORACLE = f"""
+WITH banded AS ({{banded}}),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+), exact_pos AS (
+  SELECT qid, vec_id, r AS pos FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {{cos_eq}} DESC, e.vec_id) AS r
+    FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+  ) WHERE r <= 10
+), qb AS (
+  SELECT vec_id AS qid, embedding AS qe, tbl, bucket
+  FROM banded WHERE vec_id < 10
+), cand AS (
+  SELECT DISTINCT q.qid, b.vec_id,
+         {{cos_bq}} AS c
+  FROM banded b JOIN qb q ON b.tbl = q.tbl AND b.bucket = q.bucket
+  WHERE b.vec_id <> q.qid
+), ann_pos AS (
+  SELECT qid, vec_id, r AS pos FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS r
+    FROM cand
+  ) WHERE r <= 10
+), idcg AS (
+  SELECT qid,
+         SUM(CAST(ROUND(1.0 / log2(CAST(pos AS DOUBLE) + 1.0), 8)
+             AS DECIMAL(18,8))) AS i,
+         CAST(COUNT(*) AS BIGINT) AS n_relevant
+  FROM exact_pos GROUP BY qid
+), dcg AS (
+  SELECT a.qid,
+         SUM(CAST(ROUND(1.0 / log2(CAST(a.pos AS DOUBLE) + 1.0), 8)
+             AS DECIMAL(18,8))) AS d,
+         MIN(a.pos) AS first_pos,
+         CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM ann_pos a JOIN exact_pos e
+    ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY a.qid
+)
+SELECT q.qid AS query_id, i.n_relevant,
+       COALESCE(d.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(1.0 / CAST(d.first_pos AS DOUBLE), 0.0), 6) AS mrr,
+       ROUND(COALESCE(CAST(d.d AS DOUBLE) / CAST(i.i AS DOUBLE), 0.0), 6)
+         AS ndcg_at_10
+FROM qs q
+JOIN idcg i ON i.qid = q.qid
+LEFT JOIN dcg d ON d.qid = q.qid
+ORDER BY query_id
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "tx20_stupid_backoff_scoring": tx20_stupid_backoff_scoring,
+        "ev01_ann_ranking_quality": ev01_ann_ranking_quality,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "tx20_stupid_backoff_scoring": _TX20_ORACLE,
+        "ev01_ann_ranking_quality": _EV01_ORACLE.format(
+            banded=_BANDED,
+            cos_eq=_COS.format(a="e.embedding", b="q.qe"),
+            cos_bq=_COS.format(a="b.embedding", b="q.qe"),
+        ),
+    }
+)

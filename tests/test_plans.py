@@ -92,6 +92,7 @@ BNLJ_ALLOWED = {
     # staged round-8 surface
     "mw01_mann_whitney_drift",  # value grid × ≤5-row source roster fill
     "ab01_proportion_drift",  # ≤5-row per-source (n, k) self-pairing
+    "ev01_ann_ranking_quality",  # 10-row broadcast query-vector panel
 }
 
 

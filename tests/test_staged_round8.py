@@ -378,3 +378,42 @@ def test_en01_entropy_invariants(spark):
         assert 1 <= r["n_distinct_chars"] <= 36
         assert r["n_chars_total"] >= r["n_distinct_chars"]
         assert 0.0 <= r["entropy_bits"] <= math.log2(r["n_distinct_chars"]) + 1e-9
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx20_backoff_invariants(spark):
+    """Held-out docs only (odd ids drive the count); the backoff path
+    actually fires somewhere (held-out bigrams unseen in training);
+    scores are negative log-probabilities-ish (log2 of ratios < 1)."""
+    out = ROUND7_STAGED_QUERIES["tx20_stupid_backoff_scoring"](
+        spark, SF
+    ).collect()
+    assert len(out) >= 2
+    assert any(r["backoff_rate"] > 0 for r in out)
+    for r in out:
+        assert r["n_heldout_docs"] >= 1
+        assert 0.0 <= r["backoff_rate"] <= 1.0
+        assert r["mean_log2_score"] < 0.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ev01_ranking_quality_invariants(spark):
+    """10 queries; nDCG and MRR in [0,1]; hits bounded by relevant;
+    a query with hits has mrr >= 1/10; perfect-ranking consistency
+    (n_hits == 10 and first hit at pos 1 => ndcg == 1 only if all
+    positions align — so only the <= bound is universal)."""
+    out = ROUND7_STAGED_QUERIES["ev01_ann_ranking_quality"](
+        spark, SF
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["n_relevant"] == 10
+        assert 0 <= r["n_hits"] <= 10
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert 0.0 <= r["ndcg_at_10"] <= 1.0 + 1e-9
+        if r["n_hits"] == 0:
+            assert r["mrr"] == 0.0 and r["ndcg_at_10"] == 0.0
+        else:
+            assert r["mrr"] >= 1.0 / 10.0
