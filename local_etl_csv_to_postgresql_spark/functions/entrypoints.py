@@ -373,6 +373,9 @@ def reset_shared_intermediates() -> None:
     for paths in _LSH_BASE_CACHE.values():
         shutil.rmtree(os.path.dirname(paths[0]), ignore_errors=True)
     _LSH_BASE_CACHE.clear()
+    # bucketed-join tables (bj01) rebuild (mode=overwrite) per pass
+    # like the LSH base — clearing the cache is all it takes
+    globals().get("_BJ01_TABLES", {}).clear()
 
 
 def _neardup_components(spark: SparkSession, sf: str) -> DataFrame:
@@ -13912,3 +13915,93 @@ ROUND7_STAGED_ORACLE.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 staging, wave 41: bj01 bucketed co-located star join.
+
+_BJ01_TABLES: dict = {}
+
+
+def bj01_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The write-once-shuffle-never join, driver-certified: orders and
+    lineitem are persisted as BUCKETED tables on the order key (the
+    one-time shuffle, paid at write), and the revenue-per-priority
+    star join then runs as an exchange-free SortMergeJoin over
+    co-located bucket files — the layout a 100 TB fact↔fact join
+    lives on (operators/bucketing.py documents the sizing; the pytest
+    suite pins the no-Exchange plan property, tests/test_bucketing.py,
+    and the staged invariant re-asserts it on THIS query's plan). The
+    oracle is the plain join — identical results from a bucketed scan
+    is exactly the claim worth a driver row.
+
+    The bucketed tables build once per (process, sf) and reset with
+    the shared intermediates, so benchmarks pay the write-path shuffle
+    once per pass like every other materialized intermediate."""
+    from ..operators.bucketing import write_bucketed
+
+    import hashlib
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    names = (f"bj01_orders_{tag}", f"bj01_lineitem_{tag}")
+    if _BJ01_TABLES.get(sf) != names:
+        # a previous PROCESS may have left the managed-table location
+        # behind without a catalog entry (saveAsTable then refuses even
+        # under overwrite) — drop both and clear stale locations first
+        import shutil as _shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            _shutil.rmtree(f"{warehouse}/{n}", ignore_errors=True)
+        write_bucketed(
+            load(spark, sf, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            names[0],
+            "o_orderkey",
+            buckets=8,
+        )
+        write_bucketed(
+            load(spark, sf, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                dec("l_extendedprice").alias("__price"),
+                dec("l_discount").alias("__disc"),
+            ),
+            names[1],
+            "o_orderkey",
+            buckets=8,
+        )
+        _BJ01_TABLES[sf] = names
+    ord_t = spark.table(names[0]).hint("merge")
+    li_t = spark.table(names[1])
+    return (
+        ord_t.join(li_t, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("__price") * (F.lit(1) - F.col("__disc")))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BJ01_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+ROUND7_STAGED_QUERIES["bj01_bucketed_colocated_join"] = (
+    bj01_bucketed_colocated_join
+)
+ROUND7_STAGED_ORACLE["bj01_bucketed_colocated_join"] = _BJ01_ORACLE

@@ -417,3 +417,28 @@ def test_ev01_ranking_quality_invariants(spark):
             assert r["mrr"] == 0.0 and r["ndcg_at_10"] == 0.0
         else:
             assert r["mrr"] >= 1.0 / 10.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_bj01_join_is_exchange_free(spark):
+    """The layout claim on THIS query's plan: after the one-time
+    bucketed write, the star join runs without any Exchange upstream
+    of the join (the aggregate after it may still shuffle)."""
+    from local_etl_csv_to_postgresql_spark.functions import entrypoints as ep
+    from local_etl_csv_to_postgresql_spark.operators.bucketing import (
+        join_is_exchange_free,
+    )
+
+    ep.bj01_bucketed_colocated_join(spark, SF)  # ensure tables exist
+    import hashlib
+
+    tag = hashlib.md5(SF.encode()).hexdigest()[:8]
+    joined = (
+        spark.table(f"bj01_orders_{tag}")
+        .hint("merge")
+        .join(spark.table(f"bj01_lineitem_{tag}"), "o_orderkey")
+    )
+    assert join_is_exchange_free(joined)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
