@@ -266,6 +266,7 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "eval_grams",  # eval-suite grams — fixed benchmark suite (ct02)
     "contam",      # contaminated ids — bounded by the eval suite (cur01)
     "n_cand", "hits",  # per-qid counts over the fixed query panel (es11)
+    "idcg", "dcg",  # per-qid gain sums over the fixed query panel (ev01)
     "lr",          # DSIR log-ratio table — <= DSIR_BUCKETS rows (ir01)
     "stats",       # 1-row (N, avgdl) corpus scalars (bm01)
     "idf",         # ≤4-row query-term idf table (bm01)
