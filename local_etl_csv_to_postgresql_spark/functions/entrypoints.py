@@ -14005,3 +14005,114 @@ ROUND7_STAGED_QUERIES["bj01_bucketed_colocated_join"] = (
     bj01_bucketed_colocated_join
 )
 ROUND7_STAGED_ORACLE["bj01_bucketed_colocated_join"] = _BJ01_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-8 staging, wave 42: ss06 k-fold cross-validation assignment audit.
+
+
+def ss06_kfold_assignment_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic K-fold cross-validation assignment + balance
+    audit: fold = hash60(doc_id) mod 5 (the ss03 split-hash family —
+    membership is a pure function of the id, so folds are stable
+    under corpus growth and reproducible across engines), audited for
+    the two properties CV depends on: size balance (each fold ≈ N/5)
+    and label balance (each fold's language mix ≈ the corpus mix,
+    summarized by the chi-square statistic of the fold's |L|-cell
+    contingency row against corpus expectations).
+
+    Determinism: fold sizes and (fold, lang) cells are exact BIGINTs;
+    expected counts keep an exact integer numerator (n_fold *
+    n_lang_total) and the chi-square cell terms — the ONE place a
+    divide is unavoidable — are rounded to 8 dp on the bounded
+    |folds|x|L| table and decimal-summed per fold (the mi01/tx09
+    rule). One corpus pass, everything after is fold-vocabulary
+    sized."""
+    K = 5
+    docs = load(spark, sf, "documents").select(
+        (dd.hash60(F.col("doc_id").cast("string")) % K).alias("fold"),
+        "lang",
+    )
+    cells = docs.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("fold")
+    wl = Window.partitionBy("lang")
+    wall = Window.partitionBy()
+    x = cells.select(
+        "fold",
+        "lang",
+        "__c",
+        F.sum("__c").over(wf).alias("__nf"),
+        F.sum("__c").over(wl).alias("__nl"),
+        F.sum("__c").over(wall).alias("__n"),
+    )
+    # chi-square cell: (c - e)^2 / e with e = nf*nl/n, computed as
+    # one fixed-order double expression over exact integers
+    diff = F.col("__c").cast("double") - (
+        F.col("__nf") * F.col("__nl")
+    ).cast("double") / F.col("__n").cast("double")
+    term = F.round(
+        diff
+        * diff
+        / (
+            (F.col("__nf") * F.col("__nl")).cast("double")
+            / F.col("__n").cast("double")
+        ),
+        8,
+    ).cast("decimal(20,8)")
+    return (
+        x.select("fold", "__c", "__nf", "__n", term.alias("__t"))
+        .groupBy("fold")
+        .agg(
+            F.max("__nf").cast("bigint").alias("n_docs"),
+            F.round(
+                F.lit(100.0)
+                * F.max("__nf").cast("double")
+                / F.max("__n").cast("double"),
+                4,
+            ).alias("share_pct"),
+            F.round(F.sum("__t").cast("double"), 6).alias(
+                "lang_chi_square"
+            ),
+        )
+        .orderBy("fold")
+    )
+
+
+def _ss06_oracle_sql() -> str:
+    h = _H60.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT ({h}) % 5 AS fold, lang FROM documents
+), cells AS (
+  SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM d GROUP BY 1, 2
+), x AS (
+  SELECT fold, lang, c,
+         SUM(c) OVER (PARTITION BY fold) AS nf,
+         SUM(c) OVER (PARTITION BY lang) AS nl,
+         SUM(c) OVER () AS n
+  FROM cells
+)
+SELECT fold,
+       CAST(MAX(nf) AS BIGINT) AS n_docs,
+       ROUND(100.0 * CAST(MAX(nf) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 4)
+         AS share_pct,
+       ROUND(CAST(SUM(CAST(ROUND(
+           (CAST(c AS DOUBLE)
+            - CAST(nf * nl AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(c AS DOUBLE)
+              - CAST(nf * nl AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(nf * nl AS DOUBLE) / CAST(n AS DOUBLE)), 8)
+         AS DECIMAL(20,8))) AS DOUBLE), 6) AS lang_chi_square
+FROM x GROUP BY fold ORDER BY fold
+"""
+
+
+ROUND7_STAGED_QUERIES["ss06_kfold_assignment_audit"] = (
+    ss06_kfold_assignment_audit
+)
+ROUND7_STAGED_ORACLE["ss06_kfold_assignment_audit"] = _ss06_oracle_sql()

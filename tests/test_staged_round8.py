@@ -442,3 +442,21 @@ def test_bj01_join_is_exchange_free(spark):
     assert join_is_exchange_free(joined)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ss06_kfold_invariants(spark):
+    """Exactly 5 folds partitioning the corpus; shares sum to ~100;
+    chi-square non-negative."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    out = ROUND7_STAGED_QUERIES["ss06_kfold_assignment_audit"](
+        spark, SF
+    ).collect()
+    assert [r["fold"] for r in out] == [0, 1, 2, 3, 4]
+    n_total = load(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_total
+    assert abs(sum(r["share_pct"] for r in out) - 100.0) < 0.01
+    for r in out:
+        assert r["lang_chi_square"] >= 0.0
