@@ -66,73 +66,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness run certifies exactly the FIRST 50 entries of
-# this dict (confirmed six rounds straight). Certifications persist
+# this dict (confirmed seven rounds straight). Certifications persist
 # across rounds, so the window is filled in this order: (1) any query
 # whose last driver row FAILED, (2) queries that have NEVER been
 # certified (a stale-but-green old row beats no row at all, so
 # never-certified outranks refresh), (3) the queries whose last green
-# row is oldest. Round-7 window: the FIFTY round-7 promotions — the
-# staged queries graduated this round (functions/entrypoints.py
-# ROUND7_PROMOTED), all never driver-certified, in the r6 verdict's
-# priority order: hll02 first (retires hll01's rows-only asterisk),
-# then q49–q59, dd13–dd15, pa01–pa03, bm01/ii01, st11–st14, then the
-# rest. The refresh queue (json01/std02 and the other r4-era rows)
-# plus the 8 still-staged queries head the round-8 window.
-# hll01 stays rows-only by design (hll02/lc01 are its certified
-# deterministic siblings).
+# row is oldest. Round-8 window: the 28 round-8 promotions (functions/
+# entrypoints.py ROUND8_PROMOTED — all never driver-certified, in the r7
+# verdict's priority order: the r6 holdovers first, then gr03/hll03/
+# bj01, then waves 33–42), followed by the 22 oldest green rows — all
+# r4-era: json01 first (the only query that ever hash-mismatched, r3),
+# std02 (the adversarial title-case twin), then q07–q18, q39, scd01,
+# st08–st10, ss02/ss03, es08. The remaining 28 r4-era rows queue for
+# round 9. hll01 stays rows-only by design (hll02/lc01 are its
+# hash-certified deterministic siblings — see its docstring).
 _CERTIFICATION_PRIORITY: list[str] = [
-    "hll02_deterministic_hll",
-    "q49_nation_volume_shipping",
-    "q50_local_supplier_revenue",
-    "q51_returned_item_revenue",
-    "q52_shipping_priority",
-    "q53_order_priority_check",
-    "q54_product_profit",
-    "q55_priority_pivot_by_status",
-    "q56_promo_revenue_share",
-    "q57_supplier_part_counts",
-    "q58_large_volume_orders",
-    "q59_forecast_revenue",
-    "dd13_semantic_dedup",
-    "dd14_rolling_hash_signature",
-    "dd15_duplicated_gram_fraction",
-    "pa01_k_anonymity_audit",
-    "pa02_l_diversity_audit",
-    "pa03_t_closeness_audit",
-    "bm01_bm25_retrieval",
-    "ii01_inverted_index",
-    "st11_watermarked_dedup",
-    "st12_foreachbatch_upsert",
-    "st13_left_outer_attribution",
-    "st14_content_dedup",
-    # near-dup/graph family adjacent: shared edge/cluster intermediates
-    # build once and attribute cleanly (SCALE.md carrier-slot rule)
-    "gr02_candidate_pagerank",
-    "tc01_neardup_triangles",
-    "ct03_fuzzy_contamination",
-    "xl01_crosslingual_neardup",
-    "es13_pq_adc_search",
-    "es14_truncated_dim_recall",
-    "es15_jl_projection_qc",
-    "ir01_dsir_importance",
-    "sl01_split_leakage",
-    "ss04_temporal_split_audit",
-    "ss05_shard_balance_audit",
-    "win04_linear_interpolation",
-    "cm01_countmin_heavy_hitters",
-    "tx14_bigram_cross_entropy",
-    "tx15_heaps_vocab_growth",
-    "tx16_trigram_nb_langid",
-    "mm06_payload_dedup_audit",
-    "fz01_fuzzy_name_pairs",
-    "inc03_incremental_rollup_maintenance",
-    "ts02_cusum_level_shift",
-    "cur02_embedding_curation_funnel",
-    "fs01_fellegi_sunter_scores",
-    "dp01_contribution_bounding",
-    "fd01_functional_dependencies",
-    "rk01_rank_agreement",
-    "imb01_label_imbalance",
+    # -- 28 round-8 promotions, never driver-certified --------------
+    "win05_activity_streaks",
+    "win06_daily_ohlc",
+    "rs01_mad_outliers",
+    "cr01_value_time_correlation",
+    "ts01_seasonal_naive_error",
+    "hq02_mergeable_histogram",
+    "sync01_bucket_checksum_diff",
+    "tx17_bigram_continuations",
+    "gr03_cc_star_contraction",
+    "hll03_hll_mergeability",
+    "bj01_bucketed_colocated_join",
+    "mw01_mann_whitney_drift",
+    "tx18_flesch_readability",
+    "tx19_lexical_richness",
+    "qf03_c4_heuristic_filters",
+    "ret01_weekly_cohort_retention",
+    "zo01_zorder_locality",
+    "ln01_neardup_source_conflict",
+    "ts03_revenue_autocorrelation",
+    "dd16_winnowing_fingerprints",
+    "mm07_magic_byte_sniffing",
+    "st15_scd_asof_enrich",
+    "mi01_label_source_mutual_information",
+    "ab01_proportion_drift",
+    "en01_char_entropy",
+    "tx20_stupid_backoff_scoring",
+    "ev01_ann_ranking_quality",
+    "ss06_kfold_assignment_audit",
+    # -- 22 refresh slots: the oldest (r4-era) green rows ------------
+    "json01_props_stats",
+    "std02_title_adversarial",
+    "q07_day_of_week_patterns",
+    "q08_weekend_vs_weekday",
+    "q09_top_types_pct",
+    "q10_priority_by_month_pivot",
+    "q11_top20_suppliers",
+    "q12_supplier_customer_reach",
+    "q13_priority_usage",
+    "q14_status_by_priority",
+    "q15_top10_customers",
+    "q16_top5_customers_by_type",
+    "q17_mom_growth",
+    "q18_running_total_by_priority",
+    "q39_sole_late_supplier",
+    "scd01_scd2_merge",
+    "st08_late_data_drop",
+    "st09_stream_stream_join",
+    "st10_session_window_stream",
+    "ss02_pps_sample",
+    "ss03_train_val_test_split",
+    "es08_centroid_outliers",
 ]
 
 

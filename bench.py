@@ -67,6 +67,7 @@ def run_chunk(names: list[str], do_etl: bool) -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = os.getloadavg()[0]
     spark = get_spark("bench")
 
     # warm-up (untimed): JVM/codegen init + parquet footer reads, plus
@@ -235,6 +236,15 @@ def run_chunk(names: list[str], do_etl: bool) -> int:
                 _ep._neardup_components(spark, sf_dir)
                 dt = round(time.time() - t0, 3)
                 timings["ccbase"] = min(timings.get("ccbase", dt), dt)
+            if "bj01" in prefixes:
+                # the bucketed-layout write (one-time shuffle) as its
+                # own slot so bj01 times the steady-state exchange-free
+                # join — the regression surface worth tracking (r7
+                # verdict task 8)
+                t0 = time.time()
+                _ep._bj01_layout(spark, sf_dir)
+                dt = round(time.time() - t0, 3)
+                timings["bjbase"] = min(timings.get("bjbase", dt), dt)
         except Exception as e:  # noqa: BLE001
             failures["__shared_base__"] = str(e).split("\n")[0][:200]
         for name, fn in queries.items():
@@ -258,6 +268,10 @@ def run_chunk(names: list[str], do_etl: bool) -> int:
         "failures": failures,
         "sf": sf,
         "runs": runs,
+        # 1-min loadavg at chunk start/end: every timing attributes to
+        # the load IT ran under, not the run-level envelope (r7 verdict
+        # task 4 — the +18% uniform drift needed per-chunk attribution)
+        "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
     }
     spark.stop()
     # JSON is the FINAL stdout line, emitted after spark.stop() so no
@@ -361,6 +375,7 @@ def main() -> int:
     etl: dict = {}
     etl_extra: list[dict] = []
     chunk_walls: list[float] = []
+    chunk_loads: list = []
     sf = os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     ).rstrip("/").rsplit("sf", 1)[-1]
@@ -399,6 +414,7 @@ def main() -> int:
             )
         except subprocess.TimeoutExpired:
             chunk_walls.append(round(time.time() - t_chunk, 1))
+            chunk_loads.append(None)
             failures["__chunk__" + (names[0] if names else "etl")] = (
                 f"timeout after {chunk_timeout:.0f}s "
                 f"({len(names)} queries, etl={do_etl})"
@@ -419,11 +435,13 @@ def main() -> int:
                 f"rc={proc.returncode} no JSON; stderr tail: "
                 + proc.stderr.strip()[-160:]
             )
+            chunk_loads.append(None)
             continue
         timings.update(rec.get("queries", {}))
         failures.update(rec.get("failures", {}))
         etl = rec.get("etl") or etl
         etl_extra.extend(rec.get("etl_extra", []))
+        chunk_loads.append(rec.get("loadavg"))
     load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
@@ -450,8 +468,11 @@ def main() -> int:
         "runs": runs,
         "sf": sf,
         # 1-min loadavg before/after — the attribution key for any
-        # round-over-round drift (±18% co-tenant envelope, SCALE.md)
+        # round-over-round drift (±18% co-tenant envelope, SCALE.md);
+        # per-chunk [start, end] pairs attribute drift to the chunk it
+        # hit (r7 verdict task 4)
         "loadavg": [round(load_before[0], 2), round(load_after[0], 2)],
+        "chunk_loadavg": chunk_loads,
     }
     if etl_extra:
         out["etl_extra"] = [
@@ -483,6 +504,7 @@ def main() -> int:
         failures=failures or None,
         chunks=[len(c[0]) for c in chunks],
         chunk_wall_sec=chunk_walls,
+        chunk_loadavg=chunk_loads,
         loadavg_full=[list(load_before), list(load_after)],
     )
     try:

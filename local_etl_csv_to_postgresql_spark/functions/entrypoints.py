@@ -1651,9 +1651,24 @@ def tx08_chunk_stats(spark: SparkSession, sf: str) -> DataFrame:
 def hll01_distinct_users_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counting — the sketch that
     replaces exact COUNT(DISTINCT) at 100 TB (mergeable partials, no
-    giant shuffle of raw keys). Engine-specific estimates have no
-    cross-engine oracle, so this query carries the driver's weaker
-    rows-only check; the exact twin rides along for local sanity."""
+    giant shuffle of raw keys).
+
+    ROWS-ONLY BY DESIGN (the registry's single deliberate rows-only
+    row, r7 verdict task 5 resolution: KEEP, annotated): this query
+    exercises Spark's ENGINE-INTERNAL HLL++ estimator
+    (`approx_count_distinct`), whose register layout and bias
+    correction are implementation-specific — no other engine can
+    reproduce its estimates bit-for-bit, so a DuckDB value-hash twin
+    is impossible by construction, not by omission. The sketch
+    family's hash-certified siblings cover everything certifiable:
+    hll02 (deterministic re-implementation of the HLL register
+    pipeline, green r7), hll03 (merge-equivalence certification,
+    promoted r8), and lc01 (linear counting). hll01 stays as the
+    engine-internal comparison row — its output carries the exact
+    COUNT(DISTINCT) twin column so the driver's rows-only check still
+    pins cardinality and schema, and local pytest bounds the estimate
+    error against the exact twin (tests/test_new_queries.py::
+    test_hll_estimate_tracks_exact_count)."""
     ev = load(spark, sf, "events")
     return (
         ev.groupBy("event_type")
@@ -13937,7 +13952,31 @@ def bj01_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
 
     The bucketed tables build once per (process, sf) and reset with
     the shared intermediates, so benchmarks pay the write-path shuffle
-    once per pass like every other materialized intermediate."""
+    once per pass like every other materialized intermediate — as the
+    timed "bjbase" carrier slot (bench.py), so bj01's own wall is the
+    steady-state exchange-free join, the number the layout exists to
+    buy (r7 verdict task 8)."""
+    names = _bj01_layout(spark, sf)
+    ord_t = spark.table(names[0]).hint("merge")
+    li_t = spark.table(names[1])
+    return (
+        ord_t.join(li_t, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("__price") * (F.lit(1) - F.col("__disc")))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _bj01_layout(spark: SparkSession, sf: str) -> tuple:
+    """Build (once per process per sf) the bucketed orders/lineitem
+    layout bj01 joins over; the write-path shuffle is the one-time cost
+    the steady-state join amortizes. Benchmarks call this directly as
+    the "bjbase" carrier slot."""
     from ..operators.bucketing import write_bucketed
 
     import hashlib
@@ -13975,19 +14014,7 @@ def bj01_bucketed_colocated_join(spark: SparkSession, sf: str) -> DataFrame:
             buckets=8,
         )
         _BJ01_TABLES[sf] = names
-    ord_t = spark.table(names[0]).hint("merge")
-    li_t = spark.table(names[1])
-    return (
-        ord_t.join(li_t, "o_orderkey")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            F.sum(F.col("__price") * (F.lit(1) - F.col("__disc")))
-            .cast("double")
-            .alias("revenue"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    return names
 
 
 _BJ01_ORACLE = """
@@ -14116,3 +14143,55 @@ ROUND7_STAGED_QUERIES["ss06_kfold_assignment_audit"] = (
     ss06_kfold_assignment_audit
 )
 ROUND7_STAGED_ORACLE["ss06_kfold_assignment_audit"] = _ss06_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-8 promotion (VERDICT r7 task 1): graduate all 28 staged queries into
+# the live EXTENSION registries, in the verdict's priority order — the r6
+# holdovers first (staged two rounds is too long), then gr03/hll03 (the
+# algorithm- and merge-equivalence certifications), bj01 (the fact↔fact
+# bucketed-join strategy), then waves 33–42. Every name below has a recorded
+# sf0.1 wall in scripts/staged_sf01_walls.json (the dd14-lesson promotion
+# precondition, swept 2026-08-15 at loadavg <0.3 — worst case gr03 6.95 s,
+# which pays the shared CC-base rebuild per isolated run; it rides the
+# ccbase carrier slot in the bench) — pinned by
+# tests/test_staged_round7.py::test_promoted_queries_were_sf01_swept.
+ROUND8_PROMOTED: list[str] = [
+    # r6 holdovers
+    "win05_activity_streaks",
+    "win06_daily_ohlc",
+    "rs01_mad_outliers",
+    "cr01_value_time_correlation",
+    "ts01_seasonal_naive_error",
+    "hq02_mergeable_histogram",
+    "sync01_bucket_checksum_diff",
+    "tx17_bigram_continuations",
+    # algorithm-equivalence certifications
+    "gr03_cc_star_contraction",
+    "hll03_hll_mergeability",
+    # the fact↔fact bucketed co-located join strategy
+    "bj01_bucketed_colocated_join",
+    # waves 33–42
+    "mw01_mann_whitney_drift",
+    "tx18_flesch_readability",
+    "tx19_lexical_richness",
+    "qf03_c4_heuristic_filters",
+    "ret01_weekly_cohort_retention",
+    "zo01_zorder_locality",
+    "ln01_neardup_source_conflict",
+    "ts03_revenue_autocorrelation",
+    "dd16_winnowing_fingerprints",
+    "mm07_magic_byte_sniffing",
+    "st15_scd_asof_enrich",
+    "mi01_label_source_mutual_information",
+    "ab01_proportion_drift",
+    "en01_char_entropy",
+    "tx20_stupid_backoff_scoring",
+    "ev01_ann_ranking_quality",
+    "ss06_kfold_assignment_audit",
+]
+
+for _name in ROUND8_PROMOTED:
+    EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
+    EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
+del _name

@@ -1077,7 +1077,14 @@ def replay_tws_totals(
             )
 
         def close(self) -> None:
-            pass
+            """StatefulProcessor lifecycle hook (required by the ABC).
+
+            A no-op body, NOT an exception handler: this processor
+            holds no resources outside the state store (which Spark
+            owns and releases itself), so there is nothing to clean up
+            and nothing a failure here could swallow — any error in
+            handleInputRows/init still propagates and fails the query.
+            """
 
     stream = spark.readStream.schema(batch_schema).option(
         "maxFilesPerTrigger", "1"

@@ -85,3 +85,22 @@ def test_window_covers_all_never_certified_queries():
         "never-certified queries left outside the 50-slot window: "
         f"{stranded}"
     )
+
+
+def test_readme_counts():
+    """README registry counts are generated-not-hand-counted (r7 verdict
+    task 6): the bolded counts line must match the computed registry
+    sizes exactly, so any future staging wave that forgets the README
+    fails the suite instead of shipping a stale count."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        ROUND7_STAGED_QUERIES,
+    )
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "README.md")) as fh:
+        readme = fh.read()
+    live, staged = len(ep.queries()), len(ROUND7_STAGED_QUERIES)
+    expected = f"**{live} live queries, {staged} staged**"
+    assert expected in readme, (
+        f"README counts line out of date: expected {expected!r}"
+    )

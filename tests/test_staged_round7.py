@@ -17,6 +17,7 @@ import pytest
 from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
     EXTENSION_QUERIES,
     ROUND7_PROMOTED,
+    ROUND8_PROMOTED,
     ROUND7_STAGED_ORACLE,
     ROUND7_STAGED_QUERIES,
 )
@@ -65,6 +66,38 @@ def test_every_staged_query_has_oracle():
     assert set(ROUND7_STAGED_QUERIES) == set(ROUND7_STAGED_ORACLE)
 
 
+def test_promoted_queries_were_sf01_swept():
+    """Promotion precondition (r7 verdict task 3, the dd14 lesson made
+    structural): every query promoted into the live registry this round
+    AND every still-staged query must have a recorded sf0.1 wall in
+    scripts/staged_sf01_walls.json (written by scripts/staged_sweep.py).
+    A staged query with sf0.001/sf0.01 certification but no measured
+    sf0.1 wall is exactly how dd14 shipped a 396.7 s interpreted-lambda
+    plan — this test makes that promotion path impossible."""
+    import json
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        ROUND8_PROMOTED,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "staged_sf01_walls.json"
+    )
+    with open(path) as fh:
+        walls = json.load(fh)
+    required = set(ROUND7_STAGED_QUERIES) | set(ROUND8_PROMOTED)
+    missing = required - set(walls)
+    assert missing == set(), (
+        f"no recorded sf0.1 wall for: {sorted(missing)} — run "
+        "scripts/staged_sweep.py before promoting"
+    )
+    for name in required:
+        assert walls[name]["sec"] < 60.0, (
+            f"{name}: recorded sf0.1 wall {walls[name]['sec']} s is a "
+            "dd14-class escape; fix the plan before promoting"
+        )
+
+
 def test_staged_names_not_yet_registered():
     """A staged query must NOT appear in queries() yet: an unregistered
     name can never violate the never-certified-in-window invariant, and
@@ -86,9 +119,9 @@ def test_staged_query_matches_oracle(spark, duck, sf_dir, name):
 
 @pytest.mark.oracle
 @pytest.mark.integration
-@pytest.mark.parametrize("name", ROUND7_PROMOTED)
+@pytest.mark.parametrize("name", ROUND7_PROMOTED + ROUND8_PROMOTED)
 def test_promoted_query_matches_oracle_at_driver_scale(spark, name):
-    """The round-7 promotions left the staged harness (which certified
+    """The round-7/8 promotions left the staged harness (which certified
     them at BOTH sf0.001 and sf0.01); test_oracle_gate covers the live
     registry at sf0.001 only. This keeps the sf0.01 (driver-gate scale)
     certification pinned locally until the driver's own rows land."""

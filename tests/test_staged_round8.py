@@ -14,8 +14,14 @@ import os
 import pytest
 
 from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+    EXTENSION_QUERIES,
     ROUND7_STAGED_QUERIES,
 )
+
+# Promoted queries move to EXTENSION_QUERIES at round boundaries
+# (ROUND8_PROMOTED); the ones still staged stay in ROUND7_STAGED_QUERIES
+# — the invariant tests below look up in either.
+QUERIES = {**EXTENSION_QUERIES, **ROUND7_STAGED_QUERIES}
 
 SF = "/root/testdata/sf0.001"
 
@@ -30,7 +36,7 @@ def test_mw01_mann_whitney_invariants(spark):
     """AUC is in [0,1]; u2 never exceeds 2*n_a*n_b (U <= n_a*n_b);
     every unordered source pair appears exactly once; the doubled
     statistic is exactly consistent with the reported AUC."""
-    out = ROUND7_STAGED_QUERIES["mw01_mann_whitney_drift"](
+    out = QUERIES["mw01_mann_whitney_drift"](
         spark, SF
     ).collect()
     assert len(out) >= 1
@@ -54,7 +60,7 @@ def test_mw01_symmetry_against_flipped_ranks(spark):
     from pyspark.sql import functions as F
     from local_etl_csv_to_postgresql_spark.plans.analytics import load
 
-    rows = ROUND7_STAGED_QUERIES["mw01_mann_whitney_drift"](
+    rows = QUERIES["mw01_mann_whitney_drift"](
         spark, SF
     ).collect()
     docs = load(spark, SF, "documents").select("source", "n_chars")
@@ -76,7 +82,7 @@ def test_tx18_flesch_invariants(spark):
     scores are finite (no div-by-zero leak through the guards)."""
     from local_etl_csv_to_postgresql_spark.plans.analytics import load
 
-    out = ROUND7_STAGED_QUERIES["tx18_flesch_readability"](
+    out = QUERIES["tx18_flesch_readability"](
         spark, SF
     ).collect()
     n_total = load(spark, SF, "documents").count()
@@ -91,7 +97,7 @@ def test_tx18_flesch_invariants(spark):
 @pytest.mark.integration
 def test_tx19_lexical_richness_invariants(spark):
     """hapax <= types <= tokens per language; ratios consistent."""
-    out = ROUND7_STAGED_QUERIES["tx19_lexical_richness"](
+    out = QUERIES["tx19_lexical_richness"](
         spark, SF
     ).collect()
     assert len(out) >= 2
@@ -108,7 +114,7 @@ def test_tx19_lexical_richness_invariants(spark):
 def test_qf03_c4_invariants(spark):
     """Conjunction never exceeds any single rule; retention consistent;
     every rule column bounded by n_docs."""
-    out = ROUND7_STAGED_QUERIES["qf03_c4_heuristic_filters"](
+    out = QUERIES["qf03_c4_heuristic_filters"](
         spark, SF
     ).collect()
     assert len(out) >= 2
@@ -129,7 +135,7 @@ def test_ret01_retention_invariants(spark):
     """Offset 0 is 100% by construction (the first-seen week is an
     active week); later offsets never exceed the cohort size; offsets
     are non-negative."""
-    out = ROUND7_STAGED_QUERIES["ret01_weekly_cohort_retention"](
+    out = QUERIES["ret01_weekly_cohort_retention"](
         spark, SF
     ).collect()
     assert len(out) >= 2
@@ -150,7 +156,7 @@ def test_zo01_zorder_beats_time_layout_on_user_span(spark):
     same row count."""
     out = {
         r["layout"]: r
-        for r in ROUND7_STAGED_QUERIES["zo01_zorder_locality"](
+        for r in QUERIES["zo01_zorder_locality"](
             spark, SF
         ).collect()
     }
@@ -172,7 +178,7 @@ def test_ln01_source_conflict_invariants(spark):
         _neardup_good_edges,
     )
 
-    out = ROUND7_STAGED_QUERIES["ln01_neardup_source_conflict"](
+    out = QUERIES["ln01_neardup_source_conflict"](
         spark, SF
     ).collect()
     n_edges = _neardup_good_edges(spark, SF).count()
@@ -189,7 +195,7 @@ def test_ts03_acf_invariants(spark):
     """Exactly 7 lags; |acf| <= 1; every lag keeps a substantial pair
     count (the daily grid has calendar gaps, so counts wobble rather
     than decrease monotonically — only the floor is guaranteed)."""
-    out = ROUND7_STAGED_QUERIES["ts03_revenue_autocorrelation"](
+    out = QUERIES["ts03_revenue_autocorrelation"](
         spark, SF
     ).collect()
     assert [r["lag"] for r in out] == list(range(1, 8))
@@ -204,7 +210,7 @@ def test_dd16_winnowing_invariants(spark):
     """The winnowing guarantee on a known plant: every doc count is
     positive, shared incidences need >= 2 participating docs, and the
     per-source doc totals never exceed the corpus."""
-    out = ROUND7_STAGED_QUERIES["dd16_winnowing_fingerprints"](
+    out = QUERIES["dd16_winnowing_fingerprints"](
         spark, SF
     ).collect()
     assert len(out) >= 2
@@ -265,7 +271,7 @@ def test_st15_scd_asof_invariants(spark):
     from pyspark.sql import functions as F
     from local_etl_csv_to_postgresql_spark.plans.analytics import load
 
-    out = ROUND7_STAGED_QUERIES["st15_scd_asof_enrich"](
+    out = QUERIES["st15_scd_asof_enrich"](
         spark, SF
     ).collect()
     assert out and [r["version_no"] for r in out] == sorted(
@@ -296,7 +302,7 @@ def test_hll03_merge_exact_everywhere(spark):
         HLL_M,
     )
 
-    out = ROUND7_STAGED_QUERIES["hll03_hll_mergeability"](
+    out = QUERIES["hll03_hll_mergeability"](
         spark, SF
     ).collect()
     assert len(out) >= 3
@@ -313,7 +319,7 @@ def test_mi01_mutual_information_invariants(spark):
     (up to the 8-dp per-cell rounding); every |pmi| is finite."""
     from local_etl_csv_to_postgresql_spark.plans.analytics import load
 
-    out = ROUND7_STAGED_QUERIES[
+    out = QUERIES[
         "mi01_label_source_mutual_information"
     ](spark, SF).collect()
     n_total = load(spark, SF, "documents").count()
@@ -331,7 +337,7 @@ def test_ab01_proportion_drift_invariants(spark):
     z statistic recomputes from the reported integers."""
     import math
 
-    out = ROUND7_STAGED_QUERIES["ab01_proportion_drift"](
+    out = QUERIES["ab01_proportion_drift"](
         spark, SF
     ).collect()
     srcs = set()
@@ -358,7 +364,7 @@ def test_gr03_star_cc_equals_dd06_labels(spark):
     row-identical to dd06's min-label-propagation clustering."""
     import __spark_entry__ as ep
 
-    star = ROUND7_STAGED_QUERIES["gr03_cc_star_contraction"](
+    star = QUERIES["gr03_cc_star_contraction"](
         spark, SF
     ).collect()
     prop = ep.queries()["dd06_neardup_clusters"](spark, SF).collect()
@@ -372,7 +378,7 @@ def test_en01_entropy_invariants(spark):
     36-char normalized alphabet; char mass consistent."""
     import math
 
-    out = ROUND7_STAGED_QUERIES["en01_char_entropy"](spark, SF).collect()
+    out = QUERIES["en01_char_entropy"](spark, SF).collect()
     assert len(out) >= 2
     for r in out:
         assert 1 <= r["n_distinct_chars"] <= 36
@@ -386,7 +392,7 @@ def test_tx20_backoff_invariants(spark):
     """Held-out docs only (odd ids drive the count); the backoff path
     actually fires somewhere (held-out bigrams unseen in training);
     scores are negative log-probabilities-ish (log2 of ratios < 1)."""
-    out = ROUND7_STAGED_QUERIES["tx20_stupid_backoff_scoring"](
+    out = QUERIES["tx20_stupid_backoff_scoring"](
         spark, SF
     ).collect()
     assert len(out) >= 2
@@ -404,7 +410,7 @@ def test_ev01_ranking_quality_invariants(spark):
     a query with hits has mrr >= 1/10; perfect-ranking consistency
     (n_hits == 10 and first hit at pos 1 => ndcg == 1 only if all
     positions align — so only the <= bound is universal)."""
-    out = ROUND7_STAGED_QUERIES["ev01_ann_ranking_quality"](
+    out = QUERIES["ev01_ann_ranking_quality"](
         spark, SF
     ).collect()
     assert len(out) == 10
@@ -451,7 +457,7 @@ def test_ss06_kfold_invariants(spark):
     chi-square non-negative."""
     from local_etl_csv_to_postgresql_spark.plans.analytics import load
 
-    out = ROUND7_STAGED_QUERIES["ss06_kfold_assignment_audit"](
+    out = QUERIES["ss06_kfold_assignment_audit"](
         spark, SF
     ).collect()
     assert [r["fold"] for r in out] == [0, 1, 2, 3, 4]
