@@ -14195,3 +14195,253 @@ for _name in ROUND8_PROMOTED:
     EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
     EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staging, wave 43: mk01 Markov transitions, kl01 per-source
+# unigram KL divergence, nv01 n-gram novelty (memorization audit).
+
+
+def mk01_event_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral-drift fingerprint next to ia01's
+    inter-arrival stats: a bot cohort shows near-deterministic rows
+    (one transition probability ≈ 1), organic traffic spreads mass.
+    Reference parity: the reference's session analytics stop at counts
+    per type; the transition structure is the sequence-aware upgrade a
+    training-data pipeline uses to spot templated event logs.
+
+    Scale: ONE shuffle by user_id for the lead() window (sequences are
+    per-user, so the window never crosses keys and skew is bounded by
+    the busiest user), then a keyed count onto the |types|² transition
+    table — bounded by construction (5 types → ≤25 rows), on which the
+    per-from-type probability window is driver-trivial. Determinism:
+    sequence order is (ts, event_id) — event_id breaks timestamp ties
+    exactly as rw01/win05 do; prob is an exact integer ratio rounded
+    once to 6 dp."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    wf = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wf).cast("double"),
+            6,
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+_MK01_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), t AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_trans,
+       ROUND(CAST(n_trans AS DOUBLE)
+             / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE),
+             6) AS prob
+FROM t ORDER BY from_type, to_type
+"""
+
+
+def kl01_source_unigram_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution —
+    THE distribution-shift number a data-mixing pipeline reads before
+    reweighting (DoReMi-style domain reweighting starts from exactly
+    these divergences; dm01 computes the weights, this measures how
+    far each source actually sits from the mixture).
+
+    Scale: token counts are exact BIGINTs built by ONE map-side-
+    combinable keyed count over the exploded corpus; the cell table is
+    |vocab|×|sources| (the tx09/tx10 regime — sublinear in corpus
+    size), per-token corpus totals ride a window keyed by token (a
+    shuffle of the CELL table, not the corpus), and the single 1-row
+    grand total broadcasts (BNLJ allowlisted). Determinism (en01
+    rule): each cell's log2 term is computed once on exact integer
+    ratios, rounded to 8 dp, weighted by the exact probability,
+    rounded to 10 dp, DECIMAL-summed order-independently, output
+    rounded to 6 dp. KL(P_s ‖ Q) is finite by construction: every
+    source token is in the corpus vocabulary (q > 0 wherever p > 0)."""
+    from pyspark.sql import Window
+
+    toks = _docs_words(spark, sf).select(
+        "source", F.explode("__words").alias("__t")
+    )
+    st = toks.groupBy("source", "__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    ws = Window.partitionBy("source")
+    wt = Window.partitionBy("__t")
+    cells = st.select(
+        "source",
+        "__t",
+        "__c",
+        F.sum("__c").over(ws).alias("__ns"),
+        F.sum("__c").over(wt).alias("__ct"),
+    )
+    total = st.agg(F.sum("__c").cast("long").alias("__N"))
+    contrib = F.round(
+        (F.col("__c").cast("double") / F.col("__ns").cast("double"))
+        * F.round(
+            F.log2(
+                (F.col("__c").cast("double") * F.col("__N").cast("double"))
+                / (F.col("__ns").cast("double") * F.col("__ct").cast("double"))
+            ),
+            8,
+        ),
+        10,
+    ).cast("decimal(20,10)")
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .select("source", "__ns", contrib.alias("__kl"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            F.max("__ns").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("__kl").cast("double"), 6).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+_KL01_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest({_WORDS}) AS t FROM documents
+), st AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), cells AS (
+  SELECT source, t, c,
+         SUM(c) OVER (PARTITION BY source) AS ns,
+         SUM(c) OVER (PARTITION BY t) AS ct,
+         SUM(c) OVER () AS N
+  FROM st
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(MAX(ns) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(
+           (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+           * ROUND(log2(
+               (CAST(c AS DOUBLE) * CAST(N AS DOUBLE))
+               / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE))
+             ), 8), 10)
+         AS DECIMAL(20,10))) AS DOUBLE), 6) AS kl_bits
+FROM cells GROUP BY source ORDER BY source
+"""
+
+
+def nv01_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram novelty between a deterministic train/val parity split
+    (even/odd doc_id, tx20's held-out convention): the fraction of the
+    val split's distinct word 5-grams never seen in train — the
+    memorization/leakage audit run before quoting held-out loss, and
+    the distributional twin of sl01's exact-document leakage check
+    (sl01 catches copied DOCUMENTS; this catches copied PHRASING).
+
+    Scale: both gram sets are map-side-distinct exploded projections;
+    the novelty test is ONE gram-keyed LEFT ANTI join per lang —
+    hash-partitioned by (lang, gram), no broadcast of anything
+    SF-proportional, no all-pairs anywhere. Counts are exact; the
+    percentage is one integer ratio rounded to 4 dp."""
+    docs = _docs_words(spark, sf).select(
+        "lang", (F.col("doc_id") % 2 == 0).alias("__train"), "__words"
+    )
+    grams = docs.select(
+        "lang",
+        "__train",
+        F.explode(dd.shingles(F.col("__words"), n=5)).alias("__g"),
+    )
+    train_g = (
+        grams.filter("__train").select("lang", "__g").distinct()
+    )
+    val_g = (
+        grams.filter(~F.col("__train")).select("lang", "__g").distinct()
+    )
+    novel = val_g.join(train_g, ["lang", "__g"], "left_anti")
+    v = val_g.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_val_grams")
+    )
+    n = novel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    return (
+        v.join(n, "lang", "left")
+        .select(
+            "lang",
+            "n_val_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.lit(100.0)
+                * F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_val_grams").cast("double"),
+                4,
+            ).alias("novelty_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NV01_ORACLE = f"""
+WITH d AS (
+  SELECT lang, (doc_id % 2 = 0) AS train,
+         {_sql_shingles(_WORDS, 5)} AS g
+  FROM documents
+), grams AS (
+  SELECT lang, train, unnest(g) AS g FROM d
+), train_g AS (
+  SELECT DISTINCT lang, g FROM grams WHERE train
+), val_g AS (
+  SELECT DISTINCT lang, g FROM grams WHERE NOT train
+), novel AS (
+  SELECT v.lang, v.g FROM val_g v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM train_g t WHERE t.lang = v.lang AND t.g = v.g
+  )
+)
+SELECT v.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_val_grams,
+       CAST(COALESCE(MAX(n.c), 0) AS BIGINT) AS n_novel,
+       ROUND(100.0 * CAST(COALESCE(MAX(n.c), 0) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS novelty_pct
+FROM val_g v
+LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+           FROM novel GROUP BY lang) n ON n.lang = v.lang
+GROUP BY v.lang ORDER BY v.lang
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "mk01_event_markov_transitions": mk01_event_markov_transitions,
+        "kl01_source_unigram_kl": kl01_source_unigram_kl,
+        "nv01_ngram_novelty": nv01_ngram_novelty,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "mk01_event_markov_transitions": _MK01_ORACLE,
+        "kl01_source_unigram_kl": _KL01_ORACLE,
+        "nv01_ngram_novelty": _NV01_ORACLE,
+    }
+)

@@ -93,6 +93,8 @@ BNLJ_ALLOWED = {
     "mw01_mann_whitney_drift",  # value grid × ≤5-row source roster fill
     "ab01_proportion_drift",  # ≤5-row per-source (n, k) self-pairing
     "ev01_ann_ranking_quality",  # 10-row broadcast query-vector panel
+    # staged round-9 surface
+    "kl01_source_unigram_kl",  # 1-row broadcast corpus-token total
 }
 
 
