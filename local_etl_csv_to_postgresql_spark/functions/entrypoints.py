@@ -14445,3 +14445,314 @@ ROUND7_STAGED_ORACLE.update(
         "nv01_ngram_novelty": _NV01_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staging, wave 44: wz01 winsorized value stats, qf04 Gopher
+# quality rules, gr04 event-type co-presence projection.
+
+
+def wz01_winsorized_value_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization audit — the outlier-clipping step a feature/label
+    pipeline runs before any mean-based statistic, quantified: per
+    event_type, the empirical p01/p99 thresholds, how many values each
+    tail clips, and the mean before vs after. The robust-stats sibling
+    of rs01 (MAD flags outliers; this measures what clipping them
+    does to the first moment).
+
+    Scale + determinism (the hq01 grid construction, made exact):
+    values carry 2 decimal places at the source, so rounding to a
+    DECIMAL(12,2) grid is LOSSLESS here — the (type, value) cell table
+    the percentile runs on is bounded by the value grid, not the row
+    count, and the cumulative window orders ≤ |grid| rows per type.
+    Thresholds are type-1 empirical quantiles (smallest grid value
+    with cum ≥ ceil(p·n)) — pure integer/decimal selection, no float
+    interpolation anywhere. Means are DECIMAL sums of exact 2-dp
+    values divided once, rounded to 6 dp. The 5-row threshold table
+    joins back via AQE broadcast (no hint needed — bounded side)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.round(F.col("value"), 2).cast("decimal(12,2)").alias("__v"),
+    )
+    cells = ev.groupBy("event_type", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w = Window.partitionBy("event_type").orderBy("__v")
+    cum = cells.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(Window.partitionBy("event_type"))
+    )
+    pick = lambda p: F.min(  # noqa: E731 — smallest grid value at rank
+        F.when(
+            F.col("__cum") >= F.ceil(F.col("__n") * F.lit(p)), F.col("__v")
+        )
+    )
+    thr = cum.groupBy("event_type").agg(
+        pick(0.01).alias("__p01"), pick(0.99).alias("__p99")
+    )
+    clip = F.least(F.greatest(F.col("__v"), F.col("__p01")), F.col("__p99"))
+    return (
+        ev.join(thr, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("__p01").cast("double").alias("p01_value"),
+            F.max("__p99").cast("double").alias("p99_value"),
+            F.sum(F.when(F.col("__v") < F.col("__p01"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("__v") > F.col("__p99"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(
+                F.sum("__v").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clip).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WZ01_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(ROUND(value, 2) AS DECIMAL(12,2)) AS v
+  FROM events
+), cells AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cm,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM cells
+), thr AS (
+  SELECT event_type,
+         MIN(CASE WHEN cm >= CEIL(n * 0.01) THEN v END) AS p01,
+         MIN(CASE WHEN cm >= CEIL(n * 0.99) THEN v END) AS p99
+  FROM cum GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(t.p01) AS DOUBLE) AS p01_value,
+       CAST(MAX(t.p99) AS DOUBLE) AS p99_value,
+       CAST(SUM(CASE WHEN e.v < t.p01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN e.v > t.p99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       ROUND(CAST(SUM(e.v) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+       ROUND(CAST(SUM(LEAST(GREATEST(e.v, t.p01), t.p99)) AS DOUBLE)
+             / COUNT(*), 6) AS mean_winsorized
+FROM ev e JOIN thr t ON t.event_type = e.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+# Gopher quality-filter stop-word set (Rae et al. 2021, public): a doc
+# must contain at least 2 distinct members to pass the stop-word rule.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def qf04_gopher_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher quality heuristics (Rae et al. 2021) as a per-source
+    audit — the OTHER canonical web-cleaning rule set next to qf03's
+    C4 filters: word-count bounds [50, 100000], mean word length in
+    [3, 10], symbol-to-word ratio (# or ...) ≤ 0.1, ≥80% of words
+    containing an alphabetic character, and ≥2 distinct stop words.
+
+    Determinism: every rule is an EXACT INTEGER comparison — mean
+    word length in [3,10] is tested as 3·n ≤ total_len ≤ 10·n, the
+    0.8 alpha fraction as 5·n_alpha ≥ 4·n, the 0.1 symbol ratio as
+    10·n_sym ≤ n — no ratio is ever materialized, so no float
+    crosses the oracle boundary at all. One conditional-agg scan per
+    the qf01 pattern; per-doc work is array arithmetic inside
+    whole-stage codegen."""
+    docs = _docs_words(spark, sf)
+    n = F.size("__words")
+    total_len = F.expr(
+        "aggregate(__words, 0L, (a, x) -> a + length(x))"
+    )
+    n_alpha = F.expr(
+        "size(filter(__words, x -> x rlike '[a-z]'))"
+    )
+    n_sym = F.size(
+        F.expr("regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)")
+    )
+    n_stops = F.size(
+        F.array_intersect(
+            "__words",
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    )
+    flagged = docs.select(
+        "source",
+        ((n < 50) | (n > 100000)).alias("__f_wc"),
+        ((total_len < 3 * n) | (total_len > 10 * n)).alias("__f_mwl"),
+        (10 * n_sym > n).alias("__f_sym"),
+        (5 * n_alpha < 4 * n).alias("__f_alpha"),
+        (n_stops < 2).alias("__f_stop"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            cnt("__f_wc").alias("n_fail_wordcount"),
+            cnt("__f_mwl").alias("n_fail_meanwordlen"),
+            cnt("__f_sym").alias("n_fail_symbolratio"),
+            cnt("__f_alpha").alias("n_fail_alphafrac"),
+            cnt("__f_stop").alias("n_fail_stopwords"),
+            F.sum(
+                F.when(
+                    ~F.col("__f_wc")
+                    & ~F.col("__f_mwl")
+                    & ~F.col("__f_sym")
+                    & ~F.col("__f_alpha")
+                    & ~F.col("__f_stop"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+_QF04_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         {_WORDS} AS w,
+         len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym
+  FROM documents
+), f AS (
+  SELECT source,
+         (len(w) < 50 OR len(w) > 100000) AS f_wc,
+         (list_sum(list_transform(w, x -> len(x))) < 3 * len(w)
+          OR list_sum(list_transform(w, x -> len(x))) > 10 * len(w))
+           AS f_mwl,
+         (10 * n_sym > len(w)) AS f_sym,
+         (5 * len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          < 4 * len(w)) AS f_alpha,
+         (len(list_intersect(w,
+            ['the','be','to','of','and','that','have','with'])) < 2)
+           AS f_stop
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_wordcount,
+       CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_meanwordlen,
+       CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_symbolratio,
+       CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_alphafrac,
+       CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_stopwords,
+       CAST(SUM(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_sym
+                      AND NOT f_alpha AND NOT f_stop
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+def gr04_event_type_copresence(spark: SparkSession, sf: str) -> DataFrame:
+    """Bipartite projection of the user↔event_type graph onto
+    event-type pairs: for every unordered pair, how many users touch
+    BOTH, with the Jaccard overlap of their user sets — the
+    co-occurrence structure a feature store reads before crossing
+    behavioral features (near-duplicate event types show Jaccard → 1
+    and should be merged, disjoint ones cross cleanly).
+
+    Scale: ONE distinct projection of (user, type) — map-side
+    combinable — then a self-equi-join keyed by user whose per-user
+    fan-out is bounded by |types|² (≤25), NEVER all-pairs of users;
+    the |types|-row marginals join back via AQE broadcast. Jaccard is
+    an exact integer ratio |A∩B| / (|A|+|B|-|A∩B|) rounded once to
+    6 dp."""
+    ut = (
+        load(spark, sf, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    na = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            na.select(F.col("event_type").alias("type_a"), F.col("__n").alias("n_a")),
+            "type_a",
+        )
+        .join(
+            na.select(F.col("event_type").alias("type_b"), F.col("__n").alias("n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_GR04_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), na AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_common,
+       x.n AS n_a, y.n AS n_b,
+       ROUND(CAST(p.n_common AS DOUBLE)
+             / CAST(x.n + y.n - p.n_common AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN na x ON x.event_type = p.type_a
+JOIN na y ON y.event_type = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "wz01_winsorized_value_stats": wz01_winsorized_value_stats,
+        "qf04_gopher_quality_rules": qf04_gopher_quality_rules,
+        "gr04_event_type_copresence": gr04_event_type_copresence,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "wz01_winsorized_value_stats": _WZ01_ORACLE,
+        "qf04_gopher_quality_rules": _QF04_ORACLE,
+        "gr04_event_type_copresence": _GR04_ORACLE,
+    }
+)

@@ -165,3 +165,112 @@ def test_nv01_novelty_invariants_and_python_ref(spark):
         t = train.get(r["lang"], set())
         assert r["n_val_grams"] == len(v)
         assert r["n_novel"] == len(v - t)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_wz01_winsorize_invariants_and_python_ref(spark):
+    """Thresholds ordered (p01 <= p99); each tail clips at most ~1% of
+    rows (type-1 quantile bound); recompute thresholds and clip counts
+    in pure Python on the tiny slice."""
+    import math
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["wz01_winsorized_value_stats"](spark, SF).collect()
+    assert rows
+    ev = load(spark, SF, "events").select("event_type", "value").collect()
+    by_type: dict = {}
+    for e in ev:
+        by_type.setdefault(e["event_type"], []).append(
+            round(e["value"], 2)
+        )
+    for r in rows:
+        vs = sorted(by_type[r["event_type"]])
+        n = len(vs)
+        assert r["n_events"] == n
+        p01 = vs[math.ceil(n * 0.01) - 1]
+        p99 = vs[math.ceil(n * 0.99) - 1]
+        assert abs(r["p01_value"] - p01) < 1e-9
+        assert abs(r["p99_value"] - p99) < 1e-9
+        assert r["p01_value"] <= r["p99_value"]
+        assert r["n_clipped_low"] == sum(1 for v in vs if v < p01)
+        assert r["n_clipped_high"] == sum(1 for v in vs if v > p99)
+        assert r["n_clipped_low"] <= 0.01 * n
+        assert r["n_clipped_high"] <= 0.01 * n + 1
+        assert vs[0] <= r["mean_winsorized"] <= vs[-1]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_qf04_gopher_rules_python_ref(spark):
+    """Recompute every rule in pure Python; n_pass must equal docs
+    failing NO rule (catches an AND/OR transposition the same-shaped
+    oracle would reproduce)."""
+    import re
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["qf04_gopher_quality_rules"](spark, SF).collect()
+    docs = load(spark, SF, "documents").select("source", "text").collect()
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    agg: dict = {}
+    for d in docs:
+        text = d["text"] or ""
+        w = re.findall(r"[a-z0-9]+", text.lower())
+        n = len(w)
+        tl = sum(len(x) for x in w)
+        nsym = len(re.findall(r"#|\.\.\.", text))
+        nalpha = sum(1 for x in w if re.search(r"[a-z]", x))
+        nstop = len(set(w) & stops)
+        f = {
+            "wc": n < 50 or n > 100000,
+            "mwl": tl < 3 * n or tl > 10 * n,
+            "sym": 10 * nsym > n,
+            "alpha": 5 * nalpha < 4 * n,
+            "stop": nstop < 2,
+        }
+        a = agg.setdefault(
+            d["source"],
+            {"n": 0, "wc": 0, "mwl": 0, "sym": 0, "alpha": 0, "stop": 0, "pass": 0},
+        )
+        a["n"] += 1
+        for k, v in f.items():
+            a[k] += int(v)
+        a["pass"] += int(not any(f.values()))
+    for r in rows:
+        a = agg[r["source"]]
+        assert r["n_docs"] == a["n"]
+        assert r["n_fail_wordcount"] == a["wc"]
+        assert r["n_fail_meanwordlen"] == a["mwl"]
+        assert r["n_fail_symbolratio"] == a["sym"]
+        assert r["n_fail_alphafrac"] == a["alpha"]
+        assert r["n_fail_stopwords"] == a["stop"]
+        assert r["n_pass"] == a["pass"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_gr04_copresence_invariants_and_python_ref(spark):
+    """n_common <= min(n_a, n_b); jaccard in (0, 1]; unordered pairs
+    unique with type_a < type_b; recompute the projection in Python."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["gr04_event_type_copresence"](spark, SF).collect()
+    assert rows
+    ev = load(spark, SF, "events").select("user_id", "event_type").collect()
+    users: dict = {}
+    for e in ev:
+        users.setdefault(e["event_type"], set()).add(e["user_id"])
+    seen = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        key = (r["type_a"], r["type_b"])
+        assert key not in seen
+        seen.add(key)
+        a, b = users[r["type_a"]], users[r["type_b"]]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["n_common"] == len(a & b)
+        assert 0 < r["n_common"] <= min(len(a), len(b))
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert abs(r["jaccard"] - round(len(a & b) / len(a | b), 6)) < 1e-9
