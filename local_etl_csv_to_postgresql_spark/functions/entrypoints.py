@@ -14756,3 +14756,157 @@ ROUND7_STAGED_ORACLE.update(
         "gr04_event_type_copresence": _GR04_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staging, wave 45: es16 bound-certified pruned exact search,
+# st16 streaming binned-quantile rollup (registered below via the
+# streaming shim).
+
+
+def es16_bound_pruned_search(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT maximum-inner-product top-k that prunes with a provable
+    bound — the Threshold-Algorithm (Fagin) shape every two-stage
+    retrieval system wants: score a cheap candidate set, take its kth
+    score as the threshold tau, then rescore exactly ONLY the vectors
+    whose upper bound can beat tau. Because ub(x) >= dot(q,x) for every
+    x (Cauchy-Schwarz on the dimension split: dot = prefix_dot(16) +
+    tail_dot(48) <= prefix_dot + ||q_tail||*||x_tail||), any vector
+    outside the refine set has dot <= ub < tau and provably cannot
+    enter the top-k — so the result ALWAYS equals the brute-force
+    answer, and `scanned_pct` reports how much exact work the bound
+    actually saved (on isotropic random embeddings it saves little —
+    an honest number; on clustered production embeddings the prefix
+    carries most of the signal and the refine set collapses).
+
+    Scale: the bound pass reads 16 of 64 dims plus one tail norm per
+    vector (at production dims, 1536+, the prefix fraction is the
+    point); candidates are a TakeOrdered-50, tau is a 1-row broadcast,
+    and the refine set is a pushed filter on the bound column — never
+    a second full-corpus exact pass unless the data genuinely needs
+    it. Determinism: es01's conventions — dot and ub rounded once to
+    4 dp, ties broken by vec_id; rounding both to the same grid
+    preserves ub >= dot, so exactness survives the rounding."""
+    emb = load(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.slice("embedding", 1, 16).alias("__qp"),
+        F.col("embedding").alias("__q"),
+        sim.norm(F.slice("embedding", 17, 48)).alias("__qtn"),
+    )
+    base = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            "embedding",
+            "__q",
+            F.round(
+                sim.dot(F.slice("embedding", 1, 16), F.col("__qp"))
+                + F.col("__qtn") * sim.norm(F.slice("embedding", 17, 48)),
+                4,
+            ).alias("__ub"),
+        )
+    )
+    cand = base.orderBy(F.desc("__ub"), "vec_id").limit(50)
+    tau = (
+        cand.select(
+            F.round(sim.dot(F.col("embedding"), F.col("__q")), 4).alias(
+                "__dot"
+            )
+        )
+        .orderBy(F.desc("__dot"))
+        .limit(10)
+        .agg(F.min("__dot").alias("__tau"))
+    )
+    refine = base.crossJoin(F.broadcast(tau)).filter(
+        F.col("__ub") >= F.col("__tau")
+    )
+    n_refine = refine.agg(
+        F.count(F.lit(1)).cast("long").alias("__nr")
+    )
+    n_all = base.agg(F.count(F.lit(1)).cast("long").alias("__na"))
+    topk = (
+        refine.select(
+            "vec_id",
+            F.round(sim.dot(F.col("embedding"), F.col("__q")), 4).alias(
+                "dot_score"
+            ),
+        )
+        .orderBy(F.desc("dot_score"), "vec_id")
+        .limit(10)
+    )
+    return (
+        topk.crossJoin(F.broadcast(n_refine))
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "vec_id",
+            "dot_score",
+            F.round(
+                F.lit(100.0) * F.col("__nr").cast("double")
+                / F.col("__na").cast("double"),
+                4,
+            ).alias("scanned_pct"),
+        )
+        .orderBy(F.desc("dot_score"), "vec_id")
+    )
+
+
+_ES16_DOT16 = (
+    "list_sum(list_transform(range(1, 17), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+_ES16_ORACLE = f"""
+WITH q AS (
+  SELECT embedding AS qe,
+         {_NORM.format(a='embedding[17:64]')} AS qtn
+  FROM embeddings WHERE vec_id = 0
+), base AS (
+  SELECT vec_id, embedding, qe,
+         ROUND({_ES16_DOT16.format(a='embedding', b='qe')}
+               + qtn * {_NORM.format(a='embedding[17:64]')}, 4) AS ub
+  FROM embeddings, q WHERE vec_id <> 0
+), cand AS (
+  SELECT * FROM base ORDER BY ub DESC, vec_id LIMIT 50
+), tau AS (
+  SELECT MIN(d) AS tau FROM (
+    SELECT ROUND({_DOT.format(a='embedding', b='qe')}, 4) AS d
+    FROM cand ORDER BY d DESC LIMIT 10
+  )
+), refine AS (
+  SELECT b.vec_id, b.embedding, b.qe
+  FROM base b, tau t WHERE b.ub >= t.tau
+), counts AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM refine) AS nr,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS na
+)
+SELECT vec_id, dot_score,
+       ROUND(100.0 * CAST(c.nr AS DOUBLE) / CAST(c.na AS DOUBLE), 4)
+         AS scanned_pct
+FROM (
+  SELECT vec_id, ROUND({_DOT.format(a='embedding', b='qe')}, 4) AS dot_score
+  FROM refine ORDER BY dot_score DESC, vec_id LIMIT 10
+), counts c
+ORDER BY dot_score DESC, vec_id
+"""
+
+
+ROUND7_STAGED_QUERIES["es16_bound_pruned_search"] = es16_bound_pruned_search
+ROUND7_STAGED_ORACLE["es16_bound_pruned_search"] = _ES16_ORACLE
+
+
+def _register_staged_streaming_wave45() -> None:
+    from ..streaming.queries import (
+        ST16_STAGED_ORACLE,
+        st16_streaming_binned_quantiles,
+    )
+
+    ROUND7_STAGED_QUERIES["st16_streaming_binned_quantiles"] = (
+        st16_streaming_binned_quantiles
+    )
+    ROUND7_STAGED_ORACLE["st16_streaming_binned_quantiles"] = (
+        ST16_STAGED_ORACLE
+    )
+
+
+_register_staged_streaming_wave45()

@@ -692,3 +692,67 @@ FROM pur p JOIN ver v
   ON p.user_id = v.user_id AND p.ts >= v.eff_from AND p.ts < v.eff_to
 GROUP BY 1 ORDER BY version_no
 """
+
+
+def st16_streaming_binned_quantiles(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """p50/p95/p99 read off a histogram sketch MAINTAINED BY A REAL
+    Structured Streaming run (complete-mode availableNow replay of the
+    events file): micro-batches fold into the bounded (type, bin)
+    count matrix — streaming state bounded by the GRID, not the stream
+    — and the quantile selection runs batch-side over the final merged
+    sketch. The streaming twin of hq01 (identical bin convention:
+    width 1.0, cap 511, lower-edge pick at cum ≥ ceil(p·n)), so the
+    oracle is hq01's SQL — certifying that sketch partials merged
+    across micro-batches equal the one-shot batch histogram."""
+    from pyspark.sql import Window
+
+    from .stateful import replay_binned_histogram
+
+    hist = replay_binned_histogram(spark, f"{sf}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = hist.withColumn("__cum", F.sum("bin_count").over(w)).withColumn(
+        "__n", F.sum("bin_count").over(Window.partitionBy("event_type"))
+    )
+    pick = lambda p: F.min(  # noqa: E731 — lower edge of the crossing bin
+        F.when(
+            F.col("__cum") >= F.ceil(F.col("__n") * F.lit(p)), F.col("bin")
+        )
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_events"),
+            pick(0.50).cast("int").alias("p50_bin"),
+            pick(0.95).cast("int").alias("p95_bin"),
+            pick(0.99).cast("int").alias("p99_bin"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ST16_STAGED_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(value) AS INT), 511) AS bin
+  FROM events
+), hist AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cm,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cm >= CEIL(n * 0.50) THEN bin END) AS INT)
+         AS p50_bin,
+       CAST(MIN(CASE WHEN cm >= CEIL(n * 0.95) THEN bin END) AS INT)
+         AS p95_bin,
+       CAST(MIN(CASE WHEN cm >= CEIL(n * 0.99) THEN bin END) AS INT)
+         AS p99_bin
+FROM cum GROUP BY event_type ORDER BY event_type
+"""

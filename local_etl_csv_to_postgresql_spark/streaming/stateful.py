@@ -1307,3 +1307,60 @@ def replay_scd_asof_enrich(
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
+
+
+def replay_binned_histogram(
+    spark,
+    parquet_path: str,
+    bin_cap: int = 511,
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> "DataFrame":
+    """Streaming MERGEABLE-SKETCH aggregation: each micro-batch folds
+    its events into a bounded (event_type, bin) count matrix — the
+    hq01 fixed-width histogram — and complete-mode output re-emits the
+    merged sketch after every batch. This is the streaming form of the
+    sketch-mergeability contract hll03 certifies in batch: partials
+    from any batch split merge to the same matrix, so the availableNow
+    replay's final table equals the batch histogram — which is what
+    the DuckDB oracle computes. State is the matrix itself: bounded by
+    |types|×(bin_cap+1) BY CONSTRUCTION, never by the stream length —
+    the property that lets a quantile dashboard run forever on a
+    100 TB/day firehose."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    table_name = table_name or f"stream_binhist_{uuid.uuid4().hex[:8]}"
+    batch_schema, stream_path = _schema_and_stage(spark, parquet_path)
+    stream = _normalize_ts(
+        spark.readStream.schema(batch_schema).parquet(stream_path)
+    )
+    hist = (
+        stream.select(
+            "event_type",
+            F.least(
+                F.floor(F.col("value")).cast("int"), F.lit(bin_cap)
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        q = (
+            hist.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)

@@ -95,6 +95,7 @@ BNLJ_ALLOWED = {
     "ev01_ann_ranking_quality",  # 10-row broadcast query-vector panel
     # staged round-9 surface
     "kl01_source_unigram_kl",  # 1-row broadcast corpus-token total
+    "es16_bound_pruned_search",  # 1-row query vector + two 1-row certificates
 }
 
 

@@ -274,3 +274,75 @@ def test_gr04_copresence_invariants_and_python_ref(spark):
         assert 0 < r["n_common"] <= min(len(a), len(b))
         assert 0.0 < r["jaccard"] <= 1.0
         assert abs(r["jaccard"] - round(len(a & b) / len(a | b), 6)) < 1e-9
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_es16_equals_brute_force_mips(spark):
+    """Threshold-Algorithm exactness: the pruned search must return
+    EXACTLY the brute-force dot-product top-10 (same ids, same rounded
+    scores, same order) — recomputed in pure Python, independent of
+    the oracle's shared construction. scanned_pct must be one global
+    value in (0, 100]."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    got = QUERIES["es16_bound_pruned_search"](spark, SF).collect()
+    rows = load(spark, SF, "embeddings").collect()
+    q = next(r["embedding"] for r in rows if r["vec_id"] == 0)
+    scores = sorted(
+        (
+            (round(sum(a * b for a, b in zip(r["embedding"], q)), 4), r["vec_id"])
+            for r in rows
+            if r["vec_id"] != 0
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(r["vec_id"], r["dot_score"]) for r in got] == [
+        (vid, s) for s, vid in scores
+    ]
+    pcts = {r["scanned_pct"] for r in got}
+    assert len(pcts) == 1
+    assert 0.0 < pcts.pop() <= 100.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_es16_bound_dominates_exact_scores(spark):
+    """Cauchy-Schwarz sanity in pure Python: for every vector, the
+    prefix-dot + tail-norm-product upper bound must be >= the true dot
+    (within the shared 4-dp rounding) — the inequality the pruning's
+    exactness proof rests on."""
+    import math
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = load(spark, SF, "embeddings").collect()
+    q = next(r["embedding"] for r in rows if r["vec_id"] == 0)
+    qtn = math.sqrt(sum(x * x for x in q[16:]))
+    for r in rows:
+        if r["vec_id"] == 0:
+            continue
+        e = r["embedding"]
+        dot = sum(a * b for a, b in zip(e, q))
+        ub = sum(a * b for a, b in zip(e[:16], q[:16])) + qtn * math.sqrt(
+            sum(x * x for x in e[16:])
+        )
+        assert round(ub, 4) >= round(dot, 4) - 1e-9
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_st16_streaming_sketch_equals_batch_histogram(spark):
+    """Mergeability, certified end-to-end: quantiles read off the
+    sketch maintained by the Structured Streaming replay must equal
+    hq01's one-shot batch histogram quantiles row for row."""
+    got = QUERIES["st16_streaming_binned_quantiles"](spark, SF).collect()
+    batch = QUERIES["hq01_histogram_quantiles"](spark, SF).collect()
+    key = lambda r: (  # noqa: E731
+        r["event_type"],
+        r["n_events"],
+        r["p50_bin"],
+        r["p95_bin"],
+        r["p99_bin"],
+    )
+    assert sorted(map(key, got)) == sorted(map(key, batch))
