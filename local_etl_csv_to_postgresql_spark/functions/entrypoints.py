@@ -14910,3 +14910,283 @@ def _register_staged_streaming_wave45() -> None:
 
 
 _register_staged_streaming_wave45()
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staging, wave 46: tx21 Kneser-Ney smoothing, lb01 centroid
+# label-confusion audit, mmd01 moment-closure MMD.
+
+
+def tx21_kneser_ney_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995,
+    Chen & Goodman 1999) with the canonical fixed discount D = 0.75 —
+    the smoother tx17's continuation table exists to feed: P_KN(w2|w1)
+    = (c12 − D)/c1 + (D·N1+(w1,·)/c1) · (N1+(·,w2)/T), where the
+    continuation distribution counts DISTINCT left contexts, not raw
+    frequency (the insight that made KN the standard n-gram smoother).
+    Reported for the 20 highest-count bigrams with every component
+    exposed, so the smoothing arithmetic is auditable.
+
+    Scale: one corpus bigram count (map-side combinable), two keyed
+    reduces over the BIGRAM TYPE table (sublinear in corpus size), one
+    1-row type-total broadcast (BNLJ allowlisted). Determinism: all
+    five components are exact BIGINTs; p_kn is ONE fixed-order double
+    expression over them, rounded once to 8 dp — identical in both
+    engines because the inputs are integers."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", tx.words("text").alias("__w")
+    )
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__w) >= 2 THEN "
+                "transform(sequence(1, size(__w) - 1), "
+                "i -> struct(element_at(__w, i) AS w1, "
+                "element_at(__w, i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+                "END"
+            )
+        ).alias("__g")
+    ).select("__g.w1", "__g.w2")
+    counts = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_fwd"),
+    )
+    cont = counts.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_back")
+    )
+    total = counts.agg(F.count(F.lit(1)).cast("bigint").alias("__T"))
+    p_kn = F.round(
+        (F.col("c12").cast("double") - F.lit(0.75))
+        / F.col("c1").cast("double")
+        + (F.lit(0.75) * F.col("n1p_fwd").cast("double") / F.col("c1").cast("double"))
+        * (F.col("n1p_back").cast("double") / F.col("__T").cast("double")),
+        8,
+    )
+    return (
+        counts.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c12", "c1", "n1p_fwd", "n1p_back",
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(20)
+    )
+
+
+_TX21_ORACLE = f"""
+WITH d AS (
+  SELECT {_WORDS} AS w FROM documents
+), big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  WHERE len(w) >= 2
+), counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+  FROM counts GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_back FROM counts GROUP BY w2
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS T FROM counts
+)
+SELECT c.w1, c.w2, c.c12, x.c1, x.n1p_fwd, n.n1p_back,
+       ROUND(
+         (CAST(c.c12 AS DOUBLE) - 0.75) / CAST(x.c1 AS DOUBLE)
+         + (0.75 * CAST(x.n1p_fwd AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+         * (CAST(n.n1p_back AS DOUBLE) / CAST(t.T AS DOUBLE)), 8) AS p_kn
+FROM counts c
+JOIN ctx x ON x.w1 = c.w1
+JOIN cont n ON n.w2 = c.w2
+CROSS JOIN total t
+ORDER BY c.c12 DESC, c.w1, c.w2 LIMIT 20
+"""
+
+
+def lb01_label_confusion_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-noise screen via the nearest-centroid classifier: assign
+    every embedding to its closest LABEL CENTROID and cross-tabulate
+    true vs predicted — off-diagonal mass is exactly where mislabeled
+    or boundary vectors live (the confident-learning intuition with a
+    deterministic classifier). es08 flags each label's farthest
+    vectors; this says WHICH OTHER label they actually resemble.
+
+    Scale: centroids are |labels|×d decimal-exact means (es05's rule);
+    the assignment join inflates the exploded corpus by |labels| —
+    bounded by construction (10 here), the honest cost of any centroid
+    classifier — and distances accumulate per-term doubles through
+    DECIMAL(30,15) sums (exact, partition-order-free, the es08
+    kernel's discipline). Argmin ties break toward the smaller label
+    id via min(struct(d2, label)) — map-side combinable, no per-vector
+    window."""
+    emb = load(spark, sf, "embeddings")
+    ex = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy(F.col("label").alias("__cl"), "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__c")
+    )
+    d2 = (
+        ex.join(cent, "dim")
+        .withColumn(
+            "__sq",
+            ((F.col("val") - F.col("__c")) * (F.col("val") - F.col("__c")))
+            .cast("decimal(30,15)"),
+        )
+        .groupBy("vec_id", "label", "__cl")
+        .agg(F.sum("__sq").alias("__d2"))
+    )
+    assigned = d2.groupBy("vec_id", "label").agg(
+        F.min(F.struct("__d2", "__cl")).alias("__best")
+    )
+    return (
+        assigned.select(
+            F.col("label").alias("true_label"),
+            F.col("__best.__cl").alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+_LB01_ORACLE = """
+WITH ex AS (
+  SELECT label, vec_id, CAST(d - 1 AS INT) AS dim,
+         CAST(embedding[d] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+), cent AS (
+  SELECT label AS cl, dim,
+         CAST(SUM(CAST(val AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, dim
+), d2 AS (
+  SELECT e.vec_id, e.label, c.cl,
+         SUM(CAST((e.val - c.c) * (e.val - c.c) AS DECIMAL(30,15))) AS d2
+  FROM ex e JOIN cent c ON e.dim = c.dim
+  GROUP BY e.vec_id, e.label, c.cl
+), assigned AS (
+  SELECT vec_id, label, cl,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+  FROM d2
+)
+SELECT label AS true_label,
+       CAST(cl AS INT) AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM assigned WHERE rk = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def mmd01_label_mmd_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between each label's
+    embedding distribution and the rest of the corpus — the
+    distribution-shift number for VECTOR columns (ks01/psi01 cover
+    scalars), computed by MOMENT CLOSURE: for the linear kernel,
+    MMD² = ‖mean_A − mean_B‖², so the two-sample kernel statistic
+    needs only per-dimension means — ZERO pairwise work, the whole
+    point at 100 TB (a quadratic-kernel variant closes over second
+    moments, a d×d bounded matrix; pairs are never needed).
+
+    Determinism: per-(label, dim) sums are DECIMAL(25,10) over doubles
+    (es05's centroid rule); rest-means derive from (total − label)
+    sums in decimal; each dimension's squared diff is one double
+    product rounded to 12 dp, decimal-summed over the 64 bounded dims,
+    output rounded to 8 dp."""
+    emb = load(spark, sf, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    per = ex.groupBy("label", "dim").agg(
+        F.sum(F.col("val").cast("decimal(25,10)")).alias("__s"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    tot = ex.groupBy("dim").agg(
+        F.sum(F.col("val").cast("decimal(25,10)")).alias("__st"),
+        F.count(F.lit(1)).cast("long").alias("__nt"),
+    )
+    diff = (
+        per.join(tot, "dim")
+        .select(
+            "label",
+            F.round(
+                (
+                    F.col("__s").cast("double") / F.col("__n")
+                    - (F.col("__st") - F.col("__s")).cast("double")
+                    / (F.col("__nt") - F.col("__n"))
+                )
+                * (
+                    F.col("__s").cast("double") / F.col("__n")
+                    - (F.col("__st") - F.col("__s")).cast("double")
+                    / (F.col("__nt") - F.col("__n"))
+                ),
+                12,
+            )
+            .cast("decimal(20,12)")
+            .alias("__dd"),
+            F.col("__n"),
+        )
+    )
+    return (
+        diff.groupBy("label")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_vectors"),
+            F.round(F.sum("__dd").cast("double"), 8).alias("mmd2_linear"),
+        )
+        .orderBy("label")
+    )
+
+
+_MMD01_ORACLE = """
+WITH ex AS (
+  SELECT label, CAST(d - 1 AS INT) AS dim,
+         CAST(embedding[d] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+), per AS (
+  SELECT label, dim, SUM(CAST(val AS DECIMAL(25,10))) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY 1, 2
+), tot AS (
+  SELECT dim, SUM(CAST(val AS DECIMAL(25,10))) AS st,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM ex GROUP BY 1
+), diff AS (
+  SELECT p.label, p.n,
+         CAST(ROUND(
+           (CAST(p.s AS DOUBLE) / p.n
+            - CAST(t.st - p.s AS DOUBLE) / (t.nt - p.n))
+           * (CAST(p.s AS DOUBLE) / p.n
+              - CAST(t.st - p.s AS DOUBLE) / (t.nt - p.n)), 12)
+         AS DECIMAL(20,12)) AS dd
+  FROM per p JOIN tot t ON t.dim = p.dim
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(dd) AS DOUBLE), 8) AS mmd2_linear
+FROM diff GROUP BY label ORDER BY label
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "tx21_kneser_ney_bigrams": tx21_kneser_ney_bigrams,
+        "lb01_label_confusion_audit": lb01_label_confusion_audit,
+        "mmd01_label_mmd_audit": mmd01_label_mmd_audit,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "tx21_kneser_ney_bigrams": _TX21_ORACLE,
+        "lb01_label_confusion_audit": _LB01_ORACLE,
+        "mmd01_label_mmd_audit": _MMD01_ORACLE,
+    }
+)

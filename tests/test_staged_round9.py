@@ -346,3 +346,100 @@ def test_st16_streaming_sketch_equals_batch_histogram(spark):
         r["p99_bin"],
     )
     assert sorted(map(key, got)) == sorted(map(key, batch))
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx21_kneser_ney_normalizes(spark):
+    """THE KN property: for a context w1, summing P_KN over the whole
+    vocabulary (observed bigrams get the discounted term + backoff,
+    unseen ones get backoff mass alone) must equal exactly 1 —
+    recomputed in pure Python for the top-3 reported contexts."""
+    import re
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["tx21_kneser_ney_bigrams"](spark, SF).collect()
+    assert len(rows) == 20
+    docs = load(spark, SF, "documents").select("text").collect()
+    big: dict = {}
+    for d in docs:
+        w = re.findall(r"[a-z0-9]+", (d["text"] or "").lower())
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    c1: dict = {}
+    n1f: dict = {}
+    n1b: dict = {}
+    for (a, b), c in big.items():
+        c1[a] = c1.get(a, 0) + c
+        n1f[a] = n1f.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    T = len(big)
+    vocab_b = set(n1b)
+    D = 0.75
+    for r in rows[:3]:
+        w1 = r["w1"]
+        assert r["c12"] == big[(w1, r["w2"])]
+        assert r["c1"] == c1[w1]
+        assert r["n1p_fwd"] == n1f[w1]
+        assert r["n1p_back"] == n1b[r["w2"]]
+        lam = D * n1f[w1] / c1[w1]
+        total = 0.0
+        for w2 in vocab_b:
+            c = big.get((w1, w2), 0)
+            total += max(c - D, 0.0) / c1[w1] + lam * (n1b[w2] / T)
+        assert abs(total - 1.0) < 1e-9, w1
+        assert 0.0 < r["p_kn"] < 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_lb01_confusion_matches_numpy_ref(spark):
+    """The confusion matrix must partition the corpus (row sums equal
+    label counts) and match a numpy nearest-centroid recomputation
+    (ties toward the smaller label id) exactly."""
+    import numpy as np
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["lb01_label_confusion_audit"](spark, SF).collect()
+    emb = load(spark, SF, "embeddings").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    y = np.array([r["label"] for r in emb])
+    labels = np.unique(y)
+    cents = np.stack([X[y == l].mean(axis=0) for l in labels])
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    pred = labels[np.argmin(d2, axis=1)]  # argmin ties -> first = smallest
+    ref: dict = {}
+    for t, p in zip(y, pred):
+        ref[(int(t), int(p))] = ref.get((int(t), int(p)), 0) + 1
+    got = {
+        (r["true_label"], r["pred_label"]): r["n_vectors"] for r in rows
+    }
+    assert got == ref
+    row_sums: dict = {}
+    for (t, _), n in got.items():
+        row_sums[t] = row_sums.get(t, 0) + n
+    for l in labels:
+        assert row_sums[int(l)] == int((y == l).sum())
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_mmd01_matches_numpy_moment_closure(spark):
+    """MMD² must be non-negative and equal ‖mean_label − mean_rest‖²
+    recomputed with numpy (within the decimal-rounding tolerance)."""
+    import numpy as np
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["mmd01_label_mmd_audit"](spark, SF).collect()
+    emb = load(spark, SF, "embeddings").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    y = np.array([r["label"] for r in emb])
+    for r in rows:
+        assert r["mmd2_linear"] >= 0.0
+        m = y == r["label"]
+        assert r["n_vectors"] == int(m.sum())
+        ref = float(((X[m].mean(axis=0) - X[~m].mean(axis=0)) ** 2).sum())
+        assert abs(r["mmd2_linear"] - ref) < 1e-6
