@@ -15190,3 +15190,243 @@ ROUND7_STAGED_ORACLE.update(
         "mmd01_label_mmd_audit": _MMD01_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staging, wave 47: gr05 Adamic-Adar missed-pair suggestions,
+# tk01 tokenizer fertility, tx22 word burstiness.
+
+
+def gr05_adamic_adar_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar link prediction on the verified near-dup graph —
+    the MISSED-PAIR suggester: two documents that share near-dup
+    neighbors but are not themselves a verified pair are exactly where
+    an LSH band miss or a just-under-threshold Jaccard hides, and AA
+    (Σ 1/ln(deg w) over shared neighbors w) is the classic score that
+    weights rare shared neighbors above promiscuous hubs. Top-20
+    suggestions, ranked.
+
+    Scale: rides the SHARED verified edge set (_neardup_good_edges —
+    gr01/gr02/tc01's kernel): one self-join keyed by the shared
+    neighbor (wedge enumeration, the tc01 shape — never all-pairs of
+    nodes), one anti join against existing edges, one keyed sum.
+    Determinism: deg is an exact BIGINT; each wedge's 1/ln(deg)
+    contribution is rounded once to 10 dp on the bounded degree table
+    and DECIMAL-summed (the en01 transcendental rule); final score
+    rounded to 6 dp, ties by (id_u, id_v)."""
+    good = _neardup_good_edges(spark, sf).localCheckpoint()
+    und = good.select(
+        F.col("id_a").alias("w"), F.col("id_b").alias("x")
+    ).union(good.select(F.col("id_b").alias("w"), F.col("id_a").alias("x")))
+    deg = und.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("__dg"))
+    # only deg >= 2 nodes can be a shared neighbor (ln(1) = 0 would
+    # divide by zero under ANSI mode — and such nodes never join a
+    # wedge anyway, so the filter is semantics-free)
+    contrib = deg.filter(F.col("__dg") >= 2).select(
+        "w",
+        F.round(F.lit(1.0) / F.log(F.col("__dg").cast("double")), 10)
+        .cast("decimal(20,10)")
+        .alias("__aa"),
+    )
+    wedges = (
+        und.select("w", F.col("x").alias("id_u"))
+        .join(und.select("w", F.col("x").alias("id_v")), "w")
+        .filter(F.col("id_u") < F.col("id_v"))
+    )
+    missed = wedges.join(
+        good,
+        (wedges.id_u == good.id_a) & (wedges.id_v == good.id_b),
+        "left_anti",
+    )
+    return (
+        missed.join(contrib, "w")
+        .groupBy("id_u", "id_v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.round(F.sum("__aa").cast("double"), 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "id_u", "id_v")
+        .limit(20)
+    )
+
+
+def _gr05_oracle_sql() -> str:
+    return f"""
+WITH {_neardup_good_cte()}, und AS (
+  SELECT id_a AS w, id_b AS x FROM good
+  UNION ALL
+  SELECT id_b AS w, id_a AS x FROM good
+), deg AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY w
+), contrib AS (
+  SELECT w,
+         CAST(ROUND(1.0 / ln(CAST(dg AS DOUBLE)), 10) AS DECIMAL(20,10))
+           AS aa
+  FROM deg WHERE dg >= 2
+), wedges AS (
+  SELECT a.w, a.x AS id_u, b.x AS id_v
+  FROM und a JOIN und b ON a.w = b.w
+  WHERE a.x < b.x
+), missed AS (
+  SELECT wg.w, wg.id_u, wg.id_v
+  FROM wedges wg
+  WHERE NOT EXISTS (
+    SELECT 1 FROM good g
+    WHERE g.id_a = wg.id_u AND g.id_b = wg.id_v
+  )
+)
+SELECT m.id_u, m.id_v,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       ROUND(CAST(SUM(c.aa) AS DOUBLE), 6) AS aa_score
+FROM missed m JOIN contrib c ON c.w = m.w
+GROUP BY m.id_u, m.id_v
+ORDER BY aa_score DESC, m.id_u, m.id_v LIMIT 20
+"""
+
+
+def tk01_token_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language — chars-per-token and
+    tokens-per-doc, THE per-language efficiency numbers a multilingual
+    training run reports (a language whose fertility is 2× pays 2× the
+    sequence length for the same text; budget planning reads this
+    table first). Char mass counts alphanumeric token characters, so
+    numerator and denominator describe the same token stream.
+
+    One conditional-agg scan; per-doc work is two array reductions
+    inside codegen; ratios are exact integer divisions rounded once."""
+    docs = _docs_words(spark, sf)
+    return (
+        docs.select(
+            "lang",
+            F.size("__words").alias("__nt"),
+            F.expr("aggregate(__words, 0L, (a, x) -> a + length(x))").alias(
+                "__nc"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("total_tokens"),
+            F.sum("__nc").cast("bigint").alias("total_token_chars"),
+            F.round(
+                F.sum("__nc").cast("double") / F.sum("__nt").cast("double"),
+                4,
+            ).alias("chars_per_token"),
+            F.round(
+                F.sum("__nt").cast("double") / F.count(F.lit(1)), 4
+            ).alias("tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TK01_ORACLE = f"""
+WITH d AS (
+  SELECT lang, {_WORDS} AS w FROM documents
+), per AS (
+  SELECT lang, len(w) AS nt,
+         COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS nc
+  FROM d
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(SUM(nc) AS BIGINT) AS total_token_chars,
+       ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE), 4)
+         AS chars_per_token,
+       ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 4) AS tokens_per_doc
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+def tx22_word_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Word burstiness (Church & Gale 1995): the variance-to-mean
+    ratio of per-document counts for the 20 highest-mass words — the
+    corpus-linguistics QA that separates topical content words (bursty,
+    VMR > 1: absent from most docs, repeated where present) from
+    function words and TEMPLATE BOILERPLATE (VMR ≈ 1 Poisson, or < 1
+    suspiciously uniform — the machine-generated-spam tell).
+
+    Determinism: per-word S1 = Σc and S2 = Σc² over docs are exact
+    BIGINTs (zeros contribute nothing to either sum, so the implicit
+    zero-filled distribution needs only the corpus doc total N — a
+    1-row broadcast, BNLJ allowlisted); VMR = (N·S2 − S1²)/(N·S1) is
+    ONE exact-integer-ratio division rounded to 6 dp."""
+    docs = _docs_words(spark, sf)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    per = (
+        docs.select(
+            "doc_id", F.explode("__words").alias("__t")
+        )
+        .groupBy("doc_id", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    stats = per.groupBy("__t").agg(
+        F.sum("__c").cast("bigint").alias("total_count"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_with"),
+        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__s2"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("__t").alias("word"),
+            "total_count",
+            "n_docs_with",
+            F.round(
+                (
+                    F.col("__N").cast("double") * F.col("__s2").cast("double")
+                    - F.col("total_count").cast("double")
+                    * F.col("total_count").cast("double")
+                )
+                / (
+                    F.col("__N").cast("double")
+                    * F.col("total_count").cast("double")
+                ),
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("total_count"), "word")
+        .limit(20)
+    )
+
+
+_TX22_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N FROM d
+), per AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(w) AS t FROM d)
+  GROUP BY 1, 2
+), stats AS (
+  SELECT t AS word,
+         CAST(SUM(c) AS BIGINT) AS total_count,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per GROUP BY t
+)
+SELECT word, total_count, n_docs_with,
+       ROUND(
+         (CAST(n.N AS DOUBLE) * CAST(s2 AS DOUBLE)
+          - CAST(total_count AS DOUBLE) * CAST(total_count AS DOUBLE))
+         / (CAST(n.N AS DOUBLE) * CAST(total_count AS DOUBLE)), 6) AS vmr
+FROM stats, n
+ORDER BY total_count DESC, word LIMIT 20
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "gr05_adamic_adar_links": gr05_adamic_adar_links,
+        "tk01_token_fertility": tk01_token_fertility,
+        "tx22_word_burstiness": tx22_word_burstiness,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "gr05_adamic_adar_links": _gr05_oracle_sql(),
+        "tk01_token_fertility": _TK01_ORACLE,
+        "tx22_word_burstiness": _TX22_ORACLE,
+    }
+)

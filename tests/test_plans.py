@@ -97,6 +97,7 @@ BNLJ_ALLOWED = {
     "kl01_source_unigram_kl",  # 1-row broadcast corpus-token total
     "es16_bound_pruned_search",  # 1-row query vector + two 1-row certificates
     "tx21_kneser_ney_bigrams",  # 1-row broadcast bigram-type total
+    "tx22_word_burstiness",  # 1-row broadcast corpus doc total
 }
 
 

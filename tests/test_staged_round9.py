@@ -443,3 +443,108 @@ def test_mmd01_matches_numpy_moment_closure(spark):
         assert r["n_vectors"] == int(m.sum())
         ref = float(((X[m].mean(axis=0) - X[~m].mean(axis=0)) ** 2).sum())
         assert abs(r["mmd2_linear"] - ref) < 1e-6
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_gr05_adamic_adar_python_ref(spark):
+    """Recompute AA suggestions in pure Python from the SAME verified
+    edge set: no suggested pair may be an existing edge, scores must
+    match, and every suggestion must share >= 1 neighbor."""
+    import math
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        _neardup_good_edges,
+    )
+
+    rows = QUERIES["gr05_adamic_adar_links"](spark, SF).collect()
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in _neardup_good_edges(spark, SF).collect()
+    }
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    ref: dict = {}
+    for w, ns in nbrs.items():
+        if len(ns) < 2:
+            continue
+        c = round(1.0 / math.log(len(ns)), 10)
+        ns_sorted = sorted(ns)
+        for i, u in enumerate(ns_sorted):
+            for v in ns_sorted[i + 1 :]:
+                if (u, v) in edges:
+                    continue
+                n, s = ref.get((u, v), (0, 0.0))
+                ref[(u, v)] = (n + 1, s + c)
+    for r in rows:
+        key = (r["id_u"], r["id_v"])
+        assert key not in edges
+        assert key in ref
+        n, s = ref[key]
+        assert r["n_common"] == n
+        assert abs(r["aa_score"] - round(s, 6)) < 1e-9
+    if rows:
+        top = max(ref.values(), key=lambda t: t[1])[1]
+        assert abs(rows[0]["aa_score"] - round(top, 6)) < 1e-9
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tk01_fertility_invariants(spark):
+    """Totals partition the corpus; chars_per_token >= 1 (every token
+    has at least one char); tokens_per_doc consistent with totals."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        _docs_words,
+    )
+
+    rows = QUERIES["tk01_token_fertility"](spark, SF).collect()
+    assert rows
+    docs = _docs_words(spark, SF)
+    n_docs = docs.count()
+    n_toks = docs.select(F.explode("__words")).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["total_tokens"] for r in rows) == n_toks
+    for r in rows:
+        assert r["chars_per_token"] >= 1.0
+        assert (
+            abs(
+                r["tokens_per_doc"]
+                - round(r["total_tokens"] / r["n_docs"], 4)
+            )
+            < 1e-9
+        )
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx22_burstiness_python_ref(spark):
+    """Recompute VMR over zero-filled per-doc counts in pure Python
+    for every reported word — pins the implicit-zeros convention (a
+    docs-with-word-only mean would inflate VMR and a same-shaped
+    oracle would reproduce it)."""
+    import re
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["tx22_word_burstiness"](spark, SF).collect()
+    assert len(rows) == 20
+    docs = load(spark, SF, "documents").select("doc_id", "text").collect()
+    N = len(docs)
+    counts: dict = {}
+    for d in docs:
+        for t in re.findall(r"[a-z0-9]+", (d["text"] or "").lower()):
+            counts.setdefault(t, {})
+            counts[t][d["doc_id"]] = counts[t].get(d["doc_id"], 0) + 1
+    for r in rows:
+        per = counts[r["word"]]
+        s1 = sum(per.values())
+        s2 = sum(c * c for c in per.values())
+        assert r["total_count"] == s1
+        assert r["n_docs_with"] == len(per)
+        mean = s1 / N
+        var = s2 / N - mean * mean
+        assert abs(r["vmr"] - round(var / mean, 6)) < 1e-6
