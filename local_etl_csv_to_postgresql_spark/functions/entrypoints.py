@@ -15430,3 +15430,152 @@ ROUND7_STAGED_ORACLE.update(
         "tx22_word_burstiness": _TX22_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staging, wave 48: imb02 effective-number class reweighting,
+# mm08 aspect-ratio bucket packing.
+
+
+def imb02_effective_number_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Class-balanced loss weights by the effective number of samples
+    (Cui et al., CVPR 2019): w_c ∝ (1−β)/(1−β^{n_c}) with β = 0.999 —
+    the reweighting between inverse-frequency (β→1) and uniform (β=0)
+    that a long-tailed training run actually ships. imb01 (Kish ESS)
+    measures how imbalanced the labels ARE; this computes what to DO
+    about it.
+
+    Determinism: n_c are exact BIGINTs on the bounded |labels| table;
+    β^{n_c} is the one transcendental, computed ONCE per label row and
+    rounded to 12 dp (the tx16 bounded-model-table rule), raw weights
+    rounded to 10 dp as DECIMAL, and the normalization divides by the
+    decimal SUM of those rounded weights — so the weights sum to 1 by
+    construction in both engines."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    beta = 0.999
+    per = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    raw = per.select(
+        "label",
+        "n_vectors",
+        F.round(
+            F.lit(1.0 - beta)
+            / (
+                F.lit(1.0)
+                - F.round(
+                    F.pow(F.lit(beta), F.col("n_vectors").cast("double")), 12
+                )
+            ),
+            10,
+        )
+        .cast("decimal(20,10)")
+        .alias("__w"),
+    )
+    tot = Window.partitionBy()
+    return (
+        raw.select(
+            "label",
+            "n_vectors",
+            F.round(
+                F.col("__w").cast("double")
+                / F.sum("__w").over(tot).cast("double"),
+                8,
+            ).alias("weight"),
+        )
+        .orderBy("label")
+    )
+
+
+_IMB02_ORACLE = """
+WITH per AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM embeddings GROUP BY label
+), raw AS (
+  SELECT label, n_vectors,
+         CAST(ROUND(
+           (1.0 - 0.999)
+           / (1.0 - ROUND(pow(0.999, CAST(n_vectors AS DOUBLE)), 12)),
+           10) AS DECIMAL(20,10)) AS w
+  FROM per
+)
+SELECT label, n_vectors,
+       ROUND(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 8)
+         AS weight
+FROM raw ORDER BY label
+"""
+
+
+def mm08_aspect_bucket_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Aspect-ratio bucket packing — the multimodal batching op: group
+    images into integer aspect buckets (4·w div h, capped), pad each
+    batch to its bucket's max dims, and report the pixel utilization
+    that bucketing buys (padding everything to one global canvas is
+    the naive alternative; per-bucket padding is why every image
+    trainer aspect-buckets). Dims ride the SAME Arrow mapInPandas
+    resize kernel as mm02 (stubbed decode, real batching plumbing).
+
+    Determinism: the bucket key is pure integer arithmetic (Spark
+    `div` = DuckDB `//`); utilization is Σ(w·h) over n·max_w·max_h —
+    exact integers, ONE rounded division per bucket."""
+    docs = load(spark, sf, "documents")
+    dims = resize_images(documents_as_media(docs))
+    bucket = F.least(
+        F.expr("(4 * width) div height"), F.lit(12)
+    ).cast("int")
+    return (
+        dims.select("width", "height", bucket.alias("aspect_bucket"))
+        .groupBy("aspect_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.max("width").cast("int").alias("max_width"),
+            F.max("height").cast("int").alias("max_height"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.col("width").cast("long") * F.col("height"))
+                .cast("double")
+                / (
+                    F.count(F.lit(1))
+                    * F.max("width").cast("long")
+                    * F.max("height")
+                ).cast("double"),
+                4,
+            ).alias("pixel_util_pct"),
+        )
+        .orderBy("aspect_bucket")
+    )
+
+
+_MM08_ORACLE = """
+WITH dims AS (
+  SELECT (octet_length(encode(text)) % 64) + 1 AS w,
+         (octet_length(encode(text)) % 48) + 1 AS h
+  FROM documents
+), b AS (
+  SELECT w, h, LEAST((4 * w) // h, 12) AS aspect_bucket FROM dims
+)
+SELECT CAST(aspect_bucket AS INT) AS aspect_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MAX(w) AS INT) AS max_width,
+       CAST(MAX(h) AS INT) AS max_height,
+       ROUND(100.0 * CAST(SUM(w * h) AS DOUBLE)
+             / CAST(COUNT(*) * MAX(w) * MAX(h) AS DOUBLE), 4)
+         AS pixel_util_pct
+FROM b GROUP BY aspect_bucket ORDER BY aspect_bucket
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "imb02_effective_number_weights": imb02_effective_number_weights,
+        "mm08_aspect_bucket_packing": mm08_aspect_bucket_packing,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "imb02_effective_number_weights": _IMB02_ORACLE,
+        "mm08_aspect_bucket_packing": _MM08_ORACLE,
+    }
+)

@@ -548,3 +548,63 @@ def test_tx22_burstiness_python_ref(spark):
         mean = s1 / N
         var = s2 / N - mean * mean
         assert abs(r["vmr"] - round(var / mean, 6)) < 1e-6
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_imb02_weights_invariants(spark):
+    """Weights sum to 1 (within per-row rounding), are all positive,
+    and order INVERSELY with class size (the reweighting's point);
+    recompute the effective-number formula in pure Python."""
+    import math
+
+    rows = QUERIES["imb02_effective_number_weights"](spark, SF).collect()
+    assert rows
+    assert abs(sum(r["weight"] for r in rows) - 1.0) <= 1e-7 * len(rows)
+    beta = 0.999
+    raw = {
+        r["label"]: round(
+            (1 - beta) / (1 - round(beta ** float(r["n_vectors"]), 12)), 10
+        )
+        for r in rows
+    }
+    tot = sum(raw.values())
+    for r in rows:
+        assert r["weight"] > 0
+        assert abs(r["weight"] - round(raw[r["label"]] / tot, 8)) < 1e-9
+    by_n = sorted(rows, key=lambda r: r["n_vectors"])
+    for a, b in zip(by_n, by_n[1:]):
+        if a["n_vectors"] < b["n_vectors"]:
+            assert a["weight"] >= b["weight"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_mm08_bucketing_improves_utilization(spark):
+    """Buckets partition the corpus; per-bucket utilization is in
+    (0, 100]; and the bucketed weighted utilization must BEAT padding
+    everything to the single global max canvas — the claim aspect
+    bucketing exists to deliver."""
+    from local_etl_csv_to_postgresql_spark.functions.multimodal import (
+        documents_as_media,
+        resize_images,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["mm08_aspect_bucket_packing"](spark, SF).collect()
+    assert rows
+    dims = resize_images(
+        documents_as_media(load(spark, SF, "documents"))
+    ).collect()
+    n_total = len(dims)
+    assert sum(r["n_images"] for r in rows) == n_total
+    for r in rows:
+        assert 0.0 < r["pixel_util_pct"] <= 100.0
+    gw = max(d["width"] for d in dims)
+    gh = max(d["height"] for d in dims)
+    pixels = sum(d["width"] * d["height"] for d in dims)
+    global_util = 100.0 * pixels / (n_total * gw * gh)
+    bucketed_util = (
+        sum(r["pixel_util_pct"] * r["n_images"] for r in rows) / n_total
+    )
+    assert bucketed_util > global_util
