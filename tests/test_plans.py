@@ -281,6 +281,11 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "weights",     # 1-row Fellegi-Sunter weight frame (fs01)
     "rhs",         # LIMIT-20 ranking head — bounded by construction (rk01)
     "nn",          # 1-row vertex-count scalar (gr02 integer PageRank)
+    # staged round-9 surface
+    "qrow",        # 1-row query vector + prefix/tail-norm projection (es16)
+    "tau",         # 1-row candidate-kth-score threshold (es16)
+    "n_refine", "n_all",  # 1-row refine-set / corpus counts (es16)
+    "n_docs",      # 1-row corpus doc total (tx22)
 }
 
 
