@@ -15579,3 +15579,260 @@ ROUND7_STAGED_ORACLE.update(
         "mm08_aspect_bucket_packing": _MM08_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staging, wave 49: sv01 Kaplan-Meier conversion curve, tx23
+# PMI collocations.
+
+
+def sv01_conversion_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier estimate of time-to-first-purchase — the survival
+    curve a funnel/retention team reads where fn01's funnel gives only
+    the endpoint: per whole-day lag t since a user's first event,
+    S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) with right-censoring at each
+    user's last observed event (users who never purchase are censored,
+    NOT failures — dropping them is the classic conversion-rate bias
+    this estimator exists to fix).
+
+    Scale: one shuffle keyed by user builds the (lag_to_purchase,
+    censor_lag) table; everything after lives on the bounded
+    distinct-day-lag table — risk sets via cumulative sums over ≤
+    |days| rows. Determinism: d_i/n_i are exact integer ratios; each
+    factor's ln is computed once on the bounded lag table, rounded to
+    10 dp, DECIMAL-summed cumulatively, and S(t) = exp(Σln) is rounded
+    to 6 dp (the en01 transcendental rule, twice — both engines fold
+    identical rounded inputs)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_type")
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("__first"),
+        F.max("ts").alias("__last"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("__purch"),
+    )
+    lag = per.select(
+        F.when(
+            F.col("__purch").isNotNull(),
+            F.datediff(F.col("__purch"), F.col("__first")),
+        ).alias("__event_lag"),
+        F.datediff(F.col("__last"), F.col("__first")).alias("__censor_lag"),
+    )
+    # at each distinct event lag t: d = conversions AT t, c = censored
+    # AT t (censor counts leave the risk set after t)
+    d = (
+        lag.filter(F.col("__event_lag").isNotNull())
+        .groupBy(F.col("__event_lag").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    c = (
+        lag.filter(F.col("__event_lag").isNull())
+        .groupBy(F.col("__censor_lag").alias("t"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    n_total = lag.agg(F.count(F.lit(1)).cast("long").alias("__n0"))
+    grid = (
+        d.join(c, "t", "full_outer")
+        .select(
+            "t",
+            F.coalesce("__d", F.lit(0)).alias("__d"),
+            F.coalesce("__c", F.lit(0)).alias("__c"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t")
+    risk = (
+        grid.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "__at_risk",
+            F.col("__n0")
+            - F.coalesce(F.sum(F.col("__d") + F.col("__c")).over(w), F.lit(0)),
+        )
+    )
+    # a day where EVERYONE at risk converts has factor 0 — survival is
+    # exactly 0 from that day on. ln(0) must never be evaluated: DuckDB
+    # raises, Spark's -inf silently NULLs through the decimal cast (the
+    # bug this CASE exists to close) — so zero-days contribute ln = 0
+    # and an absorbed flag instead.
+    zero_day = (F.col("__at_risk") == F.col("__d")).cast("int")
+    factor_ln = F.when(
+        F.col("__at_risk") > F.col("__d"),
+        F.round(
+            F.log(
+                (F.col("__at_risk") - F.col("__d")).cast("double")
+                / F.col("__at_risk").cast("double")
+            ),
+            10,
+        ).cast("decimal(20,10)"),
+    ).otherwise(F.lit(0).cast("decimal(20,10)"))
+    return (
+        risk.filter(F.col("__d") > 0)
+        .withColumn("__ln", factor_ln)
+        .withColumn("__z", zero_day)
+        .withColumn("__cum", F.sum("__ln").over(wc))
+        .withColumn("__absorbed", F.max("__z").over(wc))
+        .select(
+            F.col("t").cast("int").alias("day_lag"),
+            F.col("__at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("__d").cast("bigint").alias("n_converted"),
+            F.when(F.col("__absorbed") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("__cum").cast("double")), 6))
+            .alias("survival"),
+        )
+        .orderBy("day_lag")
+    )
+
+
+_SV01_ORACLE = """
+WITH per AS (
+  SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purch_ts
+  FROM events GROUP BY user_id
+), lag AS (
+  SELECT CASE WHEN purch_ts IS NOT NULL
+              THEN date_diff('day', CAST(first_ts AS DATE),
+                             CAST(purch_ts AS DATE)) END AS event_lag,
+         date_diff('day', CAST(first_ts AS DATE),
+                   CAST(last_ts AS DATE)) AS censor_lag
+  FROM per
+), d AS (
+  SELECT event_lag AS t, CAST(COUNT(*) AS BIGINT) AS d
+  FROM lag WHERE event_lag IS NOT NULL GROUP BY 1
+), c AS (
+  SELECT censor_lag AS t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lag WHERE event_lag IS NULL GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM lag
+), grid AS (
+  SELECT COALESCE(d.t, c.t) AS t,
+         COALESCE(d.d, 0) AS d, COALESCE(c.c, 0) AS c
+  FROM d FULL OUTER JOIN c ON d.t = c.t
+), risk AS (
+  SELECT t, d, c,
+         n.n0 - COALESCE(SUM(d + c) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS at_risk
+  FROM grid, n
+), f AS (
+  SELECT t, d, at_risk,
+         CASE WHEN at_risk > d THEN
+           CAST(ROUND(ln(CAST(at_risk - d AS DOUBLE)
+                         / CAST(at_risk AS DOUBLE)), 10)
+                AS DECIMAL(20,10))
+         ELSE CAST(0 AS DECIMAL(20,10)) END AS lnf,
+         CASE WHEN at_risk = d THEN 1 ELSE 0 END AS z
+  FROM risk WHERE d > 0
+)
+SELECT CAST(t AS INT) AS day_lag,
+       CAST(at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_converted,
+       CASE WHEN MAX(z) OVER (ORDER BY t) = 1 THEN 0.0
+            ELSE ROUND(exp(CAST(SUM(lnf) OVER (ORDER BY t) AS DOUBLE)), 6)
+       END AS survival
+FROM f ORDER BY day_lag
+"""
+
+
+def tx23_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990) — the phrase
+    detector a vocabulary/tokenizer build runs to decide which word
+    pairs deserve a merged token: PMI = log2(N·c12 / (c1·c2)) over
+    adjacent-pair counts, reported for the 20 highest-PMI bigrams with
+    a minimum-support floor (c12 ≥ 5 — raw PMI is dominated by
+    hapax noise otherwise, the standard caveat).
+
+    Scale: the same bigram-TYPE tables tx21 rides (map-side-combinable
+    counts, sublinear cell tables), one 1-row total broadcast.
+    Determinism: the log2 argument is an exact integer ratio; ONE
+    rounded expression (8 dp), ties by (w1, w2)."""
+    docs = load(spark, sf, "documents").select(
+        "doc_id", tx.words("text").alias("__w")
+    )
+    toks = docs.select(F.explode("__w").alias("__t"))
+    uni = toks.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cu")
+    )
+    n_total = toks.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__w) >= 2 THEN "
+                "transform(sequence(1, size(__w) - 1), "
+                "i -> struct(element_at(__w, i) AS w1, "
+                "element_at(__w, i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+                "END"
+            )
+        ).alias("__g")
+    ).select("__g.w1", "__g.w2")
+    pairs = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    return (
+        pairs.join(uni.select(F.col("__t").alias("w1"), F.col("__cu").alias("c1")), "w1")
+        .join(uni.select(F.col("__t").alias("w2"), F.col("__cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.log2(
+                    F.col("__N").cast("double") * F.col("c12").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ),
+                8,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+_TX23_ORACLE = f"""
+WITH d AS (
+  SELECT {_WORDS} AS w FROM documents
+), toks AS (
+  SELECT unnest(w) AS t FROM d
+), uni AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cu FROM toks GROUP BY t
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N FROM toks
+), big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  WHERE len(w) >= 2
+), pairs AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT p.w1, p.w2, p.c12, a.cu AS c1, b.cu AS c2,
+       ROUND(log2(CAST(n.N AS DOUBLE) * CAST(p.c12 AS DOUBLE)
+                  / (CAST(a.cu AS DOUBLE) * CAST(b.cu AS DOUBLE))), 8)
+         AS pmi
+FROM pairs p
+JOIN uni a ON a.t = p.w1
+JOIN uni b ON b.t = p.w2
+CROSS JOIN n
+ORDER BY pmi DESC, p.w1, p.w2 LIMIT 20
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "sv01_conversion_survival_curve": sv01_conversion_survival_curve,
+        "tx23_pmi_collocations": tx23_pmi_collocations,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "sv01_conversion_survival_curve": _SV01_ORACLE,
+        "tx23_pmi_collocations": _TX23_ORACLE,
+    }
+)

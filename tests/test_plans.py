@@ -98,6 +98,8 @@ BNLJ_ALLOWED = {
     "es16_bound_pruned_search",  # 1-row query vector + two 1-row certificates
     "tx21_kneser_ney_bigrams",  # 1-row broadcast bigram-type total
     "tx22_word_burstiness",  # 1-row broadcast corpus doc total
+    "sv01_conversion_survival_curve",  # 1-row broadcast cohort size
+    "tx23_pmi_collocations",  # 1-row broadcast corpus-token total
 }
 
 
@@ -286,6 +288,7 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "tau",         # 1-row candidate-kth-score threshold (es16)
     "n_refine", "n_all",  # 1-row refine-set / corpus counts (es16)
     "n_docs",      # 1-row corpus doc total (tx22)
+    "n_total",     # 1-row cohort / token totals (sv01, tx23)
 }
 
 

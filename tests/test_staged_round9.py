@@ -608,3 +608,102 @@ def test_mm08_bucketing_improves_utilization(spark):
         sum(r["pixel_util_pct"] * r["n_images"] for r in rows) / n_total
     )
     assert bucketed_util > global_util
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_sv01_kaplan_meier_python_ref(spark):
+    """Recompute the KM estimator in pure Python (risk sets, censoring,
+    absorbed-zero day) — survival must be non-increasing in (0, 1],
+    match the reference at every reported day, and hit exactly 0 if
+    and when a day converts its whole risk set."""
+    import math
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["sv01_conversion_survival_curve"](spark, SF).collect()
+    assert rows
+    ev = load(spark, SF, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    per: dict = {}
+    for e in ev:
+        u = per.setdefault(e["user_id"], {"first": None, "last": None, "p": None})
+        u["first"] = e["ts"] if u["first"] is None else min(u["first"], e["ts"])
+        u["last"] = e["ts"] if u["last"] is None else max(u["last"], e["ts"])
+        if e["event_type"] == "purchase":
+            u["p"] = e["ts"] if u["p"] is None else min(u["p"], e["ts"])
+    d: dict = {}
+    c: dict = {}
+    for u in per.values():
+        if u["p"] is not None:
+            t = (u["p"].date() - u["first"].date()).days
+            d[t] = d.get(t, 0) + 1
+        else:
+            t = (u["last"].date() - u["first"].date()).days
+            c[t] = c.get(t, 0) + 1
+    n = len(per)
+    s = 1.0
+    lnsum = 0.0
+    ref: dict = {}
+    absorbed = False
+    at_risk = n
+    for t in sorted(set(d) | set(c)):
+        dt = d.get(t, 0)
+        if dt > 0:
+            if at_risk == dt:
+                absorbed = True
+            else:
+                lnsum += round(math.log((at_risk - dt) / at_risk), 10)
+            ref[t] = (
+                at_risk,
+                dt,
+                0.0 if absorbed else round(math.exp(lnsum), 6),
+            )
+        at_risk -= dt + c.get(t, 0)
+    prev = 1.0
+    for r in rows:
+        got = (r["n_at_risk"], r["n_converted"], r["survival"])
+        assert got == ref[r["day_lag"]], r["day_lag"]
+        assert 0.0 <= r["survival"] <= prev + 1e-12
+        prev = r["survival"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx23_pmi_python_ref(spark):
+    """Recompute PMI for every reported pair; support floor respected;
+    reported pairs are the global top-20 by (pmi desc, w1, w2)."""
+    import math
+    import re
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["tx23_pmi_collocations"](spark, SF).collect()
+    assert rows
+    docs = load(spark, SF, "documents").select("text").collect()
+    uni: dict = {}
+    big: dict = {}
+    N = 0
+    for dd in docs:
+        w = re.findall(r"[a-z0-9]+", (dd["text"] or "").lower())
+        N += len(w)
+        for t in w:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(w, w[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    scored = sorted(
+        (
+            (
+                -round(math.log2(N * c / (uni[a] * uni[b])), 8),
+                a,
+                b,
+                c,
+            )
+            for (a, b), c in big.items()
+            if c >= 5
+        )
+    )[:20]
+    assert [(r["w1"], r["w2"], r["c12"], r["pmi"]) for r in rows] == [
+        (a, b, c, -negp) for negp, a, b, c in scored
+    ]
