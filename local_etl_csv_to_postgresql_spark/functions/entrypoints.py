@@ -15836,3 +15836,289 @@ ROUND7_STAGED_ORACLE.update(
         "tx23_pmi_collocations": _TX23_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staging, wave 50: dd18 MinHash sketch-size sweep, es17 IVF
+# nprobe recall/cost sweep.
+
+
+def dd18_minhash_k_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator error vs SKETCH SIZE on the same verified
+    candidate pairs — dd10 calibrates the configured k per similarity
+    decade; this answers the sizing question directly: k ∈ {8, 16, 32}
+    permutations, one row each with mean estimate and mean absolute
+    error vs exact Jaccard. The trick that makes it one pass: the
+    permutation family is indexed by j, so the k=8 and k=16 sketches
+    are PREFIXES of the k=32 signature — one signature build serves
+    all three estimators (exactly how a production store would A/B
+    sketch sizes without re-sketching).
+
+    Scale: one k=32 signature aggregate (map-side combinable, shuffle
+    carries 32 ints per doc), pair estimates on the LSH candidate set
+    only (never all-pairs). Determinism: dd10's discipline — estimates
+    are multiples of 1/k, exact Jaccards 6-dp decimals, per-k means
+    accumulate DECIMAL(25,10)."""
+    docs, _sigs, pairs = _lsh_base(spark, sf)
+    sig32 = dd.minhash_signatures_agg(
+        docs.select("doc_id", "__sh"), "doc_id", "__sh", k=32
+    )
+    a = sig32.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("__ga"))
+    b = sig32.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("__gb"))
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.expr(
+                "zip_with(__ga, __gb, (x, y) -> "
+                "CASE WHEN x = y THEN 1 ELSE 0 END)"
+            ).alias("__eq"),
+            dd.jaccard(F.col("__sa"), F.col("__sb")).alias("__exact"),
+        )
+    )
+    legs = []
+    for k in (8, 16, 32):
+        est = (
+            F.expr(f"aggregate(slice(__eq, 1, {k}), 0, (a, x) -> a + x)")
+            / F.lit(float(k))
+        )
+        legs.append(
+            scored.select(
+                F.lit(k).alias("sketch_k"),
+                est.alias("__est"),
+                F.col("__exact"),
+            )
+        )
+    un = legs[0].unionAll(legs[1]).unionAll(legs[2])
+    return (
+        un.groupBy("sketch_k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("__est").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_est"),
+            F.round(
+                F.sum(F.col("__exact").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_exact"),
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("__est") - F.col("__exact")), 6).cast(
+                        "decimal(25,10)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("sketch_k")
+    )
+
+
+_DD18_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j
+), pj16 AS (
+  SELECT doc_id, j, mh FROM pj WHERE j < {MINHASH_K}
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj16 GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), eq AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(CASE WHEN pa.mh = pb.mh AND pa.j < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n8,
+         CAST(SUM(CASE WHEN pa.mh = pb.mh AND pa.j < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n16,
+         CAST(SUM(CASE WHEN pa.mh = pb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n32
+  FROM pairs p
+  JOIN pj pa ON pa.doc_id = p.id_a
+  JOIN pj pb ON pb.doc_id = p.id_b AND pb.j = pa.j
+  GROUP BY p.id_a, p.id_b
+), scored AS (
+  SELECT id_a, id_b,
+         {_JACCARD.format(a='sa.s', b='sb.s')} AS exact,
+         n8, n16, n32
+  FROM eq JOIN sh sa ON sa.doc_id = eq.id_a
+          JOIN sh sb ON sb.doc_id = eq.id_b
+), un AS (
+  SELECT 8 AS sketch_k, n8 / 8.0 AS est, exact FROM scored
+  UNION ALL
+  SELECT 16 AS sketch_k, n16 / 16.0 AS est, exact FROM scored
+  UNION ALL
+  SELECT 32 AS sketch_k, n32 / 32.0 AS est, exact FROM scored
+)
+SELECT CAST(sketch_k AS INT) AS sketch_k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(est AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_est,
+       ROUND(CAST(SUM(CAST(exact AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_exact,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(est - exact), 6) AS DECIMAL(25,10)))
+                  AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+FROM un GROUP BY sketch_k ORDER BY sketch_k
+"""
+
+
+def es17_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF recall/cost curve over nprobe ∈ {1, 2, 4} — the tuning
+    table an ANN deployment reads before picking its operating point:
+    probing p centroid cells scans n_candidates vectors and recovers
+    recall@10 against the exact top-10 (es04 is the nprobe=1 point;
+    es11 measures the LSH path — this completes the IVF side).
+
+    Scale: the centroid ranking is a 16-row bounded frame; each probe
+    leg is an equi-join of the assigned corpus against a ≤4-row
+    broadcast cell list (partition-pruned input when the index is
+    written partitioned by centroid); candidate ranking is
+    TakeOrdered. Determinism: es04's assignment spec (unrounded argmax
+    sim, ties by centroid id), candidate cosines rounded to 4 dp, ties
+    by vec_id; recall is an exact integer count over 10."""
+    emb = load(spark, sf, "embeddings")
+    assigned, cents = sim.ivf_assign(emb, 16)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    from pyspark.sql import Window
+
+    crank = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "__cid",
+            (
+                sim.dot(F.col("__cvec"), F.col("__q"))
+                / F.nullif(
+                    sim.norm(F.col("__cvec")) * sim.norm(F.col("__q")),
+                    F.lit(0.0),
+                )
+            ).alias("__cs"),
+        )
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.desc_nulls_last("__cs"), F.asc("__cid"))
+            ),
+        )
+    )
+    exact10 = sim.cosine_topk(emb, 0, k=10).select("vec_id")
+    legs = []
+    for p in (1, 2, 4):
+        probes = crank.filter(F.col("__rk") <= p).select(
+            F.col("__cid").alias("__centroid")
+        )
+        cand = assigned.join(F.broadcast(probes), "__centroid").filter(
+            F.col("vec_id") != 0
+        )
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        topk = (
+            cand.crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                sim.cosine(F.col("embedding"), F.col("__q")).alias("__cos"),
+            )
+            .orderBy(F.desc("__cos"), "vec_id")
+            .limit(10)
+        )
+        hits = topk.join(exact10, "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("__hits")
+        )
+        legs.append(
+            n_cand.crossJoin(F.broadcast(hits)).select(
+                F.lit(p).alias("nprobe"),
+                "n_candidates",
+                F.round(F.col("__hits") / F.lit(10.0), 4).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    return legs[0].unionAll(legs[1]).unionAll(legs[2]).orderBy("nprobe")
+
+
+def _es17_leg_sql(p: int) -> str:
+    return f"""
+  SELECT {p} AS nprobe,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM assigned a
+          WHERE a.centroid IN (SELECT cid FROM crank WHERE rk <= {p})
+            AND a.vec_id <> 0) AS n_candidates,
+         ROUND((SELECT COUNT(*) FROM (
+             SELECT a.vec_id,
+                    {_COS.format(a='a.embedding', b='q.qe')} AS cs
+             FROM assigned a, q
+             WHERE a.centroid IN (SELECT cid FROM crank WHERE rk <= {p})
+               AND a.vec_id <> 0
+             ORDER BY cs DESC, a.vec_id LIMIT 10
+           ) t WHERE t.vec_id IN (SELECT vec_id FROM exact10)) / 10.0, 4)
+           AS recall_at_10"""
+
+
+_ES17_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT 16
+), scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_DOT.format(a='e.embedding', b='c.cvec')}
+           / NULLIF({_NORM.format(a='e.embedding')} * {_NORM.format(a='c.cvec')}, 0.0) AS sim
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, embedding, cid AS centroid
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS rn
+        FROM scored)
+  WHERE rn = 1
+), q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), crank AS (
+  SELECT cid, ROW_NUMBER() OVER (ORDER BY cs DESC NULLS LAST, cid) AS rk
+  FROM (
+    SELECT c.cid,
+           {_DOT.format(a='c.cvec', b='q.qe')}
+             / NULLIF({_NORM.format(a='c.cvec')} * {_NORM.format(a='q.qe')}, 0.0) AS cs
+    FROM cents c, q
+  )
+), exact10 AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id, {_COS.format(a='e.embedding', b='q.qe')} AS cs
+    FROM embeddings e, q WHERE e.vec_id <> 0
+    ORDER BY cs DESC, e.vec_id LIMIT 10
+  )
+)
+{_es17_leg_sql(1)}
+UNION ALL
+{_es17_leg_sql(2)}
+UNION ALL
+{_es17_leg_sql(4)}
+ORDER BY nprobe
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "dd18_minhash_k_sweep": dd18_minhash_k_sweep,
+        "es17_ivf_nprobe_sweep": es17_ivf_nprobe_sweep,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "dd18_minhash_k_sweep": _DD18_ORACLE,
+        "es17_ivf_nprobe_sweep": _ES17_ORACLE,
+    }
+)

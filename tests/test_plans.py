@@ -100,6 +100,7 @@ BNLJ_ALLOWED = {
     "tx22_word_burstiness",  # 1-row broadcast corpus doc total
     "sv01_conversion_survival_curve",  # 1-row broadcast cohort size
     "tx23_pmi_collocations",  # 1-row broadcast corpus-token total
+    "es17_ivf_nprobe_sweep",  # 16-row centroid panel + 1-row certificates
 }
 
 

@@ -707,3 +707,95 @@ def test_tx23_pmi_python_ref(spark):
     assert [(r["w1"], r["w2"], r["c12"], r["pmi"]) for r in rows] == [
         (a, b, c, -negp) for negp, a, b, c in scored
     ]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dd18_sketch_sweep_python_ref(spark):
+    """Recompute all three estimators in pure Python (md5-based hash
+    family, prefix-k signatures) on the SAME candidate pairs — and pin
+    that the k=32 estimator is no worse than k=8 on mean absolute
+    error (the reason sketch size is worth paying for)."""
+    import hashlib
+    import re
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        _lsh_base,
+    )
+
+    rows = QUERIES["dd18_minhash_k_sweep"](spark, SF).collect()
+    assert [r["sketch_k"] for r in rows] == [8, 16, 32]
+    docs, _sigs, pairs = _lsh_base(spark, SF)
+    sh = {
+        r["doc_id"]: set(r["__sh"]) for r in docs.select("doc_id", "__sh").collect()
+    }
+    pair_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    n_pairs = len(pair_list)
+    for r in rows:
+        assert r["n_pairs"] == n_pairs
+
+    def sig(shingles, k):
+        out = []
+        for j in range(k):
+            best = None
+            for s in shingles:
+                h0 = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % (
+                    1 << 31
+                )
+                v = ((2 * j + 3) * h0 + (5 * j + 7)) % 2147483647
+                best = v if best is None else min(best, v)
+            out.append(best)
+        return out
+
+    sigs32 = {d: sig(s, 32) for d, s in sh.items() if s}
+    ref = {}
+    for k in (8, 16, 32):
+        errs = []
+        ests = []
+        exacts = []
+        for a, b in pair_list:
+            eq = sum(
+                1 for x, y in zip(sigs32[a][:k], sigs32[b][:k]) if x == y
+            )
+            est = eq / k
+            exact = round(
+                len(sh[a] & sh[b]) / len(sh[a] | sh[b]), 6
+            )
+            ests.append(est)
+            exacts.append(exact)
+            errs.append(round(abs(est - exact), 6))
+        ref[k] = (
+            round(sum(ests) / n_pairs, 6),
+            round(sum(exacts) / n_pairs, 6),
+            round(sum(errs) / n_pairs, 6),
+        )
+    for r in rows:
+        me, mx, err = ref[r["sketch_k"]]
+        assert abs(r["mean_est"] - me) < 1e-6
+        assert abs(r["mean_exact"] - mx) < 1e-6
+        assert abs(r["mean_abs_err"] - err) < 1e-6
+    by_k = {r["sketch_k"]: r["mean_abs_err"] for r in rows}
+    assert by_k[32] <= by_k[8] + 1e-9
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_es17_nprobe_monotone_and_es04_consistent(spark):
+    """Candidate counts and recall are non-decreasing in nprobe;
+    recall ∈ [0,1]; and the nprobe=1 leg's recall equals the overlap
+    of es04's top-10 (the query's own cell IS its nearest centroid)
+    with the exact top-10."""
+    rows = QUERIES["es17_ivf_nprobe_sweep"](spark, SF).collect()
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_candidates"] <= b["n_candidates"]
+        assert a["recall_at_10"] <= b["recall_at_10"] + 1e-9
+    for r in rows:
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+    es04_ids = {r["vec_id"] for r in QUERIES["es04_ivf_ann"](spark, SF).collect()}
+    exact_ids = {
+        r["vec_id"] for r in QUERIES["es01_cosine_topk"](spark, SF).collect()
+    }
+    assert rows[0]["recall_at_10"] == round(
+        len(es04_ids & exact_ids) / 10.0, 4
+    )
