@@ -290,6 +290,7 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "n_refine", "n_all",  # 1-row refine-set / corpus counts (es16)
     "n_docs",      # 1-row corpus doc total (tx22)
     "n_total",     # 1-row cohort / token totals (sv01, tx23)
+    "probes",      # <=4-row probed-centroid cell list (es17)
 }
 
 
