@@ -16122,3 +16122,73 @@ ROUND7_STAGED_ORACLE.update(
         "es17_ivf_nprobe_sweep": _ES17_ORACLE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staging, wave 51: ct04 contamination n-gram-order sensitivity.
+
+
+def ct04_contamination_ngram_sensitivity(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """How sensitive is the contamination estimate to the n-gram
+    order? The decontamination tuning table next to dd18's sketch-size
+    and es17's nprobe sweeps: ct01's pair-level audit re-run at
+    n ∈ {5, 7, 13} (5 = aggressive stock-phrase-prone, 7 = this
+    engine's default, 13 = the common eval-decontamination setting),
+    reduced to one corpus row per order — affected source pairs,
+    total shared distinct grams, and the worst pair. Because every
+    shared 13-gram contains shared 7-grams, affected-pair counts are
+    NON-INCREASING in n — the invariant test pins it, and the gap
+    between the rows is exactly the stock-phrase noise a too-small n
+    lets in.
+
+    Scale: three runs of ct01's certified one-distinct-shuffle +
+    one-equi-join kernel (cost ∝ number of orders swept, never
+    quadratic); each leg reduces to one row before the union."""
+    legs = []
+    for n in (5, 7, 13):
+        col = f"n_shared_{n}grams"
+        legs.append(
+            _contamination(spark, sf, n=n)
+            .agg(
+                F.sum(F.when(F.col(col) > 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pairs_affected"),
+                F.sum(col).cast("bigint").alias("total_shared_grams"),
+                F.max(col).cast("bigint").alias("max_pair_shared"),
+            )
+            .select(
+                F.lit(n).alias("ngram_order"),
+                "n_pairs_affected",
+                "total_shared_grams",
+                "max_pair_shared",
+            )
+        )
+    return legs[0].unionAll(legs[1]).unionAll(legs[2]).orderBy("ngram_order")
+
+
+def _ct04_leg_sql(n: int) -> str:
+    return f"""
+  SELECT {n} AS ngram_order,
+         CAST(SUM(CASE WHEN n_shared_{n}grams > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pairs_affected,
+         CAST(SUM(n_shared_{n}grams) AS BIGINT) AS total_shared_grams,
+         CAST(MAX(n_shared_{n}grams) AS BIGINT) AS max_pair_shared
+  FROM ({_contamination_oracle(n)})"""
+
+
+_CT04_ORACLE = f"""
+{_ct04_leg_sql(5)}
+UNION ALL
+{_ct04_leg_sql(7)}
+UNION ALL
+{_ct04_leg_sql(13)}
+ORDER BY ngram_order
+"""
+
+
+ROUND7_STAGED_QUERIES["ct04_contamination_ngram_sensitivity"] = (
+    ct04_contamination_ngram_sensitivity
+)
+ROUND7_STAGED_ORACLE["ct04_contamination_ngram_sensitivity"] = _CT04_ORACLE

@@ -799,3 +799,27 @@ def test_es17_nprobe_monotone_and_es04_consistent(spark):
     assert rows[0]["recall_at_10"] == round(
         len(es04_ids & exact_ids) / 10.0, 4
     )
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ct04_monotone_in_ngram_order_and_ct01_consistent(spark):
+    """Affected-pair counts are non-increasing in n (a shared 13-gram
+    implies shared 7- and 5-grams); the n=7 row must agree exactly
+    with ct01's pair table (same kernel, same default order)."""
+    rows = QUERIES["ct04_contamination_ngram_sensitivity"](
+        spark, SF
+    ).collect()
+    assert [r["ngram_order"] for r in rows] == [5, 7, 13]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs_affected"] >= b["n_pairs_affected"]
+    for r in rows:
+        assert 0 <= r["max_pair_shared"] <= r["total_shared_grams"]
+    ct01 = QUERIES["ct01_cross_source_contamination"](spark, SF).collect()
+    n7_affected = sum(1 for r in ct01 if r["n_shared_7grams"] > 0)
+    n7_total = sum(r["n_shared_7grams"] for r in ct01)
+    n7_max = max((r["n_shared_7grams"] for r in ct01), default=0)
+    mid = rows[1]
+    assert mid["n_pairs_affected"] == n7_affected
+    assert mid["total_shared_grams"] == n7_total
+    assert mid["max_pair_shared"] == n7_max
