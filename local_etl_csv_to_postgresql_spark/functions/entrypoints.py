@@ -15197,6 +15197,21 @@ ROUND7_STAGED_ORACLE.update(
 # tk01 tokenizer fertility, tx22 word burstiness.
 
 
+#: Hub guard for gr05's wedge enumeration (r8 verdict task 3): a shared
+#: neighbor of degree d contributes d(d-1)/2 wedges, so ONE viral
+#: boilerplate hub can dominate the self-join at 100× scale. Capping
+#: shared-neighbor degree at D bounds the stage at Σ_{deg(w)≤D} deg(w)²
+#: ≤ D·|E| — linear in edges — while the dropped AA contributions are
+#: ≤ 1/ln(D) ≈ 0.145 per wedge at D=1000 (the hubs AA itself
+#: down-weights to noise). Overridable per-session via the
+#: ``spark.graft.gr05.maxHubDegree`` conf; the oracle SQL is generated
+#: from the same constant so both engines apply the identical cap.
+#: Measured headroom: the sf0.1 LSH near-dup graph's max degree is far
+#: below the cap (see SCALE.md "wedge hub skew"), so at test scales the
+#: guard is semantics-free and certification pins the uncapped answer.
+GR05_MAX_HUB_DEGREE = 1000
+
+
 def gr05_adamic_adar_links(spark: SparkSession, sf: str) -> DataFrame:
     """Adamic-Adar link prediction on the verified near-dup graph —
     the MISSED-PAIR suggester: two documents that share near-dup
@@ -15209,11 +15224,19 @@ def gr05_adamic_adar_links(spark: SparkSession, sf: str) -> DataFrame:
     Scale: rides the SHARED verified edge set (_neardup_good_edges —
     gr01/gr02/tc01's kernel): one self-join keyed by the shared
     neighbor (wedge enumeration, the tc01 shape — never all-pairs of
-    nodes), one anti join against existing edges, one keyed sum.
-    Determinism: deg is an exact BIGINT; each wedge's 1/ln(deg)
+    nodes), one anti join against existing edges, one keyed sum. The
+    self-join's fan-out is quadratic in hub degree, so wedge centers
+    are capped at GR05_MAX_HUB_DEGREE before the join (degree-ordered
+    guard, Σdeg² ≤ D·|E|); a capped hub's AA weight 1/ln(deg) would be
+    ≤1/ln(D) anyway, so the guard drops only what AA already calls
+    noise. Determinism: deg is an exact BIGINT; each wedge's 1/ln(deg)
     contribution is rounded once to 10 dp on the bounded degree table
     and DECIMAL-summed (the en01 transcendental rule); final score
     rounded to 6 dp, ties by (id_u, id_v)."""
+    cap = int(
+        spark.conf.get("spark.graft.gr05.maxHubDegree", None)
+        or GR05_MAX_HUB_DEGREE
+    )
     good = _neardup_good_edges(spark, sf).localCheckpoint()
     und = good.select(
         F.col("id_a").alias("w"), F.col("id_b").alias("x")
@@ -15221,16 +15244,24 @@ def gr05_adamic_adar_links(spark: SparkSession, sf: str) -> DataFrame:
     deg = und.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("__dg"))
     # only deg >= 2 nodes can be a shared neighbor (ln(1) = 0 would
     # divide by zero under ANSI mode — and such nodes never join a
-    # wedge anyway, so the filter is semantics-free)
-    contrib = deg.filter(F.col("__dg") >= 2).select(
+    # wedge anyway, so the filter is semantics-free); the upper cap is
+    # the hub guard documented on GR05_MAX_HUB_DEGREE
+    contrib = deg.filter(
+        (F.col("__dg") >= 2) & (F.col("__dg") <= F.lit(cap))
+    ).select(
         "w",
         F.round(F.lit(1.0) / F.log(F.col("__dg").cast("double")), 10)
         .cast("decimal(20,10)")
         .alias("__aa"),
     )
+    # restrict the wedge enumeration to eligible centers BEFORE the
+    # self-join — the guard must bound the join's fan-out, not just the
+    # scored output (same shuffle key "w", so this adds no new exchange
+    # beyond the one the self-join already pays)
+    und_elig = und.join(contrib.select("w"), "w")
     wedges = (
-        und.select("w", F.col("x").alias("id_u"))
-        .join(und.select("w", F.col("x").alias("id_v")), "w")
+        und_elig.select("w", F.col("x").alias("id_u"))
+        .join(und_elig.select("w", F.col("x").alias("id_v")), "w")
         .filter(F.col("id_u") < F.col("id_v"))
     )
     missed = wedges.join(
@@ -15251,6 +15282,8 @@ def gr05_adamic_adar_links(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _gr05_oracle_sql() -> str:
+    # the hub cap mirrors GR05_MAX_HUB_DEGREE exactly (same constant,
+    # both engines) — see the knob's docstring for the scale rationale
     return f"""
 WITH {_neardup_good_cte()}, und AS (
   SELECT id_a AS w, id_b AS x FROM good
@@ -15262,10 +15295,12 @@ WITH {_neardup_good_cte()}, und AS (
   SELECT w,
          CAST(ROUND(1.0 / ln(CAST(dg AS DOUBLE)), 10) AS DECIMAL(20,10))
            AS aa
-  FROM deg WHERE dg >= 2
+  FROM deg WHERE dg >= 2 AND dg <= {GR05_MAX_HUB_DEGREE}
+), und_elig AS (
+  SELECT u.w, u.x FROM und u JOIN contrib c ON c.w = u.w
 ), wedges AS (
   SELECT a.w, a.x AS id_u, b.x AS id_v
-  FROM und a JOIN und b ON a.w = b.w
+  FROM und_elig a JOIN und_elig b ON a.w = b.w
   WHERE a.x < b.x
 ), missed AS (
   SELECT wg.w, wg.id_u, wg.id_v
