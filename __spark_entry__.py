@@ -66,73 +66,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness run certifies exactly the FIRST 50 entries of
-# this dict (confirmed seven rounds straight). Certifications persist
+# this dict (confirmed eight rounds straight). Certifications persist
 # across rounds, so the window is filled in this order: (1) any query
 # whose last driver row FAILED, (2) queries that have NEVER been
 # certified (a stale-but-green old row beats no row at all, so
 # never-certified outranks refresh), (3) the queries whose last green
-# row is oldest. Round-8 window: the 28 round-8 promotions (functions/
-# entrypoints.py ROUND8_PROMOTED — all never driver-certified, in the r7
-# verdict's priority order: the r6 holdovers first, then gr03/hll03/
-# bj01, then waves 33–42), followed by the 22 oldest green rows — all
-# r4-era: json01 first (the only query that ever hash-mismatched, r3),
-# std02 (the adversarial title-case twin), then q07–q18, q39, scd01,
-# st08–st10, ss02/ss03, es08. The remaining 28 r4-era rows queue for
-# round 9. hll01 stays rows-only by design (hll02/lc01 are its
-# hash-certified deterministic siblings — see its docstring).
+# row is oldest. Round-9 window (the r8 verdict's tasks 1+2, verbatim):
+# the 21 round-9 promotions (functions/entrypoints.py ROUND9_PROMOTED —
+# all never driver-certified, in the verdict's order: es16's
+# exactness-under-pruning certification first, then st16/dd18/es17, then
+# waves 43–51), followed by the 28 r4-era green rows (retiring the r4
+# era completely) and the single oldest r5-era row (aj01). hll01 stays
+# rows-only by design (hll02/lc01 are its hash-certified deterministic
+# siblings — see its docstring).
 _CERTIFICATION_PRIORITY: list[str] = [
-    # -- 28 round-8 promotions, never driver-certified --------------
-    "win05_activity_streaks",
-    "win06_daily_ohlc",
-    "rs01_mad_outliers",
-    "cr01_value_time_correlation",
-    "ts01_seasonal_naive_error",
-    "hq02_mergeable_histogram",
-    "sync01_bucket_checksum_diff",
-    "tx17_bigram_continuations",
-    "gr03_cc_star_contraction",
-    "hll03_hll_mergeability",
-    "bj01_bucketed_colocated_join",
-    "mw01_mann_whitney_drift",
-    "tx18_flesch_readability",
-    "tx19_lexical_richness",
-    "qf03_c4_heuristic_filters",
-    "ret01_weekly_cohort_retention",
-    "zo01_zorder_locality",
-    "ln01_neardup_source_conflict",
-    "ts03_revenue_autocorrelation",
-    "dd16_winnowing_fingerprints",
-    "mm07_magic_byte_sniffing",
-    "st15_scd_asof_enrich",
-    "mi01_label_source_mutual_information",
-    "ab01_proportion_drift",
-    "en01_char_entropy",
-    "tx20_stupid_backoff_scoring",
-    "ev01_ann_ranking_quality",
-    "ss06_kfold_assignment_audit",
-    # -- 22 refresh slots: the oldest (r4-era) green rows ------------
-    "json01_props_stats",
-    "std02_title_adversarial",
-    "q07_day_of_week_patterns",
-    "q08_weekend_vs_weekday",
-    "q09_top_types_pct",
-    "q10_priority_by_month_pivot",
-    "q11_top20_suppliers",
-    "q12_supplier_customer_reach",
-    "q13_priority_usage",
-    "q14_status_by_priority",
-    "q15_top10_customers",
-    "q16_top5_customers_by_type",
-    "q17_mom_growth",
-    "q18_running_total_by_priority",
-    "q39_sole_late_supplier",
-    "scd01_scd2_merge",
-    "st08_late_data_drop",
-    "st09_stream_stream_join",
-    "st10_session_window_stream",
-    "ss02_pps_sample",
-    "ss03_train_val_test_split",
-    "es08_centroid_outliers",
+    # -- 21 round-9 promotions, never driver-certified ---------------
+    "es16_bound_pruned_search",
+    "st16_streaming_binned_quantiles",
+    "dd18_minhash_k_sweep",
+    "es17_ivf_nprobe_sweep",
+    "mk01_event_markov_transitions",
+    "kl01_source_unigram_kl",
+    "nv01_ngram_novelty",
+    "wz01_winsorized_value_stats",
+    "qf04_gopher_quality_rules",
+    "gr04_event_type_copresence",
+    "tx21_kneser_ney_bigrams",
+    "lb01_label_confusion_audit",
+    "mmd01_label_mmd_audit",
+    "gr05_adamic_adar_links",
+    "tk01_token_fertility",
+    "tx22_word_burstiness",
+    "imb02_effective_number_weights",
+    "mm08_aspect_bucket_packing",
+    "sv01_conversion_survival_curve",
+    "tx23_pmi_collocations",
+    "ct04_contamination_ngram_sensitivity",
+    # -- 28 refresh slots: the last r4-era green rows (era retired) ---
+    "aj02_asof_next_purchase",
+    "cs01_chi_square_mix",
+    "cur01_curation_funnel",
+    "dd09_containment_pairs",
+    "dd10_minhash_calibration",
+    "es09_dimension_stats",
+    "es10_label_silhouette",
+    "es11_ann_recall",
+    "gr01_candidate_degree_profile",
+    "hq01_histogram_quantiles",
+    "ia01_interarrival_stats",
+    "ks01_value_drift",
+    "lc01_linear_counting",
+    "len01_length_histogram",
+    "mm05_multimodal_packing",
+    "pk02_packing_export",
+    "prof02_events_profile",
+    "psi01_value_stability",
+    "rw01_rolling_user_rate",
+    "sk01_key_skew_audit",
+    "sp02_mixture_resample",
+    "src01_source_divergence",
+    "tx10_vocab_coverage",
+    "uf01_url_filter",
+    "win01_gapfill_rollup",
+    "win02_locf_fill",
+    "wm01_token_mass_median",
+    "zipf01_rank_decades",
+    # -- 1 slot: the oldest r5-era row (the r5 rotation begins) -------
+    "aj01_asof_prior_click",
 ]
 
 

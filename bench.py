@@ -303,7 +303,7 @@ def _drop_stream_views(spark, name: str) -> None:
 # paying its own build in a split chunk).
 _SHARED_BASE_PREFIXES = {
     "dd02", "dd03", "dd06", "dd07", "dd08", "dd09", "dd10",
-    "dd11", "dd18", "gr01", "gr02", "gr03", "gr05", "ct03", "cur01",
+    "dd11", "dd18", "gr01", "gr02", "gr03", "ct03", "cur01",
     "inc01", "tc01", "ln01",
 }
 
@@ -448,21 +448,21 @@ def main() -> int:
 
     # The driver captures the LAST 2000 chars of stdout; r6's contract
     # line overran that and lost its HEAD (metric/value/st* timings,
-    # "parsed": null — r6 verdict task 4). So the line is now SIZED to
-    # the capture: per-query keys are the unique numeric prefix of each
-    # query name (q26_revenue_deciles → q26), compact separators,
-    # failures capped — and if the queries map still does not fit, the
-    # SMALLEST non-streaming timings are dropped from the line (never
-    # the streaming set or the total). The full long-form record
-    # (complete names, every timing, phases) always goes to
-    # BENCH_LOCAL.json alongside.
-    short = {name.split("_", 1)[0]: t for name, t in timings.items()}
+    # "parsed": null — r6 verdict task 4). So the line is SIZED to the
+    # capture: compact separators, failures capped — and if the queries
+    # map does not fit, the SMALLEST non-streaming timings are dropped
+    # from the line (never the streaming set or the total). Keys are
+    # FULL registry names (r8 verdict task 5: one key scheme across
+    # BENCH_rNN.json and BENCH_LOCAL.json — the short-prefix scheme made
+    # cross-referencing artifacts error-prone); what the budget drops is
+    # recoverable from BENCH_LOCAL.json, which always carries the
+    # complete long-form record (every timing, phases, chunk walls).
     out = {
         "metric": "query_library_total_wall_seconds",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
-        "queries": short,
+        "queries": dict(timings),
         "detail": "BENCH_LOCAL.json",
         "etl": {k: etl[k] for k in ("rows", "sec", "loaded") if k in etl},
         "runs": runs,
@@ -481,11 +481,7 @@ def main() -> int:
         ]
     if failures:
         out["failures"] = {
-            # sentinel keys (__etl__, __chunk__*) keep their full name —
-            # split-on-underscore would collapse them all to "" and
-            # one failure would overwrite another in the contract line
-            (name if name.startswith("_") else name.split("_", 1)[0]): msg[:80]
-            for name, msg in failures.items()
+            name: msg[:80] for name, msg in failures.items()
         }
     _LINE_BUDGET = 1900  # headroom under the 2000-char tail capture
     while (

@@ -15198,36 +15198,74 @@ ROUND7_STAGED_ORACLE.update(
 
 
 #: Hub guard for gr05's wedge enumeration (r8 verdict task 3): a shared
-#: neighbor of degree d contributes d(d-1)/2 wedges, so ONE viral
-#: boilerplate hub can dominate the self-join at 100× scale. Capping
-#: shared-neighbor degree at D bounds the stage at Σ_{deg(w)≤D} deg(w)²
-#: ≤ D·|E| — linear in edges — while the dropped AA contributions are
+#: neighbor of degree d contributes d(d-1)/2 wedges, so ONE hub node
+#: can dominate the self-join at 100× scale. Capping shared-neighbor
+#: degree at D bounds the stage at Σ_{deg(w)≤D} deg(w)² ≤ D·|E| —
+#: linear in edges — while the dropped AA contributions are
 #: ≤ 1/ln(D) ≈ 0.145 per wedge at D=1000 (the hubs AA itself
 #: down-weights to noise). Overridable per-session via the
 #: ``spark.graft.gr05.maxHubDegree`` conf; the oracle SQL is generated
 #: from the same constant so both engines apply the identical cap.
-#: Measured headroom: the sf0.1 LSH near-dup graph's max degree is far
-#: below the cap (see SCALE.md "wedge hub skew"), so at test scales the
-#: guard is semantics-free and certification pins the uncapped answer.
+#: Measured headroom: the sf0.1 co-purchase graph's max degree is 6
+#: (see SCALE.md "wedge hub skew"), so at test scales the guard is
+#: semantics-free and certification pins the uncapped answer.
 GR05_MAX_HUB_DEGREE = 1000
+
+#: Support floor for a co-purchase edge: two parts are linked only if
+#: they co-occur in at least this many DISTINCT orders. One shared
+#: basket is coincidence; repeated co-occurrence is structure — and the
+#: floor keeps |E| sparse (sub-linear in the all-pairs space) at every
+#: scale, which is what makes the wedge stage affordable.
+GR05_MIN_CO_ORDERS = 2
+
+
+def _gr05_copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """The part co-purchase edge set (pa < pb): parts that appear
+    together in >= GR05_MIN_CO_ORDERS distinct orders. The per-order
+    pair fan-out is bounded by construction (TPC-H orders carry <= 7
+    lines, so <= 21 pairs per order), making the self-join keyed by
+    l_orderkey linear in lineitem at any scale."""
+    li = (
+        load(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    co = (
+        li.select("ok", F.col("pk").alias("id_a"))
+        .join(li.select("ok", F.col("pk").alias("id_b")), "ok")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    # (ok, id_a, id_b) is unique after the distinct above, so the plain
+    # count IS the distinct-order count — no countDistinct shuffle
+    return (
+        co.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__n_orders"))
+        .filter(F.col("__n_orders") >= GR05_MIN_CO_ORDERS)
+        .select("id_a", "id_b")
+    )
 
 
 def gr05_adamic_adar_links(spark: SparkSession, sf: str) -> DataFrame:
-    """Adamic-Adar link prediction on the verified near-dup graph —
-    the MISSED-PAIR suggester: two documents that share near-dup
-    neighbors but are not themselves a verified pair are exactly where
-    an LSH band miss or a just-under-threshold Jaccard hides, and AA
-    (Σ 1/ln(deg w) over shared neighbors w) is the classic score that
-    weights rare shared neighbors above promiscuous hubs. Top-20
-    suggestions, ranked.
+    """Adamic-Adar link prediction on the part co-purchase graph — the
+    MISSED-PAIR suggester: two parts that repeatedly share co-purchase
+    neighbors but are never bought together themselves are the classic
+    recommendation/linkage candidates, and AA (Σ 1/ln(deg w) over
+    shared neighbors w) is the standard score that weights rare shared
+    neighbors above promiscuous hubs. Top-20 suggestions, ranked.
+    (The near-dup graph is NOT a usable substrate for AA: LSH band
+    buckets produce candidate cliques, so every wedge closes by
+    construction and the suggestion set is structurally empty — see
+    SCALE.md "wedge hub skew". The co-purchase graph has genuine open
+    wedges at every test scale.)
 
-    Scale: rides the SHARED verified edge set (_neardup_good_edges —
-    gr01/gr02/tc01's kernel): one self-join keyed by the shared
-    neighbor (wedge enumeration, the tc01 shape — never all-pairs of
-    nodes), one anti join against existing edges, one keyed sum. The
-    self-join's fan-out is quadratic in hub degree, so wedge centers
-    are capped at GR05_MAX_HUB_DEGREE before the join (degree-ordered
-    guard, Σdeg² ≤ D·|E|); a capped hub's AA weight 1/ln(deg) would be
+    Scale: one self-join keyed by l_orderkey with per-key fan-out
+    bounded by lines-per-order (builds the edge set), then one
+    self-join keyed by the shared neighbor (wedge enumeration, the
+    tc01 shape — never all-pairs of nodes), one anti join against
+    existing edges, one keyed sum. The wedge join's fan-out is
+    quadratic in hub degree, so wedge centers are capped at
+    GR05_MAX_HUB_DEGREE before the join (degree-ordered guard,
+    Σdeg² ≤ D·|E|); a capped hub's AA weight 1/ln(deg) would be
     ≤1/ln(D) anyway, so the guard drops only what AA already calls
     noise. Determinism: deg is an exact BIGINT; each wedge's 1/ln(deg)
     contribution is rounded once to 10 dp on the bounded degree table
@@ -15237,7 +15275,7 @@ def gr05_adamic_adar_links(spark: SparkSession, sf: str) -> DataFrame:
         spark.conf.get("spark.graft.gr05.maxHubDegree", None)
         or GR05_MAX_HUB_DEGREE
     )
-    good = _neardup_good_edges(spark, sf).localCheckpoint()
+    good = _gr05_copurchase_edges(spark, sf).localCheckpoint()
     und = good.select(
         F.col("id_a").alias("w"), F.col("id_b").alias("x")
     ).union(good.select(F.col("id_b").alias("w"), F.col("id_a").alias("x")))
@@ -15282,10 +15320,18 @@ def gr05_adamic_adar_links(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _gr05_oracle_sql() -> str:
-    # the hub cap mirrors GR05_MAX_HUB_DEGREE exactly (same constant,
-    # both engines) — see the knob's docstring for the scale rationale
+    # the hub cap and the support floor mirror GR05_MAX_HUB_DEGREE /
+    # GR05_MIN_CO_ORDERS exactly (same constants, both engines) — see
+    # the knobs' docstrings for the scale rationale
     return f"""
-WITH {_neardup_good_cte()}, und AS (
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), good AS (
+  SELECT a.pk AS id_a, b.pk AS id_b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {GR05_MIN_CO_ORDERS}
+), und AS (
   SELECT id_a AS w, id_b AS x FROM good
   UNION ALL
   SELECT id_b AS w, id_a AS x FROM good
@@ -16227,3 +16273,51 @@ ROUND7_STAGED_QUERIES["ct04_contamination_ngram_sensitivity"] = (
     ct04_contamination_ngram_sensitivity
 )
 ROUND7_STAGED_ORACLE["ct04_contamination_ngram_sensitivity"] = _CT04_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-9 promotion: the r8 verdict's task 1, verbatim — graduate all 21
+# round-9 staged queries (waves 43-51) into the live EXTENSION registries,
+# in the verdict's priority order: es16 first (the exactness-under-pruning
+# certification), then st16/dd18/es17 (the tuning + merge certifications),
+# then the waves in order. Every name below has BOTH gate-scale
+# certifications in tests/test_staged_round9.py AND a recorded sf0.1 wall
+# in scripts/staged_sf01_walls.json (worst case gr05 6.75 s isolated,
+# re-swept after the hub-degree guard landed) — pinned by
+# tests/test_staged_round7.py::test_promoted_queries_were_sf01_swept.
+ROUND9_PROMOTED: list[str] = [
+    # the strongest new claims first
+    "es16_bound_pruned_search",
+    "st16_streaming_binned_quantiles",
+    "dd18_minhash_k_sweep",
+    "es17_ivf_nprobe_sweep",
+    # wave 43: sequence, divergence, and memorization audits
+    "mk01_event_markov_transitions",
+    "kl01_source_unigram_kl",
+    "nv01_ngram_novelty",
+    # wave 44: robust stats, Gopher rules, bipartite projection
+    "wz01_winsorized_value_stats",
+    "qf04_gopher_quality_rules",
+    "gr04_event_type_copresence",
+    # wave 46: smoothing, label noise, the pairs-free kernel statistic
+    "tx21_kneser_ney_bigrams",
+    "lb01_label_confusion_audit",
+    "mmd01_label_mmd_audit",
+    # wave 47: link prediction (hub-guarded), fertility, burstiness
+    "gr05_adamic_adar_links",
+    "tk01_token_fertility",
+    "tx22_word_burstiness",
+    # wave 48: long-tail reweighting and multimodal batch packing
+    "imb02_effective_number_weights",
+    "mm08_aspect_bucket_packing",
+    # wave 49: survival analysis and collocation mining
+    "sv01_conversion_survival_curve",
+    "tx23_pmi_collocations",
+    # wave 51: contamination order sensitivity
+    "ct04_contamination_ngram_sensitivity",
+]
+
+for _name in ROUND9_PROMOTED:
+    EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
+    EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
+del _name

@@ -104,3 +104,18 @@ def test_readme_counts():
     assert expected in readme, (
         f"README counts line out of date: expected {expected!r}"
     )
+
+
+def test_coverage_matrix_fresh():
+    """COVERAGE_MATRIX.md is a generated artifact (r8 verdict task 6):
+    it must regenerate byte-identical from the registries plus the
+    checked-in CORRECTNESS records, so any staging wave, promotion, or
+    new driver record that forgets to rerun scripts/coverage_matrix.py
+    fails the suite instead of shipping a stale matrix."""
+    import scripts.coverage_matrix as cm
+
+    with open(cm.OUT_PATH) as fh:
+        committed = fh.read()
+    assert committed == cm.collect(), (
+        "COVERAGE_MATRIX.md is stale — rerun python scripts/coverage_matrix.py"
+    )

@@ -78,6 +78,7 @@ def test_promoted_queries_were_sf01_swept():
 
     from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
         ROUND8_PROMOTED,
+        ROUND9_PROMOTED,
     )
 
     path = os.path.join(
@@ -85,7 +86,11 @@ def test_promoted_queries_were_sf01_swept():
     )
     with open(path) as fh:
         walls = json.load(fh)
-    required = set(ROUND7_STAGED_QUERIES) | set(ROUND8_PROMOTED)
+    required = (
+        set(ROUND7_STAGED_QUERIES)
+        | set(ROUND8_PROMOTED)
+        | set(ROUND9_PROMOTED)
+    )
     missing = required - set(walls)
     assert missing == set(), (
         f"no recorded sf0.1 wall for: {sorted(missing)} — run "

@@ -448,19 +448,23 @@ def test_mmd01_matches_numpy_moment_closure(spark):
 @needs_testdata
 @pytest.mark.integration
 def test_gr05_adamic_adar_python_ref(spark):
-    """Recompute AA suggestions in pure Python from the SAME verified
+    """Recompute AA suggestions in pure Python from the SAME co-purchase
     edge set: no suggested pair may be an existing edge, scores must
-    match, and every suggestion must share >= 1 neighbor."""
+    match, and every suggestion must share >= 1 neighbor. The result
+    must be NON-EMPTY at sf0.001 — an AA certification over a graph
+    with no open wedges (the near-dup clique failure this query was
+    rebased away from) would be vacuous."""
     import math
 
     from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
-        _neardup_good_edges,
+        _gr05_copurchase_edges,
     )
 
     rows = QUERIES["gr05_adamic_adar_links"](spark, SF).collect()
+    assert rows, "gr05 must produce suggestions at sf0.001"
     edges = {
         (r["id_a"], r["id_b"])
-        for r in _neardup_good_edges(spark, SF).collect()
+        for r in _gr05_copurchase_edges(spark, SF).collect()
     }
     nbrs: dict = {}
     for a, b in edges:
