@@ -16616,3 +16616,381 @@ LEFT JOIN (SELECT DISTINCT {pk} AS k, 1 AS hit FROM {parent}) p
 
 ROUND7_STAGED_QUERIES["dq02_fk_orphan_matrix"] = dq02_fk_orphan_matrix
 ROUND7_STAGED_ORACLE["dq02_fk_orphan_matrix"] = _dq02_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 53: cal01 calibration/Brier audit, sk02 hash
+# partition-balance audit, dm02 DoReMi-style domain reweighting step.
+
+
+def cal01_brier_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Probability-calibration audit (reliability diagram + per-bin
+    Brier score) of the simplest deployable model: per-cell base rates.
+    Train/val split orders by exact parity (o_orderkey % 5 < 4 trains —
+    the ss03 determinism contract: assignment is a pure function of the
+    key, and splitting at the ORDER level keeps an order's lines from
+    straddling the split); the model predicts P(line ships > 90 days
+    after the order) per (o_orderpriority, l_linestatus) cell; val
+    lines are scored and the cells are ranked into 5 equal-frequency
+    bins by predicted probability. Per bin: lines, mean predicted vs
+    observed rate (the reliability gap), and the Brier term — the
+    tables an eval harness prints before trusting ANY probabilistic
+    filter (next to ev01's ranking metrics and lb01's label noise).
+
+    Scale: one orders⋈lineitem equi-join (SF-proportional both sides,
+    AQE decides), two conditional aggregates onto the bounded cell
+    table (|priorities| × |linestatus| = 15 rows), and a val-side join
+    back to the bounded cells. Determinism: p_hat is an exact integer
+    ratio rounded once to DECIMAL(7,6) on the bounded cell table;
+    (p−y)² stays DECIMAL end-to-end (no float sum anywhere); bin
+    assignment is exact_ntile over (p_hat, cell) — fully tied-broken;
+    the in-bin window runs on a 15-row bounded frame."""
+    from pyspark.sql import Window
+
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        exact_ntile,
+    )
+
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        "l_linestatus",
+        (F.col("o_orderkey") % 5 < 4).alias("__train"),
+        F.when(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1
+        )
+        .otherwise(0)
+        .alias("__y"),
+    )
+    cells = (
+        j.filter("__train")
+        .groupBy("o_orderpriority", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").alias("__late"),
+        )
+        .select(
+            "o_orderpriority",
+            "l_linestatus",
+            F.round(
+                F.col("__late").cast("double") / F.col("__n").cast("double"),
+                6,
+            )
+            .cast("decimal(7,6)")
+            .alias("__p"),
+        )
+    )
+    # 15-row bounded table: the global window is driver-trivial here
+    w = Window.orderBy("__p", "o_orderpriority", "l_linestatus")
+    binned = cells.select(
+        "o_orderpriority",
+        "l_linestatus",
+        "__p",
+        exact_ntile(
+            F.row_number().over(w),
+            F.count(F.lit(1)).over(
+                Window.partitionBy()
+            ),
+            5,
+        ).alias("bin"),
+    )
+    val = j.filter(~F.col("__train")).join(
+        binned, ["o_orderpriority", "l_linestatus"]
+    )
+    return (
+        val.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_val"),
+            F.round(
+                F.sum(F.col("__p")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_predicted"),
+            F.round(
+                F.sum("__y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("observed_rate"),
+            F.round(
+                F.sum(
+                    (F.col("__p") - F.col("__y"))
+                    * (F.col("__p") - F.col("__y"))
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bin_brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+_CAL01_ORACLE = """
+WITH j AS (
+  SELECT o_orderpriority, l_linestatus,
+         (o_orderkey % 5 < 4) AS train,
+         CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+              THEN 1 ELSE 0 END AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), cells AS (
+  SELECT o_orderpriority, l_linestatus,
+         CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)
+              AS DECIMAL(7,6)) AS p
+  FROM j WHERE train GROUP BY 1, 2
+), binned AS (
+  SELECT o_orderpriority, l_linestatus, p,
+         NTILE(5) OVER (
+           ORDER BY p, o_orderpriority, l_linestatus
+         ) AS bin
+  FROM cells
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_val,
+       ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS avg_predicted,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS observed_rate,
+       ROUND(CAST(SUM((p - y) * (p - y)) AS DOUBLE) / COUNT(*), 6)
+         AS bin_brier
+FROM j JOIN binned USING (o_orderpriority, l_linestatus)
+WHERE NOT train
+GROUP BY bin
+ORDER BY bin
+"""
+
+ROUND7_STAGED_QUERIES["cal01_brier_calibration"] = cal01_brier_calibration
+ROUND7_STAGED_ORACLE["cal01_brier_calibration"] = _CAL01_ORACLE
+
+
+#: Modulus for sk02's shuffle-partition simulation — matches the test
+#: sessions' spark.sql.shuffle.partitions so the simulated balance is
+#: the balance the real exchange would see.
+SK02_N_PARTITIONS = 32
+
+
+def sk02_hash_partition_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle partition-balance forecast for the fact table's three
+    join keys: hash every key into SK02_N_PARTITIONS buckets (the
+    engine-neutral md5-based _H60 hash — NOT Spark's internal
+    murmur, so the oracle reproduces it bit-for-bit) and report the
+    per-key partition-size spread. max/avg >> 1 on a key column means
+    the exchange that shuffles on it will straddle stragglers at 100×
+    scale — this is sk01's skew detector turned into the exchange-level
+    capacity-planning table (keys can be individually unskewed yet
+    hash-collide into a hot partition; this measures the partitions
+    themselves).
+
+    Scale: one scan per key column aggregating straight onto the
+    bounded (key_col × partitions) matrix — map-side combine does the
+    heavy lifting; no join, no window. Determinism: the hash is an
+    exact integer function of the key string; all stats are integer
+    min/max/avg with one rounded ratio."""
+    legs = []
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        h = (
+            F.conv(
+                F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+            ).cast("bigint")
+            % SK02_N_PARTITIONS
+        )
+        per_part = (
+            load(spark, sf, "lineitem")
+            .select(h.alias("__pid"))
+            .groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("__rows"))
+        )
+        legs.append(
+            per_part.agg(
+                F.lit(key).alias("key_col"),
+                F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+                F.min("__rows").cast("bigint").alias("min_rows"),
+                F.max("__rows").cast("bigint").alias("max_rows"),
+                F.round(
+                    F.sum("__rows").cast("double") / F.count(F.lit(1)), 2
+                ).alias("avg_rows"),
+            ).select(
+                "key_col",
+                "n_partitions",
+                "min_rows",
+                "max_rows",
+                "avg_rows",
+                # ratio of the two already-deterministic outputs (max is
+                # exact, avg rounded once above) — nothing new to round
+                F.round(
+                    F.col("max_rows").cast("double") / F.col("avg_rows"), 6
+                ).alias("skew_ratio"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("key_col")
+
+
+def _sk02_oracle_sql() -> str:
+    legs = []
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        h60 = _H60.format(x=f"CAST({key} AS VARCHAR)")
+        legs.append(f"""
+SELECT '{key}' AS key_col,
+       CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       CAST(MIN(rows) AS BIGINT) AS min_rows,
+       CAST(MAX(rows) AS BIGINT) AS max_rows,
+       ROUND(CAST(SUM(rows) AS DOUBLE) / COUNT(*), 2) AS avg_rows,
+       ROUND(CAST(MAX(rows) AS DOUBLE)
+             / ROUND(CAST(SUM(rows) AS DOUBLE) / COUNT(*), 2),
+             6) AS skew_ratio
+FROM (
+  SELECT {h60} % {SK02_N_PARTITIONS} AS pid, COUNT(*) AS rows
+  FROM lineitem GROUP BY 1
+)""")
+    return (
+        "SELECT * FROM (" + "\nUNION ALL\n".join(legs)
+        + ") ORDER BY key_col"
+    )
+
+
+ROUND7_STAGED_QUERIES["sk02_hash_partition_balance"] = (
+    sk02_hash_partition_balance
+)
+ROUND7_STAGED_ORACLE["sk02_hash_partition_balance"] = _sk02_oracle_sql()
+
+
+#: dm02's exponentiated-gradient step size (DoReMi's η) — module-level
+#: so the Spark plan and oracle SQL share it (the gr05 mirroring rule).
+DM02_ETA = 1.0
+
+
+def dm02_domain_reweight_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    arXiv:2305.10429, the exponentiated-gradient update): per-source
+    mean document surprisal under the corpus unigram LM stands in for
+    the proxy-model excess loss, and sources with above-average loss
+    get upweighted — w'_s ∝ w_s · exp(η · excess_s) from the uniform
+    start. The output is the (bounded) next-epoch sampling-weight
+    table a mixture-aware trainer consumes — dm01 reports the current
+    mixture, ir01 reweights documents; this reweights DOMAINS from a
+    loss signal.
+
+    Scale: the unigram LM is one token-keyed aggregate (tx09's kernel
+    shape); per-doc scoring is the gram join + doc-keyed mean; from
+    there everything lives on the |sources|-bounded table. Determinism:
+    per-type -log2 p rounded once (8 dp) in the frequency table;
+    per-doc and per-source means DECIMAL-summed and rounded once
+    (6 dp); exp(η·excess) — the only new transcendental — runs on the
+    bounded source table, rounded once to 10 dp, then the normalization
+    is a decimal ratio (the en01/tx16 rule end-to-end)."""
+    from pyspark.sql import Window
+
+    docs = _docs_words(spark, sf)
+    toks = docs.select("doc_id", "source", F.explode("__words").alias("__t"))
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    vocab = (
+        toks.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__t",
+            F.round(
+                -F.log2(F.col("__c").cast("double") / F.col("__total")), 8
+            ).alias("__nll"),
+        )
+    )
+    per_doc = (
+        toks.join(vocab, "__t")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(F.col("__nll").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("__sd")
+        )
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("__sd").cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_surprisal"),
+    )
+    w = Window.partitionBy()
+    stepped = per_source.select(
+        "source",
+        "n_docs",
+        "mean_surprisal",
+        F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 6).alias(
+            "baseline_weight"
+        ),
+        F.round(
+            F.col("mean_surprisal")
+            - F.sum(F.col("mean_surprisal").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("excess_loss"),
+    ).select(
+        "*",
+        F.round(F.exp(F.lit(DM02_ETA) * F.col("excess_loss")), 10)
+        .cast("decimal(20,10)")
+        .alias("__term"),
+    )
+    return stepped.select(
+        "source",
+        "n_docs",
+        "mean_surprisal",
+        "baseline_weight",
+        "excess_loss",
+        F.round(
+            F.col("__term").cast("double")
+            / F.sum("__term").over(w).cast("double"),
+            6,
+        ).alias("new_weight"),
+    ).orderBy("source")
+
+
+_DM02_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, {_WORDS} AS w FROM documents
+), toks AS (
+  SELECT doc_id, source, unnest(w) AS t FROM d
+), total AS (
+  SELECT COUNT(*) AS total FROM toks
+), vocab AS (
+  SELECT t,
+         ROUND(-log2(CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM total)),
+               8) AS nll
+  FROM toks GROUP BY t
+), per_doc AS (
+  SELECT doc_id, source,
+         ROUND(CAST(SUM(CAST(v.nll AS DECIMAL(25,12))) AS DOUBLE)
+               / COUNT(*), 6) AS sd
+  FROM toks JOIN vocab v USING (t)
+  GROUP BY doc_id, source
+), per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(CAST(SUM(CAST(sd AS DECIMAL(25,12))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_surprisal
+  FROM per_doc GROUP BY source
+), stepped AS (
+  SELECT source, n_docs, mean_surprisal,
+         ROUND(1.0 / COUNT(*) OVER (), 6) AS baseline_weight,
+         ROUND(mean_surprisal
+               - CAST(SUM(CAST(mean_surprisal AS DECIMAL(18,6))) OVER ()
+                      AS DOUBLE) / COUNT(*) OVER (), 6) AS excess_loss
+  FROM per_source
+), terms AS (
+  SELECT *,
+         CAST(ROUND(exp({DM02_ETA} * excess_loss), 10) AS DECIMAL(20,10))
+           AS term
+  FROM stepped
+)
+SELECT source, n_docs, mean_surprisal, baseline_weight, excess_loss,
+       ROUND(CAST(term AS DOUBLE)
+             / CAST(SUM(term) OVER () AS DOUBLE), 6) AS new_weight
+FROM terms
+ORDER BY source
+"""
+
+ROUND7_STAGED_QUERIES["dm02_domain_reweight_step"] = dm02_domain_reweight_step
+ROUND7_STAGED_ORACLE["dm02_domain_reweight_step"] = _DM02_ORACLE

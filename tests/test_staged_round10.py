@@ -126,3 +126,86 @@ def test_dq02_edges_and_counts(spark):
         assert r["n_orphan_rows"] == 0
         assert r["orphan_rate"] == 0.0
         assert r["n_distinct_keys"] <= r["n_rows"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_cal01_calibration_invariants(spark):
+    """Bins cover the val split exactly; predicted means are monotone
+    in bin (equal-frequency binning orders by p_hat); each bin's Brier
+    term respects the calibration decomposition lower bound
+    (bin_brier >= (avg_predicted - observed_rate)^2 within rounding)."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["cal01_brier_calibration"](spark, SF).collect()
+    assert rows and all(1 <= r["bin"] <= 5 for r in rows)
+    li = load(spark, SF, "lineitem")
+    n_val = li.filter(~(F.col("l_orderkey") % 5 < 4)).count()
+    assert sum(r["n_val"] for r in rows) == n_val
+    preds = [r["avg_predicted"] for r in sorted(rows, key=lambda r: r["bin"])]
+    assert preds == sorted(preds)
+    for r in rows:
+        assert 0.0 <= r["observed_rate"] <= 1.0
+        gap = (r["avg_predicted"] - r["observed_rate"]) ** 2
+        assert r["bin_brier"] >= gap - 1e-6
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_sk02_partition_balance_python_ref(spark):
+    """Recompute the l_orderkey leg's partition histogram in pure
+    Python (hashlib md5, the same 15-hex-digit prefix) — counts,
+    extrema, and the simulated-partition population must match."""
+    import hashlib
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        SK02_N_PARTITIONS,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = {r["key_col"]: r for r in
+            QUERIES["sk02_hash_partition_balance"](spark, SF).collect()}
+    assert set(rows) == {"l_orderkey", "l_partkey", "l_suppkey"}
+    keys = [r["l_orderkey"] for r in
+            load(spark, SF, "lineitem").select("l_orderkey").collect()]
+    hist: dict = {}
+    for k in keys:
+        pid = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % (
+            SK02_N_PARTITIONS
+        )
+        hist[pid] = hist.get(pid, 0) + 1
+    r = rows["l_orderkey"]
+    assert r["n_partitions"] == len(hist)
+    assert r["min_rows"] == min(hist.values())
+    assert r["max_rows"] == max(hist.values())
+    assert r["skew_ratio"] >= 1.0
+    assert abs(r["avg_rows"] - len(keys) / len(hist)) < 0.01
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dm02_reweight_invariants(spark):
+    """New weights are a probability vector; the exponentiated update
+    is monotone (higher excess loss => higher weight); the baseline is
+    uniform; each term replays in pure Python from the reported
+    excess."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        DM02_ETA,
+    )
+
+    rows = QUERIES["dm02_domain_reweight_step"](spark, SF).collect()
+    assert rows
+    n = len(rows)
+    assert abs(sum(r["new_weight"] for r in rows) - 1.0) < 1e-5 * n
+    for r in rows:
+        assert r["new_weight"] > 0
+        assert abs(r["baseline_weight"] - round(1.0 / n, 6)) < 1e-9
+    by_excess = sorted(rows, key=lambda r: r["excess_loss"])
+    weights = [r["new_weight"] for r in by_excess]
+    assert weights == sorted(weights)
+    terms = [round(math.exp(DM02_ETA * r["excess_loss"]), 10) for r in rows]
+    z = sum(terms)
+    for r, t in zip(rows, terms):
+        assert abs(r["new_weight"] - round(t / z, 6)) < 2e-6
