@@ -16994,3 +16994,353 @@ ORDER BY source
 
 ROUND7_STAGED_QUERIES["dm02_domain_reweight_step"] = dm02_domain_reweight_step
 ROUND7_STAGED_ORACLE["dm02_domain_reweight_step"] = _DM02_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 54: ts04 classical seasonal decomposition, zo02
+# min/max file-skipping audit, rk02 Spearman rank agreement.
+
+
+def ts04_seasonal_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue —
+    trend via the centered 7-day moving average (full windows only),
+    day-of-week seasonal as the mean of the detrended series, and the
+    mean absolute remainder per weekday as the noise floor. This is
+    the decomposition behind ts01's seasonal-naive error and ts03's
+    autocorrelation: those MEASURE weekly structure, this one
+    EXTRACTS it (the table a forecasting pipeline inspects before
+    choosing a model).
+
+    Scale: daily revenue is one keyed aggregate onto the
+    calendar-bounded day table (<= 2,557 rows at any SF — every window
+    below runs on that bounded frame, the ts01/win06 convention);
+    output is 7 rows. Determinism: daily revenue is an exact
+    DECIMAL(18,2) sum; the trend is a decimal-sum/7 rounded once
+    (6 dp); detrended and remainder values are differences of
+    already-rounded terms rounded once more; weekday means
+    decimal-sum the rounded values. ISO weekday is integer arithmetic
+    in both engines."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("__day"),
+            dec("o_totalprice").alias("__rev"),
+        )
+        .groupBy("__day")
+        .agg(F.sum("__rev").alias("__rev"))
+    )
+    w7 = Window.orderBy("__day").rowsBetween(-3, 3)
+    trended = (
+        daily.select(
+            "__day",
+            F.col("__rev").cast("double").alias("__revd"),
+            F.when(
+                F.count(F.lit(1)).over(w7) == 7,
+                F.round(
+                    F.sum("__rev").over(w7).cast("double") / F.lit(7.0), 6
+                ),
+            ).alias("__trend"),
+        )
+        .filter(F.col("__trend").isNotNull())
+        .select(
+            "__day",
+            "__revd",
+            "__trend",
+            F.round(F.col("__revd") - F.col("__trend"), 6).alias("__detr"),
+        )
+    )
+    dow = ((F.dayofweek("__day") + 5) % 7 + 1).alias("iso_dow")
+    seasonal = (
+        trended.select(dow, "__detr")
+        .groupBy("iso_dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(F.col("__detr").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("seasonal_component"),
+        )
+    )
+    rem = (
+        trended.select(dow, "__detr")
+        .join(seasonal, "iso_dow")
+        .select(
+            "iso_dow",
+            F.abs(
+                F.round(F.col("__detr") - F.col("seasonal_component"), 6)
+            ).alias("__absrem"),
+        )
+        .groupBy("iso_dow")
+        .agg(
+            F.round(
+                F.sum(F.col("__absrem").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_abs_remainder")
+        )
+    )
+    return (
+        seasonal.join(rem, "iso_dow")
+        .select(
+            "iso_dow", "n_days", "seasonal_component", "mean_abs_remainder"
+        )
+        .orderBy("iso_dow")
+    )
+
+
+_TS04_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+), trended AS (
+  SELECT day,
+         CAST(rev AS DOUBLE) AS revd,
+         CASE WHEN COUNT(*) OVER w = 7 THEN
+           ROUND(CAST(SUM(rev) OVER w AS DOUBLE) / 7.0, 6)
+         END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detr AS (
+  SELECT isodow(day) AS iso_dow,
+         ROUND(revd - trend, 6) AS d
+  FROM trended WHERE trend IS NOT NULL
+), seasonal AS (
+  SELECT iso_dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+         ROUND(CAST(SUM(CAST(d AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+           AS seasonal_component
+  FROM detr GROUP BY iso_dow
+), rem AS (
+  SELECT d.iso_dow,
+         ROUND(CAST(SUM(CAST(ABS(ROUND(d.d - s.seasonal_component, 6))
+                             AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_abs_remainder
+  FROM detr d JOIN seasonal s ON d.iso_dow = s.iso_dow
+  GROUP BY d.iso_dow
+)
+SELECT s.iso_dow, s.n_days, s.seasonal_component, r.mean_abs_remainder
+FROM seasonal s JOIN rem r ON s.iso_dow = r.iso_dow
+ORDER BY s.iso_dow
+"""
+
+ROUND7_STAGED_QUERIES["ts04_seasonal_decomposition"] = (
+    ts04_seasonal_decomposition
+)
+ROUND7_STAGED_ORACLE["ts04_seasonal_decomposition"] = _TS04_ORACLE
+
+
+#: zo02's simulated row-group size and audit predicate (month window) —
+#: module-level so both engines derive from the same constants.
+ZO02_FILE_ROWS = 4096
+ZO02_PRED_LO = "1995-03-01"
+ZO02_PRED_HI = "1995-04-01"
+
+
+def zo02_minmax_pruning_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """File-skipping effectiveness audit: simulate writing orders into
+    ZO02_FILE_ROWS-row files under (a) the natural arrival layout
+    (orderkey order) and (b) a date-sorted layout, record each file's
+    min/max order date (exactly the parquet row-group statistics a
+    scan consults), and count the files a one-month predicate could
+    skip. This quantifies the zo01 story on the axis that pays the
+    bills: the SAME data and predicate go from scanning ~every file
+    (uncorrelated natural layout) to scanning the predicate's share of
+    files (sorted layout) — the before/after table that justifies a
+    sort-on-write policy at 100 TB.
+
+    Scale: both row numbers come from the distributed two-phase ranking
+    operator (range partition + broadcast offsets — never a
+    single-partition window); per-file min/max is one keyed aggregate
+    each; output is 2 rows. Determinism: file assignment is exact
+    integer division of a fully tie-broken rank; dates compare as
+    dates."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+    )
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("__day")
+    )
+    lo, hi = F.lit(ZO02_PRED_LO).cast("date"), F.lit(ZO02_PRED_HI).cast(
+        "date"
+    )
+    out = None
+    for layout, order_by in (
+        ("natural_orderkey", [F.asc("o_orderkey")]),
+        ("sorted_orderdate", [F.asc("__day"), F.asc("o_orderkey")]),
+    ):
+        ranked = attach_global_row_number(
+            orders, order_by=order_by, rn_col="__rn"
+        )
+        files = (
+            ranked.select(
+                ((F.col("__rn") - 1) / ZO02_FILE_ROWS)
+                .cast("bigint")
+                .alias("__f"),
+                "__day",
+            )
+            .groupBy("__f")
+            .agg(
+                F.count(F.lit(1)).alias("__rows"),
+                F.min("__day").alias("__lo"),
+                F.max("__day").alias("__hi"),
+            )
+        )
+        scanned = (F.col("__hi") >= lo) & (F.col("__lo") < hi)
+        row = files.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.when(scanned, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_files_scanned"),
+            F.sum(F.when(scanned, F.col("__rows")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_scanned"),
+        ).select(
+            "*",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_files_scanned").cast("double")
+                / F.col("n_files").cast("double"),
+                6,
+            ).alias("prune_pct"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("layout")
+
+
+def _zo02_oracle_sql() -> str:
+    legs = []
+    for layout, order_by in (
+        ("natural_orderkey", "o_orderkey"),
+        ("sorted_orderdate", "day, o_orderkey"),
+    ):
+        legs.append(f"""
+SELECT '{layout}' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_files_scanned,
+       CAST(SUM(CASE WHEN scanned THEN rows ELSE 0 END) AS BIGINT)
+         AS n_rows_scanned,
+       ROUND(1.0 - CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS prune_pct
+FROM (
+  SELECT f, COUNT(*) AS rows,
+         (MAX(day) >= DATE '{ZO02_PRED_LO}'
+          AND MIN(day) < DATE '{ZO02_PRED_HI}') AS scanned
+  FROM (
+    SELECT (ROW_NUMBER() OVER (ORDER BY {order_by}) - 1)
+             // {ZO02_FILE_ROWS} AS f,
+           day
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day FROM orders)
+  ) GROUP BY f
+)""")
+    return (
+        "SELECT * FROM (" + "\nUNION ALL\n".join(legs)
+        + ") ORDER BY layout"
+    )
+
+
+ROUND7_STAGED_QUERIES["zo02_minmax_pruning_audit"] = zo02_minmax_pruning_audit
+ROUND7_STAGED_ORACLE["zo02_minmax_pruning_audit"] = _zo02_oracle_sql()
+
+
+#: rk02's head size: the agreement statistic runs on the top-K revenue
+#: suppliers — a bounded-by-construction table (TakeOrdered, rank-cut
+#: before any window).
+RK02_TOP_K = 100
+
+
+def rk02_spearman_rank_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank agreement between two supplier orderings — revenue
+    rank vs shipped-quantity rank on the top-RK02_TOP_K revenue
+    suppliers: rho = 1 − 6·Σd²/(n(n²−1)). rk01 answers the same
+    question with Kendall's tau (pairwise concordance); Spearman is
+    the displacement-weighted twin an eval harness usually reports
+    alongside it (big rank jumps hurt more than adjacent swaps).
+
+    Scale: supplier totals are one keyed aggregate; the head is
+    TakeOrdered-bounded (rank-cut BEFORE any window — the rk01 rule),
+    so both rank windows run on a 100-row bounded frame. Determinism:
+    revenue/quantity are exact decimal sums; ranks are fully
+    tie-broken by suppkey; Σd² and the rho denominator are exact
+    integers with one rounded division."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf, "lineitem")
+    totals = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+            ).alias("__rev"),
+            F.sum(dec("l_quantity")).alias("__qty"),
+        )
+    )
+    head = totals.orderBy(
+        F.desc("__rev"), F.asc("l_suppkey")
+    ).limit(RK02_TOP_K)
+    wr = Window.orderBy(F.desc("__rev"), F.asc("l_suppkey"))
+    wq = Window.orderBy(F.desc("__qty"), F.asc("l_suppkey"))
+    ranked = head.select(
+        "l_suppkey",
+        F.row_number().over(wr).alias("__rr"),
+        F.row_number().over(wq).alias("__rq"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(
+            (F.col("__rr") - F.col("__rq")) * (F.col("__rr") - F.col("__rq"))
+        )
+        .cast("bigint")
+        .alias("sum_d2"),
+    ).select(
+        "n_suppliers",
+        "sum_d2",
+        F.round(
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.col("sum_d2").cast("double")
+            / (
+                F.col("n_suppliers").cast("double")
+                * (
+                    F.col("n_suppliers").cast("double")
+                    * F.col("n_suppliers").cast("double")
+                    - F.lit(1.0)
+                )
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+_RK02_ORACLE = f"""
+WITH totals AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY l_suppkey
+), head AS (
+  SELECT * FROM totals ORDER BY rev DESC, l_suppkey LIMIT {RK02_TOP_K}
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY rev DESC, l_suppkey) AS rr,
+         ROW_NUMBER() OVER (ORDER BY qty DESC, l_suppkey) AS rq
+  FROM head
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM((rr - rq) * (rr - rq)) AS BIGINT) AS sum_d2,
+       ROUND(1.0 - 6.0 * CAST(SUM((rr - rq) * (rr - rq)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE)
+                * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1.0)),
+             6) AS spearman_rho
+FROM ranked
+"""
+
+ROUND7_STAGED_QUERIES["rk02_spearman_rank_agreement"] = (
+    rk02_spearman_rank_agreement
+)
+ROUND7_STAGED_ORACLE["rk02_spearman_rank_agreement"] = _RK02_ORACLE

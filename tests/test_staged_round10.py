@@ -209,3 +209,128 @@ def test_dm02_reweight_invariants(spark):
     z = sum(terms)
     for r, t in zip(rows, terms):
         assert abs(r["new_weight"] - round(t / z, 6)) < 2e-6
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ts04_decomposition_python_ref(spark):
+    """Replay the full decomposition in pure Python from the exact
+    daily revenue series: trend windows, detrending, weekday means,
+    and remainder magnitudes must match; weekday components must
+    (weighted) cancel to ~the detrended mean, which the centered MA
+    keeps near zero."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import dec, load
+
+    rows = QUERIES["ts04_seasonal_decomposition"](spark, SF).collect()
+    assert [r["iso_dow"] for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    daily = (
+        load(spark, SF, "orders")
+        .select(F.to_date("o_orderdate").alias("d"),
+                dec("o_totalprice").alias("r"))
+        .groupBy("d")
+        .agg(F.sum("r").alias("r"))
+        .orderBy("d")
+        .collect()
+    )
+    revs = [float(x["r"]) for x in daily]
+    days = [x["d"] for x in daily]
+    detr: dict = {}
+    for i in range(3, len(revs) - 3):
+        trend = round(sum(revs[i - 3:i + 4]) / 7.0, 6)
+        d = round(revs[i] - trend, 6)
+        detr.setdefault(days[i].isoweekday(), []).append(d)
+    for r in rows:
+        vals = detr[r["iso_dow"]]
+        assert r["n_days"] == len(vals)
+        assert abs(r["seasonal_component"] - round(sum(vals) / len(vals), 6)) < 1e-6
+        rem = [abs(round(v - r["seasonal_component"], 6)) for v in vals]
+        assert abs(r["mean_abs_remainder"] - round(sum(rem) / len(rem), 6)) < 1e-6
+    wsum = sum(r["seasonal_component"] * r["n_days"] for r in rows)
+    n = sum(r["n_days"] for r in rows)
+    # detrended mean stays near zero RELATIVE to the revenue scale (the
+    # centered MA absorbs the level; what's left is noise-sized)
+    assert abs(wsum / n) < 0.01 * (sum(revs) / len(revs))
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_zo02_pruning_invariants(spark):
+    """Both layouts cut the same row count into the same file count;
+    the date-sorted layout never scans MORE files than the natural
+    layout, and every row matching the predicate lives in a scanned
+    file (no false pruning — checked via the raw match count)."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        ZO02_FILE_ROWS,
+        ZO02_PRED_HI,
+        ZO02_PRED_LO,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = {r["layout"]: r for r in
+            QUERIES["zo02_minmax_pruning_audit"](spark, SF).collect()}
+    assert set(rows) == {"natural_orderkey", "sorted_orderdate"}
+    n = load(spark, SF, "orders").count()
+    expected_files = -(-n // ZO02_FILE_ROWS)
+    matching = (
+        load(spark, SF, "orders")
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit(ZO02_PRED_LO))
+            & (F.to_date("o_orderdate") < F.lit(ZO02_PRED_HI))
+        )
+        .count()
+    )
+    for r in rows.values():
+        assert r["n_files"] == expected_files
+        assert r["n_files_scanned"] <= r["n_files"]
+        assert r["n_rows_scanned"] >= matching
+        assert 0.0 <= r["prune_pct"] <= 1.0
+    assert (
+        rows["sorted_orderdate"]["n_files_scanned"]
+        <= rows["natural_orderkey"]["n_files_scanned"]
+    )
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_rk02_spearman_python_ref(spark):
+    """Replay the statistic in pure Python from the exact supplier
+    totals: same head, same tie-broken ranks, same rho."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        RK02_TOP_K,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import dec, load
+
+    row = QUERIES["rk02_spearman_rank_agreement"](spark, SF).collect()[0]
+    totals = (
+        load(spark, SF, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .alias("rev"),
+            F.sum(dec("l_quantity")).alias("qty"),
+        )
+        .collect()
+    )
+    head = sorted(totals, key=lambda r: (-r["rev"], r["l_suppkey"]))[
+        :RK02_TOP_K
+    ]
+    rr = {r["l_suppkey"]: i + 1 for i, r in enumerate(head)}
+    rq = {
+        r["l_suppkey"]: i + 1
+        for i, r in enumerate(
+            sorted(head, key=lambda r: (-r["qty"], r["l_suppkey"]))
+        )
+    }
+    n = len(head)
+    d2 = sum((rr[k] - rq[k]) ** 2 for k in rr)
+    assert row["n_suppliers"] == n
+    assert row["sum_d2"] == d2
+    rho = round(1.0 - 6.0 * d2 / (n * (n * n - 1.0)), 6)
+    assert abs(row["spearman_rho"] - rho) < 1e-9
+    assert -1.0 <= row["spearman_rho"] <= 1.0
