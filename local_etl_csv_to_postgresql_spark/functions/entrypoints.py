@@ -17344,3 +17344,30 @@ ROUND7_STAGED_QUERIES["rk02_spearman_rank_agreement"] = (
     rk02_spearman_rank_agreement
 )
 ROUND7_STAGED_ORACLE["rk02_spearman_rank_agreement"] = _RK02_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 55: st17 streaming Count-Min cells, st18 streaming
+# HLL registers — the streamed-sketch additivity triple completed (st16
+# merged histogram sums; these merge CM sums and HLL maxes). Registered via
+# the staged-streaming shim so environments without a streaming-capable
+# session still import this module.
+
+
+def _register_staged_streaming_wave55() -> None:
+    from local_etl_csv_to_postgresql_spark.streaming.queries import (
+        ST17_STAGED_ORACLE,
+        ST18_STAGED_ORACLE,
+        st17_streaming_countmin,
+        st18_streaming_hll_registers,
+    )
+
+    ROUND7_STAGED_QUERIES["st17_streaming_countmin"] = st17_streaming_countmin
+    ROUND7_STAGED_ORACLE["st17_streaming_countmin"] = ST17_STAGED_ORACLE
+    ROUND7_STAGED_QUERIES["st18_streaming_hll_registers"] = (
+        st18_streaming_hll_registers
+    )
+    ROUND7_STAGED_ORACLE["st18_streaming_hll_registers"] = ST18_STAGED_ORACLE
+
+
+_register_staged_streaming_wave55()

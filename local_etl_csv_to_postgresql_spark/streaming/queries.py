@@ -756,3 +756,185 @@ SELECT event_type,
          AS p99_bin
 FROM cum GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- round-10 staged: st17 streaming Count-Min, st18 streaming HLL --------
+
+# Sketch geometry for the STREAMING sketch twins. Structural constants
+# (not env-tunable) so the oracle SQL below and the Spark plan cannot
+# fork; st17 mirrors cm01's default D×W, st18 mirrors hll02's HLL_P=8
+# register layout (see functions/entrypoints.py) — the batch twins these
+# replays are certified against.
+ST17_CM_DEPTH = 4
+ST17_CM_WIDTH = 512
+ST18_HLL_P = 8
+ST18_HLL_M = 1 << ST18_HLL_P
+ST18_REST_BITS = 60 - ST18_HLL_P
+
+# 60-bit md5 hash macro — mirrors functions/entrypoints._H60 (kept local:
+# importing entrypoints from here would be circular).
+_H60_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def st17_streaming_countmin(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 user event-count estimates read off a Count-Min sketch
+    MAINTAINED BY A REAL Structured Streaming run (complete-mode
+    availableNow replay of the events file): micro-batches fold into
+    the D×W cell matrix — streaming state bounded by the sketch
+    geometry, never the stream — and the point estimates (MIN over a
+    key's D cells) run batch-side over the final merged matrix. The
+    streaming twin of cm01 (identical seeded hash family), closing the
+    streamed-sketch additivity pair begun by st16: cells are SUMS, so
+    partials merged across micro-batches must equal the one-shot batch
+    cells — which is exactly what the DuckDB oracle computes. The
+    defining CM inequality (estimate >= true count, collisions only
+    ADD) is emitted per user and certified."""
+    from ..functions import dedup as dd
+    from .stateful import replay_countmin_cells
+
+    cells = replay_countmin_cells(
+        spark,
+        f"{sf}/events.parquet",
+        depth=ST17_CM_DEPTH,
+        width=ST17_CM_WIDTH,
+    )
+    truth = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    probe = (
+        truth.orderBy(F.desc("true_count"), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            "true_count",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(ST17_CM_DEPTH - 1))
+            ).alias("__d"),
+        )
+        .withColumn(
+            "__b",
+            dd.hash60(
+                F.concat(
+                    F.lit("cm"),
+                    F.col("__d").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % ST17_CM_WIDTH,
+        )
+    )
+    return (
+        probe.join(
+            cells, (probe.__d == cells.__d) & (probe.__b == cells.__b)
+        )
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cell_count").cast("bigint").alias("cm_estimate"))
+        .select(
+            "user_id",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), "user_id")
+    )
+
+
+_ST17_H = _H60_SQL.format(x="'cm' || CAST(d AS VARCHAR) || ':' || k")
+
+ST17_STAGED_ORACLE = f"""
+WITH keyed AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, d
+  FROM events
+  CROSS JOIN (SELECT unnest(range({ST17_CM_DEPTH})) AS d)
+), cells AS (
+  SELECT d, ({_ST17_H}) % {ST17_CM_WIDTH} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM keyed GROUP BY 1, 2
+), truth AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events GROUP BY user_id
+  ORDER BY true_count DESC, user_id LIMIT 10
+), probe AS (
+  SELECT user_id, true_count, d,
+         ({_H60_SQL.format(
+             x="'cm' || CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+         )}) % {ST17_CM_WIDTH} AS b
+  FROM truth CROSS JOIN (SELECT unnest(range({ST17_CM_DEPTH})) AS d)
+)
+SELECT p.user_id, p.true_count,
+       CAST(MIN(c.c) AS BIGINT) AS cm_estimate,
+       CAST(MIN(c.c) - p.true_count AS BIGINT) AS overestimate
+FROM probe p JOIN cells c ON p.d = c.d AND p.b = c.b
+GROUP BY p.user_id, p.true_count
+ORDER BY p.true_count DESC, p.user_id
+"""
+
+
+def st18_streaming_hll_registers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type HLL register digests MAINTAINED BY A REAL Structured
+    Streaming run: micro-batches MAX their (type, bucket) rho values
+    into the register matrix — max IS the HLL merge operator, so the
+    availableNow replay's final registers must equal the one-shot
+    batch registers, which is exactly what the DuckDB oracle computes
+    from the same hash family (hll02's layout). Completes the
+    streamed-sketch additivity TRIPLE: st16 merged histogram counts
+    (sums), st17 merges Count-Min cells (sums), this merges HLL
+    registers (maxes) — the three state shapes a 100 TB streaming
+    monitor runs on. State bounded by |types| × 2^p. Two exact-integer
+    digests (occupancy-weighted and rho mass) pin the registers
+    value-for-value."""
+    from .stateful import replay_hll_registers
+
+    regs = replay_hll_registers(
+        spark,
+        f"{sf}/events.parquet",
+        hll_m=ST18_HLL_M,
+        rest_bits=ST18_REST_BITS,
+    )
+    return (
+        regs.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("occupied"),
+            F.sum("register_rho").cast("bigint").alias("rho_sum"),
+            F.sum((F.col("__b") + 1) * F.col("register_rho"))
+            .cast("bigint")
+            .alias("bucket_weighted_digest"),
+        )
+        .select(
+            F.col("__g").alias("event_type"),
+            "occupied",
+            "rho_sum",
+            "bucket_weighted_digest",
+        )
+        .orderBy("event_type")
+    )
+
+
+_ST18_H = _H60_SQL.format(x="CAST(user_id AS VARCHAR)")
+_ST18_REST_ZERO = ST18_REST_BITS + 1
+
+ST18_STAGED_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type,
+         ({_ST18_H}) % {ST18_HLL_M} AS b,
+         ({_ST18_H}) // {ST18_HLL_M} AS rest
+  FROM events
+), regs AS (
+  SELECT event_type, b,
+         MAX(CASE WHEN rest = 0 THEN {_ST18_REST_ZERO}
+                  ELSE {ST18_REST_BITS} - length(bin(rest)) + 1 END) AS rho
+  FROM hashed GROUP BY event_type, b
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS occupied,
+       CAST(SUM(rho) AS BIGINT) AS rho_sum,
+       CAST(SUM((b + 1) * rho) AS BIGINT) AS bucket_weighted_digest
+FROM regs
+GROUP BY event_type
+ORDER BY event_type
+"""

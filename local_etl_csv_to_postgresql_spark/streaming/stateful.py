@@ -1364,3 +1364,139 @@ def replay_binned_histogram(
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
+
+
+def replay_countmin_cells(
+    spark,
+    parquet_path: str,
+    depth: int,
+    width: int,
+    key_col: str = "user_id",
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> "DataFrame":
+    """Streaming Count-Min sketch maintenance: each micro-batch folds
+    its events into the D×W integer cell matrix (cells are SUMS, the
+    mergeable-sketch property cm01 certifies in batch), complete-mode
+    output re-emits the merged matrix after every batch. State is the
+    matrix itself — bounded by depth × width BY CONSTRUCTION, never by
+    the stream, which is what lets a heavy-hitter monitor run forever
+    on a firehose. The hash family is the library's seeded 60-bit md5
+    ('cm{d}:{key}'), identical to cm01's, so the DuckDB oracle can
+    recompute every probed cell exactly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions import dedup as dd
+
+    table_name = table_name or f"stream_cmcells_{uuid.uuid4().hex[:8]}"
+    batch_schema, stream_path = _schema_and_stage(spark, parquet_path)
+    stream = _normalize_ts(
+        spark.readStream.schema(batch_schema).parquet(stream_path)
+    )
+    cells = (
+        stream.select(F.col(key_col).cast("string").alias("__k"))
+        .select(
+            "__k",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__d"),
+        )
+        .withColumn(
+            "__b",
+            dd.hash60(
+                F.concat(
+                    F.lit("cm"),
+                    F.col("__d").cast("string"),
+                    F.lit(":"),
+                    F.col("__k"),
+                )
+            )
+            % width,
+        )
+        .groupBy("__d", "__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_count"))
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        q = (
+            cells.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)
+
+
+def replay_hll_registers(
+    spark,
+    parquet_path: str,
+    hll_m: int,
+    rest_bits: int,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> "DataFrame":
+    """Streaming HyperLogLog register maintenance: each micro-batch
+    MAXes its (group, bucket) rho values into the register matrix —
+    max is the HLL merge operator (hll03's batch certification), so
+    the complete-mode availableNow replay's final registers must equal
+    the one-shot batch registers, which is exactly what the DuckDB
+    oracle computes. State bounded by |groups| × hll_m BY
+    CONSTRUCTION. Hash family identical to hll02's (_H60 of the key
+    string; bucket = low bits, rho = leading-zero rank of the rest)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions import dedup as dd
+
+    rest_zero_rho = rest_bits + 1
+    table_name = table_name or f"stream_hllregs_{uuid.uuid4().hex[:8]}"
+    batch_schema, stream_path = _schema_and_stage(spark, parquet_path)
+    stream = _normalize_ts(
+        spark.readStream.schema(batch_schema).parquet(stream_path)
+    )
+    regs = (
+        stream.select(
+            F.col(group_col).alias("__g"),
+            dd.hash60(F.col(key_col).cast("string")).alias("__h"),
+        )
+        .select(
+            "__g",
+            (F.col("__h") % hll_m).alias("__b"),
+            F.expr(
+                f"CASE WHEN __h div {hll_m} = 0 THEN {rest_zero_rho} "
+                f"ELSE {rest_bits} - length(bin(__h div {hll_m})) + 1 END"
+            ).alias("__rho"),
+        )
+        .groupBy("__g", "__b")
+        .agg(F.max("__rho").cast("int").alias("register_rho"))
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)

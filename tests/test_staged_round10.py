@@ -334,3 +334,50 @@ def test_rk02_spearman_python_ref(spark):
     rho = round(1.0 - 6.0 * d2 / (n * (n * n - 1.0)), 6)
     assert abs(row["spearman_rho"] - rho) < 1e-9
     assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_st17_countmin_inequality(spark):
+    """The defining Count-Min property on the streamed sketch: every
+    probed estimate >= its true count (cells only ever ADD), and the
+    probe covers exactly the top-10 users."""
+    rows = QUERIES["st17_streaming_countmin"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cm_estimate"] >= r["true_count"]
+        assert r["overestimate"] == r["cm_estimate"] - r["true_count"]
+    counts = [r["true_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_st18_hll_register_bounds(spark):
+    """Streamed HLL registers respect the structural bounds: occupancy
+    never exceeds the register count nor the true distinct-key count
+    per group; every register holds rho >= 1 (rho_sum >= occupied);
+    the digest is consistent with its factors."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+    from local_etl_csv_to_postgresql_spark.streaming.queries import (
+        ST18_HLL_M,
+    )
+
+    rows = QUERIES["st18_streaming_hll_registers"](spark, SF).collect()
+    assert rows
+    truth = {
+        r["event_type"]: r["nd"]
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(truth)
+    for r in rows:
+        assert 1 <= r["occupied"] <= min(ST18_HLL_M, truth[r["event_type"]])
+        assert r["rho_sum"] >= r["occupied"]
+        assert r["occupied"] * 1 <= r["bucket_weighted_digest"] <= (
+            ST18_HLL_M * r["rho_sum"]
+        )
