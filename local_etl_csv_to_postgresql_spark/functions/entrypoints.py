@@ -17371,3 +17371,346 @@ def _register_staged_streaming_wave55() -> None:
 
 
 _register_staged_streaming_wave55()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 56: ss07 stratified hash reservoir, en02 bigram
+# conditional entropy, scd02 point-in-time dimension join.
+
+
+#: ss07's per-stratum reservoir size — bounded by construction.
+SS07_RESERVOIR_K = 20
+
+
+def ss07_stratified_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified reservoir: the K lowest-hash documents
+    per language — the eval-set carve-out that (a) is reproducible
+    across runs/engines (hash order, not RNG), (b) stays FIXED as the
+    corpus grows (a doc's hash never changes; a new doc enters the
+    reservoir only by displacing the current max — standard
+    bottom-k/KMV semantics), and (c) is stratified so no language
+    starves. ss01 samples by hash threshold (variable size), ss03
+    splits by band (proportional size); this pins EXACT size K per
+    stratum. Output per language: population, reservoir size, and the
+    membership digests (doc_id sum + max hash = the KMV threshold).
+
+    Scale: the per-stratum rank comes from the distributed two-phase
+    ranking operator with partition_by=lang — range partitioning keeps
+    every task at N/P rows even when one language dominates the corpus
+    (the single-task-per-stratum window this operator exists to
+    avoid); the rank-cut keeps K rows per stratum before the bounded
+    rollup. Determinism: the 60-bit md5 hash of doc_id is a pure
+    function of the key; ties (impossible at 60 bits, but pinned
+    anyway) break by doc_id."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+    )
+
+    docs = load(spark, sf, "documents").select(
+        "lang",
+        "doc_id",
+        dd.hash60(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    ranked = attach_global_row_number(
+        docs,
+        order_by=[F.asc("__h"), F.asc("doc_id")],
+        partition_by=["lang"],
+        rn_col="__rn",
+        total_col="__n",
+    )
+    return (
+        ranked.filter(F.col("__rn") <= SS07_RESERVOIR_K)
+        .groupBy("lang")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("reservoir_size"),
+            F.sum("doc_id").cast("bigint").alias("reservoir_docid_sum"),
+            F.max("__h").cast("bigint").alias("kmv_threshold"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SS07_ORACLE = f"""
+WITH hashed AS (
+  SELECT lang, doc_id,
+         {_H60.format(x="CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM hashed
+)
+SELECT lang,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS reservoir_size,
+       CAST(SUM(doc_id) AS BIGINT) AS reservoir_docid_sum,
+       CAST(MAX(h) AS BIGINT) AS kmv_threshold
+FROM ranked WHERE rn <= {SS07_RESERVOIR_K}
+GROUP BY lang ORDER BY lang
+"""
+
+ROUND7_STAGED_QUERIES["ss07_stratified_reservoir"] = (
+    ss07_stratified_reservoir
+)
+ROUND7_STAGED_ORACLE["ss07_stratified_reservoir"] = _SS07_ORACLE
+
+
+def en02_bigram_conditional_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language word-level entropy pair: unigram entropy H(W) and
+    bigram conditional entropy H(W₂|W₁) — the entropy-RATE estimate
+    whose gap (the information the previous word carries) is the
+    language-structure signal: near-zero gap means shuffled/templated
+    word soup, a large gap means real sequential structure. en01
+    measures the character alphabet; this measures the word process —
+    together they bracket the compressibility a tokenizer can exploit.
+
+    Scale: both terms reduce keyed count tables (unigram types, bigram
+    types — the tx13/tx14 shuffle shapes); H sums c·(-log2 ratio) per
+    TYPE, so log2 runs once per type row and the per-lang totals are
+    exact-integer-weighted DECIMAL sums (the en01 discipline
+    verbatim). Output bounded by |langs|. info_gain >= 0 is Gibbs'
+    inequality, pinned in the invariant test."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents").select(
+        "lang", tx.words("text").alias("__w")
+    )
+    toks = docs.select("lang", F.explode("__w").alias("__t"))
+    wl = Window.partitionBy("lang")
+    uni = (
+        toks.groupBy("lang", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__n", F.sum("__c").over(wl))
+        .select(
+            "lang",
+            "__n",
+            (
+                F.col("__c").cast("decimal(20,0)")
+                * F.round(
+                    -F.log2(
+                        F.col("__c").cast("double") / F.col("__n")
+                    ),
+                    8,
+                ).cast("decimal(12,8)")
+            ).alias("__term"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("__term").cast("double") / F.max("__n"), 6
+            ).alias("h_unigram"),
+        )
+    )
+    big = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__w) >= 2 THEN "
+                "transform(sequence(1, size(__w) - 1), "
+                "i -> struct(element_at(__w, i) AS w1, "
+                "element_at(__w, i + 1) AS w2)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+                "END"
+            )
+        ).alias("__g"),
+    ).select("lang", "__g.w1", "__g.w2")
+    w1ctx = Window.partitionBy("lang", "w1")
+    cond = (
+        big.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c12"))
+        .withColumn("__ctx", F.sum("__c12").over(w1ctx))
+        .withColumn("__n", F.sum("__c12").over(Window.partitionBy("lang")))
+        .select(
+            "lang",
+            "__n",
+            (
+                F.col("__c12").cast("decimal(20,0)")
+                * F.round(
+                    -F.log2(
+                        F.col("__c12").cast("double") / F.col("__ctx")
+                    ),
+                    8,
+                ).cast("decimal(12,8)")
+            ).alias("__term"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("__term").cast("double") / F.max("__n"), 6
+            ).alias("h_conditional"),
+        )
+    )
+    return (
+        uni.join(cond, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "n_bigrams",
+            "h_unigram",
+            "h_conditional",
+            F.round(
+                F.col("h_unigram") - F.col("h_conditional"), 6
+            ).alias("info_gain"),
+        )
+        .orderBy("lang")
+    )
+
+
+_EN02_ORACLE = f"""
+WITH d AS (
+  SELECT lang, {_WORDS} AS w FROM documents
+), toks AS (
+  SELECT lang, unnest(w) AS t FROM d
+), uni AS (
+  SELECT lang, CAST(MAX(n) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(term) AS DOUBLE) / MAX(n), 6) AS h_unigram
+  FROM (
+    SELECT lang,
+           SUM(c) OVER (PARTITION BY lang) AS n,
+           CAST(c AS DECIMAL(20,0))
+             * CAST(ROUND(-log2(CAST(c AS DOUBLE)
+                    / SUM(c) OVER (PARTITION BY lang)), 8)
+                    AS DECIMAL(12,8)) AS term
+    FROM (SELECT lang, t, COUNT(*) AS c FROM toks GROUP BY lang, t)
+  ) GROUP BY lang
+), big AS (
+  SELECT lang, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT)+1] AS w2
+  FROM (SELECT lang, w, unnest(range(1, len(w))) AS i FROM d)
+), cond AS (
+  SELECT lang, CAST(MAX(n) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(term) AS DOUBLE) / MAX(n), 6) AS h_conditional
+  FROM (
+    SELECT lang,
+           SUM(c12) OVER (PARTITION BY lang) AS n,
+           CAST(c12 AS DECIMAL(20,0))
+             * CAST(ROUND(-log2(CAST(c12 AS DOUBLE)
+                    / SUM(c12) OVER (PARTITION BY lang, w1)), 8)
+                    AS DECIMAL(12,8)) AS term
+    FROM (SELECT lang, w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2, 3)
+  ) GROUP BY lang
+)
+SELECT u.lang, u.n_tokens, c.n_bigrams, u.h_unigram, c.h_conditional,
+       ROUND(u.h_unigram - c.h_conditional, 6) AS info_gain
+FROM uni u JOIN cond c ON u.lang = c.lang
+ORDER BY u.lang
+"""
+
+ROUND7_STAGED_QUERIES["en02_bigram_conditional_entropy"] = (
+    en02_bigram_conditional_entropy
+)
+ROUND7_STAGED_ORACLE["en02_bigram_conditional_entropy"] = _EN02_ORACLE
+
+
+#: scd02's version-2 effective date and the re-price factor — shared by
+#: the Spark plan and the oracle (the constant-mirroring rule). Every
+#: 7th supplier gets a second version effective at the cutover.
+SCD02_CUTOVER = "1995-01-01"
+SCD02_OPEN_END = "9999-12-31"
+
+
+def scd02_point_in_time_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time (AS-OF) fact↔dimension join against a dated SCD2
+    dimension — the query pattern scd01's merge EXISTS to serve: facts
+    must join the dimension version that was valid WHEN THE FACT
+    HAPPENED, not the current one. A deterministic two-version
+    supplier dimension (every 7th supplier re-priced +10% effective
+    SCD02_CUTOVER — scd01's update batch, now with validity dates)
+    enriches lineitem on (supplier, shipdate ∈ [valid_from,
+    valid_to)); the rollup proves the version routing: pre-cutover
+    lines land on version 1, post-cutover lines on version 2, and
+    version 2 exists only for the re-priced seventh.
+
+    Scale: the join is EQUI on suppkey with the date range as a
+    residual filter — ≤ 2 dimension rows per key, so this is a plain
+    broadcast-able dimension join, NEVER a range-join explosion; the
+    rollup output is bounded (2 versions × 2 cohorts). Money stays
+    DECIMAL end-to-end."""
+    sup = load(spark, sf, "supplier").select(
+        "s_suppkey", dec("s_acctbal").alias("__bal")
+    )
+    seventh = F.col("s_suppkey") % 7 == 0
+    cut = F.lit(SCD02_CUTOVER).cast("date")
+    lo = F.lit("1992-01-01").cast("date")
+    hi = F.lit(SCD02_OPEN_END).cast("date")
+    v1 = sup.select(
+        "s_suppkey",
+        F.col("__bal").alias("acctbal"),
+        F.lit(1).alias("version"),
+        lo.alias("__from"),
+        F.when(seventh, cut).otherwise(hi).alias("__to"),
+    )
+    v2 = sup.filter(seventh).select(
+        "s_suppkey",
+        F.round(F.col("__bal") * F.lit(1.1).cast("decimal(3,1)"), 2)
+        .cast("decimal(18,2)")
+        .alias("acctbal"),
+        F.lit(2).alias("version"),
+        cut.alias("__from"),
+        hi.alias("__to"),
+    )
+    dim = v1.unionByName(v2)
+    li = load(spark, sf, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("__ship"),
+        dec("l_extendedprice").alias("__price"),
+    )
+    joined = li.join(
+        dim,
+        (li.l_suppkey == dim.s_suppkey)
+        & (F.col("__ship") >= F.col("__from"))
+        & (F.col("__ship") < F.col("__to")),
+    )
+    return (
+        joined.groupBy(
+            "version", (F.col("s_suppkey") % 7 == 0).alias("repriced_cohort")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum("__price").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.col("acctbal").cast("decimal(25,2)")).cast("double"),
+                2,
+            ).alias("acctbal_mass"),
+        )
+        .orderBy("version", "repriced_cohort")
+    )
+
+
+_SCD02_ORACLE = f"""
+WITH sup AS (
+  SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal FROM supplier
+), dim AS (
+  SELECT s_suppkey, bal AS acctbal, 1 AS version,
+         DATE '1992-01-01' AS vfrom,
+         CASE WHEN s_suppkey % 7 = 0 THEN DATE '{SCD02_CUTOVER}'
+              ELSE DATE '{SCD02_OPEN_END}' END AS vto
+  FROM sup
+  UNION ALL
+  SELECT s_suppkey,
+         CAST(ROUND(bal * CAST(1.1 AS DECIMAL(3,1)), 2) AS DECIMAL(18,2)),
+         2, DATE '{SCD02_CUTOVER}', DATE '{SCD02_OPEN_END}'
+  FROM sup WHERE s_suppkey % 7 = 0
+), li AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem
+)
+SELECT version, (s_suppkey % 7 = 0) AS repriced_cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(price) AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(SUM(CAST(acctbal AS DECIMAL(25,2))) AS DOUBLE), 2)
+         AS acctbal_mass
+FROM li JOIN dim
+  ON l_suppkey = s_suppkey AND ship >= vfrom AND ship < vto
+GROUP BY version, (s_suppkey % 7 = 0)
+ORDER BY version, repriced_cohort
+"""
+
+ROUND7_STAGED_QUERIES["scd02_point_in_time_join"] = scd02_point_in_time_join
+ROUND7_STAGED_ORACLE["scd02_point_in_time_join"] = _SCD02_ORACLE

@@ -381,3 +381,91 @@ def test_st18_hll_register_bounds(spark):
         assert r["occupied"] * 1 <= r["bucket_weighted_digest"] <= (
             ST18_HLL_M * r["rho_sum"]
         )
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ss07_reservoir_python_ref(spark):
+    """Replay the reservoir in pure Python (hashlib md5 bottom-K per
+    language): membership digests and KMV thresholds must match, and
+    the reservoir must be growth-stable (recomputing over a PREFIX of
+    the corpus keeps every member whose hash beats the new threshold)."""
+    import hashlib
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        SS07_RESERVOIR_K,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = {r["lang"]: r for r in
+            QUERIES["ss07_stratified_reservoir"](spark, SF).collect()}
+    docs = load(spark, SF, "documents").select("lang", "doc_id").collect()
+    by_lang: dict = {}
+    for d in docs:
+        h = int(hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:15], 16)
+        by_lang.setdefault(d["lang"], []).append((h, d["doc_id"]))
+    assert set(rows) == set(by_lang)
+    for lang, pop in by_lang.items():
+        res = sorted(pop)[:SS07_RESERVOIR_K]
+        r = rows[lang]
+        assert r["n_docs"] == len(pop)
+        assert r["reservoir_size"] == min(SS07_RESERVOIR_K, len(pop))
+        assert r["reservoir_docid_sum"] == sum(i for _, i in res)
+        assert r["kmv_threshold"] == max(h for h, _ in res)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_en02_gibbs_inequality(spark):
+    """Conditioning never increases entropy (Gibbs): info_gain >= 0
+    (within the 6-dp rounding) for every language; both entropies are
+    non-negative and bounded by log2(vocab)."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        _docs_words,
+    )
+
+    rows = QUERIES["en02_bigram_conditional_entropy"](spark, SF).collect()
+    assert rows
+    vocab_by_lang = {
+        r["lang"]: r["v"]
+        for r in _docs_words(spark, SF)
+        .select("lang", F.explode("__words").alias("t"))
+        .groupBy("lang")
+        .agg(F.countDistinct("t").alias("v"))
+        .collect()
+    }
+    for r in rows:
+        assert r["info_gain"] >= -1e-6
+        assert 0.0 <= r["h_conditional"] <= r["h_unigram"] + 1e-6
+        assert r["h_unigram"] <= math.log2(vocab_by_lang[r["lang"]]) + 1e-6
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_scd02_version_routing(spark):
+    """Every lineitem routes to exactly one dimension version (the
+    per-cohort line counts partition the fact table); version 2 exists
+    only for the re-priced cohort; version-1 lines for that cohort all
+    shipped before the cutover."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        SCD02_CUTOVER,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["scd02_point_in_time_join"](spark, SF).collect()
+    li = load(spark, SF, "lineitem")
+    assert sum(r["n_lines"] for r in rows) == li.count()
+    v2 = [r for r in rows if r["version"] == 2]
+    assert v2 and all(r["repriced_cohort"] for r in v2)
+    v1_seventh = [
+        r for r in rows if r["version"] == 1 and r["repriced_cohort"]
+    ]
+    expected_pre = li.filter(
+        (F.col("l_suppkey") % 7 == 0)
+        & (F.to_date("l_shipdate") < F.lit(SCD02_CUTOVER))
+    ).count()
+    assert sum(r["n_lines"] for r in v1_seventh) == expected_pre
