@@ -17714,3 +17714,289 @@ ORDER BY version, repriced_cohort
 
 ROUND7_STAGED_QUERIES["scd02_point_in_time_join"] = scd02_point_in_time_join
 ROUND7_STAGED_ORACLE["scd02_point_in_time_join"] = _SCD02_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 57: es18 IVF cell-balance audit, dd20 near-dup
+# cluster-size histogram, ct05 span-level decontamination exposure.
+
+
+def es18_ivf_cell_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index cell-balance audit: vectors per coarse cell plus each
+    cell's mean/min cosine coherence to its own centroid — the
+    index-quality table an ANN deployment reads before trusting
+    nprobe settings (es17's recall/cost sweep assumes cells are
+    usable; a fat cell slows every probe that touches it, an
+    incoherent cell leaks recall). Uses THE shared assignment rule
+    (similarity.assign_to_centroids — the same certified kernel es04/
+    es06/es12 ride), so this audits exactly the index the searches
+    search.
+
+    Scale: one broadcast of the 16-centroid panel, map-only
+    assignment, one keyed aggregate onto the 16-row output. Cosines
+    round to 4 dp per vector (the es01 convention) then DECIMAL-sum."""
+    from local_etl_csv_to_postgresql_spark.functions.similarity import (
+        assign_to_centroids,
+        dot,
+        norm,
+    )
+
+    emb = load(spark, sf, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cvec")
+        )
+    )
+    # the shared rule drops its raw __sim; carry the 4-dp cosine of the
+    # WINNING pair via the extra hook (the es12 pattern)
+    assigned = assign_to_centroids(
+        emb,
+        cents,
+        "vec_id",
+        "embedding",
+        extra={
+            "__s": lambda v, c: F.round(
+                dot(v, c) / F.nullif(norm(v) * norm(c), F.lit(0.0)), 4
+            )
+        },
+    ).select("vec_id", F.col("__cid").alias("cell"), "__s")
+    total = emb.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("__s").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_coherence"),
+            F.min("__s").alias("min_coherence"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") / F.col("__n"), 6
+            ).alias("cell_share"),
+            "mean_coherence",
+            "min_coherence",
+        )
+        .orderBy("cell")
+    )
+
+
+_ES18_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT 16
+), scored AS (
+  SELECT e.vec_id, c.cid,
+         {_DOT.format(a='e.embedding', b='c.cvec')}
+           / NULLIF({_NORM.format(a='e.embedding')}
+                    * {_NORM.format(a='c.cvec')}, 0.0) AS sim
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cid AS cell, ROUND(sim, 4) AS s
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC NULLS LAST, cid) AS rn
+        FROM scored)
+  WHERE rn = 1
+), total AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM total), 6)
+         AS cell_share,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_coherence,
+       MIN(s) AS min_coherence
+FROM assigned
+GROUP BY cell ORDER BY cell
+"""
+
+ROUND7_STAGED_QUERIES["es18_ivf_cell_balance"] = es18_ivf_cell_balance
+ROUND7_STAGED_ORACLE["es18_ivf_cell_balance"] = _ES18_ORACLE
+
+
+def dd20_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster-size histogram + dedup savings — the report a
+    dedup run actually ships: how many clusters of each size exist,
+    how many documents they hold, and how many rows keep-one-per-
+    cluster deletes (Σ size−1). dd06 labels documents, dd07 picks
+    representatives; this is the corpus-level accounting of the same
+    certified component table (_neardup_components — the shared
+    materialized intermediate, so no CC re-run).
+
+    Scale: two keyed aggregates above the shared label table (labels →
+    component sizes → size histogram); output bounded by the largest
+    cluster size. Exact integers end-to-end."""
+    comp = _neardup_components(spark, sf)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__size")
+    )
+    return (
+        sizes.groupBy(F.col("__size").cast("bigint").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("dedup_savings"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+_DD20_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j) GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ',')) AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), good AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+  WHERE {_JACCARD.format(a='sa.s', b='sb.s')} >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM good
+  UNION ALL SELECT id_b AS s, id_a AS d FROM good
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+), sizes AS (
+  SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((sz - 1) * COUNT(*) AS BIGINT) AS dedup_savings
+FROM sizes
+GROUP BY sz ORDER BY cluster_size
+"""
+
+ROUND7_STAGED_QUERIES["dd20_cluster_size_histogram"] = (
+    dd20_cluster_size_histogram
+)
+ROUND7_STAGED_ORACLE["dd20_cluster_size_histogram"] = _DD20_ORACLE
+
+
+def ct05_span_decontamination_exposure(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Span-level decontamination cost: per source, the fraction of
+    n-gram POSITIONS sitting on a cross-source-shared gram — the
+    token-mass a span-REDACTION decontamination pass would cut, vs
+    ct02's whole-document drops (dropping a doc for one stock phrase
+    wastes the rest of it; this table says how much). A gram is
+    contaminated when its distinct-per-source unit appears in >= 2
+    sources (ct01's sharing rule at the same CONTAM_NGRAM order).
+
+    Scale: the contaminated-gram set reduces the distinct (source,
+    gram-hash) table by one keyed count (HAVING >= 2); positions flow
+    through a LEFT SEMI join on the 60-bit hash — never full text —
+    then one source-keyed rollup. Same shuffle discipline as ct01:
+    one distinct reduce, one equi-join, nothing quadratic."""
+    docs = load(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", "source", tx.words("text").alias("__words")
+    )
+    pos = words.select(
+        "doc_id",
+        "source",
+        F.explode(dd.span_grams(F.col("__words"), CONTAM_NGRAM)).alias("__g"),
+    ).select(
+        "doc_id", "source", F.substring(F.md5("__g"), 1, 15).alias("__u")
+    )
+    shared = (
+        pos.select("source", "__u")
+        .distinct()
+        .groupBy("__u")
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .filter(F.col("__ns") >= 2)
+        .select("__u")
+    )
+    per_doc = (
+        pos.join(shared, "__u", "left_semi")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("__bad"))
+    )
+    base = pos.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("__tot")
+    )
+    joined = base.join(per_doc.select("doc_id", "__bad"), "doc_id", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("__bad").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_affected"),
+            F.sum("__tot").cast("bigint").alias("total_gram_positions"),
+            F.sum(F.coalesce(F.col("__bad"), F.lit(0)))
+            .cast("bigint")
+            .alias("contaminated_positions"),
+            F.round(
+                F.sum(F.coalesce(F.col("__bad"), F.lit(0))).cast("double")
+                / F.sum("__tot").cast("double"),
+                6,
+            ).alias("redaction_fraction"),
+        )
+        .orderBy("source")
+    )
+
+
+_CT05_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS} AS words FROM documents
+), pos AS (
+  SELECT doc_id, source, substr(md5(g), 1, 15) AS u
+  FROM (SELECT doc_id, source,
+               unnest({_sql_span_grams('words', CONTAM_NGRAM)}) AS g
+        FROM w)
+), shared AS (
+  SELECT u FROM (SELECT DISTINCT source, u FROM pos)
+  GROUP BY u HAVING COUNT(*) >= 2
+), base AS (
+  SELECT doc_id, source, COUNT(*) AS tot FROM pos GROUP BY 1, 2
+), bad AS (
+  SELECT doc_id, COUNT(*) AS bad
+  FROM pos WHERE u IN (SELECT u FROM shared)
+  GROUP BY doc_id
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.bad IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       CAST(SUM(b.tot) AS BIGINT) AS total_gram_positions,
+       CAST(SUM(COALESCE(d.bad, 0)) AS BIGINT) AS contaminated_positions,
+       ROUND(CAST(SUM(COALESCE(d.bad, 0)) AS DOUBLE) / SUM(b.tot), 6)
+         AS redaction_fraction
+FROM base b LEFT JOIN bad d ON b.doc_id = d.doc_id
+GROUP BY b.source ORDER BY b.source
+"""
+
+ROUND7_STAGED_QUERIES["ct05_span_decontamination_exposure"] = (
+    ct05_span_decontamination_exposure
+)
+ROUND7_STAGED_ORACLE["ct05_span_decontamination_exposure"] = _CT05_ORACLE

@@ -469,3 +469,104 @@ def test_scd02_version_routing(spark):
         & (F.to_date("l_shipdate") < F.lit(SCD02_CUTOVER))
     ).count()
     assert sum(r["n_lines"] for r in v1_seventh) == expected_pre
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_es18_cell_balance_invariants(spark):
+    """Cells partition the embedding set exactly; shares sum to 1;
+    every centroid's own vector sits in its own cell at cosine 1.0
+    (so each of the 16 cells exists and its min <= 1.0 <= recorded
+    bounds hold)."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["es18_ivf_cell_balance"](spark, SF).collect()
+    n = load(spark, SF, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n
+    assert abs(sum(r["cell_share"] for r in rows) - 1.0) < 1e-4
+    assert {r["cell"] for r in rows} == set(range(16))
+    for r in rows:
+        assert r["min_coherence"] <= r["mean_coherence"] <= 1.0
+        assert r["n_vectors"] >= 1  # at least the centroid itself
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dd20_histogram_partitions_corpus(spark):
+    """The size histogram partitions the corpus exactly: sum of n_docs
+    equals the document count, dedup savings equals docs minus
+    clusters, and the histogram matches a direct recompute from the
+    shared component labels."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        _neardup_components,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["dd20_cluster_size_histogram"](spark, SF).collect()
+    n_docs = load(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    n_clusters = sum(r["n_clusters"] for r in rows)
+    assert sum(r["dedup_savings"] for r in rows) == n_docs - n_clusters
+    comps = _neardup_components(spark, SF).collect()
+    sizes: dict = {}
+    for c in comps:
+        sizes[c["component"]] = sizes.get(c["component"], 0) + 1
+    hist: dict = {}
+    for s in sizes.values():
+        hist[s] = hist.get(s, 0) + 1
+    assert {r["cluster_size"]: r["n_clusters"] for r in rows} == hist
+    assert any(r["cluster_size"] >= 2 for r in rows)  # non-vacuous
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ct05_exposure_python_ref(spark):
+    """Replay the span-level exposure in pure Python: same tokenizer
+    regex, same 7-gram positions, same md5-prefix units, same
+    cross-source sharing rule — per-source position counts and
+    affected-doc counts must match exactly."""
+    import hashlib
+    import re
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        CONTAM_NGRAM,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = {r["source"]: r for r in
+            QUERIES["ct05_span_decontamination_exposure"](spark, SF).collect()}
+    docs = load(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    n = CONTAM_NGRAM
+    pos: list = []  # (doc_id, source, unit)
+    for d in docs:
+        words = re.findall(r"[a-z0-9]+", d["text"].lower())
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i:i + n])
+            u = hashlib.md5(g.encode()).hexdigest()[:15]
+            pos.append((d["doc_id"], d["source"], u))
+    by_unit: dict = {}
+    for _, src, u in pos:
+        by_unit.setdefault(u, set()).add(src)
+    shared = {u for u, srcs in by_unit.items() if len(srcs) >= 2}
+    assert shared  # non-vacuous: cross-source contamination exists
+    stats: dict = {}
+    per_doc: dict = {}
+    for doc_id, src, u in pos:
+        t, b = per_doc.get((doc_id, src), (0, 0))
+        per_doc[(doc_id, src)] = (t + 1, b + (1 if u in shared else 0))
+    for (doc_id, src), (t, b) in per_doc.items():
+        s = stats.setdefault(src, [0, 0, 0, 0])  # docs, affected, tot, bad
+        s[0] += 1
+        s[1] += 1 if b else 0
+        s[2] += t
+        s[3] += b
+    assert set(rows) == set(stats)
+    for src, (nd, aff, tot, bad) in stats.items():
+        r = rows[src]
+        assert r["n_docs"] == nd
+        assert r["docs_affected"] == aff
+        assert r["total_gram_positions"] == tot
+        assert r["contaminated_positions"] == bad
+        assert abs(r["redaction_fraction"] - round(bad / tot, 6)) < 1e-9
