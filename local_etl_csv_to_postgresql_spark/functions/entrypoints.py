@@ -18000,3 +18000,247 @@ ROUND7_STAGED_QUERIES["ct05_span_decontamination_exposure"] = (
     ct05_span_decontamination_exposure
 )
 ROUND7_STAGED_ORACLE["ct05_span_decontamination_exposure"] = _CT05_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 58: st19 streaming Bloom filter, cm02 Count-Min
+# width sweep, pk03 packing context-length curve.
+
+
+def _register_staged_streaming_wave58() -> None:
+    from local_etl_csv_to_postgresql_spark.streaming.queries import (
+        ST19_STAGED_ORACLE,
+        st19_streaming_bloom_filter,
+    )
+
+    ROUND7_STAGED_QUERIES["st19_streaming_bloom_filter"] = (
+        st19_streaming_bloom_filter
+    )
+    ROUND7_STAGED_ORACLE["st19_streaming_bloom_filter"] = ST19_STAGED_ORACLE
+
+
+_register_staged_streaming_wave58()
+
+
+#: cm02's width sweep grid (depth fixed at cm01's 4 rows). The widths
+#: bracket cm01's 512 so the tuning table prices both directions.
+CM02_WIDTHS = (128, 512, 2048)
+CM02_DEPTH = 4
+
+
+def cm02_countmin_width_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min width tuning table: the SAME token stream sketched at
+    W ∈ {128, 512, 2048} (depth 4, cm01's seeded hash family), scored
+    on the top-10 heavy hitters — occupied cells, mean and max
+    overestimate per width. This is dd18's sketch-size economics for
+    the counting sketch: error ≈ N/W, so each 4× width step should cut
+    the overestimate ~4× — the measured curve is what a capacity
+    planner reads to pick W for a token-frequency monitor.
+
+    Scale: ONE token-count aggregate feeds everything; the (token,
+    depth-row) hash computes ONCE and re-buckets per width by modulus
+    (three bounded cell aggregates — sweep cost linear in widths).
+    Probes are TakeOrdered-bounded. Exact integers end-to-end; the
+    MAE is one rounded division."""
+    toks = (
+        _docs_words(spark, sf)
+        .select(F.explode("__words").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    rows = F.sequence(F.lit(0), F.lit(CM02_DEPTH - 1))
+    keyed = toks.select(
+        "token", "true_count", F.explode(rows).alias("__d")
+    ).withColumn(
+        "__h",
+        dd.hash60(
+            F.concat(
+                F.lit("cm"),
+                F.col("__d").cast("string"),
+                F.lit(":"),
+                F.col("token"),
+            )
+        ),
+    )
+    top = keyed.join(
+        F.broadcast(
+            toks.orderBy(F.desc("true_count"), "token")
+            .limit(10)
+            .select(F.col("token").alias("__pt"))
+        ),
+        keyed.token == F.col("__pt"),
+        "inner",
+    )
+    out = None
+    for w in CM02_WIDTHS:
+        cells = keyed.groupBy(
+            "__d", (F.col("__h") % w).alias("__b")
+        ).agg(F.sum("true_count").alias("__cell"))
+        est = (
+            top.select("token", "true_count", "__d", (F.col("__h") % w).alias("__b"))
+            .join(cells, ["__d", "__b"])
+            .groupBy("token", "true_count")
+            .agg(F.min("__cell").cast("bigint").alias("__est"))
+        )
+        row = est.agg(
+            F.lit(w).cast("int").alias("width"),
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.round(
+                F.sum(F.col("__est") - F.col("true_count")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("mean_overestimate"),
+            F.max(F.col("__est") - F.col("true_count"))
+            .cast("bigint")
+            .alias("max_overestimate"),
+        )
+        occ = cells.agg(
+            F.count(F.lit(1)).cast("bigint").alias("occupied_cells")
+        )
+        out_row = row.crossJoin(F.broadcast(occ)).select(
+            "width",
+            "occupied_cells",
+            "n_probes",
+            "mean_overestimate",
+            "max_overestimate",
+        )
+        out = out_row if out is None else out.unionAll(out_row)
+    return out.orderBy("width")
+
+
+def _cm02_oracle_sql() -> str:
+    h = _H60.format(x="'cm' || CAST(d AS VARCHAR) || ':' || token")
+    legs = []
+    for w in CM02_WIDTHS:
+        legs.append(f"""
+SELECT {w} AS width,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT d, ({h}) % {w} AS b, SUM(true_count) AS cell
+          FROM keyed GROUP BY 1, 2)) AS occupied_cells,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       ROUND(CAST(SUM(est - true_count) AS DOUBLE) / COUNT(*), 2)
+         AS mean_overestimate,
+       CAST(MAX(est - true_count) AS BIGINT) AS max_overestimate
+FROM (
+  SELECT k.token, k.true_count, MIN(c.cell) AS est
+  FROM (SELECT *, ({h}) % {w} AS b FROM keyed
+        WHERE token IN (SELECT token FROM probes)) k
+  JOIN (SELECT d, ({h}) % {w} AS b, SUM(true_count) AS cell
+        FROM keyed GROUP BY 1, 2) c
+    ON k.d = c.d AND k.b = c.b
+  GROUP BY k.token, k.true_count
+)""")
+    return f"""
+WITH toks AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM (SELECT unnest({_WORDS}) AS token FROM documents)
+  GROUP BY token
+), keyed AS (
+  SELECT token, true_count, d
+  FROM toks CROSS JOIN (SELECT unnest(range({CM02_DEPTH})) AS d)
+), probes AS (
+  SELECT token FROM toks ORDER BY true_count DESC, token LIMIT 10
+)
+SELECT * FROM ({" UNION ALL ".join(legs)}) ORDER BY width
+"""
+
+
+ROUND7_STAGED_QUERIES["cm02_countmin_width_sweep"] = cm02_countmin_width_sweep
+ROUND7_STAGED_ORACLE["cm02_countmin_width_sweep"] = _cm02_oracle_sql()
+
+
+#: pk03's context-length grid — the budgets a training run actually
+#: chooses between.
+PK03_BUDGETS = (512, 1024, 2048)
+
+
+def pk03_context_length_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-efficiency curve across context lengths: pk01's greedy
+    per-language packing evaluated at 512/1024/2048-token windows from
+    ONE distributed prefix sum — the running token count computes once
+    (same doc order), and each budget just re-buckets it (a doc's bin
+    is its prefix start div budget). The output is the fill-ratio
+    table a training run reads to pick its sequence length: longer
+    contexts amortize fixed tokens better only until document
+    granularity wastes the tail of each window.
+
+    Scale: one ranking-operator pass (range partition + broadcast
+    offsets, the pk01 kernel); per-budget bin counts are
+    countDistinct((lang, bin)) in one aggregate — sweep cost is three
+    expressions, not three shuffles. Exact integers; fill ratios are
+    one rounded division each."""
+    from ..operators.ranking import attach_global_row_number
+
+    docs = load(spark, sf, "documents").select(
+        "lang", "doc_id", tx.token_count("text").alias("__tok")
+    )
+    packed = attach_global_row_number(
+        docs,
+        order_by=[F.asc("doc_id")],
+        partition_by=["lang"],
+        rn_col="__rn",
+        running_sum_of="__tok",
+        running_sum_col="__run",
+    ).withColumn("__start", F.col("__run") - F.col("__tok"))
+    agg = packed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_docs"),
+        F.sum("__tok").cast("bigint").alias("__total"),
+        *[
+            F.countDistinct(
+                F.struct("lang", F.expr(f"__start div {b}"))
+            )
+            .cast("bigint")
+            .alias(f"__bins{b}")
+            for b in PK03_BUDGETS
+        ],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"{b}, __bins{b}" for b in PK03_BUDGETS)
+            + ") AS (context_len, n_bins)"
+        ),
+        F.col("__n_docs").alias("n_docs"),
+        F.col("__total").alias("total_tokens"),
+    )
+    return stacked.select(
+        F.col("context_len").cast("int").alias("context_len"),
+        "n_docs",
+        "total_tokens",
+        F.col("n_bins").cast("bigint").alias("n_bins"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_bins") * F.col("context_len")).cast("double"),
+            6,
+        ).alias("fill_ratio"),
+    ).orderBy("context_len")
+
+
+def _pk03_oracle_sql() -> str:
+    legs = []
+    for b in PK03_BUDGETS:
+        legs.append(f"""
+SELECT {b} AS context_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT (lang, start // {b})) AS BIGINT) AS n_bins,
+       ROUND(CAST(SUM(tok) AS DOUBLE)
+             / (COUNT(DISTINCT (lang, start // {b})) * {b}), 6)
+         AS fill_ratio
+FROM packed""")
+    return f"""
+WITH docs AS (
+  SELECT lang, doc_id, len(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+), packed AS (
+  SELECT lang, tok,
+         SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - tok AS start
+  FROM docs
+)
+SELECT * FROM ({" UNION ALL ".join(legs)}) ORDER BY context_len
+"""
+
+
+ROUND7_STAGED_QUERIES["pk03_context_length_curve"] = pk03_context_length_curve
+ROUND7_STAGED_ORACLE["pk03_context_length_curve"] = _pk03_oracle_sql()

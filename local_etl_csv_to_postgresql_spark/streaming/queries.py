@@ -938,3 +938,61 @@ FROM regs
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- round-10 staged: st19 streaming Bloom filter --------------------------
+
+ST19_M_BITS = 1024
+ST19_K = 3
+
+
+def st19_streaming_bloom_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus Bloom filter MAINTAINED BY A REAL Structured
+    Streaming run: micro-batches OR their document fingerprints' bit
+    contributions into the m/64-word table — OR is the Bloom merge
+    operator, so the availableNow replay's final words must equal the
+    one-shot batch filter, which is exactly what the DuckDB oracle
+    computes from the same seeded md5 positions. This extends the
+    streamed-sketch merge family to its third algebra: st16/st17 merge
+    by SUM, st18 by MAX, this by OR — together the complete set of
+    bounded-state shapes a streaming dedup/membership layer runs on
+    (bf01 is the batch consumer of exactly this artifact shape).
+    Output: the 32 words with their set-bit counts."""
+    from .stateful import replay_bloom_words
+
+    words = replay_bloom_words(
+        spark, f"{sf}/documents.parquet", m_bits=ST19_M_BITS, k=ST19_K
+    )
+    return (
+        words.select(
+            F.col("__widx").cast("bigint").alias("word_index"),
+            F.col("word").cast("bigint").alias("word"),
+            F.bit_count("word").cast("int").alias("bits_set"),
+        )
+        .orderBy("word_index")
+    )
+
+
+_ST19_FP = "md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))"
+
+ST19_STAGED_ORACLE = f"""
+WITH fp AS (
+  SELECT {_ST19_FP} AS f FROM documents
+), contribs AS (
+{" UNION ALL ".join(
+    f'''(SELECT ({_H60_SQL.format(x=f"'bf{i}:' || f")} % {ST19_M_BITS}) // 32
+           AS word_index,
+         CAST(1 AS BIGINT)
+           << CAST(({_H60_SQL.format(x=f"'bf{i}:' || f")} % {ST19_M_BITS})
+                   % 32 AS INT) AS b
+  FROM fp)'''
+    for i in range(ST19_K)
+)}
+)
+SELECT CAST(word_index AS BIGINT) AS word_index,
+       CAST(bit_or(b) AS BIGINT) AS word,
+       CAST(bit_count(bit_or(b)) AS INT) AS bits_set
+FROM contribs
+GROUP BY word_index
+ORDER BY word_index
+"""

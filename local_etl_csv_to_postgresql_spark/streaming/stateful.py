@@ -1500,3 +1500,71 @@ def replay_hll_registers(
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
+
+
+def replay_bloom_words(
+    spark,
+    parquet_path: str,
+    m_bits: int,
+    k: int,
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> "DataFrame":
+    """Streaming Bloom-filter maintenance: each micro-batch ORs its
+    document fingerprints' bit contributions into the m/32-row word
+    table (32 bits per BIGINT word: DuckDB's `<<` raises on shifting
+    into the sign bit, so the engine-neutral layout stays below it) — bitwise OR is the Bloom merge operator, completing the
+    streamed-sketch merge family (sum/max/or). State is the word table
+    itself, bounded by m_bits BY CONSTRUCTION. Hash positions use the
+    seeded 60-bit md5 family ('bf{i}:{fingerprint}') — engine-neutral,
+    so the DuckDB oracle recomputes every word exactly (bf01's
+    xxhash64 positions are Spark-internal and exist only as a prune;
+    this filter is itself the certified artifact)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions import dedup as dd
+    from ..functions import text as tx
+
+    table_name = table_name or f"stream_bloomwords_{uuid.uuid4().hex[:8]}"
+    batch_schema, stream_path = _schema_and_stage(spark, parquet_path)
+    stream = _normalize_ts(
+        spark.readStream.schema(batch_schema).parquet(stream_path)
+    )
+    contribs = None
+    base = stream.select(tx.fingerprint("text").alias("__fp"))
+    for i in range(k):
+        h = dd.hash60(
+            F.concat(F.lit(f"bf{i}:"), F.col("__fp"))
+        ) % m_bits
+        # F.shiftleft takes a literal shift amount, so the column-shift
+        # goes through the SQL expression form
+        c = base.select(h.alias("__hm")).select(
+            F.expr("__hm div 32").alias("__widx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__hm % 32 AS INT))"
+            ).alias("__b"),
+        )
+        contribs = c if contribs is None else contribs.unionAll(c)
+    words = contribs.groupBy("__widx").agg(
+        F.expr("bit_or(__b)").alias("word")
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        q = (
+            words.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)

@@ -570,3 +570,77 @@ def test_ct05_exposure_python_ref(spark):
         assert r["total_gram_positions"] == tot
         assert r["contaminated_positions"] == bad
         assert abs(r["redaction_fraction"] - round(bad / tot, 6)) < 1e-9
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_st19_bloom_no_false_negatives(spark):
+    """The defining Bloom property on the streamed filter: every corpus
+    fingerprint's k bit positions are SET in the final word table
+    (bitwise-OR merge can only add bits), and each word's bits_set is
+    its popcount."""
+    import hashlib
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+    from local_etl_csv_to_postgresql_spark.streaming.queries import (
+        ST19_K,
+        ST19_M_BITS,
+    )
+
+    rows = {r["word_index"]: r for r in
+            QUERIES["st19_streaming_bloom_filter"](spark, SF).collect()}
+    for r in rows.values():
+        assert r["bits_set"] == bin(r["word"] & ((1 << 64) - 1)).count("1")
+    import re
+
+    docs = load(spark, SF, "documents").select("text").collect()
+    for d in docs[:100]:
+        fp = hashlib.md5(
+            re.sub(r"[^a-z0-9]+", "", d["text"].lower()).encode()
+        ).hexdigest()
+        for i in range(ST19_K):
+            h = int(
+                hashlib.md5(f"bf{i}:{fp}".encode()).hexdigest()[:15], 16
+            ) % ST19_M_BITS
+            widx, bit = h // 32, h % 32
+            assert widx in rows and (rows[widx]["word"] >> bit) & 1 == 1
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_cm02_width_monotonicity(spark):
+    """Wider sketches can only help: mean and max overestimate are
+    non-increasing in width (same data, same depth, same hash family),
+    and every overestimate is >= 0 (the CM inequality)."""
+    rows = sorted(
+        QUERIES["cm02_countmin_width_sweep"](spark, SF).collect(),
+        key=lambda r: r["width"],
+    )
+    assert [r["width"] for r in rows] == [128, 512, 2048]
+    for r in rows:
+        assert r["n_probes"] == 10
+        assert r["mean_overestimate"] >= 0.0
+        assert r["max_overestimate"] >= 0
+    means = [r["mean_overestimate"] for r in rows]
+    assert means[0] >= means[1] >= means[2]
+    maxes = [r["max_overestimate"] for r in rows]
+    assert maxes[0] >= maxes[1] >= maxes[2]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_pk03_curve_consistency(spark):
+    """The curve is consistent with pk01 at the shared 512 budget (same
+    greedy rule, so total bins match pk01's per-language sum); doubling
+    the context can only reduce or keep the bin count; token totals are
+    budget-invariant."""
+    rows = {r["context_len"]: r for r in
+            QUERIES["pk03_context_length_curve"](spark, SF).collect()}
+    assert set(rows) == {512, 1024, 2048}
+    pk01 = QUERIES["pk01_sequence_packing"](spark, SF).collect()
+    assert rows[512]["n_bins"] == sum(r["n_bins"] for r in pk01)
+    assert rows[512]["n_bins"] >= rows[1024]["n_bins"] >= rows[2048]["n_bins"]
+    totals = {r["total_tokens"] for r in rows.values()}
+    assert len(totals) == 1
+    for r in rows.values():
+        assert 0.0 < r["fill_ratio"] <= 1.0
