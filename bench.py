@@ -303,7 +303,7 @@ def _drop_stream_views(spark, name: str) -> None:
 # paying its own build in a split chunk).
 _SHARED_BASE_PREFIXES = {
     "dd02", "dd03", "dd06", "dd07", "dd08", "dd09", "dd10",
-    "dd11", "dd18", "dd20", "gr01", "gr02", "gr03", "ct03", "cur01",
+    "dd11", "dd18", "dd20", "dd21", "gr01", "gr02", "gr03", "ct03", "cur01",
     "inc01", "tc01", "ln01",
 }
 

@@ -18062,14 +18062,13 @@ def cm02_countmin_width_sweep(spark: SparkSession, sf: str) -> DataFrame:
             )
         ),
     )
+    probes = (
+        toks.orderBy(F.desc("true_count"), "token")
+        .limit(10)
+        .select(F.col("token").alias("__pt"))
+    )
     top = keyed.join(
-        F.broadcast(
-            toks.orderBy(F.desc("true_count"), "token")
-            .limit(10)
-            .select(F.col("token").alias("__pt"))
-        ),
-        keyed.token == F.col("__pt"),
-        "inner",
+        F.broadcast(probes), keyed.token == F.col("__pt"), "inner"
     )
     out = None
     for w in CM02_WIDTHS:
@@ -18244,3 +18243,330 @@ SELECT * FROM ({" UNION ALL ".join(legs)}) ORDER BY context_len
 
 ROUND7_STAGED_QUERIES["pk03_context_length_curve"] = pk03_context_length_curve
 ROUND7_STAGED_ORACLE["pk03_context_length_curve"] = _pk03_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 59: dd21 LSH band-geometry sweep, px02 PII
+# injection roundtrip, dp02 DP clip-bound sweep.
+
+
+#: dd21's band grid at the library's fixed k=16 signature — nested
+#: geometries (each divides the next), so candidate sets are provably
+#: contained: a full-band match at 2 bands (r=8) implies matches at 4
+#: and 8 bands.
+DD21_BAND_GRID = (2, 4, 8)
+
+
+def dd21_lsh_band_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH band-geometry tuning table: the SAME k=16 MinHash signatures
+    banded at b ∈ {2, 4, 8} (r = 8/4/2 rows per band), reporting
+    candidate volume, verified near-dups (exact Jaccard >= 0.5 on the
+    candidates), and precision per geometry. This is the measured
+    s-curve the b×r theory promises (P(candidate) = 1-(1-s^r)^b):
+    dd18 priced sketch SIZE, this prices sketch SHAPE — together they
+    are the full MinHash-LSH capacity-planning table. The grid nests,
+    so candidates(b=2) ⊆ candidates(b=4) ⊆ candidates(b=8) — pinned as
+    the invariant.
+
+    Scale: ONE signature build (the shared materialized _lsh_base
+    signatures — no re-shingle, no re-hash); per geometry one
+    band-keyed equi self-join (the dd03 shape, never all-pairs) and
+    one bounded verify join. Sweep cost linear in geometries. Exact
+    integers; precision is one rounded division."""
+    docs, sigs, _pairs = _lsh_base(spark, sf)
+    a_sh = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa")
+    )
+    b_sh = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb")
+    )
+    out = None
+    for b in DD21_BAND_GRID:
+        cand = dd.lsh_candidate_pairs(
+            sigs, "doc_id", "signature", k=MINHASH_K, bands=b
+        )
+        verified = (
+            cand.join(a_sh, "id_a")
+            .join(b_sh, "id_b")
+            .filter(dd.jaccard(F.col("__sa"), F.col("__sb")) >= 0.5)
+        )
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(
+                    verified.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_verified")
+                    )
+                )
+            )
+            .select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(MINHASH_K // b).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.round(
+                        F.col("n_verified").cast("double")
+                        / F.col("n_candidates").cast("double"),
+                        6,
+                    ),
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("n_bands")
+
+
+def _dd21_oracle_sql() -> str:
+    legs = []
+    for b in DD21_BAND_GRID:
+        r = MINHASH_K // b
+        legs.append(f"""
+SELECT {b} AS n_bands, {r} AS rows_per_band,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{b}) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good_{b}) AS n_verified,
+       CASE WHEN (SELECT COUNT(*) FROM cand_{b}) > 0 THEN
+         ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM good_{b})
+               / (SELECT COUNT(*) FROM cand_{b}), 6)
+       END AS precision""")
+    band_ctes = []
+    for b in DD21_BAND_GRID:
+        r = MINHASH_K // b
+        band_ctes.append(f"""bands_{b} AS (
+  SELECT doc_id, CAST(FLOOR(j / {r}) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ','))
+           AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {r}) AS INT)
+), cand_{b} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands_{b} a JOIN bands_{b} b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), good_{b} AS (
+  SELECT id_a, id_b
+  FROM cand_{b} JOIN sh sa ON sa.doc_id = id_a
+                JOIN sh sb ON sb.doc_id = id_b
+  WHERE {_JACCARD.format(a='sa.s', b='sb.s')} >= 0.5
+)""")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j)
+  GROUP BY doc_id, j
+), {', '.join(band_ctes)}
+SELECT * FROM ({' UNION ALL '.join(legs)}) ORDER BY n_bands
+"""
+
+
+ROUND7_STAGED_QUERIES["dd21_lsh_band_sweep"] = dd21_lsh_band_sweep
+ROUND7_STAGED_ORACLE["dd21_lsh_band_sweep"] = _dd21_oracle_sql()
+
+
+#: px02 injects one synthetic email into every PX02_EVERY-th document —
+#: module-level so the Spark plan and oracle inject identically.
+PX02_EVERY = 50
+
+
+def px02_pii_injection_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scan/redact ROUNDTRIP certification on injected data: the
+    corpus is synthetic-clean (px01's counts are all zero — a scanner
+    that found nothing was never proven to find anything), so this
+    query deterministically injects one email into every 50th document,
+    scans (found == injected, exactly), redacts, and re-scans (residue
+    == 0). This turns the PII path's cross-engine regex semantics —
+    Java regex on Spark, RE2 on DuckDB — into a hash-certified fact on
+    MATCHING data, not just empty data.
+
+    Scale: pure row-local regexp work inside codegen (the px01 plan
+    plus one concat), one source-keyed rollup. No joins, no windows."""
+    email = tx.PII_PATTERNS["email"]
+    docs = load(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.when(
+            F.col("doc_id") % PX02_EVERY == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com asap"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("__t"),
+    )
+    scanned = docs.select(
+        "source",
+        "doc_id",
+        F.regexp_count(F.col("__t"), F.lit(email)).alias("__found"),
+        F.regexp_count(
+            F.regexp_replace(F.col("__t"), email, tx.PII_TOKEN),
+            F.lit(email),
+        ).alias("__residue"),
+        (
+            F.length("__t")
+            - F.length(F.regexp_replace(F.col("__t"), email, tx.PII_TOKEN))
+        ).alias("__delta"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") % PX02_EVERY == 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_injected"),
+            F.sum("__found").cast("bigint").alias("emails_found"),
+            F.sum("__residue").cast("bigint").alias("residue_after_redact"),
+            F.sum("__delta").cast("bigint").alias("redaction_char_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+_PX02_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+_PX02_ORACLE = f"""
+WITH injected AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % {PX02_EVERY} = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com asap'
+         ELSE text END AS t
+  FROM documents
+), scanned AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(t, '{_PX02_EMAIL_SQL}')) AS found,
+         len(regexp_extract_all(
+           regexp_replace(t, '{_PX02_EMAIL_SQL}', '[PII]', 'g'),
+           '{_PX02_EMAIL_SQL}')) AS residue,
+         length(t) - length(
+           regexp_replace(t, '{_PX02_EMAIL_SQL}', '[PII]', 'g')) AS delta
+  FROM injected
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % {PX02_EVERY} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_injected,
+       CAST(SUM(found) AS BIGINT) AS emails_found,
+       CAST(SUM(residue) AS BIGINT) AS residue_after_redact,
+       CAST(SUM(delta) AS BIGINT) AS redaction_char_delta
+FROM scanned
+GROUP BY source ORDER BY source
+"""
+
+ROUND7_STAGED_QUERIES["px02_pii_injection_roundtrip"] = (
+    px02_pii_injection_roundtrip
+)
+ROUND7_STAGED_ORACLE["px02_pii_injection_roundtrip"] = _PX02_ORACLE
+
+
+#: dp02's clip-bound multipliers (bound = m × per-type mean user
+#: contribution, dp01's convention at m=2).
+DP02_MULTIPLIERS = (1, 2, 4)
+
+
+def dp02_clip_bound_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """DP clip-bound tuning table: dp01's contribution-bounding audit
+    evaluated at bounds of 1×/2×/4× the per-type mean user
+    contribution — per (type, multiplier): users clipped and the exact
+    fraction of value mass a DP release at that bound retains. The
+    clipping bound is THE utility/privacy dial of DP-SGD and DP
+    aggregate releases (noise scales with the bound, utility with the
+    retained mass); this is the measured curve a privacy review reads
+    to pick it. Completes the tuning-table family: dd18 (sketch size),
+    es17 (nprobe), cm02 (width), dd21 (bands), now the DP bound.
+
+    Scale: ONE per-(type, user) aggregate (the corpus-sized work),
+    one bounded stats join back, one conditional aggregate onto the
+    |types| × |multipliers| output. Integer cents end-to-end (Spark
+    `div` = DuckDB `//`); the retained fraction is the single rounded
+    divide at output."""
+    per_user = (
+        load(spark, sf, "events")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum((dec("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("__contrib")
+        )
+    )
+    means = per_user.groupBy("event_type").agg(
+        F.expr("SUM(__contrib) div COUNT(*)")
+        .cast("bigint")
+        .alias("__mean")
+    )
+    joined = per_user.join(means, "event_type")
+    out = None
+    for m in DP02_MULTIPLIERS:
+        bound = (F.col("__mean") * m).cast("bigint")
+        row = (
+            joined.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                F.max(bound).cast("bigint").alias("bound_cents"),
+                F.sum(F.when(F.col("__contrib") > bound, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_clipped_users"),
+                F.sum(F.least(F.col("__contrib"), bound))
+                .cast("bigint")
+                .alias("__retained"),
+                F.sum("__contrib").cast("bigint").alias("__total"),
+            )
+            .select(
+                "event_type",
+                F.lit(m).cast("int").alias("bound_multiplier"),
+                "n_users",
+                "bound_cents",
+                "n_clipped_users",
+                F.round(
+                    F.col("__retained").cast("double")
+                    / F.col("__total").cast("double"),
+                    6,
+                ).alias("retained_mass_fraction"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("event_type", "bound_multiplier")
+
+
+def _dp02_oracle_sql() -> str:
+    legs = []
+    for m in DP02_MULTIPLIERS:
+        legs.append(f"""
+SELECT event_type, {m} AS bound_multiplier,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MAX(mean_c * {m}) AS BIGINT) AS bound_cents,
+       CAST(SUM(CASE WHEN contrib > mean_c * {m} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_users,
+       ROUND(CAST(SUM(LEAST(contrib, mean_c * {m})) AS DOUBLE)
+             / SUM(contrib), 6) AS retained_mass_fraction
+FROM joined GROUP BY event_type""")
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS contrib
+  FROM events GROUP BY event_type, user_id
+), means AS (
+  SELECT event_type, CAST(SUM(contrib) // COUNT(*) AS BIGINT) AS mean_c
+  FROM per_user GROUP BY event_type
+), joined AS (
+  SELECT p.event_type, p.contrib, m.mean_c
+  FROM per_user p JOIN means m ON p.event_type = m.event_type
+)
+SELECT * FROM ({' UNION ALL '.join(legs)})
+ORDER BY event_type, bound_multiplier
+"""
+
+
+ROUND7_STAGED_QUERIES["dp02_clip_bound_sweep"] = dp02_clip_bound_sweep
+ROUND7_STAGED_ORACLE["dp02_clip_bound_sweep"] = _dp02_oracle_sql()

@@ -101,6 +101,12 @@ BNLJ_ALLOWED = {
     "sv01_conversion_survival_curve",  # 1-row broadcast cohort size
     "tx23_pmi_collocations",  # 1-row broadcast corpus-token total
     "es17_ivf_nprobe_sweep",  # 16-row centroid panel + 1-row certificates
+    # staged round-10 surface
+    "tx24_vocab_mass_coverage",  # 1-row broadcast token-mass scalar
+    "es18_ivf_cell_balance",  # 1-row broadcast embedding total
+    "dm02_domain_reweight_step",  # 1-row broadcast corpus-token total
+    "cm02_countmin_width_sweep",  # 10-row probe panel + 1-row cell counts
+    "dd21_lsh_band_sweep",  # 1-row candidate/verified census scalars
 }
 
 
@@ -286,6 +292,11 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "nn",          # 1-row vertex-count scalar (gr02 integer PageRank)
     # staged round-9 surface
     "qrow",        # 1-row query vector + prefix/tail-norm projection (es16)
+    # staged round-10 surface
+    "mass",        # 1-row token-mass scalar (tx24)
+    "probes",      # LIMIT-10 heavy-hitter panel (cm02)
+    "occ",         # 1-row occupied-cell count (cm02)
+    "verified",    # 1-row verified-pair census (dd21)
     "tau",         # 1-row candidate-kth-score threshold (es16)
     "n_refine", "n_all",  # 1-row refine-set / corpus counts (es16)
     "n_docs",      # 1-row corpus doc total (tx22)

@@ -644,3 +644,83 @@ def test_pk03_curve_consistency(spark):
     assert len(totals) == 1
     for r in rows.values():
         assert 0.0 < r["fill_ratio"] <= 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dd21_band_nesting(spark):
+    """The nested band grid guarantees candidate containment: coarser
+    geometries (fewer bands, longer rows) can only produce SUBSETS of
+    finer ones — n_candidates is non-decreasing in n_bands, verified
+    counts likewise, and precision is non-increasing (looser gates let
+    more non-dups through)."""
+    rows = sorted(
+        QUERIES["dd21_lsh_band_sweep"](spark, SF).collect(),
+        key=lambda r: r["n_bands"],
+    )
+    assert [r["n_bands"] for r in rows] == [2, 4, 8]
+    assert [r["rows_per_band"] for r in rows] == [8, 4, 2]
+    cands = [r["n_candidates"] for r in rows]
+    assert cands == sorted(cands)
+    ver = [r["n_verified"] for r in rows]
+    assert ver == sorted(ver)
+    assert rows[-1]["n_candidates"] > 0  # non-vacuous at 8 bands
+    for r in rows:
+        assert r["n_verified"] <= r["n_candidates"]
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_px02_roundtrip_exactness(spark):
+    """Injection accounting is exact: every injected email is found
+    (found == injected per source — the scanner provably fires), zero
+    residue survives redaction, and the char delta matches the
+    replaced-span arithmetic in pure Python."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        PX02_EVERY,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["px02_pii_injection_roundtrip"](spark, SF).collect()
+    assert sum(r["n_injected"] for r in rows) > 0
+    docs = load(spark, SF, "documents").select("source", "doc_id").collect()
+    expected: dict = {}
+    deltas: dict = {}
+    for d in docs:
+        if d["doc_id"] % PX02_EVERY == 0:
+            expected[d["source"]] = expected.get(d["source"], 0) + 1
+            email = f"user{d['doc_id']}@example.com"
+            deltas[d["source"]] = deltas.get(d["source"], 0) + (
+                len(email) - len("[PII]")
+            )
+    for r in rows:
+        assert r["emails_found"] == r["n_injected"] == expected.get(
+            r["source"], 0
+        )
+        assert r["residue_after_redact"] == 0
+        assert r["redaction_char_delta"] == deltas.get(r["source"], 0)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dp02_clip_curve_monotonicity(spark):
+    """Looser bounds clip fewer users and retain more mass: per type,
+    n_clipped is non-increasing and retained fraction non-decreasing
+    in the multiplier; retained == 1.0 exactly when nobody clips."""
+    rows = QUERIES["dp02_clip_bound_sweep"](spark, SF).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r["bound_multiplier"])
+        assert [r["bound_multiplier"] for r in rs] == [1, 2, 4]
+        clipped = [r["n_clipped_users"] for r in rs]
+        assert clipped == sorted(clipped, reverse=True)
+        retained = [r["retained_mass_fraction"] for r in rs]
+        assert retained == sorted(retained)
+        for r in rs:
+            if r["n_clipped_users"] == 0:
+                assert r["retained_mass_fraction"] == 1.0
+            else:
+                assert r["retained_mass_fraction"] < 1.0
