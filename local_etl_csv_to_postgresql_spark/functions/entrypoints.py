@@ -18570,3 +18570,314 @@ ORDER BY event_type, bound_multiplier
 
 ROUND7_STAGED_QUERIES["dp02_clip_bound_sweep"] = dp02_clip_bound_sweep
 ROUND7_STAGED_ORACLE["dp02_clip_bound_sweep"] = _dp02_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 60: ret02 fixed-horizon retention, es19
+# quantization bit-width sweep, aj03 nearest as-of join.
+
+
+#: ret02's horizons — the product-analytics D1/D7/D30 convention.
+RET02_HORIZONS = (1, 7, 30)
+
+
+def ret02_fixed_horizon_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-horizon (D1/D7/D30) retention per daily signup cohort —
+    the OTHER standard retention report next to ret01's weekly
+    triangle: cohort = a user's first active day, retained at D = the
+    user has an event exactly D days later (the strict classic-day
+    definition, integer date math in both engines).
+
+    Scale: one distinct (user, day) reduce, one user-keyed first-day
+    aggregate, one join back, then ONE conditional aggregate onto the
+    calendar-bounded cohort table — the horizons are three CASE
+    expressions, not three passes. Exact integers until the rounded
+    percentages."""
+    ev = load(spark, sf, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("__d")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("__d").alias("__d0"))
+    joined = days.join(first, "user_id").select(
+        "user_id", "__d0", F.datediff(F.col("__d"), F.col("__d0")).alias("__k")
+    )
+    flags = joined.groupBy("user_id", "__d0").agg(
+        *[
+            F.max(F.when(F.col("__k") == h, 1).otherwise(0)).alias(f"__r{h}")
+            for h in RET02_HORIZONS
+        ]
+    )
+    return (
+        flags.groupBy(
+            # midnight TIMESTAMP, not DATE — pandas date objects hash
+            # differently than datetime64 (the win06 output convention)
+            F.col("__d0").cast("timestamp").alias("cohort_day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cohort_size"),
+            *[
+                F.sum(f"__r{h}").cast("bigint").alias(f"d{h}_retained")
+                for h in RET02_HORIZONS
+            ],
+        )
+        .select(
+            "cohort_day",
+            "cohort_size",
+            *[f"d{h}_retained" for h in RET02_HORIZONS],
+            *[
+                F.round(
+                    F.lit(100.0)
+                    * F.col(f"d{h}_retained").cast("double")
+                    / F.col("cohort_size").cast("double"),
+                    4,
+                ).alias(f"d{h}_pct")
+                for h in RET02_HORIZONS
+            ],
+        )
+        .orderBy("cohort_day")
+    )
+
+
+_RET02_ORACLE = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), first AS (
+  SELECT user_id, MIN(d) AS d0 FROM days GROUP BY user_id
+), joined AS (
+  SELECT days.user_id, f.d0, date_diff('day', f.d0, days.d) AS k
+  FROM days JOIN first f ON days.user_id = f.user_id
+), flags AS (
+  SELECT user_id, d0,
+         {', '.join(f"MAX(CASE WHEN k = {h} THEN 1 ELSE 0 END) AS r{h}"
+                    for h in RET02_HORIZONS)}
+  FROM joined GROUP BY user_id, d0
+)
+SELECT CAST(d0 AS TIMESTAMP) AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS cohort_size,
+       {', '.join(f"CAST(SUM(r{h}) AS BIGINT) AS d{h}_retained"
+                  for h in RET02_HORIZONS)},
+       {', '.join(
+           f"ROUND(100.0 * CAST(SUM(r{h}) AS DOUBLE) / COUNT(*), 4)"
+           f" AS d{h}_pct" for h in RET02_HORIZONS)}
+FROM flags
+GROUP BY d0 ORDER BY cohort_day
+"""
+
+ROUND7_STAGED_QUERIES["ret02_fixed_horizon_retention"] = (
+    ret02_fixed_horizon_retention
+)
+ROUND7_STAGED_ORACLE["ret02_fixed_horizon_retention"] = _RET02_ORACLE
+
+
+#: es19's bit-width grid: symmetric levels 2^(b-1)-1 per width.
+ES19_BITS = (2, 4, 8)
+
+
+def es19_quantization_bit_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantization bit-width tuning table: es07's symmetric scale
+    quantization (scale = max|x|/levels, q = round(x/scale),
+    reconstruct q·scale) swept at 2/4/8 bits — the storage/recall dial
+    of an embedding store, measured: reconstruction MSE per width.
+    Extends the tuning-table family (dd18 sketch size, dd21 bands,
+    cm02 width, es17 nprobe, dp02 clip bound) to the vector store.
+
+    Scale: one scan; per-(vector, width) work is a row-local
+    higher-order fold inside codegen (squares by multiplication — IEEE
+    pow is not exactly rounded, x·x is); per-vector MSEs round to
+    10 dp then DECIMAL-sum (stricter than es07's avg — shuffle-order-
+    free by construction). Output is |widths| rows."""
+    emb = load(spark, sf, "embeddings")
+    base = emb.select(
+        "embedding",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+        ).alias("__amax"),
+    )
+    out = None
+    for b in ES19_BITS:
+        levels = (1 << (b - 1)) - 1
+        recon = (
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + "
+            "(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / __s) * __s)"
+            " * "
+            "(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / __s) * __s)"
+            ") / size(embedding)"
+        )
+        per_vec = base.withColumn(
+            "__s", F.col("__amax") / F.lit(float(levels))
+        ).select(
+            F.when(F.col("__amax") == 0.0, F.lit(0.0))
+            .otherwise(F.round(F.expr(recon), 10))
+            .cast("decimal(20,10)")
+            .alias("__mse")
+        )
+        row = per_vec.agg(
+            F.lit(b).cast("int").alias("bits"),
+            F.lit(levels).cast("int").alias("levels"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum("__mse").cast("double") / F.count(F.lit(1)), 8
+            ).alias("avg_mse"),
+            F.round(F.max("__mse").cast("double"), 8).alias("max_mse"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("bits")
+
+
+def _es19_oracle_sql() -> str:
+    legs = []
+    for b in ES19_BITS:
+        levels = (1 << (b - 1)) - 1
+        q = (
+            f"(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / (amax / {levels}.0))"
+            f" * (amax / {levels}.0))"
+        )
+        legs.append(f"""
+SELECT {b} AS bits, {levels} AS levels,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 8) AS avg_mse,
+       ROUND(CAST(MAX(m) AS DOUBLE), 8) AS max_mse
+FROM (
+  SELECT CAST(CASE WHEN amax = 0 THEN 0.0 ELSE
+           ROUND(list_sum(list_transform(embedding, x ->
+             {q} * {q})) / len(embedding), 10)
+         END AS DECIMAL(20,10)) AS m
+  FROM per
+)""")
+    return f"""
+WITH per AS (
+  SELECT embedding,
+         list_aggregate(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+  FROM embeddings
+)
+SELECT * FROM ({' UNION ALL '.join(legs)}) ORDER BY bits
+"""
+
+
+ROUND7_STAGED_QUERIES["es19_quantization_bit_sweep"] = (
+    es19_quantization_bit_sweep
+)
+ROUND7_STAGED_ORACLE["es19_quantization_bit_sweep"] = _es19_oracle_sql()
+
+
+#: aj03's symmetric tolerance (seconds) — nearest click within ±300 s.
+AJ03_TOLERANCE_S = 300
+
+
+def aj03_asof_nearest_join(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAREST-neighbor as-of join with symmetric tolerance: each
+    purchase picks the user's click with the smallest |Δt| within
+    ±300 s, equal-|Δt| ties preferring the PRIOR click, and same-
+    timestamp ties resolved by the kernel's deterministic tiebreak
+    (greatest click id backward, smallest forward) —
+    the sensor-fusion/attribution shape that completes the as-of
+    family (aj01 backward, aj02 forward-with-tolerance, this
+    bidirectional-nearest).
+
+    Scale: composes the SAME single-shuffle union+window kernel twice
+    (operators/temporal.asof_join backward + forward, both
+    tolerance-bounded) and resolves the winner with row-local CASE
+    logic — never a time-range join, never per-user windows beyond the
+    two the kernel already pays. Determinism: gaps are exact integer
+    seconds; the preference order (smaller |gap|, prior-before-next,
+    kernel tiebreak) is total."""
+    from ..operators.temporal import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    back = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["click_id"],
+        tiebreak="click_id",
+        tolerance_seconds=AJ03_TOLERANCE_S,
+    ).select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        F.col("asof_click_id").alias("__prior_id"),
+        (F.col("ts").cast("long") - F.col("asof_ts").cast("long")).alias(
+            "__prior_gap"
+        ),
+    )
+    fwd = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["click_id"],
+        tiebreak="click_id",
+        tolerance_seconds=AJ03_TOLERANCE_S,
+        direction="forward",
+    ).select(
+        F.col("purchase_id").alias("__pid2"),
+        F.col("asof_click_id").alias("__next_id"),
+        (F.col("asof_ts").cast("long") - F.col("ts").cast("long")).alias(
+            "__next_gap"
+        ),
+    )
+    both = back.join(fwd, back.purchase_id == F.col("__pid2"), "left")
+    prior_wins = F.col("__prior_id").isNotNull() & (
+        F.col("__next_id").isNull()
+        | (F.col("__prior_gap") <= F.col("__next_gap"))
+    )
+    return both.select(
+        "purchase_id",
+        "user_id",
+        F.when(prior_wins, F.col("__prior_id"))
+        .otherwise(F.col("__next_id"))
+        .alias("nearest_click_id"),
+        F.when(prior_wins, -F.col("__prior_gap"))
+        .otherwise(F.col("__next_gap"))
+        .cast("bigint")
+        .alias("signed_gap_seconds"),
+        F.when(F.col("__prior_id").isNull() & F.col("__next_id").isNull(),
+               F.lit(None).cast("string"))
+        .when(prior_wins, F.lit("prior"))
+        .otherwise(F.lit("next"))
+        .alias("direction"),
+    ).orderBy("purchase_id")
+
+
+_AJ03_ORACLE = f"""
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS cts, event_id AS click_id FROM events
+  WHERE event_type = 'click'
+), cand AS (
+  SELECT p.purchase_id, p.user_id, c.click_id,
+         date_diff('second', c.cts, p.ts) AS gap,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY ABS(date_diff('second', c.cts, p.ts)),
+                    CASE WHEN date_diff('second', c.cts, p.ts) >= 0
+                         THEN 0 ELSE 1 END,
+                    CASE WHEN date_diff('second', c.cts, p.ts) >= 0
+                         THEN -c.click_id ELSE c.click_id END
+         ) AS rn
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND ABS(date_diff('second', c.cts, p.ts)) <= {AJ03_TOLERANCE_S}
+)
+SELECT p.purchase_id, p.user_id,
+       c.click_id AS nearest_click_id,
+       CAST(-c.gap AS BIGINT) AS signed_gap_seconds,
+       CASE WHEN c.click_id IS NULL THEN NULL
+            WHEN c.gap >= 0 THEN 'prior' ELSE 'next' END AS direction
+FROM purchases p
+LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON p.purchase_id = c.purchase_id
+ORDER BY p.purchase_id
+"""
+
+ROUND7_STAGED_QUERIES["aj03_asof_nearest_join"] = aj03_asof_nearest_join
+ROUND7_STAGED_ORACLE["aj03_asof_nearest_join"] = _AJ03_ORACLE

@@ -724,3 +724,115 @@ def test_dp02_clip_curve_monotonicity(spark):
                 assert r["retained_mass_fraction"] == 1.0
             else:
                 assert r["retained_mass_fraction"] < 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ret02_retention_python_ref(spark):
+    """Replay the fixed-horizon retention in pure Python from the
+    distinct (user, day) activity table: cohort sizes, retained counts
+    per horizon, and the D1 >= exact-day semantics all match."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        RET02_HORIZONS,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = {r["cohort_day"].date(): r for r in
+            QUERIES["ret02_fixed_horizon_retention"](spark, SF).collect()}
+    days = (
+        load(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict = {}
+    for r in days:
+        by_user.setdefault(r["user_id"], set()).add(r["d"])
+    import datetime
+
+    stats: dict = {}
+    for u, ds in by_user.items():
+        d0 = min(ds)
+        s = stats.setdefault(d0, [0] + [0] * len(RET02_HORIZONS))
+        s[0] += 1
+        for i, h in enumerate(RET02_HORIZONS):
+            if d0 + datetime.timedelta(days=h) in ds:
+                s[i + 1] += 1
+    assert set(rows) == set(stats)
+    for d0, s in stats.items():
+        r = rows[d0]
+        assert r["cohort_size"] == s[0]
+        for i, h in enumerate(RET02_HORIZONS):
+            assert r[f"d{h}_retained"] == s[i + 1]
+            assert 0.0 <= r[f"d{h}_pct"] <= 100.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_es19_bit_monotonicity(spark):
+    """More bits can only reconstruct better: avg and max MSE strictly
+    ordered across 2/4/8 bits on real embeddings (non-degenerate
+    vectors), and 8-bit matches es07's int8 convention (same levels)."""
+    rows = sorted(
+        QUERIES["es19_quantization_bit_sweep"](spark, SF).collect(),
+        key=lambda r: r["bits"],
+    )
+    assert [r["bits"] for r in rows] == [2, 4, 8]
+    assert [r["levels"] for r in rows] == [1, 7, 127]
+    avgs = [r["avg_mse"] for r in rows]
+    assert avgs[0] > avgs[1] > avgs[2] >= 0.0
+    maxes = [r["max_mse"] for r in rows]
+    assert maxes[0] >= maxes[1] >= maxes[2] >= 0.0
+    ns = {r["n_vecs"] for r in rows}
+    assert len(ns) == 1
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_aj03_nearest_python_ref(spark):
+    """Replay the nearest-as-of in pure Python: for every purchase the
+    chosen click minimizes |gap| within tolerance with the prior-wins
+    tie rule; purchases with no click in range stay null; the signed
+    gap's sign matches the direction label."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        AJ03_TOLERANCE_S,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["aj03_asof_nearest_join"](spark, SF).collect()
+    assert rows
+    ev = load(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("t")
+    ).collect()
+    clicks: dict = {}
+    for e in ev:
+        if e["event_type"] == "click":
+            clicks.setdefault(e["user_id"], []).append((e["t"], e["event_id"]))
+    purchases = {e["event_id"]: e for e in ev if e["event_type"] == "purchase"}
+    n_matched = 0
+    for r in rows:
+        p = purchases[r["purchase_id"]]
+        cand = [
+            (abs(p["t"] - t), 0 if t <= p["t"] else 1,
+             -cid if t <= p["t"] else cid, cid, p["t"] - t)
+            for t, cid in clicks.get(p["user_id"], [])
+            if abs(p["t"] - t) <= AJ03_TOLERANCE_S
+        ]
+        if not cand:
+            assert r["nearest_click_id"] is None
+            assert r["direction"] is None
+            continue
+        n_matched += 1
+        best = min(cand)
+        assert r["nearest_click_id"] == best[3]
+        assert r["signed_gap_seconds"] == -best[4]
+        assert r["direction"] == ("prior" if best[1] == 0 else "next")
+        if r["direction"] == "prior":
+            assert r["signed_gap_seconds"] <= 0
+        else:
+            assert r["signed_gap_seconds"] > 0
+    assert n_matched > 0  # non-vacuous
