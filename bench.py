@@ -303,14 +303,14 @@ def _drop_stream_views(spark, name: str) -> None:
 # paying its own build in a split chunk).
 _SHARED_BASE_PREFIXES = {
     "dd02", "dd03", "dd06", "dd07", "dd08", "dd09", "dd10",
-    "dd11", "dd18", "dd20", "dd21", "gr01", "gr02", "gr03", "ct03", "cur01",
+    "dd11", "dd18", "dd20", "dd21", "gr01", "gr02", "gr03", "ct03", "cur01", "cur03",
     "inc01", "tc01", "ln01",
 }
 
 # The subset that additionally consumes the materialized near-dup
 # cluster labels (_neardup_components — the CC fixpoint on top of the
 # LSH base).
-_CC_PREFIXES = {"dd06", "dd07", "dd20", "cur01"}
+_CC_PREFIXES = {"dd06", "dd07", "dd20", "cur01", "cur03"}
 
 
 def plan_chunks(

@@ -18881,3 +18881,269 @@ ORDER BY p.purchase_id
 
 ROUND7_STAGED_QUERIES["aj03_asof_nearest_join"] = aj03_asof_nearest_join
 ROUND7_STAGED_ORACLE["aj03_asof_nearest_join"] = _AJ03_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 61: cur03 perplexity-led curation funnel, gr07
+# co-purchase communities.
+
+
+def cur03_perplexity_curation_funnel(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """The ROUND-10 curation funnel, composed from this round's
+    certified kernels and certified as ONE query (the cur01/cur02
+    discipline): CCNet perplexity gate (keep the head+middle terciles
+    of _bigram_xent_per_doc — qf05's bucketing) → span-contamination
+    gate (drop docs carrying any cross-source-shared 7-gram — ct05's
+    sharing rule) → near-dup keep-one (keep each doc that IS its
+    cluster's min-id label — the _neardup_components convention).
+    Per source: survivors at each stage. Certifying the composition is
+    the point — stage plumbing, drop accounting, and kernel interaction
+    on top of the individually-certified pieces.
+
+    Scale: each stage is a semi/anti join keyed on doc_id or a 60-bit
+    hash against an already-reduced drop set; the perplexity tercile
+    rides the two-phase ranking operator; the CC labels are the shared
+    materialized intermediate (no fixpoint re-run)."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+        exact_ntile,
+    )
+
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    scored = _bigram_xent_per_doc(spark, sf)
+    ranked = attach_global_row_number(
+        scored,
+        order_by=[F.asc("cross_entropy"), F.asc("doc_id")],
+        rn_col="__rn",
+        total_col="__n",
+    ).select(
+        "doc_id",
+        "source",
+        exact_ntile(F.col("__rn"), F.col("__n"), 3).alias("__bucket"),
+    )
+    good_ppl = ranked.filter(F.col("__bucket") <= 2).select(
+        "doc_id", "source"
+    )
+    # ct05's sharing rule: docs with >= 1 cross-source-shared 7-gram
+    words = load(spark, sf, "documents").select(
+        "doc_id", "source", tx.words("text").alias("__words")
+    )
+    pos = words.select(
+        "doc_id",
+        "source",
+        F.explode(dd.span_grams(F.col("__words"), CONTAM_NGRAM)).alias("__g"),
+    ).select("doc_id", "source", F.substring(F.md5("__g"), 1, 15).alias("__u"))
+    shared = (
+        pos.select("source", "__u")
+        .distinct()
+        .groupBy("__u")
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .filter(F.col("__ns") >= 2)
+        .select("__u")
+    )
+    contaminated = (
+        pos.join(shared, "__u", "left_semi").select("doc_id").distinct()
+    )
+    decontam = good_ppl.join(contaminated, "doc_id", "left_anti")
+    # near-dup keep-one: the component label IS the min reachable
+    # doc_id, so the representative is the doc whose id equals it
+    comp = _neardup_components(spark, sf)
+    final = decontam.join(comp, "doc_id").filter(
+        F.col("doc_id") == F.col("component")
+    )
+
+    def stage(df, name):
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    return (
+        stage(docs, "n_docs")
+        .join(stage(scored, "n_scored"), "source", "left")
+        .join(stage(good_ppl, "n_good_ppl"), "source", "left")
+        .join(stage(decontam, "n_decontaminated"), "source", "left")
+        .join(stage(final, "n_final"), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in (
+                    "n_scored",
+                    "n_good_ppl",
+                    "n_decontaminated",
+                    "n_final",
+                )
+            ],
+            F.round(
+                F.coalesce(F.col("n_final"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+_CUR03_ORACLE = f"""
+WITH RECURSIVE {_BIGRAM_XENT_CTE.replace('d AS (', 'xd AS (', 1)
+                 .replace('FROM (SELECT doc_id, lang, source, w, unnest(range(1, len(w))) AS i FROM d)',
+                          'FROM (SELECT doc_id, lang, source, w, unnest(range(1, len(w))) AS i FROM xd)')
+                 .replace('FROM (SELECT unnest(w) AS t FROM d)',
+                          'FROM (SELECT unnest(w) AS t FROM xd)')},
+ranked AS (
+  SELECT doc_id, source,
+         NTILE(3) OVER (ORDER BY cross_entropy, doc_id) AS bucket
+  FROM xent
+), good_ppl AS (
+  SELECT doc_id, source FROM ranked WHERE bucket <= 2
+), w AS (
+  SELECT doc_id, source, {_WORDS} AS words FROM documents
+), pos AS (
+  SELECT doc_id, source, substr(md5(g), 1, 15) AS u
+  FROM (SELECT doc_id, source,
+               unnest({_sql_span_grams('words', CONTAM_NGRAM)}) AS g
+        FROM w)
+), shared AS (
+  SELECT u FROM (SELECT DISTINCT source, u FROM pos)
+  GROUP BY u HAVING COUNT(*) >= 2
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM pos WHERE u IN (SELECT u FROM shared)
+), decontam AS (
+  SELECT doc_id, source FROM good_ppl
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), sh AS (
+  SELECT doc_id, {_sql_shingles(_WORDS)} AS s FROM documents
+), ex AS (
+  SELECT doc_id, unnest(s) AS sg FROM sh
+), h AS (
+  SELECT doc_id, {_H60.format(x='sg')} % 2147483648 AS h0 FROM ex
+), pj AS (
+  SELECT doc_id, j, MIN(((2*j + 3) * h0 + (5*j + 7)) % 2147483647) AS mh
+  FROM h CROSS JOIN (SELECT unnest(range({MINHASH_K})) AS j)
+  GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT) AS band,
+         md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY j), ','))
+           AS band_key
+  FROM pj GROUP BY doc_id, CAST(FLOOR(j / {MINHASH_K // MINHASH_BANDS}) AS INT)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), good AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+  WHERE {_JACCARD.format(a='sa.s', b='sb.s')} >= 0.5
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM good
+  UNION ALL SELECT id_b AS s, id_a AS d FROM good
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+), final AS (
+  SELECT dc.doc_id, dc.source
+  FROM decontam dc JOIN comp ON dc.doc_id = comp.doc_id
+  WHERE dc.doc_id = comp.component
+), base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT b.source, b.n_docs,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_scored,
+       CAST(COALESCE(g.n, 0) AS BIGINT) AS n_good_ppl,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_decontaminated,
+       CAST(COALESCE(f.n, 0) AS BIGINT) AS n_final,
+       ROUND(CAST(COALESCE(f.n, 0) AS DOUBLE) / b.n_docs, 6) AS retention
+FROM base b
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM xent GROUP BY source) s
+  ON b.source = s.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM good_ppl GROUP BY source) g
+  ON b.source = g.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM decontam GROUP BY source) d
+  ON b.source = d.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM final GROUP BY source) f
+  ON b.source = f.source
+ORDER BY b.source
+"""
+
+ROUND7_STAGED_QUERIES["cur03_perplexity_curation_funnel"] = (
+    cur03_perplexity_curation_funnel
+)
+ROUND7_STAGED_ORACLE["cur03_perplexity_curation_funnel"] = _CUR03_ORACLE
+
+
+def gr07_copurchase_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the part co-purchase graph (gr05's
+    hub-guarded substrate) rolled up as a community-size histogram —
+    the category-discovery readout of basket structure: parts that
+    repeatedly sell together form components, and the size histogram
+    is the assortment-planning table. Third CC consumer, third GRAPH:
+    dd06 runs the iterative-join CC on the near-dup graph, gr03 runs
+    star-contraction on the same spec, this runs the shared operator
+    on a graph with genuinely different topology (co-purchase edges
+    are sparse and open, not clique-closed) — certified against the
+    SAME recursive-CTE oracle spec.
+
+    Scale: the edge build is gr05's bounded per-order self-join; CC is
+    the shared operators/graph.connected_components (O(diameter)
+    keyed-join rounds, checkpoint knob); the rollup is two keyed
+    aggregates onto the bounded size histogram."""
+    from ..operators.graph import connected_components
+
+    parts = load(spark, sf, "part").select(F.col("p_partkey").alias("pid"))
+    edges = _gr05_copurchase_edges(spark, sf)
+    comp = connected_components(
+        parts, edges, id_col="pid", src="id_a", dst="id_b"
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("__size"))
+    return (
+        sizes.groupBy(F.col("__size").cast("bigint").alias("community_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+        .select(
+            "community_size",
+            "n_communities",
+            (F.col("community_size") * F.col("n_communities"))
+            .cast("bigint")
+            .alias("n_parts"),
+        )
+        .orderBy("community_size")
+    )
+
+
+_GR07_ORACLE = f"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), good AS (
+  SELECT a.pk AS id_a, b.pk AS id_b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {GR05_MIN_CO_ORDERS}
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM good
+  UNION ALL SELECT id_b AS s, id_a AS d FROM good
+), reach(id, r) AS (
+  SELECT p_partkey, p_partkey FROM part
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+), sizes AS (
+  SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+)
+SELECT CAST(sz AS BIGINT) AS community_size,
+       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_parts
+FROM sizes
+GROUP BY sz ORDER BY community_size
+"""
+
+ROUND7_STAGED_QUERIES["gr07_copurchase_communities"] = (
+    gr07_copurchase_communities
+)
+ROUND7_STAGED_ORACLE["gr07_copurchase_communities"] = _GR07_ORACLE

@@ -107,6 +107,8 @@ BNLJ_ALLOWED = {
     "dm02_domain_reweight_step",  # 1-row broadcast corpus-token total
     "cm02_countmin_width_sweep",  # 10-row probe panel + 1-row cell counts
     "dd21_lsh_band_sweep",  # 1-row candidate/verified census scalars
+    "cur03_perplexity_curation_funnel",  # 1-row vocab scalar via the
+    # shared bigram-LM kernel (tx14's allowlisted broadcast, composed)
 }
 
 

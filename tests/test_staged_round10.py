@@ -836,3 +836,65 @@ def test_aj03_nearest_python_ref(spark):
         else:
             assert r["signed_gap_seconds"] > 0
     assert n_matched > 0  # non-vacuous
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_cur03_funnel_monotone(spark):
+    """Funnel stages only shrink; the perplexity gate keeps exactly the
+    head+middle terciles globally (2/3 of scored, within NTILE's ±1);
+    the funnel is non-vacuous end-to-end."""
+    rows = QUERIES["cur03_perplexity_curation_funnel"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_docs"] >= r["n_scored"] >= r["n_good_ppl"]
+            >= r["n_decontaminated"] >= r["n_final"] >= 0
+        )
+        assert 0.0 <= r["retention"] <= 1.0
+    scored = sum(r["n_scored"] for r in rows)
+    kept = sum(r["n_good_ppl"] for r in rows)
+    q = scored // 3
+    expected = scored - q  # buckets 1+2 under NTILE remainder rules
+    assert abs(kept - expected) <= 1
+    assert sum(r["n_final"] for r in rows) > 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_gr07_communities_python_ref(spark):
+    """Union-find replay over the exact co-purchase edge set: the
+    community-size histogram must match, sizes partition the part
+    table, and at least one genuine (size >= 2) community exists."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        _gr05_copurchase_edges,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["gr07_copurchase_communities"](spark, SF).collect()
+    parts = [r["p_partkey"] for r in
+             load(spark, SF, "part").select("p_partkey").collect()]
+    edges = [(r["id_a"], r["id_b"]) for r in
+             _gr05_copurchase_edges(spark, SF).collect()]
+    parent = {p: p for p in parts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_sizes: dict = {}
+    for p in parts:
+        r = find(p)
+        comp_sizes[r] = comp_sizes.get(r, 0) + 1
+    hist: dict = {}
+    for sz in comp_sizes.values():
+        hist[sz] = hist.get(sz, 0) + 1
+    assert {r["community_size"]: r["n_communities"] for r in rows} == hist
+    assert sum(r["n_parts"] for r in rows) == len(parts)
+    assert any(r["community_size"] >= 2 for r in rows)
