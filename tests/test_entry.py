@@ -119,3 +119,29 @@ def test_coverage_matrix_fresh():
     assert committed == cm.collect(), (
         "COVERAGE_MATRIX.md is stale — rerun python scripts/coverage_matrix.py"
     )
+
+
+def test_window_refresh_slots_are_oldest_first():
+    """The rotation policy is executable (scripts/refresh_queue.py):
+    the committed window's refresh slots — everything in the 50-slot
+    head that HAS a green driver row — must be exactly the head of the
+    computed oldest-first refresh queue, in order. A hand-curated
+    window that skips an older row in favor of a newer one fails here
+    instead of drifting silently."""
+    import glob
+
+    import scripts.refresh_queue as rq
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        pytest.skip("no driver correctness reports yet")
+    failed, never, refresh = rq.buckets()
+    window = list(ep.queries())[:50]
+    window_refresh = [n for n in window if n in set(refresh)]
+    assert window_refresh == refresh[: len(window_refresh)], (
+        "window refresh slots are not the oldest-first queue head"
+    )
+    # and bucket-2 members in the window must cover ALL never-certified
+    # live queries (the stranded test's invariant, restated here against
+    # the computed buckets)
+    assert set(never) <= set(window)
