@@ -19147,3 +19147,254 @@ ROUND7_STAGED_QUERIES["gr07_copurchase_communities"] = (
     gr07_copurchase_communities
 )
 ROUND7_STAGED_ORACLE["gr07_copurchase_communities"] = _GR07_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging, wave 62: mm09 modality byte-budget manifest, inc04
+# small-file compaction audit.
+
+
+#: mm09's shard byte budget — the fixed packing target the manifest
+#: plans against.
+MM09_SHARD_BYTES = 65536
+
+
+def mm09_modality_budget_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Modality byte-budget manifest — the dataset-card + storage-plan
+    table a multimodal corpus ships with: per sniffed container format
+    (mm07's magic-byte kernel, the certified routing rule), payload
+    count, byte mass, byte share, cumulative share in byte-mass order,
+    and the shard count a MM09_SHARD_BYTES packing target implies.
+    mm05/mm08 pack samples into batches; this plans the STORAGE layer
+    above them.
+
+    Scale: one payload scan with row-local sniffing (4-byte hex
+    compare), one keyed rollup onto the |formats|-bounded table —
+    every window below runs on that bounded frame. Exact integer
+    bytes; shares are rounded divisions; shard counts are exact
+    ceiling division in integers ((b + B - 1) div B)."""
+    from pyspark.sql import Window
+
+    media = documents_as_media(load(spark, sf, "documents"))
+    payload = media.select(
+        "media_id",
+        F.concat(
+            F.expr(
+                "CASE CAST(media_id % 4 AS INT) "
+                "WHEN 0 THEN X'FFD8FFE0' "
+                "WHEN 1 THEN X'89504E47' "
+                "WHEN 2 THEN X'52494646' "
+                "ELSE X'' END"
+            ),
+            F.col("content"),
+        ).alias("__p"),
+    )
+    sniffed = payload.select(
+        F.length("__p").cast("bigint").alias("__bytes"),
+        F.when(
+            F.expr("left(hex(__p), 8)") == "FFD8FFE0", F.lit("image/jpeg")
+        )
+        .when(F.expr("left(hex(__p), 8)") == "89504E47", F.lit("image/png"))
+        .when(F.expr("left(hex(__p), 8)") == "52494646", F.lit("audio/riff"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("sniffed_mime"),
+    )
+    per_mime = sniffed.groupBy("sniffed_mime").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+        F.sum("__bytes").cast("bigint").alias("total_bytes"),
+    )
+    w = Window.partitionBy()
+    wcum = (
+        Window.orderBy(F.desc("total_bytes"), "sniffed_mime")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_mime.select(
+            "sniffed_mime",
+            "n_payloads",
+            "total_bytes",
+            F.round(
+                F.col("total_bytes").cast("double")
+                / F.sum("total_bytes").over(w).cast("double"),
+                6,
+            ).alias("byte_share"),
+            F.round(
+                F.sum("total_bytes").over(wcum).cast("double")
+                / F.sum("total_bytes").over(w).cast("double"),
+                6,
+            ).alias("cum_byte_share"),
+            F.expr(
+                f"(total_bytes + {MM09_SHARD_BYTES} - 1) "
+                f"div {MM09_SHARD_BYTES}"
+            )
+            .cast("bigint")
+            .alias("n_shards"),
+        )
+        .orderBy(F.desc("total_bytes"), "sniffed_mime")
+    )
+
+
+_MM09_ORACLE = f"""
+WITH payload AS (
+  SELECT doc_id AS media_id,
+         (CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN unhex('FFD8FFE0')
+            WHEN 1 THEN unhex('89504E47')
+            WHEN 2 THEN unhex('52494646')
+            ELSE unhex('') END) || encode(text) AS p
+  FROM documents
+), sniffed AS (
+  SELECT CAST(octet_length(p) AS BIGINT) AS bytes,
+         CASE left(hex(p), 8)
+           WHEN 'FFD8FFE0' THEN 'image/jpeg'
+           WHEN '89504E47' THEN 'image/png'
+           WHEN '52494646' THEN 'audio/riff'
+           ELSE 'application/octet-stream' END AS sniffed_mime
+  FROM payload
+), per_mime AS (
+  SELECT sniffed_mime,
+         CAST(COUNT(*) AS BIGINT) AS n_payloads,
+         CAST(SUM(bytes) AS BIGINT) AS total_bytes
+  FROM sniffed GROUP BY sniffed_mime
+)
+SELECT sniffed_mime, n_payloads, total_bytes,
+       ROUND(CAST(total_bytes AS DOUBLE) / SUM(total_bytes) OVER (), 6)
+         AS byte_share,
+       ROUND(CAST(SUM(total_bytes) OVER (
+               ORDER BY total_bytes DESC, sniffed_mime
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / SUM(total_bytes) OVER (), 6) AS cum_byte_share,
+       CAST((total_bytes + {MM09_SHARD_BYTES} - 1) // {MM09_SHARD_BYTES}
+            AS BIGINT) AS n_shards
+FROM per_mime
+ORDER BY total_bytes DESC, sniffed_mime
+"""
+
+ROUND7_STAGED_QUERIES["mm09_modality_budget_manifest"] = (
+    mm09_modality_budget_manifest
+)
+ROUND7_STAGED_ORACLE["mm09_modality_budget_manifest"] = _MM09_ORACLE
+
+
+#: inc04's layout constants: arrival batches of INC04_BATCH_ROWS order
+#: keys per append, compaction target of INC04_TARGET_ROWS rows per
+#: file, and the "small file" threshold as a fraction of the target.
+INC04_BATCH_ROWS = 500
+INC04_TARGET_ROWS = 4096
+INC04_AUDIT_MONTH = "1995-03"
+
+
+def inc04_compaction_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction audit — the warehouse-maintenance
+    before/after that justifies Warehouse.compact_fact: orders land in
+    arrival batches (INC04_BATCH_ROWS keys per append) into
+    month-partitioned files, so the APPEND layout holds one file per
+    (month × batch) — the classic small-file problem; the COMPACTED
+    layout re-packs each month into INC04_TARGET_ROWS-row files. Per
+    layout: file count, mean rows per file, the small-file fraction
+    (< 25 % of target), and the files a one-month query must open —
+    the read-amplification number that pays for compaction at 100 TB
+    (NameNode/manifest pressure scales with file count, scan startup
+    with files-per-partition).
+
+    Scale: the append layout is a pure keyed aggregate; the compacted
+    layout ranks within month via the two-phase ranking operator
+    (partition_by = the ~84-month calendar — low-cardinality by
+    construction). Exact integers; two rounded divisions."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+    )
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("__month"),
+    )
+    small = INC04_TARGET_ROWS // 4
+    out = None
+    for layout, files in (
+        (
+            "append_per_batch",
+            orders.select(
+                "__month",
+                F.expr(f"o_orderkey div {INC04_BATCH_ROWS}").alias("__f"),
+            ),
+        ),
+        (
+            "compacted",
+            attach_global_row_number(
+                orders,
+                order_by=[F.asc("o_orderkey")],
+                partition_by=["__month"],
+                rn_col="__rn",
+            ).select(
+                "__month",
+                F.expr(f"(__rn - 1) div {INC04_TARGET_ROWS}").alias("__f"),
+            ),
+        ),
+    ):
+        per_file = files.groupBy("__month", "__f").agg(
+            F.count(F.lit(1)).alias("__rows")
+        )
+        row = per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.round(
+                F.sum("__rows").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_rows_per_file"),
+            F.round(
+                F.sum(
+                    F.when(F.col("__rows") < small, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("small_file_fraction"),
+            F.sum(
+                F.when(F.col("__month") == INC04_AUDIT_MONTH, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("files_for_audit_month"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("layout")
+
+
+def _inc04_oracle_sql() -> str:
+    small = INC04_TARGET_ROWS // 4
+    return f"""
+WITH orders_m AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month FROM orders
+), append_files AS (
+  SELECT month, o_orderkey // {INC04_BATCH_ROWS} AS f, COUNT(*) AS rows
+  FROM orders_m GROUP BY 1, 2
+), compact_files AS (
+  SELECT month,
+         (ROW_NUMBER() OVER (PARTITION BY month ORDER BY o_orderkey) - 1)
+           // {INC04_TARGET_ROWS} AS f
+  FROM orders_m
+), compact_agg AS (
+  SELECT month, f, COUNT(*) AS rows FROM compact_files GROUP BY 1, 2
+)
+SELECT * FROM (
+SELECT 'append_per_batch' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       ROUND(CAST(SUM(rows) AS DOUBLE) / COUNT(*), 2) AS avg_rows_per_file,
+       ROUND(CAST(SUM(CASE WHEN rows < {small} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS small_file_fraction,
+       CAST(SUM(CASE WHEN month = '{INC04_AUDIT_MONTH}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS files_for_audit_month
+FROM append_files
+UNION ALL
+SELECT 'compacted',
+       CAST(COUNT(*) AS BIGINT),
+       ROUND(CAST(SUM(rows) AS DOUBLE) / COUNT(*), 2),
+       ROUND(CAST(SUM(CASE WHEN rows < {small} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6),
+       CAST(SUM(CASE WHEN month = '{INC04_AUDIT_MONTH}' THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM compact_agg
+) ORDER BY layout
+"""
+
+
+ROUND7_STAGED_QUERIES["inc04_compaction_audit"] = inc04_compaction_audit
+ROUND7_STAGED_ORACLE["inc04_compaction_audit"] = _inc04_oracle_sql()

@@ -898,3 +898,54 @@ def test_gr07_communities_python_ref(spark):
     assert {r["community_size"]: r["n_communities"] for r in rows} == hist
     assert sum(r["n_parts"] for r in rows) == len(parts)
     assert any(r["community_size"] >= 2 for r in rows)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_mm09_manifest_invariants(spark):
+    """Shares form a distribution (sum 1, cumulative ends at 1, ordered
+    by byte mass); payload counts partition the corpus; shard counts
+    are the exact ceiling of bytes over the budget."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        MM09_SHARD_BYTES,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["mm09_modality_budget_manifest"](spark, SF).collect()
+    assert rows
+    assert sum(r["n_payloads"] for r in rows) == (
+        load(spark, SF, "documents").count()
+    )
+    assert abs(sum(r["byte_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(rows[-1]["cum_byte_share"] - 1.0) < 1e-6
+    masses = [r["total_bytes"] for r in rows]
+    assert masses == sorted(masses, reverse=True)
+    for r in rows:
+        expected = -(-r["total_bytes"] // MM09_SHARD_BYTES)
+        assert r["n_shards"] == expected
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_inc04_compaction_wins(spark):
+    """Compaction strictly helps on every audited axis: fewer files,
+    larger mean files, no higher small-file fraction, and no more
+    files opened for the one-month predicate; both layouts hold the
+    same row mass."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = {r["layout"]: r for r in
+            QUERIES["inc04_compaction_audit"](spark, SF).collect()}
+    assert set(rows) == {"append_per_batch", "compacted"}
+    a, c = rows["append_per_batch"], rows["compacted"]
+    n = load(spark, SF, "orders").count()
+    for r in (a, c):
+        assert abs(r["n_files"] * r["avg_rows_per_file"] - n) < 0.5 * (
+            r["n_files"]
+        )
+        assert 0.0 <= r["small_file_fraction"] <= 1.0
+    assert c["n_files"] < a["n_files"]
+    assert c["avg_rows_per_file"] > a["avg_rows_per_file"]
+    assert c["small_file_fraction"] <= a["small_file_fraction"]
+    assert c["files_for_audit_month"] <= a["files_for_audit_month"]
+    assert a["files_for_audit_month"] >= 1
