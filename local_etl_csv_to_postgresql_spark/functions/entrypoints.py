@@ -19688,3 +19688,629 @@ ROUND7_STAGED_QUERIES["gini01_revenue_concentration"] = (
     gini01_revenue_concentration
 )
 ROUND7_STAGED_ORACLE["gini01_revenue_concentration"] = _GINI01_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staged wave 64: gap sessionization, brand association rules,
+# Benford first-digit audit.
+# ---------------------------------------------------------------------------
+
+#: ses01's inactivity gap in minutes: a new session starts when a
+#: user's events are more than this far apart. The classic
+#: web-analytics cut is 30; the default here is tuned to the driver
+#: corpus's event cadence (median per-user inter-event gap ≈ 7.3 h at
+#: sf0.01) so every session-size bucket carries signal — a clickstream
+#: deployment sets SPARK_GRAFT_SESSION_GAP_MIN=30. Both the Spark plan
+#: and the oracle read this constant, so the contract stays
+#: self-consistent at any setting.
+SES01_GAP_MIN = int(_os.environ.get("SPARK_GRAFT_SESSION_GAP_MIN", "720"))
+SES01_GAP_US = SES01_GAP_MIN * 60 * 1_000_000
+
+
+def ses01_gap_sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization of the event stream — the foundational
+    clickstream operator every funnel/engagement metric sits on: a
+    session is a maximal run of one user's events with no inactivity
+    gap over SES01_GAP_US, built with LAG + a running SUM of
+    session-start flags (never a collect_list; the per-user event
+    sequence can be arbitrarily long). Sessions roll up into size
+    buckets with exact microsecond durations.
+
+    Scale: ONE shuffle on user_id serves both windows AND the session
+    aggregate — the lag window, the running-sum window and the
+    groupBy(user_id, session) all share the same partitioning, so
+    Catalyst reuses the exchange. user_id is entity-cardinality
+    (millions of keys at 100 TB), so window state spreads with the
+    shuffle; per-user state is one row (the previous timestamp), never
+    a buffered session. Durations are exact int64 microseconds
+    (unix_micros ↔ DuckDB epoch_us); the only doubles are the final
+    4-bucket averages, divided in the same operand order as the
+    oracle. Ties in ts are totally ordered by event_id, and a tie's
+    gap is 0 < SES01_GAP_US, so session assignment is
+    order-independent anyway."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("__us")
+    )
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    gap = F.col("__us") - F.lag("__us").over(w)
+    run = ev.withColumn(
+        "__new",
+        F.when(gap.isNull() | (gap > SES01_GAP_US), 1).otherwise(0),
+    ).withColumn(
+        "__sess",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = run.groupBy("user_id", "__sess").agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.max("__us") - F.min("__us")).alias("__dur_us"),
+    )
+    bucket = (
+        F.when(F.col("__n") == 1, "1")
+        .when(F.col("__n") <= 3, "2-3")
+        .when(F.col("__n") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return (
+        sess.select(bucket.alias("session_size"), "__n", "__dur_us")
+        .groupBy("session_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("__n").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum("__dur_us").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                4,
+            ).alias("avg_duration_sec"),
+            F.round(
+                F.max("__dur_us").cast("double") / F.lit(1000000.0), 4
+            ).alias("max_duration_sec"),
+        )
+        .orderBy("session_size")
+    )
+
+
+_SES01_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+), g AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > {SES01_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+), per_sess AS (
+  SELECT user_id, sess, COUNT(*) AS n, MAX(us) - MIN(us) AS dur_us
+  FROM s GROUP BY user_id, sess
+)
+SELECT CASE WHEN n = 1 THEN '1' WHEN n <= 3 THEN '2-3'
+            WHEN n <= 7 THEN '4-7' ELSE '8+' END AS session_size,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+         AS avg_duration_sec,
+       ROUND(CAST(MAX(dur_us) AS DOUBLE) / 1000000.0, 4)
+         AS max_duration_sec
+FROM per_sess GROUP BY 1 ORDER BY 1
+"""
+
+ROUND7_STAGED_QUERIES["ses01_gap_sessionization"] = ses01_gap_sessionization
+ROUND7_STAGED_ORACLE["ses01_gap_sessionization"] = _SES01_ORACLE
+
+
+def ar01_brand_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules over brands co-purchased in one
+    order: support, directional confidence and lift for every brand
+    pair — the rule-mining complement of gr04/gr07's co-presence
+    GRAPHS (those build edges; this scores rules with the classic
+    support/confidence/lift contract a recommender consumes).
+
+    Scale: lineitem ⋈ part is a co-keyed shuffle join (part is
+    entity-sized — never broadcast); the per-order brand set is
+    bounded by the order's line count, so the within-order self-join
+    fans out at most lines²/2 pairs per order and stays co-partitioned
+    on the order key; the rule aggregate is bounded by the brand
+    vocabulary squared (≤ |brands|² keys, ~300 here) regardless of
+    corpus size. The only unbounded-cardinality aggregates are keyed,
+    partial-aggregable counts. The 1-row order total rides the
+    allowlisted broadcast-scalar pattern; ratios divide exact int64
+    counts in the same operand order as the oracle."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("__o"), F.col("p_brand").alias("__b")
+        )
+        .distinct()
+    )
+    totals = ob.agg(
+        F.countDistinct("__o").cast("double").alias("__n_orders")
+    )
+    brand_n = ob.groupBy("__b").agg(F.count(F.lit(1)).alias("__nb"))
+    a = ob.select(F.col("__o").alias("__oa"), F.col("__b").alias("brand_a"))
+    b = ob.select(F.col("__o").alias("__ob"), F.col("__b").alias("brand_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("__oa") == F.col("__ob"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("__np"))
+    )
+    out = (
+        pairs.join(
+            brand_n.select(
+                F.col("__b").alias("brand_a"), F.col("__nb").alias("__na")
+            ),
+            "brand_a",
+        )
+        .join(
+            brand_n.select(
+                F.col("__b").alias("brand_b"), F.col("__nb").alias("__nbb")
+            ),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    np_d = F.col("__np").cast("double")
+    return out.select(
+        "brand_a",
+        "brand_b",
+        F.col("__np").cast("bigint").alias("n_pair"),
+        F.round(np_d / F.col("__n_orders"), 6).alias("support"),
+        F.round(np_d / F.col("__na").cast("double"), 6).alias(
+            "confidence_a_b"
+        ),
+        F.round(np_d / F.col("__nbb").cast("double"), 6).alias(
+            "confidence_b_a"
+        ),
+        F.round(
+            (np_d * F.col("__n_orders"))
+            / (
+                F.col("__na").cast("double") * F.col("__nbb").cast("double")
+            ),
+            6,
+        ).alias("lift"),
+    ).orderBy("brand_a", "brand_b")
+
+
+_AR01_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n_orders FROM ob
+), bn AS (
+  SELECT b, COUNT(*) AS nb FROM ob GROUP BY b
+), pr AS (
+  SELECT a.b AS brand_a, bb.b AS brand_b, COUNT(*) AS np
+  FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+  GROUP BY 1, 2
+)
+SELECT pr.brand_a, pr.brand_b,
+       CAST(np AS BIGINT) AS n_pair,
+       ROUND(CAST(np AS DOUBLE) / t.n_orders, 6) AS support,
+       ROUND(CAST(np AS DOUBLE) / CAST(na.nb AS DOUBLE), 6)
+         AS confidence_a_b,
+       ROUND(CAST(np AS DOUBLE) / CAST(nb2.nb AS DOUBLE), 6)
+         AS confidence_b_a,
+       ROUND((CAST(np AS DOUBLE) * t.n_orders)
+             / (CAST(na.nb AS DOUBLE) * CAST(nb2.nb AS DOUBLE)), 6)
+         AS lift
+FROM pr
+JOIN bn na ON pr.brand_a = na.b
+JOIN bn nb2 ON pr.brand_b = nb2.b
+CROSS JOIN tot t
+ORDER BY pr.brand_a, pr.brand_b
+"""
+
+ROUND7_STAGED_QUERIES["ar01_brand_association_rules"] = (
+    ar01_brand_association_rules
+)
+ROUND7_STAGED_ORACLE["ar01_brand_association_rules"] = _AR01_ORACLE
+
+
+def dq03_benford_digit_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-significant-digit audit over the two money
+    columns — the fraud/corruption screen auditors run on any numeric
+    fact feed (and a drift screen for synthetic-data generators whose
+    price models collapse to narrow ranges): per (column, digit),
+    observed share vs the Benford expectation log10(1+1/d) plus that
+    digit's chi-square contribution.
+
+    Determinism: the first digit is extracted EXACTLY — floor(x·100)
+    is a deterministic IEEE op on identical parquet doubles, the int64
+    cents render identically as strings in both engines, and the first
+    character is the digit; no log10-of-a-power-of-ten boundary can
+    flip it. Scale: one row-local projection per fact table (pruned to
+    the single money column), a 9-key partial-aggregable count, and a
+    window over the 18-row AGGREGATED frame (never the raw rows) for
+    the per-column totals."""
+    from pyspark.sql import Window
+
+    def first_digit(df: DataFrame, colname: str, label: str) -> DataFrame:
+        cents = F.floor(F.col(colname) * F.lit(100)).cast("bigint")
+        return df.select(
+            F.lit(label).alias("column_name"),
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+
+    per = (
+        first_digit(
+            load(spark, sf, "lineitem").select("l_extendedprice"),
+            "l_extendedprice",
+            "lineitem.l_extendedprice",
+        )
+        .unionByName(
+            first_digit(
+                load(spark, sf, "orders").select("o_totalprice"),
+                "o_totalprice",
+                "orders.o_totalprice",
+            )
+        )
+        .groupBy("column_name", "digit")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tot = (
+        F.sum("__n")
+        .over(Window.partitionBy("column_name"))
+        .cast("double")
+    )
+    p = F.log(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    ) / F.log(F.lit(10.0))
+    n_d = F.col("__n").cast("double")
+    return per.select(
+        "column_name",
+        "digit",
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.round(n_d / tot, 6).alias("obs_share"),
+        F.round(p, 6).alias("benford_share"),
+        F.round((n_d - tot * p) * (n_d - tot * p) / (tot * p), 6).alias(
+            "chi2_term"
+        ),
+    ).orderBy("column_name", "digit")
+
+
+_DQ03_ORACLE = """
+WITH src AS (
+  SELECT 'lineitem.l_extendedprice' AS column_name,
+         CAST(SUBSTR(CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders.o_totalprice',
+         CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER)
+  FROM orders
+), per AS (
+  SELECT column_name, digit, COUNT(*) AS n FROM src GROUP BY 1, 2
+), wt AS (
+  SELECT column_name, digit, n,
+         CAST(SUM(n) OVER (PARTITION BY column_name) AS DOUBLE) AS tot,
+         LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0) AS p
+  FROM per
+)
+SELECT column_name, digit,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(n AS DOUBLE) / tot, 6) AS obs_share,
+       ROUND(p, 6) AS benford_share,
+       ROUND((CAST(n AS DOUBLE) - tot * p)
+             * (CAST(n AS DOUBLE) - tot * p) / (tot * p), 6) AS chi2_term
+FROM wt ORDER BY column_name, digit
+"""
+
+ROUND7_STAGED_QUERIES["dq03_benford_digit_audit"] = dq03_benford_digit_audit
+ROUND7_STAGED_ORACLE["dq03_benford_digit_audit"] = _DQ03_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staged wave 65: explicit-values pivot, dyadic-weight EWMA
+# smoothing, spend-decile migration matrix.
+# ---------------------------------------------------------------------------
+
+
+def pv01_status_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Order count + revenue pivoted by order status per priority —
+    certifies Spark's pivot operator itself, the relational surface
+    the reference reaches with CASE-based conditional aggregation
+    (sql/queries.sql's pivot-style reports). The status values are
+    passed EXPLICITLY (``pivot("o_orderstatus", ["F","O","P"])``):
+    with an implicit pivot Spark first runs a separate distinct-
+    collect job over the pivot column — a hidden full scan plus a
+    driver collect that a 100 TB fact table cannot afford. The
+    explicit list keeps it one partial-aggregable groupBy.
+
+    Scale: one shuffle on the 5-key priority roster; counts are exact
+    int64, revenues exact DECIMAL sums cast to double once. Absent
+    (priority, status) cells coalesce to 0 / 0.00 — same as the
+    oracle's CASE filters."""
+    orders = load(spark, sf, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).alias("rev"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    zdec = F.lit(0).cast("decimal(18,2)")
+    return piv.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.coalesce(F.col("F_n"), zero).cast("bigint").alias("n_f"),
+        F.coalesce(F.col("O_n"), zero).cast("bigint").alias("n_o"),
+        F.coalesce(F.col("P_n"), zero).cast("bigint").alias("n_p"),
+        F.round(F.coalesce(F.col("F_rev"), zdec).cast("double"), 2).alias(
+            "rev_f"
+        ),
+        F.round(F.coalesce(F.col("O_rev"), zdec).cast("double"), 2).alias(
+            "rev_o"
+        ),
+        F.round(F.coalesce(F.col("P_rev"), zdec).cast("double"), 2).alias(
+            "rev_p"
+        ),
+    ).orderBy("priority")
+
+
+_PV01_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+         AS n_f,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+         AS n_o,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+         AS n_p,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+                  CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev_f,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+                  CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev_o,
+       ROUND(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+                  CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+ROUND7_STAGED_QUERIES["pv01_status_pivot"] = pv01_status_pivot
+ROUND7_STAGED_ORACLE["pv01_status_pivot"] = _PV01_ORACLE
+
+
+#: ewma01's smoothing window: W trailing months with dyadic weights
+#: 2^(W-1-i) at lag i — the adjusted EWMA with alpha = 1/2, whose
+#: weights and weight totals are EXACT integers (never a float power),
+#: so the weighted sums stay exact DECIMAL until the final divide.
+EWMA01_WINDOW = 20
+
+
+def ewma01_revenue_smoothing(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted monthly revenue smoothing — the classic
+    trend line every revenue dashboard draws, computed with EXACT
+    arithmetic: the fact table rolls up to the calendar-bounded
+    monthly table first (one partial-aggregable shuffle; ~84 rows at
+    ANY corpus size), then the trailing-window EWMA runs as W LAG
+    terms inside ONE window operator over the bounded frame. Weights
+    are dyadic integers (2^(W-1-i), adjusted alpha=1/2 EWMA), so
+    numerator and weight total are exact DECIMAL/int64 sums — the
+    only double is the final divide, written operand-for-operand as
+    in the oracle. Early months smooth over their shorter history
+    (adjusted semantics), pinned by n_terms.
+
+    Scale: windowing the BOUNDED monthly table (not the fact table)
+    is the point — at 100 TB the monthly frame is still 84 rows, so
+    the single ordered window is a metadata operation, the same
+    discipline as ts04/win01."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("__rev"))
+    )
+    w = Window.orderBy("month")
+    terms = []
+    weights = []
+    counts = []
+    for i in range(EWMA01_WINDOW):
+        lag = F.lag("__rev", i).over(w)
+        wt = 1 << (EWMA01_WINDOW - 1 - i)
+        terms.append(
+            F.coalesce(
+                (lag * F.lit(wt).cast("decimal(18,0)")).cast(
+                    "decimal(38,2)"
+                ),
+                F.lit(0).cast("decimal(38,2)"),
+            )
+        )
+        weights.append(
+            F.when(lag.isNull(), F.lit(0).cast("bigint")).otherwise(
+                F.lit(wt).cast("bigint")
+            )
+        )
+        counts.append(F.when(lag.isNull(), 0).otherwise(1))
+    num = terms[0]
+    for t in terms[1:]:
+        num = num + t
+    den = weights[0]
+    for x in weights[1:]:
+        den = den + x
+    n_terms = counts[0]
+    for c in counts[1:]:
+        n_terms = n_terms + c
+    smoothed = monthly.select(
+        "month",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(num.cast("double") / den.cast("double"), 2).alias(
+            "ewma_revenue"
+        ),
+        n_terms.cast("int").alias("n_terms"),
+    )
+    return smoothed.orderBy("month")
+
+
+def _ewma01_oracle_sql() -> str:
+    terms = " + ".join(
+        "COALESCE(CAST(LAG(rev, {i}) OVER w "
+        "* CAST({wt} AS DECIMAL(18,0)) AS DECIMAL(38,2)), "
+        "CAST(0 AS DECIMAL(38,2)))".format(
+            i=i, wt=1 << (EWMA01_WINDOW - 1 - i)
+        )
+        for i in range(EWMA01_WINDOW)
+    )
+    weights = " + ".join(
+        "CASE WHEN LAG(rev, {i}) OVER w IS NULL THEN CAST(0 AS BIGINT) "
+        "ELSE CAST({wt} AS BIGINT) END".format(
+            i=i, wt=1 << (EWMA01_WINDOW - 1 - i)
+        )
+        for i in range(EWMA01_WINDOW)
+    )
+    counts = " + ".join(
+        "CASE WHEN LAG(rev, {i}) OVER w IS NULL THEN 0 ELSE 1 END".format(
+            i=i
+        )
+        for i in range(EWMA01_WINDOW)
+    )
+    return f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+), smoothed AS (
+  SELECT month,
+         ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+         ROUND(CAST({terms} AS DOUBLE)
+               / CAST({weights} AS DOUBLE), 2) AS ewma_revenue,
+         CAST({counts} AS INTEGER) AS n_terms
+  FROM monthly WINDOW w AS (ORDER BY month)
+)
+SELECT month, revenue, ewma_revenue, n_terms
+FROM smoothed ORDER BY month
+"""
+
+
+ROUND7_STAGED_QUERIES["ewma01_revenue_smoothing"] = ewma01_revenue_smoothing
+ROUND7_STAGED_ORACLE["ewma01_revenue_smoothing"] = _ewma01_oracle_sql()
+
+
+def tm01_spend_decile_migration(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer spend-decile migration matrix between two consecutive
+    years — the churn/upsell mobility table behind every "are our best
+    customers staying" review (and, on a training corpus, the
+    source-quality mobility table between two crawl snapshots): each
+    customer active in BOTH years gets a revenue decile per year via
+    the distributed two-phase ranker + the exact NTILE formula (q26's
+    discipline — never a single-partition window on the entity-sized
+    customer frame), and the matrix counts every (decile_1996 →
+    decile_1997) transition with its share of the origin decile.
+
+    Scale: two fact-sized rollups (partial agg, pruned by the year
+    predicates pushed to the parquet scan), two distributed rankings,
+    one co-keyed entity join on custkey, and a ≤100-key matrix
+    aggregate; the origin-decile shares come from a window over the
+    AGGREGATED ≤100-row matrix, never the raw rows."""
+    from pyspark.sql import Window
+
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+        exact_ntile,
+    )
+
+    orders = load(spark, sf, "orders")
+
+    def year_deciles(lo: str, hi: str, out: str) -> DataFrame:
+        per = (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo))
+                & (F.col("o_orderdate") < F.lit(hi))
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum(dec("o_totalprice")).cast("double").alias("__rev"))
+        )
+        ranked = attach_global_row_number(
+            per,
+            order_by=[F.desc("__rev"), F.asc("o_custkey")],
+            rn_col="__rn",
+            total_col="__n",
+        )
+        return ranked.select(
+            "o_custkey",
+            exact_ntile(F.col("__rn"), F.col("__n"), 10).alias(out),
+        )
+
+    d96 = year_deciles("1996-01-01", "1997-01-01", "decile_1996")
+    d97 = year_deciles("1997-01-01", "1998-01-01", "decile_1997")
+    matrix = (
+        d96.join(d97, "o_custkey")
+        .groupBy("decile_1996", "decile_1997")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    origin = F.sum("__n").over(Window.partitionBy("decile_1996"))
+    return matrix.select(
+        "decile_1996",
+        "decile_1997",
+        F.col("__n").cast("bigint").alias("n_customers"),
+        F.round(
+            F.col("__n").cast("double") / origin.cast("double"), 6
+        ).alias("origin_share"),
+    ).orderBy("decile_1996", "decile_1997")
+
+
+_TM01_ORACLE = """
+WITH y96 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY o_custkey
+), y97 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY o_custkey
+), d96 AS (
+  SELECT o_custkey,
+         NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile_1996
+  FROM y96
+), d97 AS (
+  SELECT o_custkey,
+         NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile_1997
+  FROM y97
+), matrix AS (
+  SELECT decile_1996, decile_1997, COUNT(*) AS n
+  FROM d96 JOIN d97 USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT decile_1996, decile_1997,
+       CAST(n AS BIGINT) AS n_customers,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY decile_1996) AS DOUBLE), 6)
+         AS origin_share
+FROM matrix
+ORDER BY decile_1996, decile_1997
+"""
+
+ROUND7_STAGED_QUERIES["tm01_spend_decile_migration"] = (
+    tm01_spend_decile_migration
+)
+ROUND7_STAGED_ORACLE["tm01_spend_decile_migration"] = _TM01_ORACLE

@@ -109,6 +109,7 @@ BNLJ_ALLOWED = {
     "dd21_lsh_band_sweep",  # 1-row candidate/verified census scalars
     "cur03_perplexity_curation_funnel",  # 1-row vocab scalar via the
     # shared bigram-LM kernel (tx14's allowlisted broadcast, composed)
+    "ar01_brand_association_rules",  # 1-row broadcast order-total scalar
 }
 
 

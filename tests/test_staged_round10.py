@@ -1060,3 +1060,241 @@ def test_gini01_python_replay(spark):
         assert r["n_customers"] == n
         assert abs(r["gini"] - g) < 1e-6
         assert 0.0 <= r["gini"] < 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ses01_python_replay(spark):
+    """Replay the gap sessionization in pure Python over the raw
+    events: the bucketed session counts, event totals and max
+    durations must match exactly, every event lands in exactly one
+    session, and every user contributes at least one session."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        SES01_GAP_US,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["ses01_gap_sessionization"](spark, SF).collect()
+    ev = (
+        load(spark, SF, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append((e["us"], e["event_id"]))
+    sessions = []
+    for seq in by_user.values():
+        seq.sort()
+        cur = [seq[0]]
+        for prev, nxt in zip(seq, seq[1:]):
+            if nxt[0] - prev[0] > SES01_GAP_US:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+    assert sum(len(s) for s in sessions) == len(ev)
+    assert len(sessions) >= len(by_user)
+
+    def bucket(n: int) -> str:
+        return "1" if n == 1 else "2-3" if n <= 3 else "4-7" if n <= 7 else "8+"
+
+    expect: dict = {}
+    for s in sessions:
+        b = bucket(len(s))
+        n_sess, n_ev, mx = expect.get(b, (0, 0, 0))
+        dur = s[-1][0] - s[0][0]
+        expect[b] = (n_sess + 1, n_ev + len(s), max(mx, dur))
+    assert {r["session_size"] for r in rows} == set(expect)
+    for r in rows:
+        n_sess, n_ev, mx = expect[r["session_size"]]
+        assert r["n_sessions"] == n_sess
+        assert r["n_events"] == n_ev
+        assert abs(r["max_duration_sec"] - mx / 1e6) < 1e-3
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ar01_rule_identities(spark):
+    """Association-rule identities hold on every pair: confidences in
+    (0, 1], n_pair bounded by both antecedent counts, the two
+    directional confidences agree with lift through the same n_pair
+    (lift = conf_ab / (nb / N) = conf_ba / (na / N)), and the pair
+    census replayed in pure Python from the (order, brand) sets
+    matches exactly."""
+    import itertools
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["ar01_brand_association_rules"](spark, SF).collect()
+    assert rows
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey").collect()
+    pt = load(spark, SF, "part").select("p_partkey", "p_brand").collect()
+    brand_of = {p["p_partkey"]: p["p_brand"] for p in pt}
+    baskets: dict = {}
+    for l in li:
+        baskets.setdefault(l["l_orderkey"], set()).add(brand_of[l["l_partkey"]])
+    n_orders = len(baskets)
+    brand_n: dict = {}
+    pair_n: dict = {}
+    for basket in baskets.values():
+        for b in basket:
+            brand_n[b] = brand_n.get(b, 0) + 1
+        for a, b in itertools.combinations(sorted(basket), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    assert len(rows) == len(pair_n)
+    for r in rows:
+        np_ = pair_n[(r["brand_a"], r["brand_b"])]
+        na, nb = brand_n[r["brand_a"]], brand_n[r["brand_b"]]
+        assert r["n_pair"] == np_
+        assert 0 < r["confidence_a_b"] <= 1 and 0 < r["confidence_b_a"] <= 1
+        assert np_ <= min(na, nb)
+        assert abs(r["support"] - np_ / n_orders) < 1e-6
+        assert abs(r["confidence_a_b"] - np_ / na) < 1e-6
+        assert abs(r["confidence_b_a"] - np_ / nb) < 1e-6
+        assert abs(r["lift"] - np_ * n_orders / (na * nb)) < 1e-6
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dq03_benford_shares(spark):
+    """Per column: the digit counts cover every source row, observed
+    shares sum to 1, the Benford expectation matches math.log10(1+1/d)
+    to rounding, chi-square terms are non-negative, and the digit
+    census replayed from the raw cents in Python matches exactly."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["dq03_benford_digit_audit"](spark, SF).collect()
+    cols = {r["column_name"] for r in rows}
+    assert cols == {"lineitem.l_extendedprice", "orders.o_totalprice"}
+    table_of = {
+        "lineitem.l_extendedprice": ("lineitem", "l_extendedprice"),
+        "orders.o_totalprice": ("orders", "o_totalprice"),
+    }
+    for cname in cols:
+        sub = [r for r in rows if r["column_name"] == cname]
+        tbl, col = table_of[cname]
+        vals = [v[col] for v in load(spark, SF, tbl).select(col).collect()]
+        census: dict = {}
+        for v in vals:
+            d = int(str(int(math.floor(v * 100)))[0])
+            census[d] = census.get(d, 0) + 1
+        assert sum(r["n_rows"] for r in sub) == len(vals)
+        assert abs(sum(r["obs_share"] for r in sub) - 1.0) < 1e-4
+        for r in sub:
+            assert r["n_rows"] == census[r["digit"]]
+            assert abs(
+                r["benford_share"] - math.log10(1 + 1 / r["digit"])
+            ) < 1e-6
+            assert r["chi2_term"] >= 0.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_pv01_pivot_matches_unpivoted_counts(spark):
+    """The pivoted cells must tile the orders table exactly: row sums
+    of the three status counts equal the per-priority totals, grand
+    total equals the table count, and each cell matches a direct
+    filtered aggregate."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["pv01_status_pivot"](spark, SF).collect()
+    orders = load(spark, SF, "orders")
+    direct = {
+        (r["o_orderpriority"], r["o_orderstatus"]): r["n"]
+        for r in orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(rows) == 5
+    grand = 0
+    for r in rows:
+        for status, col in (("F", "n_f"), ("O", "n_o"), ("P", "n_p")):
+            assert r[col] == direct.get((r["priority"], status), 0)
+            grand += r[col]
+    assert grand == orders.count()
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ewma01_python_replay(spark):
+    """Replay the dyadic EWMA in pure Python from the monthly revenue
+    table: every smoothed value matches to the cent, n_terms is
+    min(month index, W), and the smoother converges toward the raw
+    series (full-history months weight the current month by
+    2^(W-1)/(2^W - 1) ≈ 1/2)."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        EWMA01_WINDOW,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import dec, load
+
+    rows = QUERIES["ewma01_revenue_smoothing"](spark, SF).collect()
+    monthly = sorted(
+        (
+            (r["month"], r["rev"])
+            for r in load(spark, SF, "orders")
+            .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+            .agg(F.sum(dec("o_totalprice")).alias("rev"))
+            .collect()
+        ),
+    )
+    assert len(rows) == len(monthly)
+    series = [float(v) for _, v in monthly]
+    for t, r in enumerate(rows):
+        assert r["month"] == monthly[t][0]
+        lo = max(0, t - EWMA01_WINDOW + 1)
+        hist = series[lo : t + 1]
+        wts = [2 ** (EWMA01_WINDOW - 1 - i) for i in range(len(hist))][::-1]
+        # wts reversed: most recent month gets 2^(W-1)
+        num = sum(v * w for v, w in zip(hist, wts))
+        den = sum(wts)
+        assert r["n_terms"] == len(hist) == min(t + 1, EWMA01_WINDOW)
+        assert abs(r["ewma_revenue"] - num / den) < 0.02
+        assert abs(r["revenue"] - series[t]) < 0.005
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tm01_migration_marginals(spark):
+    """The migration matrix's marginals are consistent: every decile
+    pair is within 1..10, origin shares sum to 1 per origin decile,
+    the matrix total equals the number of customers active in both
+    years, and the 1996 marginal matches a directly computed NTILE
+    decile census restricted to the joined population."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["tm01_spend_decile_migration"](spark, SF).collect()
+    assert rows
+    orders = load(spark, SF, "orders")
+
+    def custs(lo: str, hi: str) -> set:
+        return {
+            r["o_custkey"]
+            for r in orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo))
+                & (F.col("o_orderdate") < F.lit(hi))
+            )
+            .select("o_custkey")
+            .distinct()
+            .collect()
+        }
+
+    both = custs("1996-01-01", "1997-01-01") & custs(
+        "1997-01-01", "1998-01-01"
+    )
+    assert sum(r["n_customers"] for r in rows) == len(both)
+    shares: dict = {}
+    for r in rows:
+        assert 1 <= r["decile_1996"] <= 10 and 1 <= r["decile_1997"] <= 10
+        shares.setdefault(r["decile_1996"], 0.0)
+        shares[r["decile_1996"]] += r["origin_share"]
+    for v in shares.values():
+        assert abs(v - 1.0) < 1e-3
