@@ -20602,3 +20602,235 @@ ROUND7_STAGED_QUERIES["pat01_error_shadowed_purchases"] = (
     pat01_error_shadowed_purchases
 )
 ROUND7_STAGED_ORACLE["pat01_error_shadowed_purchases"] = _PAT01_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staged wave 67: calendar-function parity report,
+# approx-quantile calibration, normalization-lift dedup audit.
+# ---------------------------------------------------------------------------
+
+
+def dt01_calendar_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-feature parity report over the monthly revenue table —
+    a focused cross-engine certification of the datetime function
+    family (last_day, month length, quarter, ISO week, ISO weekday)
+    on data-bearing rows, the functions every dim_date build and
+    every fiscal rollup depends on. Engine conventions differ in
+    exactly the places this pins: Spark's dayofweek is
+    Sunday-1-based, so the ISO weekday is derived with the
+    (dow+5)%7+1 rule (q-family precedent) to match DuckDB's isodow.
+
+    Scale: one partial-aggregable fact rollup to the calendar-bounded
+    monthly frame; every calendar expression is row-local over ~84
+    rows."""
+    orders = load(spark, sf, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias(
+            "revenue"
+        ),
+    )
+    start = F.to_date("month")
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.last_day("month").cast("timestamp").alias("month_end"),
+        (F.datediff(F.last_day("month"), start) + 1)
+        .cast("int")
+        .alias("days_in_month"),
+        F.quarter("month").cast("int").alias("quarter"),
+        F.weekofyear("month").cast("int").alias("iso_week_start"),
+        ((F.dayofweek("month") + 5) % 7 + 1)
+        .cast("int")
+        .alias("iso_dow_start"),
+    ).orderBy("month")
+
+
+_DT01_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+       CAST(last_day(CAST(month AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(date_diff('day', CAST(month AS DATE),
+                      last_day(CAST(month AS DATE))) + 1 AS INTEGER)
+         AS days_in_month,
+       CAST(quarter(month) AS INTEGER) AS quarter,
+       CAST(weekofyear(month) AS INTEGER) AS iso_week_start,
+       CAST(isodow(month) AS INTEGER) AS iso_dow_start
+FROM monthly ORDER BY month
+"""
+
+ROUND7_STAGED_QUERIES["dt01_calendar_features"] = dt01_calendar_features
+ROUND7_STAGED_ORACLE["dt01_calendar_features"] = _DT01_ORACLE
+
+
+#: ap01's sketch knob: percentile_approx's accuracy parameter. The
+#: engine guarantees rank error <= n/accuracy; the certification
+#: window below allows twice that plus a two-row slack so ties on
+#: equal values can't flip the verdict.
+AP01_ACCURACY = 1000
+AP01_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def ap01_approx_quantile_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate-quantile calibration: Spark's percentile_approx
+    (Greenwald-Khanna sketch — mergeable, bounded memory, THE
+    quantile at 100 TB where any exact method pays a full sort or a
+    selection pass) certified against the exact distributed
+    percentile operator. The exact values hash-match the oracle's
+    percentile_cont; the sketch's answer is engine-specific by
+    nature, so what ships is its CALIBRATION: the rank of the
+    approximate answer must sit within the published n/accuracy rank
+    bound of the target rank (hll01's discipline — the
+    engine-internal estimate rides next to exact, certifiable
+    twins).
+
+    Scale: the exact side is the range-partition selection operator
+    (one pass + O(P) metadata per quantile, never a single-reducer
+    sort); the sketch side is one partial-aggregable agg; the rank
+    probe is one count per quantile against the 5-row broadcast
+    panel."""
+    from ..operators.quantile import exact_percentiles_cont
+
+    orders = load(spark, sf, "orders")
+    vals = orders.select(F.col("o_totalprice").cast("double").alias("__v"))
+    totals = vals.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # ONE range shuffle + ONE selection pass for all five quantiles
+    # (exact_percentiles_cont amortizes the passes across the list)
+    exact = spark.createDataFrame(
+        [
+            (p, round(v, 4))
+            for p, v in exact_percentiles_cont(
+                vals, "__v", list(AP01_QUANTILES)
+            )
+        ],
+        "p double, exact_value double",
+    )
+    approx_panel = (
+        vals.agg(
+            F.percentile_approx(
+                "__v", list(AP01_QUANTILES), AP01_ACCURACY
+            ).alias("__qs")
+        )
+        .select(F.posexplode("__qs").alias("__i", "__av"))
+        .select(
+            F.element_at(
+                F.lit(list(AP01_QUANTILES)), F.col("__i") + 1
+            ).alias("p"),
+            "__av",
+        )
+    )
+    ranks = (
+        vals.crossJoin(F.broadcast(approx_panel))
+        .groupBy("p")
+        .agg(
+            F.sum((F.col("__v") <= F.col("__av")).cast("long")).alias(
+                "__rank"
+            )
+        )
+    )
+    return (
+        exact.join(ranks, "p")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "p",
+            "exact_value",
+            (
+                F.abs(F.col("__rank").cast("double") - F.col("p") * F.col("__n"))
+                <= F.lit(2.0) * F.col("__n") / AP01_ACCURACY + F.lit(2.0)
+            ).alias("within_bound"),
+        )
+        .orderBy("p")
+    )
+
+
+def _ap01_oracle_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({p} AS DOUBLE) AS p, "
+        f"ROUND(quantile_cont(o_totalprice, {p}), 4) AS exact_value, "
+        f"TRUE AS within_bound FROM (SELECT CAST(o_totalprice AS DOUBLE) "
+        f"AS o_totalprice FROM orders)"
+        for p in AP01_QUANTILES
+    )
+    return f"SELECT * FROM ({rows}) ORDER BY p"
+
+
+ROUND7_STAGED_QUERIES["ap01_approx_quantile_calibration"] = (
+    ap01_approx_quantile_calibration
+)
+ROUND7_STAGED_ORACLE["ap01_approx_quantile_calibration"] = _ap01_oracle_sql()
+
+
+def dd22_normalization_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-lift dedup audit: how many MORE duplicates does
+    exact dedup find after case-folding and punctuation/whitespace
+    collapse than on the raw bytes — the measured justification for
+    the normalize-before-dedup step every pipeline debates (raw
+    hashing misses trivially-reformatted copies; dd01 is the raw
+    baseline, this quantifies the delta per source). Normalization is
+    LOWER → strip non-alphanumerics to spaces → trim, written with
+    the same RE2-compatible character class in both engines (px02's
+    regex-parity discipline).
+
+    Scale: two row-local hash projections in ONE scan, one
+    partial-aggregable source rollup — countDistinct on two md5 keys.
+    The lift is a theorem (normalization only merges hash classes,
+    never splits), pinned by the invariant test."""
+    docs = load(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        docs.select(
+            "source",
+            F.md5("text").alias("__raw"),
+            F.md5(norm).alias("__norm"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("__raw"))
+            .cast("bigint")
+            .alias("raw_dup_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("__norm"))
+            .cast("bigint")
+            .alias("norm_dup_docs"),
+            F.round(
+                (F.countDistinct("__raw") - F.countDistinct("__norm"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("lift_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_DD22_ORACLE = """
+WITH keyed AS (
+  SELECT source,
+         md5(text) AS raw_h,
+         md5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')))
+           AS norm_h
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT raw_h) AS BIGINT) AS raw_dup_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT norm_h) AS BIGINT) AS norm_dup_docs,
+       ROUND(CAST(COUNT(DISTINCT raw_h) - COUNT(DISTINCT norm_h) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS lift_share
+FROM keyed
+GROUP BY source ORDER BY source
+"""
+
+ROUND7_STAGED_QUERIES["dd22_normalization_lift"] = dd22_normalization_lift
+ROUND7_STAGED_ORACLE["dd22_normalization_lift"] = _DD22_ORACLE

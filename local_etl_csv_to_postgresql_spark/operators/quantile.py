@@ -50,8 +50,33 @@ def exact_percentile_cont(
     range shuffle is persisted (memory-and-disk) so the two passes share
     it; it is released before returning.
     """
-    if not 0.0 <= p <= 1.0:
-        raise ValueError(f"percentile must be in [0, 1], got {p}")
+    [(_, value)] = exact_percentiles_cont(df, value_col, [p], partitions)
+    return df.sparkSession.range(1).select(
+        F.lit(value).cast("double").alias(out_col)
+    )
+
+
+def exact_percentiles_cont(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    partitions: int | None = None,
+) -> list[tuple[float, float]]:
+    """Exact percentile_cont for MANY probabilities in one operator
+    run: one range shuffle, one O(P) bucket-count job, and ONE
+    selection pass that sorts only the union of buckets holding any
+    target rank — amortizing the dominant cost across the whole
+    probability list (k quantiles cost one pass, not k). Returns
+    ``[(p, value), ...]`` in input order; empty input yields None
+    values.
+
+    Same semantics per p as :func:`exact_percentile_cont` (continuous
+    interpolation, nulls ignored, doubles); that function now shares
+    this implementation.
+    """
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile must be in [0, 1], got {p}")
     spark = df.sparkSession
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -64,21 +89,15 @@ def exact_percentile_cont(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        # O(P) metadata: per-bucket counts, ordered by bucket id (range
-        # partitioner assigns ascending value ranges to ascending ids).
         bucket_counts = sorted(
             (r["__pid"], r["n"])
-            for r in vals.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+            for r in vals.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         )
         n = sum(c for _, c in bucket_counts)
         if n == 0:
-            return spark.range(1).select(
-                F.lit(None).cast("double").alias(out_col)
-            )
-
-        h = (n - 1) * p
-        lo_rank = math.floor(h)
-        hi_rank = min(lo_rank + 1, n - 1)
+            return [(p, None) for p in ps]
 
         def locate(global_rank: int) -> tuple[int, int]:
             offset = 0
@@ -88,26 +107,36 @@ def exact_percentile_cont(
                 offset += cnt
             raise AssertionError("rank beyond total count")
 
-        lo_pid, lo_local = locate(lo_rank)
-        hi_pid, hi_local = locate(hi_rank)
+        # every (bucket, local-rank) coordinate any p needs, deduped
+        needed: dict[tuple[int, int], None] = {}
+        coords = []
+        for p in ps:
+            h = (n - 1) * p
+            lo_rank = math.floor(h)
+            hi_rank = min(lo_rank + 1, n - 1)
+            lo = locate(lo_rank)
+            hi = locate(hi_rank)
+            needed[lo] = None
+            needed[hi] = None
+            coords.append((h, lo_rank, lo, hi))
 
-        # Sort only the target bucket(s): a per-partition window over
-        # ~N/P rows; every other bucket is filtered out before the sort.
+        pids = sorted({pid for pid, _ in needed})
         w = Window.partitionBy("__pid").orderBy("__v")
-        picks = (
-            vals.filter(F.col("__pid").isin(lo_pid, hi_pid))
+        cond = None
+        for pid, local in needed:
+            c = (F.col("__pid") == pid) & (F.col("__rn") == local)
+            cond = c if cond is None else cond | c
+        picked = {
+            (r["__pid"], r["__rn"]): r["__v"]
+            for r in vals.filter(F.col("__pid").isin(pids))
             .withColumn("__rn", F.row_number().over(w) - 1)
-            .filter(
-                ((F.col("__pid") == lo_pid) & (F.col("__rn") == lo_local))
-                | ((F.col("__pid") == hi_pid) & (F.col("__rn") == hi_local))
-            )
-        )
-        # ranks are adjacent, so min = value@lo_rank, max = value@hi_rank
-        row = picks.agg(
-            F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
-        ).collect()[0]
-        lo_v, hi_v = row["__lo"], row["__hi"]
-        value = lo_v + (h - lo_rank) * (hi_v - lo_v)
-        return spark.range(1).select(F.lit(value).cast("double").alias(out_col))
+            .filter(cond)
+            .collect()
+        }
+        out = []
+        for p, (h, lo_rank, lo, hi) in zip(ps, coords):
+            lo_v, hi_v = picked[lo], picked[hi]
+            out.append((p, lo_v + (h - lo_rank) * (hi_v - lo_v)))
+        return out
     finally:
         vals.unpersist()

@@ -110,6 +110,7 @@ BNLJ_ALLOWED = {
     "cur03_perplexity_curation_funnel",  # 1-row vocab scalar via the
     # shared bigram-LM kernel (tx14's allowlisted broadcast, composed)
     "ar01_brand_association_rules",  # 1-row broadcast order-total scalar
+    "ap01_approx_quantile_calibration",  # 5-row approx panel + 1-row total
 }
 
 
@@ -285,6 +286,7 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "n_cand", "hits",  # per-qid counts over the fixed query panel (es11)
     "idcg", "dcg",  # per-qid gain sums over the fixed query panel (ev01)
     "lr",          # DSIR log-ratio table — <= DSIR_BUCKETS rows (ir01)
+    "approx_panel",  # 5-row percentile_approx panel (ap01)
     "stats",       # 1-row (N, avgdl) corpus scalars (bm01)
     "idf",         # ≤4-row query-term idf table (bm01)
     "n_edges", "tri",  # 1-row graph-census scalars (tc01)

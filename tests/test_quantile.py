@@ -71,3 +71,41 @@ def test_rejects_bad_p(spark):
     df = spark.createDataFrame([(1.0,)], ["amount"])
     with pytest.raises(ValueError):
         exact_percentile_cont(df, "amount", 1.5)
+
+
+def test_multi_percentiles_match_numpy_and_single(spark):
+    """exact_percentiles_cont amortizes one selection pass across the
+    probability list; every value must equal numpy's linear
+    interpolation AND the single-p operator bit-for-bit."""
+    import numpy as np
+
+    from local_etl_csv_to_postgresql_spark.operators.quantile import (
+        exact_percentiles_cont,
+    )
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(100.0, 25.0, size=501).round(2)
+    df = spark.createDataFrame([(float(v),) for v in data], ["amount"])
+    ps = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = exact_percentiles_cont(df, "amount", ps, partitions=8)
+    assert [p for p, _ in got] == ps
+    for p, v in got:
+        assert v == pytest.approx(float(np.percentile(data, 100 * p)), abs=1e-9)
+        single = exact_percentile_cont(df, "amount", p, partitions=8)
+        assert v == single.collect()[0]["percentile"]
+
+
+def test_multi_percentiles_empty_and_dupes(spark):
+    from local_etl_csv_to_postgresql_spark.operators.quantile import (
+        exact_percentiles_cont,
+    )
+
+    empty = spark.createDataFrame([], "amount double")
+    assert exact_percentiles_cont(empty, "amount", [0.5, 0.9]) == [
+        (0.5, None),
+        (0.9, None),
+    ]
+    # heavy ties: all quantiles collapse to the single value
+    df = spark.createDataFrame([(5.0,)] * 40, ["amount"])
+    for _, v in exact_percentiles_cont(df, "amount", [0.1, 0.5, 0.9]):
+        assert v == 5.0

@@ -1446,3 +1446,89 @@ def test_pat01_python_replay(spark):
         assert r["n_purchases"] == n
         assert r["n_shadowed"] == ns
         assert 0.0 <= r["shadowed_share"] <= 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dt01_python_calendar_replay(spark):
+    """Every calendar feature replays from Python's calendar module:
+    month_end is the true last day, days_in_month matches
+    calendar.monthrange, quarter/ISO week/ISO weekday match
+    date.isocalendar and the (month-1)//3+1 rule, and the monthly
+    order counts tile the orders table."""
+    import calendar as pycal
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["dt01_calendar_features"](spark, SF).collect()
+    assert rows
+    n_total = 0
+    for r in rows:
+        m = r["month"]
+        n_total += r["n_orders"]
+        dim = pycal.monthrange(m.year, m.month)[1]
+        assert r["days_in_month"] == dim
+        assert r["month_end"].year == m.year
+        assert r["month_end"].month == m.month
+        assert r["month_end"].day == dim
+        assert r["quarter"] == (m.month - 1) // 3 + 1
+        iso = m.date().isocalendar()
+        assert r["iso_week_start"] == iso[1]
+        assert r["iso_dow_start"] == iso[2]
+    assert n_total == load(spark, SF, "orders").count()
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ap01_bounds_and_numpy_parity(spark):
+    """All five quantiles sit inside the published rank bound, and the
+    exact values match numpy's linear-interpolation percentile to the
+    rounding tolerance."""
+    import numpy as np
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["ap01_approx_quantile_calibration"](spark, SF).collect()
+    assert [r["p"] for r in rows] == [0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = np.array(
+        [
+            r["o_totalprice"]
+            for r in load(spark, SF, "orders").select("o_totalprice").collect()
+        ],
+        dtype="float64",
+    )
+    for r in rows:
+        assert r["within_bound"] is True
+        want = float(np.percentile(vals, 100 * r["p"]))
+        assert abs(r["exact_value"] - want) < 1e-3
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dd22_lift_theorem_and_replay(spark):
+    """Normalization only merges hash classes: norm_dup_docs >=
+    raw_dup_docs on every source (lift_share >= 0), and both censuses
+    replay exactly from Python's re module over the raw text."""
+    import re
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["dd22_normalization_lift"](spark, SF).collect()
+    assert rows
+    docs = load(spark, SF, "documents").select("source", "text").collect()
+    per: dict = {}
+    for d in docs:
+        raw, norm_set, n = per.setdefault(d["source"], (set(), set(), [0]))
+        raw.add(d["text"])
+        norm_set.add(
+            re.sub(r"[^a-z0-9]+", " ", d["text"].lower()).strip()
+        )
+        n[0] += 1
+    assert len(rows) == len(per)
+    for r in rows:
+        raw, norm_set, n = per[r["source"]]
+        assert r["n_docs"] == n[0]
+        assert r["raw_dup_docs"] == n[0] - len(raw)
+        assert r["norm_dup_docs"] == n[0] - len(norm_set)
+        assert r["norm_dup_docs"] >= r["raw_dup_docs"]
+        assert r["lift_share"] >= 0.0
