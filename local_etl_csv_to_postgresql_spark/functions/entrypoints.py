@@ -20834,3 +20834,271 @@ GROUP BY source ORDER BY source
 
 ROUND7_STAGED_QUERIES["dd22_normalization_lift"] = dd22_normalization_lift
 ROUND7_STAGED_ORACLE["dd22_normalization_lift"] = _DD22_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staged wave 68: cohort LTV curve, RFM segmentation,
+# brand-concentration HHI.
+# ---------------------------------------------------------------------------
+
+
+def ltv01_cohort_revenue_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by first-event
+    week, purchase revenue accumulated by week offset — the
+    revenue-weighted complement of ret01's retention counts (retention
+    says WHO came back; this says what their return was worth, the
+    curve every payback-period decision reads).
+
+    Scale: first-event week is one partial-aggregable min per user;
+    the cohort join is co-keyed on user_id (both sides fact-sized,
+    one shuffle each, AQE-coalesced); the curve aggregate is bounded
+    by weeks² regardless of corpus size, and the cumulative column
+    windows over THAT bounded frame, never the raw events. Revenue
+    stays exact DECIMAL until the rounded outputs; week offsets are
+    exact integer day arithmetic (never float division)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("__cw")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__u"),
+        F.date_trunc("week", F.col("ts")).alias("__ew"),
+        F.col("value").cast("decimal(18,2)").alias("__val"),
+    )
+    joined = purchases.join(
+        first, purchases["__u"] == first["user_id"]
+    ).select(
+        F.col("__cw").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.to_date("__ew"), F.to_date("__cw")) / F.lit(7)
+        )
+        .cast("int")
+        .alias("week_offset"),
+        "__u",
+        "__val",
+    )
+    curve = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("__u").cast("bigint").alias("n_buyers"),
+        F.sum("__val").cast("decimal(38,2)").alias("__rev"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return curve.select(
+        "cohort_week",
+        "week_offset",
+        "n_buyers",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.sum("__rev").over(w).cast("double"), 2
+        ).alias("cum_revenue"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+_LTV01_ORACLE = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  FROM events GROUP BY user_id
+), purchases AS (
+  SELECT user_id, date_trunc('week', ts) AS ew,
+         CAST(value AS DECIMAL(18,2)) AS val
+  FROM events WHERE event_type = 'purchase'
+), joined AS (
+  SELECT f.cw AS cohort_week,
+         CAST(FLOOR(date_diff('day', CAST(f.cw AS DATE),
+                             CAST(p.ew AS DATE)) / 7)
+              AS INTEGER) AS week_offset,
+         p.user_id, p.val
+  FROM purchases p JOIN first f ON p.user_id = f.user_id
+), curve AS (
+  SELECT cohort_week, week_offset,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+         CAST(SUM(val) AS DECIMAL(38,2)) AS rev
+  FROM joined GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_buyers,
+       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(SUM(rev) OVER (PARTITION BY cohort_week
+                                 ORDER BY week_offset
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+         AS cum_revenue
+FROM curve
+ORDER BY cohort_week, week_offset
+"""
+
+ROUND7_STAGED_QUERIES["ltv01_cohort_revenue_curve"] = (
+    ltv01_cohort_revenue_curve
+)
+ROUND7_STAGED_ORACLE["ltv01_cohort_revenue_curve"] = _LTV01_ORACLE
+
+
+def rfm01_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation census — recency / frequency / monetary
+    quintiles per customer, the classic CRM partitioning (and, on a
+    training corpus, the freshness / volume / quality-mass cube for
+    source curation). Each dimension ranks the ENTITY-sized customer
+    frame through the distributed two-phase ranker + the exact NTILE
+    formula (q26's discipline, three times over), so no dimension
+    ever funnels the frame through one window task; the census is
+    bounded by 5³ cells.
+
+    Quintile orientation: R=1 is MOST RECENT (rank by last order date
+    descending), F=1 highest order count, M=1 highest revenue — ties
+    broken by custkey ascending, mirrored in the oracle's NTILE
+    ORDER BY."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+        exact_ntile,
+    )
+
+    orders = load(spark, sf, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("__freq"),
+        F.sum(dec("o_totalprice")).cast("double").alias("__rev"),
+    )
+
+    def quintile(order_cols, out):
+        ranked = attach_global_row_number(
+            per,
+            order_by=order_cols,
+            rn_col="__rn",
+            total_col="__n",
+        )
+        return ranked.select(
+            F.col("o_custkey").alias(f"__k_{out}"),
+            exact_ntile(F.col("__rn"), F.col("__n"), 5).alias(out),
+        )
+
+    r = quintile([F.desc("__last"), F.asc("o_custkey")], "r")
+    f = quintile([F.desc("__freq"), F.asc("o_custkey")], "f")
+    m = quintile([F.desc("__rev"), F.asc("o_custkey")], "m")
+    cube = (
+        per.join(r, per["o_custkey"] == r["__k_r"])
+        .join(f, per["o_custkey"] == f["__k_f"])
+        .join(m, per["o_custkey"] == m["__k_m"])
+    )
+    return (
+        cube.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum(F.col("__rev").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("segment_revenue"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+_RFM01_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, rev,
+         NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+         NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f,
+         NTILE(5) OVER (ORDER BY rev DESC, o_custkey) AS m
+  FROM per
+)
+SELECT r, f, m,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS segment_revenue
+FROM scored
+GROUP BY r, f, m
+ORDER BY r, f, m
+"""
+
+ROUND7_STAGED_QUERIES["rfm01_rfm_segmentation"] = rfm01_rfm_segmentation
+ROUND7_STAGED_ORACLE["rfm01_rfm_segmentation"] = _RFM01_ORACLE
+
+
+def hhi01_brand_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Herfindahl-Hirschman brand-concentration index per market
+    segment — the antitrust/market-structure statistic (Σ sᵢ² over
+    brand revenue shares sᵢ, in the conventional 0–10000 points
+    scale), the GROUP-share complement of gini01's individual-level
+    inequality (a segment can have an equal customer base yet a
+    monopolized brand mix, and vice versa). Also the source-mix
+    concentration check for a training corpus at the supplier level.
+
+    Scale: lineitem ⋈ part and the revenue rollup are co-keyed
+    partial-aggregable shuffles; the orders join brings the segment
+    key through the customer dimension (entity-sized, never
+    broadcast); the share/HHI arithmetic runs over the bounded
+    (segment × brand) frame — exact DECIMAL revenue, shares divided
+    once, squares summed per segment with the window totals taken
+    over the AGGREGATED frame."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", dec("l_extendedprice").alias("__amt")
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    seg_brand = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("p_brand").alias("__brand"),
+        )
+        .agg(F.sum("__amt").cast("decimal(38,2)").alias("__rev"))
+    )
+    w = Window.partitionBy("mktsegment")
+    share = F.col("__rev").cast("double") / F.sum("__rev").over(w).cast(
+        "double"
+    )
+    scored = seg_brand.select(
+        "mktsegment",
+        "__brand",
+        share.alias("__s"),
+    )
+    return (
+        scored.groupBy("mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+            F.round(
+                F.sum(F.col("__s") * F.col("__s")) * F.lit(10000.0), 2
+            ).alias("hhi"),
+            F.round(F.max("__s"), 6).alias("top_brand_share"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_HHI01_ORACLE = """
+WITH seg_brand AS (
+  SELECT c.c_mktsegment AS mktsegment, p.p_brand AS brand,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(38,2)) AS rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), scored AS (
+  SELECT mktsegment,
+         CAST(rev AS DOUBLE)
+           / CAST(SUM(rev) OVER (PARTITION BY mktsegment) AS DOUBLE) AS s
+  FROM seg_brand
+)
+SELECT mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_brands,
+       ROUND(SUM(s * s) * 10000.0, 2) AS hhi,
+       ROUND(MAX(s), 6) AS top_brand_share
+FROM scored
+GROUP BY mktsegment ORDER BY mktsegment
+"""
+
+ROUND7_STAGED_QUERIES["hhi01_brand_concentration"] = hhi01_brand_concentration
+ROUND7_STAGED_ORACLE["hhi01_brand_concentration"] = _HHI01_ORACLE

@@ -1532,3 +1532,132 @@ def test_dd22_lift_theorem_and_replay(spark):
         assert r["norm_dup_docs"] == n[0] - len(norm_set)
         assert r["norm_dup_docs"] >= r["raw_dup_docs"]
         assert r["lift_share"] >= 0.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ltv01_python_replay(spark):
+    """Replay the cohort curve in pure Python: per-(cohort, offset)
+    buyer counts and revenue match to the cent, the cumulative column
+    is the running sum of the revenue column, and offsets are
+    non-negative (a purchase can't precede its user's first event)."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["ltv01_cohort_revenue_curve"](spark, SF).collect()
+    assert rows
+    ev = (
+        load(spark, SF, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    first: dict = {}
+    for e in ev:
+        if e["user_id"] not in first or e["ts"] < first[e["user_id"]]:
+            first[e["user_id"]] = e["ts"]
+
+    def week_floor(ts):
+        import datetime
+
+        d = ts.date()
+        monday = d - datetime.timedelta(days=d.weekday())
+        return monday
+
+    curve: dict = {}
+    ev2 = load(spark, SF, "events").select(
+        "user_id", "event_type", "ts", "value"
+    ).collect()
+    for e in ev2:
+        if e["event_type"] != "purchase":
+            continue
+        cw = week_floor(first[e["user_id"]])
+        off = (week_floor(e["ts"]) - cw).days // 7
+        assert off >= 0
+        buyers, rev = curve.setdefault((cw, off), (set(), [0.0]))
+        buyers.add(e["user_id"])
+        rev[0] += round(e["value"], 2)
+    assert len(rows) == len(curve)
+    running: dict = {}
+    for r in rows:
+        key = (r["cohort_week"].date(), r["week_offset"])
+        buyers, rev = curve[key]
+        assert r["n_buyers"] == len(buyers)
+        assert abs(r["revenue"] - rev[0]) < 0.05
+        running[key[0]] = running.get(key[0], 0.0) + r["revenue"]
+        assert abs(r["cum_revenue"] - running[key[0]]) < 0.05
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_rfm01_census_properties(spark):
+    """The RFM census partitions the customer base: cell counts sum to
+    the number of customers with orders, every quintile code is in
+    1..5, each single-dimension marginal is balanced (sizes differ by
+    at most 1 — the NTILE contract), and segment revenue sums to total
+    revenue."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import dec, load
+
+    rows = QUERIES["rfm01_rfm_segmentation"](spark, SF).collect()
+    orders = load(spark, SF, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for dim in ("r", "f", "m"):
+        marg: dict = {}
+        for r in rows:
+            marg[r[dim]] = marg.get(r[dim], 0) + r["n_customers"]
+        assert set(marg) == {1, 2, 3, 4, 5}
+        assert max(marg.values()) - min(marg.values()) <= 1
+    total = orders.agg(
+        F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias("t")
+    ).collect()[0]["t"]
+    assert abs(sum(r["segment_revenue"] for r in rows) - total) < 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_hhi01_bounds_and_replay(spark):
+    """HHI invariants: 10000/n_brands <= hhi <= 10000 (equality on
+    the left iff shares are uniform, on the right iff monopoly),
+    top_brand_share^2 * 10000 <= hhi, and a pure-Python replay from
+    the four-table join reproduces the index to rounding."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["hhi01_brand_concentration"](spark, SF).collect()
+    assert rows
+    li = load(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    ).collect()
+    brand = {
+        p["p_partkey"]: p["p_brand"]
+        for p in load(spark, SF, "part").collect()
+    }
+    cust_of_order = {
+        o["o_orderkey"]: o["o_custkey"]
+        for o in load(spark, SF, "orders").collect()
+    }
+    seg_of_cust = {
+        c["c_custkey"]: c["c_mktsegment"]
+        for c in load(spark, SF, "customer").collect()
+    }
+    agg: dict = {}
+    for x in li:
+        seg = seg_of_cust[cust_of_order[x["l_orderkey"]]]
+        b = brand[x["l_partkey"]]
+        agg[(seg, b)] = agg.get((seg, b), 0.0) + round(
+            x["l_extendedprice"], 2
+        )
+    for r in rows:
+        seg = r["mktsegment"]
+        revs = [v for (s, _), v in agg.items() if s == seg]
+        assert r["n_brands"] == len(revs)
+        tot = sum(revs)
+        hhi = sum((v / tot) ** 2 for v in revs) * 10000.0
+        assert abs(r["hhi"] - hhi) < 0.5
+        assert 10000.0 / r["n_brands"] - 0.5 <= r["hhi"] <= 10000.0
+        assert r["top_brand_share"] ** 2 * 10000.0 <= r["hhi"] + 0.5
+        assert abs(r["top_brand_share"] - max(revs) / tot) < 1e-4
