@@ -1777,3 +1777,27 @@ def test_ses01_tied_timestamps_share_a_session(spark, mini_sf):
     assert rows["2-3"]["n_events"] == 8
     assert rows["1"]["n_sessions"] == 2
     assert rows["1"]["n_events"] == 2
+
+
+def test_every_staged_query_has_an_invariant_test():
+    """Discipline lock: the staging contract is oracle certification
+    (test_staged_round7's sweep) + a recorded sf0.1 wall (also pinned
+    there) + at least one SEMANTIC invariant test. The first two are
+    already structural; this pins the third — a staged query whose
+    full name never appears in any staged-round test file has no
+    invariant coverage and fails here instead of slipping through a
+    promotion."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = ""
+    for f in (
+        "test_staged_round7.py",
+        "test_staged_round8.py",
+        "test_staged_round9.py",
+        "test_staged_round10.py",
+    ):
+        with open(os.path.join(here, f)) as fh:
+            src += fh.read()
+    missing = [n for n in ROUND7_STAGED_QUERIES if n not in src]
+    assert missing == [], (
+        "staged queries with no invariant test mention: " f"{missing}"
+    )
