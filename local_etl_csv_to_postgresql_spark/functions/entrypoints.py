@@ -20843,91 +20843,95 @@ ROUND7_STAGED_ORACLE["dd22_normalization_lift"] = _DD22_ORACLE
 
 
 def ltv01_cohort_revenue_curve(spark: SparkSession, sf: str) -> DataFrame:
-    """Cohort lifetime-value curve: users cohorted by first-event
-    week, purchase revenue accumulated by week offset — the
+    """Cohort lifetime-value curve: users cohorted by first-event DAY,
+    purchase revenue accumulated by week-of-life offset — the
     revenue-weighted complement of ret01's retention counts (retention
     says WHO came back; this says what their return was worth, the
-    curve every payback-period decision reads).
+    curve every payback-period decision reads). Day-grain cohorts
+    (ret02's convention) keep the curve informative on any corpus
+    whose acquisition happens inside one calendar week.
 
-    Scale: first-event week is one partial-aggregable min per user;
+    Scale: first-event day is one partial-aggregable min per user;
     the cohort join is co-keyed on user_id (both sides fact-sized,
     one shuffle each, AQE-coalesced); the curve aggregate is bounded
-    by weeks² regardless of corpus size, and the cumulative column
-    windows over THAT bounded frame, never the raw events. Revenue
-    stays exact DECIMAL until the rounded outputs; week offsets are
-    exact integer day arithmetic (never float division)."""
+    by days × weeks regardless of corpus size, and the cumulative
+    column windows over THAT bounded frame, never the raw events.
+    Revenue stays exact DECIMAL until the rounded outputs; week
+    offsets are exact integer day arithmetic under FLOOR (a bare /7
+    CAST forks the engines — DuckDB rounds half-even, Spark
+    truncates)."""
     from pyspark.sql import Window
 
     ev = load(spark, sf, "events")
     first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("__cw")
+        F.date_trunc("day", F.min("ts")).alias("__cd")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("__u"),
-        F.date_trunc("week", F.col("ts")).alias("__ew"),
+        F.date_trunc("day", F.col("ts")).alias("__ed"),
         F.col("value").cast("decimal(18,2)").alias("__val"),
     )
     joined = purchases.join(
         first, purchases["__u"] == first["user_id"]
     ).select(
-        F.col("__cw").alias("cohort_week"),
+        F.col("__cd").alias("cohort_day"),
         F.floor(
-            F.datediff(F.to_date("__ew"), F.to_date("__cw")) / F.lit(7)
+            F.datediff(F.to_date("__ed"), F.to_date("__cd")) / F.lit(7)
         )
         .cast("int")
         .alias("week_offset"),
         "__u",
         "__val",
     )
-    curve = joined.groupBy("cohort_week", "week_offset").agg(
+    curve = joined.groupBy("cohort_day", "week_offset").agg(
         F.countDistinct("__u").cast("bigint").alias("n_buyers"),
         F.sum("__val").cast("decimal(38,2)").alias("__rev"),
     )
     w = (
-        Window.partitionBy("cohort_week")
+        Window.partitionBy("cohort_day")
         .orderBy("week_offset")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return curve.select(
-        "cohort_week",
+        "cohort_day",
         "week_offset",
         "n_buyers",
         F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
         F.round(
             F.sum("__rev").over(w).cast("double"), 2
         ).alias("cum_revenue"),
-    ).orderBy("cohort_week", "week_offset")
+    ).orderBy("cohort_day", "week_offset")
 
 
 _LTV01_ORACLE = """
 WITH first AS (
-  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cd
   FROM events GROUP BY user_id
 ), purchases AS (
-  SELECT user_id, date_trunc('week', ts) AS ew,
+  SELECT user_id, date_trunc('day', ts) AS ed,
          CAST(value AS DECIMAL(18,2)) AS val
   FROM events WHERE event_type = 'purchase'
 ), joined AS (
-  SELECT f.cw AS cohort_week,
-         CAST(FLOOR(date_diff('day', CAST(f.cw AS DATE),
-                             CAST(p.ew AS DATE)) / 7)
+  SELECT f.cd AS cohort_day,
+         CAST(FLOOR(date_diff('day', CAST(f.cd AS DATE),
+                             CAST(p.ed AS DATE)) / 7)
               AS INTEGER) AS week_offset,
          p.user_id, p.val
   FROM purchases p JOIN first f ON p.user_id = f.user_id
 ), curve AS (
-  SELECT cohort_week, week_offset,
+  SELECT cohort_day, week_offset,
          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
          CAST(SUM(val) AS DECIMAL(38,2)) AS rev
   FROM joined GROUP BY 1, 2
 )
-SELECT cohort_week, week_offset, n_buyers,
+SELECT cohort_day, week_offset, n_buyers,
        ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
-       ROUND(CAST(SUM(rev) OVER (PARTITION BY cohort_week
+       ROUND(CAST(SUM(rev) OVER (PARTITION BY cohort_day
                                  ORDER BY week_offset
                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
          AS cum_revenue
 FROM curve
-ORDER BY cohort_week, week_offset
+ORDER BY cohort_day, week_offset
 """
 
 ROUND7_STAGED_QUERIES["ltv01_cohort_revenue_curve"] = (

@@ -1557,13 +1557,6 @@ def test_ltv01_python_replay(spark):
         if e["user_id"] not in first or e["ts"] < first[e["user_id"]]:
             first[e["user_id"]] = e["ts"]
 
-    def week_floor(ts):
-        import datetime
-
-        d = ts.date()
-        monday = d - datetime.timedelta(days=d.weekday())
-        return monday
-
     curve: dict = {}
     ev2 = load(spark, SF, "events").select(
         "user_id", "event_type", "ts", "value"
@@ -1571,16 +1564,16 @@ def test_ltv01_python_replay(spark):
     for e in ev2:
         if e["event_type"] != "purchase":
             continue
-        cw = week_floor(first[e["user_id"]])
-        off = (week_floor(e["ts"]) - cw).days // 7
+        cd = first[e["user_id"]].date()
+        off = (e["ts"].date() - cd).days // 7
         assert off >= 0
-        buyers, rev = curve.setdefault((cw, off), (set(), [0.0]))
+        buyers, rev = curve.setdefault((cd, off), (set(), [0.0]))
         buyers.add(e["user_id"])
         rev[0] += round(e["value"], 2)
     assert len(rows) == len(curve)
     running: dict = {}
     for r in rows:
-        key = (r["cohort_week"].date(), r["week_offset"])
+        key = (r["cohort_day"].date(), r["week_offset"])
         buyers, rev = curve[key]
         assert r["n_buyers"] == len(buyers)
         assert abs(r["revenue"] - rev[0]) < 0.05
