@@ -8,6 +8,9 @@ twin of each query (see plans/oracle.py for the determinism rules).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,80 +69,103 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness run certifies exactly the FIRST 50 entries of
-# this dict (confirmed eight rounds straight). Certifications persist
+# queries() (confirmed nine rounds straight). Certifications persist
 # across rounds, so the window is filled in this order: (1) any query
 # whose last driver row FAILED, (2) queries that have NEVER been
 # certified (a stale-but-green old row beats no row at all, so
 # never-certified outranks refresh), (3) the queries whose last green
-# row is oldest. Round-9 window (the r8 verdict's tasks 1+2, verbatim):
-# the 21 round-9 promotions (functions/entrypoints.py ROUND9_PROMOTED —
-# all never driver-certified, in the verdict's order: es16's
-# exactness-under-pruning certification first, then st16/dd18/es17, then
-# waves 43–51), followed by the 28 r4-era green rows (retiring the r4
-# era completely) and the single oldest r5-era row (aj01). hll01 stays
-# rows-only by design (hll02/lc01 are its hash-certified deterministic
-# siblings — see its docstring).
-_CERTIFICATION_PRIORITY: list[str] = [
-    # -- 21 round-9 promotions, never driver-certified ---------------
-    "es16_bound_pruned_search",
-    "st16_streaming_binned_quantiles",
-    "dd18_minhash_k_sweep",
-    "es17_ivf_nprobe_sweep",
-    "mk01_event_markov_transitions",
-    "kl01_source_unigram_kl",
-    "nv01_ngram_novelty",
-    "wz01_winsorized_value_stats",
-    "qf04_gopher_quality_rules",
-    "gr04_event_type_copresence",
-    "tx21_kneser_ney_bigrams",
-    "lb01_label_confusion_audit",
-    "mmd01_label_mmd_audit",
-    "gr05_adamic_adar_links",
-    "tk01_token_fertility",
-    "tx22_word_burstiness",
-    "imb02_effective_number_weights",
-    "mm08_aspect_bucket_packing",
-    "sv01_conversion_survival_curve",
-    "tx23_pmi_collocations",
-    "ct04_contamination_ngram_sensitivity",
-    # -- 28 refresh slots: the last r4-era green rows (era retired) ---
-    "aj02_asof_next_purchase",
-    "cs01_chi_square_mix",
-    "cur01_curation_funnel",
-    "dd09_containment_pairs",
-    "dd10_minhash_calibration",
-    "es09_dimension_stats",
-    "es10_label_silhouette",
-    "es11_ann_recall",
-    "gr01_candidate_degree_profile",
-    "hq01_histogram_quantiles",
-    "ia01_interarrival_stats",
-    "ks01_value_drift",
-    "lc01_linear_counting",
-    "len01_length_histogram",
-    "mm05_multimodal_packing",
-    "pk02_packing_export",
-    "prof02_events_profile",
-    "psi01_value_stability",
-    "rw01_rolling_user_rate",
-    "sk01_key_skew_audit",
-    "sp02_mixture_resample",
-    "src01_source_divergence",
-    "tx10_vocab_coverage",
-    "uf01_url_filter",
-    "win01_gapfill_rollup",
-    "win02_locf_fill",
-    "wm01_token_mass_median",
-    "zipf01_rank_decades",
-    # -- 1 slot: the oldest r5-era row (the r5 rotation begins) -------
-    "aj01_asof_prior_click",
-]
+# row is oldest. Since round 10 the ordering is EXECUTABLE, not
+# hand-curated (r9 verdict task 1): queries() recomputes it from the
+# checked-in CORRECTNESS_r*.json records at call time, so a driver
+# record that lands after the builder's last commit can never leave the
+# committed window stale. The only judgment input is the bucket-2
+# promotion order, which lives next to the promotions themselves
+# (functions/entrypoints.ROUND10_PROMOTED — the r9 verdict's sequence:
+# cur03 first, warehouse layout, dedup audits, streaming sketches, the
+# business-analytics wave, then wave order). hll01 stays rows-only by
+# design (hll02/lc01 are its hash-certified deterministic siblings) and
+# sits outside the rotation entirely.
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _promotion_order() -> list[str]:
+    """Bucket-2 judgment order: the current round's promotion list.
+    Never-certified names absent from it fall back to name order."""
+    try:
+        from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+            ROUND10_PROMOTED,
+        )
+
+        return list(ROUND10_PROMOTED)
+    except ImportError:
+        return []
+
+
+def _driver_history() -> tuple[dict[str, int], dict[str, int]]:
+    """(last_green_round, last_failed_round) per query name, read from
+    every CORRECTNESS_r*.json the driver has produced. A green row is
+    rows+schema green with hash green-or-absent (rows-only checks)."""
+    last_green: dict[str, int] = {}
+    last_failed: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+            )
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+            else:
+                last_failed[name] = max(last_failed.get(name, 0), rnd)
+    return last_green, last_failed
+
+
+def _window_order(live: list[str], oracle_backed: set) -> list[str]:
+    """The rotation policy as code: the full certification-priority
+    ordering of the oracle-backed live registry. Bucket 1 = last driver
+    row failed (name asc); bucket 2 = never driver-certified, in the
+    promotion order then name asc; bucket 3 = oldest last-green round
+    first, name asc within a round. scripts/refresh_queue.py reports
+    the same buckets; tests/test_entry.py pins the two views together."""
+    last_green, last_failed = _driver_history()
+    rotatable = [n for n in live if n in oracle_backed]
+    failed = sorted(
+        n for n in rotatable
+        if n in last_failed and last_failed[n] >= last_green.get(n, -1)
+    )
+    promo_rank = {n: i for i, n in enumerate(_promotion_order())}
+    never = sorted(
+        (n for n in rotatable if n not in last_green and n not in failed),
+        key=lambda n: (promo_rank.get(n, len(promo_rank)), n),
+    )
+    refresh = sorted(
+        (n for n in rotatable if n in last_green and n not in failed),
+        key=lambda n: (last_green[n], n),
+    )
+    return failed + never + refresh
 
 
 def _ordered(full: dict) -> dict:
-    head = {k: full[k] for k in _CERTIFICATION_PRIORITY if k in full}
+    prio = _window_order(list(full), set(oracle_sql()))
+    head = {k: full[k] for k in prio if k in full}
     tail = {k: v for k, v in full.items() if k not in head}
     return {**head, **tail}
+
+
+def __getattr__(name: str):
+    # _CERTIFICATION_PRIORITY is derived, not hand-curated: the first 50
+    # entries of the policy-ordered registry (the driver's window).
+    if name == "_CERTIFICATION_PRIORITY":
+        return list(queries())[:50]
+    raise AttributeError(name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -77,6 +77,11 @@ def exact_percentiles_cont(
     for p in ps:
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"percentile must be in [0, 1], got {p}")
+    if not ps:
+        # short-circuit before any Spark work: an empty probability
+        # list would otherwise pay the range shuffle and bucket-count
+        # job only to crash on .filter(None) in the selection pass
+        return []
     spark = df.sparkSession
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

@@ -1,30 +1,31 @@
-"""Compute the next certification window from the driver's
-CORRECTNESS_r*.json history — the rotation policy as code instead of
-hand-curation (round-9 follow-through on the r8 verdict's window rules).
+"""Report the certification-window rotation buckets.
 
-Policy (documented on ``__spark_entry__._CERTIFICATION_PRIORITY`` since
-round 6, now executable): the driver certifies the FIRST 50 entries of
-``queries()``, so the window is filled in this order:
+Since round 10 the policy itself is EXECUTABLE inside
+``__spark_entry__`` (``_driver_history`` / ``_window_order``): the
+driver certifies the FIRST 50 entries of ``queries()``, and ``queries()``
+recomputes its ordering from the checked-in ``CORRECTNESS_r*.json``
+records at call time —
 
 1. any live query whose most recent driver row FAILED;
 2. queries that have NEVER been driver-certified (promotions — a stale
-   green row beats no row at all), in the caller-chosen priority order;
+   green row beats no row at all), in the promotion order declared next
+   to the promotions (``functions/entrypoints.ROUND10_PROMOTED``);
 3. the remaining slots by OLDEST last-green round, name-ascending
    within a round.
+
+This script is the human-readable view of those buckets.
 
 Run:  python scripts/refresh_queue.py            # print the computed queue
       python scripts/refresh_queue.py --refresh-only   # only bucket 3
 
-The promotion order inside bucket 2 is a judgment call (the verdict
-names it each round), so this script reports bucket membership and the
-bucket-3 ordering; ``tests/test_entry.py::test_window_refresh_slots_are_oldest_first``
-pins the committed window's refresh tail against bucket 3.
+``tests/test_entry.py::test_window_refresh_slots_are_oldest_first`` pins
+the window's refresh tail against bucket 3, and
+``test_window_covers_all_never_certified_queries`` pins bucket 2 inside
+the window.
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import sys
 
@@ -35,32 +36,16 @@ WINDOW = 50
 
 
 def history() -> tuple[dict[str, int], dict[str, int]]:
-    """(last_green_round, last_failed_round) per query name, from every
-    CORRECTNESS_r*.json the driver has produced."""
-    last_green: dict[str, int] = {}
-    last_failed: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
-        with open(path) as fh:
-            rows = json.load(fh)
-        for name, row in rows.items():
-            ok = (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match") in (True, None)
-            )
-            if ok:
-                last_green[name] = max(last_green.get(name, 0), rnd)
-            else:
-                last_failed[name] = max(last_failed.get(name, 0), rnd)
-    return last_green, last_failed
+    """(last_green_round, last_failed_round) per query name — delegated
+    to the single executable policy in ``__spark_entry__``."""
+    import __spark_entry__ as ep
+
+    return ep._driver_history()
 
 
 def buckets() -> tuple[list[str], list[str], list[str]]:
-    """(failed, never_certified, refresh_queue) over the LIVE registry.
-    ``refresh_queue`` is fully ordered (oldest green round first, names
-    ascending within a round); the first two are name-ordered — their
-    in-window order is the caller's judgment."""
+    """(failed, never_certified, refresh_queue) over the LIVE registry,
+    each in its in-window order (the same ordering ``queries()`` uses)."""
     import __spark_entry__ as ep
 
     # rows-only-by-design queries (no oracle twin — hll01) can never
@@ -68,17 +53,13 @@ def buckets() -> tuple[list[str], list[str], list[str]]:
     oracles = set(ep.oracle_sql())
     live = [n for n in ep.queries() if n in oracles]
     last_green, last_failed = history()
-    failed = sorted(
-        n for n in live
+    ordered = ep._window_order(live, oracles)
+    failed = [
+        n for n in ordered
         if n in last_failed and last_failed[n] >= last_green.get(n, -1)
-    )
-    never = sorted(
-        n for n in live if n not in last_green and n not in failed
-    )
-    refresh = sorted(
-        (n for n in live if n in last_green and n not in failed),
-        key=lambda n: (last_green[n], n),
-    )
+    ]
+    never = [n for n in ordered if n not in last_green and n not in failed]
+    refresh = [n for n in ordered if n in last_green and n not in failed]
     return failed, never, refresh
 
 

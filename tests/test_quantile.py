@@ -105,6 +105,10 @@ def test_multi_percentiles_empty_and_dupes(spark):
         (0.5, None),
         (0.9, None),
     ]
+    # empty probability list short-circuits before any Spark work
+    # (no range shuffle, no opaque .filter(None) crash)
+    df_one = spark.createDataFrame([(1.0,)], ["amount"])
+    assert exact_percentiles_cont(df_one, "amount", []) == []
     # heavy ties: all quantiles collapse to the single value
     df = spark.createDataFrame([(5.0,)] * 40, ["amount"])
     for _, v in exact_percentiles_cont(df, "amount", [0.1, 0.5, 0.9]):

@@ -1375,12 +1375,11 @@ def test_dq04_bands_partition_orders(spark):
         .orderBy("l_orderkey").limit(50).collect()
     ]
     lines = li.filter(F.col("l_orderkey").isin(sample_keys)).collect()
-    hdr = {
-        o["o_orderkey"]: Decimal(str(round(o["o_totalprice"], 2)))
-        for o in orders.filter(
-            F.col("o_orderkey").isin(sample_keys)
-        ).collect()
-    }
+    hdr = {}
+    prio = {}
+    for o in orders.filter(F.col("o_orderkey").isin(sample_keys)).collect():
+        hdr[o["o_orderkey"]] = Decimal(str(round(o["o_totalprice"], 2)))
+        prio[o["o_orderkey"]] = o["o_orderpriority"]
     cent = Decimal("0.01")
     rec: dict = {}
     for x in lines:
@@ -1391,14 +1390,30 @@ def test_dq04_bands_partition_orders(spark):
         )
         rec[x["l_orderkey"]] = rec.get(x["l_orderkey"], Decimal(0)) + term
     assert rec
+    # aggregate the replayed sample per (priority, band) and pin it
+    # against the query's full-table rows: every replayed group must
+    # exist, with sample count / total / max bounded by the full
+    # group's (the sample is a subset and every deviation is >= 0)
+    sample_n: dict = {}
+    sample_tot: dict = {}
+    sample_max: dict = {}
     for k, v in rec.items():
         dev = abs(hdr[k] - v)
-        assert dev >= 0  # banding rule is well-defined on the replay
         band = (
             "exact" if dev <= cent
             else "cents_off" if dev <= 1 else "divergent"
         )
-        assert band in {"exact", "cents_off", "divergent"}
+        g = (prio[k], band)
+        sample_n[g] = sample_n.get(g, 0) + 1
+        sample_tot[g] = sample_tot.get(g, Decimal(0)) + dev
+        sample_max[g] = max(sample_max.get(g, Decimal(0)), dev)
+    full = {(r["o_orderpriority"], r["band"]): r for r in rows}
+    for g, n in sample_n.items():
+        assert g in full, f"replayed group {g} missing from query output"
+        assert n <= full[g]["n_orders"]
+        # query totals/maxes are rounded (2 dp / 6 dp) — allow that slack
+        assert float(sample_tot[g]) <= full[g]["total_abs_deviation"] + 0.01
+        assert float(sample_max[g]) <= full[g]["max_abs_deviation"] + 1e-6
 
 
 @needs_testdata
