@@ -21195,3 +21195,450 @@ for _name in ROUND10_PROMOTED:
     EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
     EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staging, wave 69: mix01 mixture-temperature sweep, tx25
+# lexical-diversity panel, gr08 degree-ordered triangle census, ss08
+# weighted sample (Efraimidis-Spirakis).
+# ---------------------------------------------------------------------------
+
+#: mix01's exponent grid: share ∝ tokens^α. α = 1 is natural sampling,
+#: α → 0 is uniform; the sweep brackets the flattening operating points
+#: a multi-corpus run debates (dm01 reports ONE temperature; this is
+#: the tuning table that picks it — the dd18/es17/cm02 sweep pattern).
+MIX01_ALPHAS = (0.25, 0.5, 0.75, 1.0)
+
+
+def mix01_temperature_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture-temperature tuning sweep: per exponent α, every source's
+    sampling share w_s ∝ tokens_s^α plus the mixture's effective source
+    count exp(H(w)) — the one-table answer to "how flat do we want the
+    domain mixture" (GPT-3/PaLM-style temperature sampling tunes exactly
+    this trade-off: α=1 lets head domains dominate, small α approaches
+    uniform and up-samples the tail). dm01 reports the single configured
+    temperature; this prices the grid so the choice is measured, not
+    guessed.
+
+    Scale: ONE fact-sized aggregate (per-source token mass, partial-
+    aggregable), then everything — the 4-row α grid cross join, the
+    pow, the per-α normalization, the entropy — lives on the
+    |sources|×|α| bounded table. Determinism (the en01 rule): pow runs
+    on exact BIGINT masses, shares are rounded once to 6 dp; each
+    entropy term share·ln(share) is rounded once to 10 dp and
+    DECIMAL-summed so no float addition order exists; exp is applied
+    to the exact sum and rounded once to 4 dp."""
+    docs = load(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(tx.token_count("text")).cast("bigint").alias("total_tokens")
+    )
+    alphas = spark.createDataFrame(
+        [(a,) for a in MIX01_ALPHAS], "alpha double"
+    )
+    weighted = per.crossJoin(F.broadcast(alphas)).withColumn(
+        "__pw", F.pow(F.col("total_tokens").cast("double"), F.col("alpha"))
+    )
+    tot = weighted.groupBy("alpha").agg(F.sum("__pw").alias("__tp"))
+    shares = weighted.join(F.broadcast(tot), "alpha").select(
+        "alpha",
+        "source",
+        "total_tokens",
+        F.round(F.col("__pw") / F.col("__tp"), 6).alias("share"),
+    )
+    eff = shares.groupBy("alpha").agg(
+        F.round(
+            F.exp(
+                -F.sum(
+                    F.round(
+                        F.when(
+                            F.col("share") > 0,
+                            F.col("share") * F.log("share"),
+                        ).otherwise(F.lit(0.0)),
+                        10,
+                    ).cast("decimal(20,10)")
+                ).cast("double")
+            ),
+            4,
+        ).alias("eff_sources")
+    )
+    return (
+        shares.join(F.broadcast(eff), "alpha")
+        .select("alpha", "source", "total_tokens", "share", "eff_sources")
+        .orderBy("alpha", "source")
+    )
+
+
+_MIX01_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+           AS total_tokens
+  FROM documents GROUP BY source
+), alphas AS (
+  SELECT unnest([{", ".join(f"CAST({a} AS DOUBLE)" for a in MIX01_ALPHAS)}])
+    AS alpha
+), w AS (
+  SELECT alpha, source, total_tokens,
+         pow(CAST(total_tokens AS DOUBLE), alpha) AS pw
+  FROM per CROSS JOIN alphas
+), tot AS (
+  SELECT alpha, SUM(pw) AS tp FROM w GROUP BY alpha
+), shares AS (
+  SELECT w.alpha, w.source, w.total_tokens,
+         ROUND(w.pw / t.tp, 6) AS share
+  FROM w JOIN tot t ON w.alpha = t.alpha
+), eff AS (
+  SELECT alpha,
+         ROUND(exp(-CAST(SUM(CAST(ROUND(
+             CASE WHEN share > 0 THEN share * ln(share) ELSE 0 END,
+             10) AS DECIMAL(20,10))) AS DOUBLE)), 4) AS eff_sources
+  FROM shares GROUP BY alpha
+)
+SELECT s.alpha, s.source, s.total_tokens, s.share, e.eff_sources
+FROM shares s JOIN eff e ON s.alpha = e.alpha
+ORDER BY s.alpha, s.source
+"""
+
+ROUND7_STAGED_QUERIES["mix01_temperature_sweep"] = mix01_temperature_sweep
+ROUND7_STAGED_ORACLE["mix01_temperature_sweep"] = _MIX01_ORACLE
+
+
+def tx25_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language lexical-diversity panel: type-token ratio, Guiraud's
+    root-TTR (types/√tokens — the length-corrected variant, since raw
+    TTR decays with corpus size), and the hapax-legomena share — the
+    classic vocabulary-richness signals a curation pipeline reads next
+    to the qf panels (template-generated or boilerplate-heavy text shows
+    abnormally LOW diversity; OCR noise and spam show abnormally HIGH
+    hapax share). Rides the tx10/en02 tokenization (lowercased
+    [a-z0-9]+ words).
+
+    Scale: one token explode into a (lang, word)-keyed count — partial-
+    aggregable, vocabulary-bounded output — then the diversity panel is
+    a |langs|-row rollup. No windows, no self-joins; sqrt/ratios are
+    computed once per bounded row from exact BIGINTs and rounded once
+    (IEEE sqrt is correctly rounded, so the 6 dp values cannot fork
+    between engines)."""
+    toks = _docs_words(spark, sf).select(
+        "lang", F.explode("__words").alias("__w")
+    )
+    vocab = toks.groupBy("lang", "__w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    return (
+        vocab.groupBy("lang")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum((F.col("__c") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 6
+            ).alias("ttr"),
+            F.round(
+                F.col("n_types").cast("double")
+                / F.sqrt(F.col("n_tokens").cast("double")),
+                6,
+            ).alias("guiraud"),
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_types"), 6
+            ).alias("hapax_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TX25_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest({_WORDS}) AS w FROM documents
+), vocab AS (
+  SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / sqrt(CAST(SUM(c) AS DOUBLE)), 6)
+         AS guiraud,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_share
+FROM vocab GROUP BY lang ORDER BY lang
+"""
+
+ROUND7_STAGED_QUERIES["tx25_lexical_diversity"] = tx25_lexical_diversity
+ROUND7_STAGED_ORACLE["tx25_lexical_diversity"] = _TX25_ORACLE
+
+
+def gr08_triangle_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree-ordered triangle census of the part co-purchase graph
+    (gr05's edge set: parts sharing >= GR05_MIN_CO_ORDERS distinct
+    orders): edge/wedge/triangle counts and the global clustering
+    coefficient — the one-row structural fingerprint that says whether
+    co-occurrence is CLIQUISH (bundles, boilerplate, template families)
+    or STAR-SHAPED (hub products), which is the first question asked of
+    any similarity/co-occurrence graph before mining it. Completes the
+    graph-kernel family: gr01/gr02 profile degrees, gr03/gr07 find
+    components, gr05 scores open wedges — this closes them.
+
+    Scale: the classic degree-ordered orientation (each undirected edge
+    points from its (degree, id)-SMALLER endpoint) bounds every node's
+    out-degree by O(sqrt(|E|)) on any graph, so the wedge self-join —
+    keyed on the wedge center, the tc01 shape — fans out
+    Σ outdeg² = O(|E|^1.5) worst-case TOTAL, independent of hub skew
+    (arboricity bound; the same reason gr05 needs an explicit hub cap
+    is handled here structurally, with zero dropped wedges). Each
+    triangle is counted exactly once: its (degree, id)-minimal vertex
+    is the only one with out-edges to both others. Everything is exact
+    integer until the final clustering ratio, rounded once to 6 dp.
+
+    Reference parity: the reference engine has no graph operators; this
+    extends the LLM-data-pipeline surface (SURVEY §2.10 extensions)."""
+    edges = _gr05_copurchase_edges(spark, sf).localCheckpoint()
+    und = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    # orient u -> v iff (deg(u), u) < (deg(v), v): a total order, so the
+    # oriented graph is acyclic and every node's out-degree is bounded
+    # by O(sqrt(|E|)) — the guard IS the orientation
+    dv = deg.select(F.col("u").alias("v"), F.col("dg").alias("__dgv"))
+    oriented = (
+        und.join(deg, "u")
+        .join(dv, "v")
+        .filter(
+            (F.col("dg") < F.col("__dgv"))
+            | ((F.col("dg") == F.col("__dgv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "dg", "__dgv")
+    )
+    # wedges at center u: unordered out-neighbor pairs, canonicalized by
+    # the SAME (deg, id) order so each candidate pair appears once and
+    # aligns with the oriented closing edge
+    lo = oriented.select("u", F.col("v").alias("x"), F.col("__dgv").alias("__dx"))
+    hi = oriented.select("u", F.col("v").alias("y"), F.col("__dgv").alias("__dy"))
+    wedges = (
+        lo.join(hi, "u")
+        .filter(
+            (F.col("__dx") < F.col("__dy"))
+            | ((F.col("__dx") == F.col("__dy")) & (F.col("x") < F.col("y")))
+        )
+        .select(F.col("x").alias("u"), F.col("y").alias("v"))
+    )
+    tri = wedges.join(oriented.select("u", "v"), ["u", "v"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum("dg") / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("dg") * (F.col("dg") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("global_clustering"),
+    )
+
+
+def _gr08_oracle_sql() -> str:
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), good AS (
+  SELECT a.pk AS id_a, b.pk AS id_b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {GR05_MIN_CO_ORDERS}
+), und AS (
+  SELECT id_a AS u, id_b AS v FROM good
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM good
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY u
+), oriented AS (
+  SELECT n.u, n.v, du.dg AS dgu, dv.dg AS dgv
+  FROM und n JOIN deg du ON du.u = n.u JOIN deg dv ON dv.u = n.v
+  WHERE (du.dg < dv.dg) OR (du.dg = dv.dg AND n.u < n.v)
+), wedges AS (
+  SELECT a.v AS u, b.v AS v
+  FROM oriented a JOIN oriented b ON a.u = b.u
+  WHERE (a.dgv < b.dgv) OR (a.dgv = b.dgv AND a.v < b.v)
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM wedges w JOIN oriented o ON o.u = w.u AND o.v = w.v
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(dg) / 2 AS BIGINT) AS n_edges,
+         CAST(SUM(dg * (dg - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
+       ROUND(3.0 * t.n_triangles / s.n_wedges, 6) AS global_clustering
+FROM stats s CROSS JOIN tri t
+"""
+
+
+ROUND7_STAGED_QUERIES["gr08_triangle_census"] = gr08_triangle_census
+ROUND7_STAGED_ORACLE["gr08_triangle_census"] = _gr08_oracle_sql()
+
+
+#: ss08's per-source sample size. Fixed-K like ss07's reservoir — the
+#: downstream consumer (an eval carve-out, a human-review queue) wants
+#: an exact budget per stratum.
+SS08_SAMPLE_K = 64
+
+#: 2^60 as an exact double divisor: hash60 values are < 2^60, so
+#: (h + 1) / 2^60 is a uniform deterministic u in (0, 1].
+SS08_U_DENOM = 1 << 60
+
+
+def ss08_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement per source —
+    Efraimidis–Spirakis A-ES (Inf. Process. Lett. 97(5), 2006): each doc
+    draws u from its 60-bit doc_id hash and ranks by u^(1/w) with
+    w = token mass, so selection probability is proportional to weight;
+    the top-K per stratum IS the weighted sample. This is THE
+    distributed weighted sampler: one pass, no sequential reservoir, no
+    RNG state — merge-friendly (the top-K of a union is the top-K of
+    the partial top-Ks) and reproducible across runs and engines, the
+    token-budget-aware cousin of ss07's uniform reservoir. The output
+    pins the per-source sample digests plus the sample-vs-population
+    mean token mass — the visible proof the sampler actually tilts
+    toward heavy documents.
+
+    Scale: hash/weight/key are row-local; ranking rides the two-phase
+    distributed ranker partitioned by source (never one window task per
+    stratum); the rollup is |sources|-bounded. Determinism: the rank
+    key ln(u)/w is the monotone log transform of u^(1/w) — computed
+    from the exact integer hash, ROUNDED ONCE to 12 dp before ranking
+    in both engines (so a last-ulp libm divergence cannot reorder), ties
+    broken by doc_id; weights are exact BIGINTs floored at 1 (a
+    zero-token doc must keep a nonzero draw — A-ES's w > 0 domain)."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+    )
+
+    docs = load(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.greatest(F.lit(1).cast("bigint"), tx.token_count("text")).alias(
+            "__w"
+        ),
+        dd.hash60(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    keyed = docs.withColumn(
+        "__key",
+        F.round(
+            F.log(
+                (F.col("__h") + 1).cast("double") / F.lit(float(SS08_U_DENOM))
+            )
+            / F.col("__w"),
+            12,
+        ),
+    )
+    ranked = attach_global_row_number(
+        keyed,
+        order_by=[F.desc("__key"), F.asc("doc_id")],
+        partition_by=["source"],
+        rn_col="__rn",
+        total_col="__n",
+    )
+    pop = keyed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg(F.col("__w").cast("double")), 4).alias(
+            "avg_pop_tokens"
+        ),
+    )
+    samp = (
+        ranked.filter(F.col("__rn") <= SS08_SAMPLE_K)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sample_size"),
+            F.sum("doc_id").cast("bigint").alias("sample_docid_sum"),
+            F.sum("__w").cast("bigint").alias("sample_token_sum"),
+            F.round(F.avg(F.col("__w").cast("double")), 4).alias(
+                "avg_sample_tokens"
+            ),
+        )
+    )
+    return (
+        pop.join(samp, "source")
+        .select(
+            "source",
+            "n_docs",
+            "sample_size",
+            "sample_docid_sum",
+            "sample_token_sum",
+            "avg_sample_tokens",
+            "avg_pop_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+_SS08_ORACLE = f"""
+WITH keyed AS (
+  SELECT source, doc_id,
+         GREATEST(1, len(regexp_extract_all(text, '\\S+'))) AS w,
+         ROUND(ln(CAST({_H60.format(x="CAST(doc_id AS VARCHAR)")} + 1
+                        AS DOUBLE) / {float(1 << 60)})
+               / GREATEST(1, len(regexp_extract_all(text, '\\S+'))),
+               12) AS k
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, w, k,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY k DESC, doc_id
+         ) AS rn
+  FROM keyed
+), pop AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(AVG(CAST(w AS DOUBLE)), 4) AS avg_pop_tokens
+  FROM keyed GROUP BY source
+), samp AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS sample_size,
+         CAST(SUM(doc_id) AS BIGINT) AS sample_docid_sum,
+         CAST(SUM(w) AS BIGINT) AS sample_token_sum,
+         ROUND(AVG(CAST(w AS DOUBLE)), 4) AS avg_sample_tokens
+  FROM ranked WHERE rn <= {SS08_SAMPLE_K}
+  GROUP BY source
+)
+SELECT p.source, p.n_docs, s.sample_size, s.sample_docid_sum,
+       s.sample_token_sum, s.avg_sample_tokens, p.avg_pop_tokens
+FROM pop p JOIN samp s ON p.source = s.source
+ORDER BY p.source
+"""
+
+ROUND7_STAGED_QUERIES["ss08_weighted_sample"] = ss08_weighted_sample
+ROUND7_STAGED_ORACLE["ss08_weighted_sample"] = _SS08_ORACLE
+
+
+def _register_staged_streaming_wave69() -> None:
+    from local_etl_csv_to_postgresql_spark.streaming.queries import (
+        ST20_STAGED_ORACLE,
+        st20_streaming_bottomk_sample,
+    )
+
+    ROUND7_STAGED_QUERIES["st20_streaming_bottomk_sample"] = (
+        st20_streaming_bottomk_sample
+    )
+    ROUND7_STAGED_ORACLE["st20_streaming_bottomk_sample"] = (
+        ST20_STAGED_ORACLE
+    )
+
+
+_register_staged_streaming_wave69()

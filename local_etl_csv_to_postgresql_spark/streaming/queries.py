@@ -996,3 +996,97 @@ FROM contribs
 GROUP BY word_index
 ORDER BY word_index
 """
+
+
+# --- round-11 staged: st20 streaming bottom-k (KMV) sample ----------------
+
+#: st20's per-type sample size (the KMV k). 32 keeps the state string
+#: ~1 KB per group and the estimate's relative error ~1/sqrt(k-1) ≈ 18%
+#: — a monitor knob, mirrored into the oracle from this constant.
+ST20_K = 32
+
+_ST20_2P60 = float(1 << 60)
+
+
+def st20_streaming_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type bottom-k (KMV) distinct-user sample MAINTAINED BY A REAL
+    multi-batch Structured Streaming run (events staged into 4 files,
+    maxFilesPerTrigger=1): micro-batches merge their user hashes into
+    the per-type k-smallest set via applyInPandasWithState — "union,
+    keep k smallest" is the KMV merge operator, so the streamed final
+    state must equal the one-shot batch bottom-k the DuckDB oracle
+    computes. Completes the streamed-sketch merge family's fourth state
+    shape (order statistics) after st16/st17 (sums), st18 (maxes), st19
+    (ORs), and adds what none of those carry: an actual uniform sample
+    of the distinct keys (doc/user IDs to eyeball) next to the
+    distinct-count estimate. The final per-group row is selected by max
+    n_events — exact and monotone across emissions."""
+    from .stateful import replay_bottomk_sample
+
+    from pyspark.sql import Window
+
+    emitted = replay_bottomk_sample(
+        spark, f"{sf}/events.parquet", k=ST20_K
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    final = (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return final.select(
+        "event_type",
+        "n_events",
+        "occupied",
+        "kmv_threshold",
+        "hashmod_sum",
+        "user_sum",
+        F.when(
+            F.col("occupied") < ST20_K,
+            F.col("occupied").cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("occupied") - 1).cast("double")
+                * F.lit(_ST20_2P60)
+                / F.col("kmv_threshold"),
+                2,
+            )
+        )
+        .alias("distinct_estimate"),
+    ).orderBy("event_type")
+
+
+_ST20_H = _H60_SQL.format(x="CAST(user_id AS VARCHAR)")
+
+ST20_STAGED_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type, user_id, ({_ST20_H}) AS h FROM events
+), per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+), du AS (
+  SELECT event_type, h, MIN(user_id) AS user_id
+  FROM hashed GROUP BY event_type, h
+), ranked AS (
+  SELECT event_type, h, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM du
+), samp AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS occupied,
+         CAST(MAX(h) AS BIGINT) AS kmv_threshold,
+         CAST(SUM(h % 1000000007) AS BIGINT) AS hashmod_sum,
+         CAST(SUM(user_id) AS BIGINT) AS user_sum
+  FROM ranked WHERE rn <= {ST20_K}
+  GROUP BY event_type
+)
+SELECT p.event_type, p.n_events, s.occupied, s.kmv_threshold,
+       s.hashmod_sum, s.user_sum,
+       CASE WHEN s.occupied < {ST20_K} THEN CAST(s.occupied AS DOUBLE)
+            ELSE ROUND(CAST(s.occupied - 1 AS DOUBLE) * {_ST20_2P60!r}
+                       / s.kmv_threshold, 2)
+       END AS distinct_estimate
+FROM per p JOIN samp s ON p.event_type = s.event_type
+ORDER BY p.event_type
+"""

@@ -1568,3 +1568,161 @@ def replay_bloom_words(
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
+
+
+# --- round-11 staged: st20 streaming bottom-k (KMV) sample ---------------
+
+#: st20's staged multi-file split: the events table is rewritten ONCE
+#: per (process, source path) into this many parquet files so the
+#: availableNow replay (maxFilesPerTrigger=1) runs a REAL multi-batch
+#: merge — a single-file stage would fold everything in one batch and
+#: certify nothing about cross-batch state.
+BOTTOMK_SPLIT_FILES = 4
+
+_BOTTOMK_STAGE_CACHE: dict = {}
+
+BOTTOMK_OUTPUT_SCHEMA = (
+    "event_type string, n_events long, occupied long, "
+    "kmv_threshold long, hashmod_sum long, user_sum long"
+)
+# state: the bottom-k (hash, min-user) pairs as one "h:u,h:u" string
+# (sorted by hash) plus the exact cumulative row count. A string state
+# keeps the schema to universally-supported scalar types; its size is
+# bounded by k ~tens of chars, BY CONSTRUCTION never by the stream.
+BOTTOMK_STATE_SCHEMA = "pairs string, nrows long"
+
+#: digest modulus: bottom-k hash sums would overflow int64 (k · 2^60),
+#: so both engines sum h % this prime instead — exact, order-free.
+BOTTOMK_DIGEST_MOD = 1_000_000_007
+
+
+def _bottomk_fn(k: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        rows = pd.concat(list(pdfs))
+        pairs: dict[int, int] = {}
+        nrows = 0
+        if state.exists:
+            blob, nrows = state.get
+            if blob:
+                for item in blob.split(","):
+                    h_s, u_s = item.split(":")
+                    pairs[int(h_s)] = int(u_s)
+        # set-union merge with min-user tie rule on a (negligible but
+        # pinned) 60-bit hash collision — mirrors the oracle's
+        # GROUP BY hash / MIN(user_id)
+        for h, u in zip(
+            rows["__h"].to_numpy(), rows["user_id"].to_numpy()
+        ):
+            h = int(h)
+            u = int(u)
+            cur = pairs.get(h)
+            if cur is None or u < cur:
+                pairs[h] = u
+        nrows += len(rows)
+        # truncating to the k smallest is lossless for bottom-k: the
+        # KMV threshold only ever shrinks, so an evicted hash can never
+        # re-qualify — the property that makes the sketch mergeable
+        best = sorted(pairs.items())[:k]
+        state.update(
+            (",".join(f"{h}:{u}" for h, u in best), nrows)
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_events": [nrows],
+                "occupied": [len(best)],
+                "kmv_threshold": [best[-1][0]],
+                "hashmod_sum": [
+                    sum(h % BOTTOMK_DIGEST_MOD for h, _ in best)
+                ],
+                "user_sum": [sum(u for _, u in best)],
+            }
+        )
+
+    return fn
+
+
+def replay_bottomk_sample(
+    spark,
+    parquet_path: str,
+    k: int,
+    split_files: int = BOTTOMK_SPLIT_FILES,
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> "DataFrame":
+    """Streaming bottom-k (KMV) distinct-user sample maintenance: each
+    micro-batch merges its users' 60-bit hashes into the per-type
+    bottom-k set — "union, keep the k smallest" is the KMV merge
+    operator (a lattice meet, like Bloom's OR and HLL's max), so the
+    multi-batch replay's final state must equal the one-shot batch
+    bottom-k, which is exactly what the DuckDB oracle computes. This
+    adds the ORDER-STATISTICS state shape to the streamed-sketch merge
+    family (st16/st17 sums, st18 maxes, st19 ORs): the sketch that
+    yields both a distinct-count estimate AND an actual uniform sample
+    of the keys — the monitor a 100 TB ingest runs to eyeball WHO is in
+    the stream, not just how many. State is k pairs per group BY
+    CONSTRUCTION. The source is staged into ``split_files`` parquet
+    files read with maxFilesPerTrigger=1, so the merge genuinely
+    crosses micro-batch boundaries; each batch emits the group's
+    current digest row and the final row per group (max n_events —
+    exact, monotone) is the certified answer."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions import dedup as dd
+
+    table_name = table_name or f"stream_bottomk_{uuid.uuid4().hex[:8]}"
+    stage = _BOTTOMK_STAGE_CACHE.get((parquet_path, split_files))
+    if stage is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src = spark.read.parquet(parquet_path).select(
+            "event_type", "user_id"
+        )
+        stage = tempfile.mkdtemp(prefix="stateful_bk_stage_")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        src.repartition(split_files).write.mode("overwrite").parquet(stage)
+        _BOTTOMK_STAGE_CACHE[(parquet_path, split_files)] = stage
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select(
+            "event_type",
+            "user_id",
+            dd.hash60(F.col("user_id").cast("string")).alias("__h"),
+        )
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        q = (
+            stream.groupBy("event_type")
+            .applyInPandasWithState(
+                _bottomk_fn(k),
+                outputStructType=BOTTOMK_OUTPUT_SCHEMA,
+                stateStructType=BOTTOMK_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)

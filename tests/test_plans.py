@@ -111,6 +111,10 @@ BNLJ_ALLOWED = {
     # shared bigram-LM kernel (tx14's allowlisted broadcast, composed)
     "ar01_brand_association_rules",  # 1-row broadcast order-total scalar
     "ap01_approx_quantile_calibration",  # 5-row approx panel + 1-row total
+    # staged round-11 surface
+    "mix01_temperature_sweep",  # |alphas|-row grid + per-alpha totals,
+    # all bounded by the MIX01_ALPHAS constant
+    "gr08_triangle_census",  # 1-row census scalars (stats × tri)
 }
 
 
@@ -307,6 +311,9 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "n_docs",      # 1-row corpus doc total (tx22)
     "n_total",     # 1-row cohort / token totals (sv01, tx23)
     "probes",      # <=4-row probed-centroid cell list (es17)
+    # staged round-11 surface
+    "alphas",      # fixed |MIX01_ALPHAS|-row exponent grid (mix01)
+    "eff",         # per-alpha effective-source-count table (mix01)
 }
 
 

@@ -1,0 +1,238 @@
+"""Round-11 staged surface invariants (wave 69): semantic properties
+the hash compare alone can't express. Oracle certification at
+sf0.001+sf0.01 rides the shared parametrized harness in
+tests/test_staged_round7.py (which sweeps the staged dict)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import re
+
+import pytest
+
+from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+    EXTENSION_QUERIES,
+    ROUND7_STAGED_QUERIES,
+)
+
+# Promoted queries move to EXTENSION_QUERIES at round boundaries; the
+# ones still staged stay in ROUND7_STAGED_QUERIES — look up in either.
+QUERIES = {**EXTENSION_QUERIES, **ROUND7_STAGED_QUERIES}
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_mix01_sweep_invariants(spark):
+    """Per α the shares form a distribution (sum 1 within rounding);
+    α = 1 reproduces the natural token shares exactly; the effective
+    source count is monotone NON-INCREASING in α (smaller α = flatter
+    mixture = more effective sources) and bounded by [1, |sources|]."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        MIX01_ALPHAS,
+    )
+
+    rows = QUERIES["mix01_temperature_sweep"](spark, SF).collect()
+    alphas = sorted({r["alpha"] for r in rows})
+    assert alphas == sorted(MIX01_ALPHAS)
+    by_alpha: dict = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha"], []).append(r)
+    n_sources = len(by_alpha[alphas[0]])
+    for a, grp in by_alpha.items():
+        assert len(grp) == n_sources
+        assert sum(r["share"] for r in grp) == pytest.approx(
+            1.0, abs=1e-3
+        )
+        effs = {r["eff_sources"] for r in grp}
+        assert len(effs) == 1  # one eff value per alpha
+        (eff,) = effs
+        assert 1.0 <= eff <= n_sources + 1e-9
+    # alpha = 1 is natural sampling: share == tokens / total
+    nat = by_alpha[1.0]
+    total = sum(r["total_tokens"] for r in nat)
+    for r in nat:
+        assert r["share"] == pytest.approx(
+            r["total_tokens"] / total, abs=1e-6
+        )
+    # flattening monotonicity
+    eff_by_alpha = [by_alpha[a][0]["eff_sources"] for a in alphas]
+    for lo, hi in zip(eff_by_alpha, eff_by_alpha[1:]):
+        assert lo >= hi - 1e-9, (
+            "effective source count must not increase with alpha"
+        )
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_tx25_python_replay(spark):
+    """Counting identities (hapax <= types <= tokens, ratios in range)
+    on every language, plus an exact pure-Python replay of one
+    language's panel from the raw text."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["tx25_lexical_diversity"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_types"] <= r["n_tokens"]
+        assert 0 <= r["n_hapax"] <= r["n_types"]
+        assert 0.0 < r["ttr"] <= 1.0
+        assert 0.0 <= r["hapax_share"] <= 1.0
+        assert r["guiraud"] == pytest.approx(
+            r["n_types"] / math.sqrt(r["n_tokens"]), abs=1e-6
+        )
+    lang = rows[0]["lang"]
+    texts = [
+        x["text"]
+        for x in load(spark, SF, "documents")
+        .filter(F.col("lang") == lang)
+        .select("text")
+        .collect()
+    ]
+    counts: Counter = Counter()
+    for t in texts:
+        counts.update(re.findall(r"[a-z0-9]+", t.lower()))
+    assert rows[0]["n_tokens"] == sum(counts.values())
+    assert rows[0]["n_types"] == len(counts)
+    assert rows[0]["n_hapax"] == sum(1 for c in counts.values() if c == 1)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_gr08_python_replay(spark):
+    """Exact brute-force triangle replay on the sf0.001 co-purchase
+    graph: the degree-ordered census must equal the classic
+    set-intersection count, 3·triangles cannot exceed the wedge count,
+    and the clustering coefficient stays in [0, 1]."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        _gr05_copurchase_edges,
+    )
+
+    row = QUERIES["gr08_triangle_census"](spark, SF).collect()[0]
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in _gr05_copurchase_edges(spark, SF).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = (
+        sum(
+            len(adj[a] & adj[b])
+            for a, b in edges
+        )
+        // 3
+    )
+    n_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == n_wedges
+    assert row["n_triangles"] == tri
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+    assert 0.0 <= row["global_clustering"] <= 1.0
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ss08_python_replay(spark):
+    """Exact A-ES replay for one source: recompute every doc's rank key
+    ln(u)/w from the 60-bit hash in pure Python (same 12 dp rounding)
+    and confirm the query's sample digests are exactly the top-K; and
+    the weighting must visibly tilt the sample toward heavy documents
+    (sample mean token mass >= population mean for every source on the
+    fixed test corpus)."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        SS08_SAMPLE_K,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["ss08_weighted_sample"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["sample_size"] == min(SS08_SAMPLE_K, r["n_docs"])
+        assert r["avg_sample_tokens"] >= r["avg_pop_tokens"], (
+            f"{r['source']}: weighted sample is lighter than the "
+            "population — the sampler is not weighting"
+        )
+    source = rows[0]["source"]
+    docs = (
+        load(spark, SF, "documents")
+        .filter(F.col("source") == source)
+        .select("doc_id", "text")
+        .collect()
+    )
+    keyed = []
+    for d in docs:
+        w = max(1, len(re.findall(r"\S+", d["text"])))
+        h = _hash60(str(d["doc_id"]))
+        k = round(math.log((h + 1) / float(1 << 60)) / w, 12)
+        keyed.append((-k, d["doc_id"], w))
+    keyed.sort()
+    top = keyed[:SS08_SAMPLE_K]
+    assert rows[0]["sample_docid_sum"] == sum(d for _, d, _ in top)
+    assert rows[0]["sample_token_sum"] == sum(w for _, _, w in top)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_st20_streamed_state_invariants(spark):
+    """The streamed bottom-k state is REALLY built across micro-batches
+    (at least one type emits from >= 2 batches), the final per-type row
+    counts every event exactly, and occupied equals min(K, the type's
+    true distinct-user count)."""
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+    from local_etl_csv_to_postgresql_spark.streaming.queries import (
+        ST20_K,
+        st20_streaming_bottomk_sample,
+    )
+    from local_etl_csv_to_postgresql_spark.streaming.stateful import (
+        replay_bottomk_sample,
+    )
+
+    import pyspark.sql.functions as F
+
+    rows = st20_streaming_bottomk_sample(spark, SF).collect()
+    assert rows
+    truth = {
+        r["event_type"]: (r["n"], r["d"])
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("d"),
+        )
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(truth)
+    for r in rows:
+        n, d = truth[r["event_type"]]
+        assert r["n_events"] == n
+        assert r["occupied"] == min(ST20_K, d)
+        assert 0 < r["kmv_threshold"] < (1 << 60)
+        assert r["distinct_estimate"] > 0
+    # multi-batch evidence: the emitted (pre-dedup) table carries more
+    # than one emission for at least one type — the availableNow replay
+    # really merged state across micro-batch boundaries
+    emitted = replay_bottomk_sample(spark, f"{SF}/events.parquet", k=ST20_K)
+    per_type = (
+        emitted.groupBy("event_type").count().agg(F.max("count")).collect()
+    )
+    assert per_type[0][0] >= 2

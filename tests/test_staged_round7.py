@@ -79,6 +79,7 @@ def test_promoted_queries_were_sf01_swept():
     from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
         ROUND8_PROMOTED,
         ROUND9_PROMOTED,
+        ROUND10_PROMOTED,
     )
 
     path = os.path.join(
@@ -90,6 +91,7 @@ def test_promoted_queries_were_sf01_swept():
         set(ROUND7_STAGED_QUERIES)
         | set(ROUND8_PROMOTED)
         | set(ROUND9_PROMOTED)
+        | set(ROUND10_PROMOTED)
     )
     missing = required - set(walls)
     assert missing == set(), (
