@@ -21642,3 +21642,239 @@ def _register_staged_streaming_wave69() -> None:
 
 
 _register_staged_streaming_wave69()
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staging, wave 70: qf06 Gopher repetition filters, ts05
+# changepoint scan.
+# ---------------------------------------------------------------------------
+
+#: qf06 flag thresholds — Gopher's repetition-filter family (Rae et al.
+#: 2021, arXiv:2112.11446 Table A1 uses per-n thresholds; these two are
+#: the word-n-gram pair adapted to the corpus's newline-free docs).
+#: Structural constants mirrored into the oracle.
+QF06_TOP_BIGRAM_MAX = 0.20
+QF06_DUP_TRIGRAM_MAX = 0.30
+
+
+def qf06_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style REPETITION filters (the half of Rae et al.'s quality
+    panel qf04 doesn't cover — qf04 checks document SHAPE, this checks
+    degeneracy): per document, the fraction of bigram mass taken by the
+    single most-repeated bigram and the fraction of trigram mass inside
+    duplicated trigrams — the two signals that catch boilerplate,
+    keyword-stuffed, and model-looped text that length/symbol rules
+    pass. Rolled per source with flag counts at the published-style
+    thresholds.
+
+    Scale: two position-preserving n-gram explodes (dedup.span_grams —
+    dd15's kernel), each folding straight into a (doc, gram)-keyed
+    count and then a doc-keyed rollup: linear in corpus tokens, joined
+    doc-co-keyed, output |sources|-bounded. Determinism: per-doc
+    fractions are exact-integer ratios rounded once to 8 dp and
+    DECIMAL-summed into the per-source means (the en01 rule); flags
+    compare the same rounded decimals in both engines."""
+    docs = _docs_words(spark, sf)
+    bic = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(dd.span_grams(F.col("__words"), 2)).alias("__g"),
+        )
+        .groupBy("doc_id", "source", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    bdoc = bic.groupBy("doc_id", "source").agg(
+        F.sum("__c").alias("__n_bi"), F.max("__c").alias("__max_bi")
+    )
+    tric = (
+        docs.select(
+            "doc_id",
+            F.explode(dd.span_grams(F.col("__words"), 3)).alias("__g"),
+        )
+        .groupBy("doc_id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tdoc = tric.groupBy("doc_id").agg(
+        F.sum("__c").alias("__n_tri"),
+        F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0)).alias(
+            "__dup_tri"
+        ),
+    )
+    per = bdoc.join(tdoc, "doc_id", "left").select(
+        "source",
+        F.round(
+            F.col("__max_bi").cast("double") / F.col("__n_bi"), 8
+        )
+        .cast("decimal(12,8)")
+        .alias("__t2"),
+        F.round(
+            F.coalesce(
+                F.col("__dup_tri").cast("double") / F.col("__n_tri"),
+                F.lit(0.0),
+            ),
+            8,
+        )
+        .cast("decimal(12,8)")
+        .alias("__d3"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_scored"),
+            F.round(
+                F.sum("__t2").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_top_bigram_frac"),
+            F.round(
+                F.sum("__d3").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_dup_trigram_frac"),
+            F.sum(
+                (
+                    (F.col("__t2") > QF06_TOP_BIGRAM_MAX)
+                    | (F.col("__d3") > QF06_DUP_TRIGRAM_MAX)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+_QF06_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS} AS ws FROM documents
+), bi AS (
+  SELECT doc_id, source, unnest({_sql_span_grams('ws', 2)}) AS g FROM w
+), bic AS (
+  SELECT doc_id, source, g, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3
+), bdoc AS (
+  SELECT doc_id, source, SUM(c) AS n_bi, MAX(c) AS max_bi
+  FROM bic GROUP BY 1, 2
+), tri AS (
+  SELECT doc_id, unnest({_sql_span_grams('ws', 3)}) AS g FROM w
+), tric AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2
+), tdoc AS (
+  SELECT doc_id, SUM(c) AS n_tri,
+         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_tri
+  FROM tric GROUP BY 1
+), per AS (
+  SELECT b.source,
+         CAST(ROUND(CAST(b.max_bi AS DOUBLE) / b.n_bi, 8)
+              AS DECIMAL(12,8)) AS t2,
+         CAST(ROUND(COALESCE(CAST(t.dup_tri AS DOUBLE) / t.n_tri, 0), 8)
+              AS DECIMAL(12,8)) AS d3
+  FROM bdoc b LEFT JOIN tdoc t USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+       ROUND(CAST(SUM(t2) AS DOUBLE) / COUNT(*), 6) AS avg_top_bigram_frac,
+       ROUND(CAST(SUM(d3) AS DOUBLE) / COUNT(*), 6) AS avg_dup_trigram_frac,
+       CAST(SUM(CASE WHEN t2 > {QF06_TOP_BIGRAM_MAX}
+                       OR d3 > {QF06_DUP_TRIGRAM_MAX}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM per GROUP BY source ORDER BY source
+"""
+
+ROUND7_STAGED_QUERIES["qf06_gopher_repetition"] = qf06_gopher_repetition
+ROUND7_STAGED_ORACLE["qf06_gopher_repetition"] = _QF06_ORACLE
+
+
+#: ts05 report size: the top changepoint candidates by the scan
+#: statistic. 5 gives the analyst the primary break plus runners-up.
+TS05_TOP = 5
+
+
+def ts05_changepoint_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-changepoint scan over daily revenue — the binary-
+    segmentation / CUSUM-type statistic G(t) = sqrt(t·(N−t)/N) ·
+    |mean_left − mean_right| evaluated at EVERY split day, reporting
+    the top candidates: the first step of every changepoint pipeline
+    (binary segmentation recurses on the argmax; PELT prunes the same
+    family), and the level-shift detector that mk01/ks01-style drift
+    panels lack a TIME LOCALIZATION for. The scaling factor is the
+    two-sample-z normalization, so G is comparable across split
+    positions.
+
+    Scale: the fact table rolls up to the calendar-bounded daily frame
+    first (one partial-aggregable shuffle; ~2.4k rows at ANY corpus
+    size), then the scan is ONE ordered window over that bounded frame
+    (cumulative DECIMAL sums — the ewma01/ts04 discipline) and a
+    top-k on |days| rows. Determinism: prefix sums and counts are
+    exact DECIMAL/int64; each G(t) is computed once from identical
+    operand order in both engines and rounded to 6 dp; ties break by
+    day."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).alias("__rev"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.sum("__rev").cast("decimal(38,2)").alias("__s_all"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_all"),
+    )
+    scanned = (
+        daily.select(
+            "day",
+            F.sum("__rev").over(w).cast("decimal(38,2)").alias("__s_left"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("__t"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("__t") < F.col("__n_all"))
+    )
+    mean_l = F.col("__s_left").cast("double") / F.col("__t")
+    mean_r = (F.col("__s_all") - F.col("__s_left")).cast("double") / (
+        F.col("__n_all") - F.col("__t")
+    )
+    g = F.sqrt(
+        F.col("__t").cast("double")
+        * (F.col("__n_all") - F.col("__t")).cast("double")
+        / F.col("__n_all").cast("double")
+    ) * F.abs(mean_l - mean_r)
+    return (
+        scanned.select(
+            "day",
+            F.col("__t").alias("split_index"),
+            F.round(g, 6).alias("g_stat"),
+            F.round(mean_l, 4).alias("mean_left"),
+            F.round(mean_r, 4).alias("mean_right"),
+        )
+        .orderBy(F.desc("g_stat"), "day")
+        .limit(TS05_TOP)
+    )
+
+
+_TS05_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS rev
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(rev) AS DECIMAL(38,2)) AS s_all,
+         CAST(COUNT(*) AS BIGINT) AS n_all
+  FROM daily
+), scanned AS (
+  SELECT day,
+         CAST(SUM(rev) OVER (ORDER BY day) AS DECIMAL(38,2)) AS s_left,
+         CAST(COUNT(*) OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+)
+SELECT day, t AS split_index,
+       ROUND(sqrt(CAST(t AS DOUBLE) * CAST(n_all - t AS DOUBLE)
+                  / CAST(n_all AS DOUBLE))
+             * ABS(CAST(s_left AS DOUBLE) / t
+                   - CAST(s_all - s_left AS DOUBLE) / (n_all - t)), 6)
+         AS g_stat,
+       ROUND(CAST(s_left AS DOUBLE) / t, 4) AS mean_left,
+       ROUND(CAST(s_all - s_left AS DOUBLE) / (n_all - t), 4) AS mean_right
+FROM scanned CROSS JOIN tot
+WHERE t < n_all
+ORDER BY g_stat DESC, day LIMIT {TS05_TOP}
+"""
+
+ROUND7_STAGED_QUERIES["ts05_changepoint_scan"] = ts05_changepoint_scan
+ROUND7_STAGED_ORACLE["ts05_changepoint_scan"] = _TS05_ORACLE

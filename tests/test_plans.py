@@ -115,6 +115,7 @@ BNLJ_ALLOWED = {
     "mix01_temperature_sweep",  # |alphas|-row grid + per-alpha totals,
     # all bounded by the MIX01_ALPHAS constant
     "gr08_triangle_census",  # 1-row census scalars (stats × tri)
+    "ts05_changepoint_scan",  # 1-row broadcast (total, count) scalars
 }
 
 

@@ -236,3 +236,113 @@ def test_st20_streamed_state_invariants(spark):
         emitted.groupBy("event_type").count().agg(F.max("count")).collect()
     )
     assert per_type[0][0] >= 2
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_qf06_python_replay(spark):
+    """Full pure-Python replay of one source's repetition panel
+    (per-doc top-bigram and duplicated-trigram fractions with the same
+    8 dp rounding, aggregated the same way), plus range/counting
+    identities on every source."""
+    from collections import Counter
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        QF06_DUP_TRIGRAM_MAX,
+        QF06_TOP_BIGRAM_MAX,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["qf06_gopher_repetition"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["avg_top_bigram_frac"] <= 1.0
+        assert 0.0 <= r["avg_dup_trigram_frac"] <= 1.0
+        assert 0 <= r["n_flagged"] <= r["n_docs_scored"]
+    source = rows[0]["source"]
+    texts = [
+        x["text"]
+        for x in load(spark, SF, "documents")
+        .filter(F.col("source") == source)
+        .select("text")
+        .collect()
+    ]
+    t2s, d3s, flagged = [], [], 0
+    for t in texts:
+        ws = re.findall(r"[a-z0-9]+", t.lower())
+        bi = Counter(
+            " ".join(ws[i : i + 2]) for i in range(len(ws) - 1)
+        )
+        if not bi:
+            continue  # <2 words: no bigram, not scored
+        tri = Counter(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        )
+        n_bi = sum(bi.values())
+        t2 = Decimal(str(round(max(bi.values()) / n_bi, 8)))
+        n_tri = sum(tri.values())
+        dup = sum(c for c in tri.values() if c >= 2)
+        d3 = Decimal(str(round(dup / n_tri, 8))) if n_tri else Decimal(0)
+        t2s.append(t2)
+        d3s.append(d3)
+        if float(t2) > QF06_TOP_BIGRAM_MAX or float(d3) > QF06_DUP_TRIGRAM_MAX:
+            flagged += 1
+    r = rows[0]
+    assert r["n_docs_scored"] == len(t2s)
+    assert r["n_flagged"] == flagged
+    assert r["avg_top_bigram_frac"] == pytest.approx(
+        float(sum(t2s)) / len(t2s), abs=2e-6
+    )
+    assert r["avg_dup_trigram_frac"] == pytest.approx(
+        float(sum(d3s)) / len(d3s), abs=2e-6
+    )
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ts05_python_replay(spark):
+    """Recompute the full scan in Python from the exact daily sums:
+    the reported top rows must be the global argmax set (same order),
+    every split index is interior, and the statistic column is sorted
+    non-increasing."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        TS05_TOP,
+        dec,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["ts05_changepoint_scan"](spark, SF).collect()
+    assert len(rows) == TS05_TOP
+    gs = [r["g_stat"] for r in rows]
+    assert gs == sorted(gs, reverse=True)
+    daily = (
+        load(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+        .orderBy("day")
+        .collect()
+    )
+    n = len(daily)
+    s_all = sum(Decimal(str(r["rev"])) for r in daily)
+    acc = Decimal(0)
+    scan = []
+    for t, r in enumerate(daily[:-1], start=1):
+        acc += Decimal(str(r["rev"]))
+        ml = float(acc) / t
+        mr = float(s_all - acc) / (n - t)
+        g = math.sqrt(t * (n - t) / n) * abs(ml - mr)
+        scan.append((-g, r["day"], t, ml, mr))
+    scan.sort()
+    for got, (negg, day, t, ml, mr) in zip(rows, scan[:TS05_TOP]):
+        assert got["day"] == day
+        assert got["split_index"] == t
+        assert got["g_stat"] == pytest.approx(-negg, abs=1e-5)
+        assert got["mean_left"] == pytest.approx(ml, abs=1e-3)
+        assert got["mean_right"] == pytest.approx(mr, abs=1e-3)
