@@ -21878,3 +21878,149 @@ ORDER BY g_stat DESC, day LIMIT {TS05_TOP}
 
 ROUND7_STAGED_QUERIES["ts05_changepoint_scan"] = ts05_changepoint_scan
 ROUND7_STAGED_ORACLE["ts05_changepoint_scan"] = _TS05_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staging, wave 71: pv02 unpivot round-trip, dq05 functional-
+# dependency audit.
+# ---------------------------------------------------------------------------
+
+
+def pv02_status_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (melt) certification — the INVERSE of pv01's pivot, and
+    the other half of the wide↔long reshaping surface every reporting
+    layer needs: the status-pivoted count table melts back to
+    (priority, status, n_orders) long form via DataFrame.unpivot, with
+    absent cells kept as explicit zero rows (the pivot's null fill
+    surviving the round trip). The oracle computes the same long table
+    relationally — priority roster × status list left-joined to the
+    direct rollup — so the certification pins BOTH the unpivot
+    operator's variable/value mapping and its null semantics.
+
+    Scale: the pivot stage is pv01's one partial-aggregable shuffle on
+    the 5-key priority roster (explicit status list — no hidden
+    distinct-collect scan); the unpivot is a row-local projection of
+    the 5-row wide frame (melt is metadata work — it never shuffles)."""
+    orders = load(spark, sf, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    long = piv.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "__n"
+    )
+    return (
+        long.select(
+            F.col("o_orderpriority").alias("priority"),
+            "status",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias(
+                "n_orders"
+            ),
+        )
+        .orderBy("priority", "status")
+    )
+
+
+_PV02_ORACLE = """
+WITH roster AS (
+  SELECT DISTINCT o_orderpriority AS priority FROM orders
+), statuses AS (
+  SELECT unnest(['F', 'O', 'P']) AS status
+), counts AS (
+  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT r.priority, s.status,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+FROM roster r CROSS JOIN statuses s
+LEFT JOIN counts c ON c.priority = r.priority AND c.status = s.status
+ORDER BY r.priority, s.status
+"""
+
+ROUND7_STAGED_QUERIES["pv02_status_unpivot"] = pv02_status_unpivot
+ROUND7_STAGED_ORACLE["pv02_status_unpivot"] = _PV02_ORACLE
+
+
+#: dq05's audited dependency candidates: (table, determinant,
+#: dependent). A mix of true FDs (the header key determines its own
+#: attributes) and plausible-but-false ones — the profiling answer a
+#: warehouse needs before trusting a join key or a denormalization.
+DQ05_CANDIDATES = (
+    ("orders", "o_orderkey", "o_orderpriority"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def dq05_functional_dependencies(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit over a fixed candidate list — the
+    Metanome-style data-profiling primitive: A → B holds iff no A-group
+    carries two distinct B values, and the violation census (how many
+    groups, how badly) is what decides whether a denormalization, a
+    dimension key, or an entity-resolution blocking key is safe. One
+    row per candidate with the group counts and the verdict.
+
+    Scale: each candidate is one det-keyed aggregate (countDistinct
+    expands to the standard two-level exact-distinct plan — partial-
+    aggregable, linear in the table) followed by a 1-row rollup; the
+    audit list is a bounded constant, so the whole answer is
+    |candidates| rows. No joins, no windows; a 100 TB profile runs
+    exactly the candidates under review."""
+    legs = []
+    for table, det, dep in DQ05_CANDIDATES:
+        per = (
+            load(spark, sf, table)
+            .groupBy(F.col(det))
+            .agg(F.countDistinct(F.col(dep)).alias("__d"))
+        )
+        legs.append(
+            per.agg(
+                F.lit(table).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum((F.col("__d") > 1).cast("bigint"))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+                F.max("__d").cast("bigint").alias("max_distinct_dep"),
+                (F.sum((F.col("__d") > 1).cast("bigint")) == 0).alias(
+                    "holds"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("table_name", "determinant", "dependent")
+
+
+def _dq05_oracle_sql() -> str:
+    legs = []
+    for table, det, dep in DQ05_CANDIDATES:
+        legs.append(f"""
+SELECT '{table}' AS table_name, '{det}' AS determinant,
+       '{dep}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(MAX(d) AS BIGINT) AS max_distinct_dep,
+       SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (
+  SELECT {det}, COUNT(DISTINCT {dep}) AS d FROM {table} GROUP BY {det}
+)""")
+    body = " UNION ALL ".join(legs)
+    return (
+        f"SELECT * FROM ({body}) "
+        "ORDER BY table_name, determinant, dependent"
+    )
+
+
+ROUND7_STAGED_QUERIES["dq05_functional_dependencies"] = (
+    dq05_functional_dependencies
+)
+ROUND7_STAGED_ORACLE["dq05_functional_dependencies"] = _dq05_oracle_sql()

@@ -346,3 +346,70 @@ def test_ts05_python_replay(spark):
         assert got["g_stat"] == pytest.approx(-negg, abs=1e-5)
         assert got["mean_left"] == pytest.approx(ml, abs=1e-3)
         assert got["mean_right"] == pytest.approx(mr, abs=1e-3)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_pv02_roundtrip_equals_direct_rollup(spark):
+    """The unpivoted long table must equal the direct (priority,
+    status) rollup with explicit zero fill — pivot→unpivot loses
+    nothing and invents nothing."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["pv02_status_unpivot"](spark, SF).collect()
+    orders = load(spark, SF, "orders")
+    direct = {
+        (r["o_orderpriority"], r["o_orderstatus"]): r["n"]
+        for r in orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    prios = {p for p, _ in direct}
+    assert len(rows) == len(prios) * 3
+    for r in rows:
+        assert r["n_orders"] == direct.get(
+            (r["priority"], r["status"]), 0
+        )
+    assert sum(r["n_orders"] for r in rows) == orders.count()
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_dq05_verdicts_and_replay(spark):
+    """The primary-key determinant must HOLD (o_orderkey functionally
+    determines its own header attribute), verdict flags must agree
+    with the violation counts, and one false candidate's violation
+    census is replayed through an independent distinct-pairs
+    formulation."""
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        DQ05_CANDIDATES,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["dq05_functional_dependencies"](spark, SF).collect()
+    assert len(rows) == len(DQ05_CANDIDATES)
+    by_key = {
+        (r["table_name"], r["determinant"], r["dependent"]): r
+        for r in rows
+    }
+    pk = by_key[("orders", "o_orderkey", "o_orderpriority")]
+    assert pk["holds"] and pk["n_violating_groups"] == 0
+    assert pk["max_distinct_dep"] == 1
+    for r in rows:
+        assert 0 <= r["n_violating_groups"] <= r["n_groups"]
+        assert r["holds"] == (r["n_violating_groups"] == 0)
+        assert r["max_distinct_dep"] >= 1
+        if r["max_distinct_dep"] > 1:
+            assert not r["holds"]
+    # independent replay of one candidate via distinct pairs
+    t, det, dep = "lineitem", "l_orderkey", "l_returnflag"
+    pairs = load(spark, SF, t).select(det, dep).distinct()
+    per = pairs.groupBy(det).agg(F.count(F.lit(1)).alias("d")).collect()
+    row = by_key[(t, det, dep)]
+    assert row["n_groups"] == len(per)
+    assert row["n_violating_groups"] == sum(1 for r in per if r["d"] > 1)
+    assert row["max_distinct_dep"] == max(r["d"] for r in per)
