@@ -128,20 +128,33 @@ def _driver_history() -> tuple[dict[str, int], dict[str, int]]:
     return last_green, last_failed
 
 
-def _window_order(live: list[str], oracle_backed: set) -> list[str]:
+def _window_order(
+    live: list[str],
+    oracle_backed: set,
+    history: tuple[dict, dict] | None = None,
+    promotion_order: list[str] | None = None,
+) -> list[str]:
     """The rotation policy as code: the full certification-priority
     ordering of the oracle-backed live registry. Bucket 1 = last driver
     row failed (name asc); bucket 2 = never driver-certified, in the
     promotion order then name asc; bucket 3 = oldest last-green round
     first, name asc within a round. scripts/refresh_queue.py reports
-    the same buckets; tests/test_entry.py pins the two views together."""
-    last_green, last_failed = _driver_history()
+    the same buckets; tests/test_entry.py pins the two views together
+    and tests/test_window_policy.py pins the policy on synthetic
+    histories. ``history``/``promotion_order`` exist for those unit
+    tests; production callers omit them."""
+    last_green, last_failed = (
+        history if history is not None else _driver_history()
+    )
     rotatable = [n for n in live if n in oracle_backed]
     failed = sorted(
         n for n in rotatable
         if n in last_failed and last_failed[n] >= last_green.get(n, -1)
     )
-    promo_rank = {n: i for i, n in enumerate(_promotion_order())}
+    promo = (
+        promotion_order if promotion_order is not None else _promotion_order()
+    )
+    promo_rank = {n: i for i, n in enumerate(promo)}
     never = sorted(
         (n for n in rotatable if n not in last_green and n not in failed),
         key=lambda n: (promo_rank.get(n, len(promo_rank)), n),
