@@ -22024,3 +22024,149 @@ ROUND7_STAGED_QUERIES["dq05_functional_dependencies"] = (
     dq05_functional_dependencies
 )
 ROUND7_STAGED_ORACLE["dq05_functional_dependencies"] = _dq05_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staging, wave 72: es20 covariance power-iteration step.
+# ---------------------------------------------------------------------------
+
+
+def es20_power_iteration_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One exact power-iteration step toward the embedding covariance's
+    top eigenvector — the kernel under PCA whitening, top-PC drift
+    audits, and anisotropy checks (Mu & Viswanath 2018's all-but-the-
+    top observation: contextual/static embeddings concentrate mass in
+    a few directions; this measures the dominant one). Computed by
+    MOMENT CLOSURE, never a d×d materialization: u = C·v0 expands to
+    (1/n)Σ x·(xᵀv0) − μ·(μᵀv0), so the whole step is two LINEAR
+    n·d passes (per-row dot, then per-dimension sums) and the d-row
+    tail — at 100 TB the d² covariance never exists anywhere, which is
+    the only way this scales. Output: per dimension the population
+    mean, the normalized step v1 = u/‖u‖, plus the eigenvalue proxy
+    ‖u‖ (exact for a converged v0; here the certified first step from
+    the fixed deterministic start).
+
+    Determinism: v0 = ±1/8 alternating (exact powers of two — x·v0 is
+    ONE exact double product), per-row dots and per-dim sums ride
+    DECIMAL(25,12) casts (the es09 discipline: order-free exact sums);
+    the bounded d-row tail rounds each transcendental/product once
+    (the en01 rule) with operand order mirrored textually in the
+    oracle."""
+    d12 = "CAST({} AS DECIMAL(25,12))"
+    pos = (
+        load(spark, sf, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("dim", "__xf"))
+        .select(
+            "vec_id",
+            "dim",
+            F.col("__xf").cast("double").alias("__x"),
+            F.when(F.col("dim") % 2 == 0, F.lit(0.125))
+            .otherwise(F.lit(-0.125))
+            .alias("__v0"),
+        )
+    )
+    dots = pos.groupBy("vec_id").agg(
+        F.sum(F.expr(d12.format("__x * __v0"))).alias("__dot")
+    )
+    agg = (
+        pos.join(dots, "vec_id")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.expr(d12.format("__x"))).alias("__mu_s"),
+            F.sum(
+                F.expr(d12.format("__x * CAST(__dot AS DOUBLE)"))
+            ).alias("__s"),
+        )
+    )
+    n = F.col("n_vecs").cast("double")
+    per = agg.select(
+        "dim",
+        "n_vecs",
+        (F.col("__mu_s").cast("double") / n).alias("__mu"),
+        (F.col("__s").cast("double") / n).alias("__sn"),
+        F.when(F.col("dim") % 2 == 0, F.lit(0.125))
+        .otherwise(F.lit(-0.125))
+        .alias("__v0"),
+    )
+    # bounded d-row tail: μᵀv0, the centered step u, its norm, v1
+    m0 = per.agg(
+        F.sum(
+            F.round(F.col("__mu") * F.col("__v0"), 12).cast(
+                "decimal(20,12)"
+            )
+        )
+        .cast("double")
+        .alias("__m0")
+    )
+    stepped = per.crossJoin(F.broadcast(m0)).withColumn(
+        "__u", F.col("__sn") - F.col("__mu") * F.col("__m0")
+    )
+    nrm = stepped.agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("__u") * F.col("__u"), 12).cast(
+                    "decimal(20,12)"
+                )
+            ).cast("double")
+        ).alias("__nrm")
+    )
+    return (
+        stepped.crossJoin(F.broadcast(nrm))
+        .select(
+            "dim",
+            "n_vecs",
+            F.round("__mu", 8).alias("mean"),
+            F.round(F.col("__u") / F.col("__nrm"), 6).alias("v1"),
+            F.round("__nrm", 6).alias("lambda_proxy"),
+        )
+        .orderBy("dim")
+    )
+
+
+_ES20_ORACLE = """
+WITH pos AS (
+  SELECT vec_id, CAST(d - 1 AS INT) AS dim,
+         CAST(embedding[d] AS DOUBLE) AS x,
+         CASE WHEN (d - 1) % 2 = 0 THEN 0.125 ELSE -0.125 END AS v0
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+), dots AS (
+  SELECT vec_id, SUM(CAST(x * v0 AS DECIMAL(25,12))) AS dot
+  FROM pos GROUP BY vec_id
+), agg AS (
+  SELECT dim,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         SUM(CAST(x AS DECIMAL(25,12))) AS mu_s,
+         SUM(CAST(x * CAST(dot AS DOUBLE) AS DECIMAL(25,12))) AS s
+  FROM pos JOIN dots USING (vec_id)
+  GROUP BY dim
+), per AS (
+  SELECT dim, n_vecs,
+         CAST(mu_s AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mu,
+         CAST(s AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS sn,
+         CASE WHEN dim % 2 = 0 THEN 0.125 ELSE -0.125 END AS v0
+  FROM agg
+), m0 AS (
+  SELECT CAST(SUM(CAST(ROUND(mu * v0, 12) AS DECIMAL(20,12))) AS DOUBLE)
+    AS m0
+  FROM per
+), stepped AS (
+  SELECT dim, n_vecs, mu, sn - mu * m0 AS u
+  FROM per CROSS JOIN m0
+), nrm AS (
+  SELECT sqrt(CAST(SUM(CAST(ROUND(u * u, 12) AS DECIMAL(20,12)))
+              AS DOUBLE)) AS nrm
+  FROM stepped
+)
+SELECT dim, n_vecs,
+       ROUND(mu, 8) AS mean,
+       ROUND(u / nrm, 6) AS v1,
+       ROUND(nrm, 6) AS lambda_proxy
+FROM stepped CROSS JOIN nrm
+ORDER BY dim
+"""
+
+ROUND7_STAGED_QUERIES["es20_power_iteration_step"] = (
+    es20_power_iteration_step
+)
+ROUND7_STAGED_ORACLE["es20_power_iteration_step"] = _ES20_ORACLE

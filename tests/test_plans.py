@@ -116,6 +116,8 @@ BNLJ_ALLOWED = {
     # all bounded by the MIX01_ALPHAS constant
     "gr08_triangle_census",  # 1-row census scalars (stats × tri)
     "ts05_changepoint_scan",  # 1-row broadcast (total, count) scalars
+    "es20_power_iteration_step",  # 1-row mu-dot / step-norm scalars on
+    # the d-row bounded tail
 }
 
 
@@ -315,6 +317,8 @@ BROADCAST_HINT_ALLOWED_EXT = {
     # staged round-11 surface
     "alphas",      # fixed |MIX01_ALPHAS|-row exponent grid (mix01)
     "eff",         # per-alpha effective-source-count table (mix01)
+    "m0",          # 1-row mu-dot-v0 scalar (es20)
+    "nrm",         # 1-row step-norm scalar (es20)
 }
 
 

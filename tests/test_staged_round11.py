@@ -413,3 +413,42 @@ def test_dq05_verdicts_and_replay(spark):
     assert row["n_groups"] == len(per)
     assert row["n_violating_groups"] == sum(1 for r in per if r["d"] > 1)
     assert row["max_distinct_dep"] == max(r["d"] for r in per)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_es20_numpy_replay_and_rayleigh(spark):
+    """Replay the power step in numpy (same moment-closure formula) and
+    confirm v1 matches; v1 must be unit norm; and the Rayleigh quotient
+    must be non-decreasing from v0 to v1 — the defining property of a
+    power-iteration step on a PSD covariance."""
+    import numpy as np
+
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["es20_power_iteration_step"](spark, SF).collect()
+    assert len(rows) == 64
+    v1 = np.array([r["v1"] for r in sorted(rows, key=lambda r: r["dim"])])
+    assert np.linalg.norm(v1) == pytest.approx(1.0, abs=1e-4)
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load(spark, SF, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    v0 = np.array([0.125 if i % 2 == 0 else -0.125 for i in range(64)])
+    mu = X.mean(axis=0)
+    u = (X * (X @ v0)[:, None]).mean(axis=0) - mu * (mu @ v0)
+    ref = u / np.linalg.norm(u)
+    assert np.abs(v1 - ref).max() < 1e-4
+    lam = {r["lambda_proxy"] for r in rows}
+    assert len(lam) == 1 and lam.pop() == pytest.approx(
+        float(np.linalg.norm(u)), rel=1e-3
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    def rayleigh(v):
+        return float(v @ C @ v) / float(v @ v)
+    assert rayleigh(ref) >= rayleigh(v0) - 1e-9
