@@ -22170,3 +22170,126 @@ ROUND7_STAGED_QUERIES["es20_power_iteration_step"] = (
     es20_power_iteration_step
 )
 ROUND7_STAGED_ORACLE["es20_power_iteration_step"] = _ES20_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staging, wave 73: gr09 k-core summary.
+# ---------------------------------------------------------------------------
+
+#: gr09's core order: k = 3 keeps the kernel strictly denser than the
+#: triangle-bearing fringe (2-core keeps every cycle).
+GR09_K = 3
+
+#: Unroll depth of the oracle's peeling. The Spark side iterates to the
+#: exact fixpoint and raises beyond 50 rounds; the oracle applies this
+#: many rounds unconditionally — once the fixpoint is reached every
+#: further round is a no-op, so the twins agree whenever convergence
+#: happens within the unroll (the invariant test pins the measured
+#: round count well under it).
+GR09_ORACLE_ROUNDS = 16
+
+
+def gr09_kcore_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core census of the part co-purchase graph: peel to the maximal
+    subgraph of minimum degree >= k and report its size, edge count,
+    degree profile, and exact membership digests — the density filter
+    that finds the graph's cohesive kernel (the bundles-of-bundles in a
+    co-purchase graph; the template farms in a near-dup graph) where
+    component analysis (gr03/gr07) only finds reachability and the
+    triangle census (gr08) only measures closure. Completes the graph
+    family with the second ITERATIVE fixpoint kernel after connected
+    components.
+
+    Scale: see operators/graph.kcore — per round one vertex-keyed
+    double semi-join + degree aggregate, lineage-truncated; exact
+    integers end to end (the one ratio rounds once). The unique-
+    fixpoint property is what makes the bounded unrolled SQL twin an
+    exact oracle."""
+    from ..operators.graph import kcore
+
+    edges = _gr05_copurchase_edges(spark, sf).localCheckpoint()
+    core, _rounds = kcore(spark, edges, GR09_K)
+    und = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    core_edges = (
+        und.join(core.select("u"), "u")
+        .join(core.select(F.col("u").alias("v")), "v")
+        .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_core_edges"))
+    )
+    summary = core.agg(
+        F.lit(GR09_K).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+        F.sum("u").cast("bigint").alias("node_id_sum"),
+        F.sum("core_degree").cast("bigint").alias("degree_sum"),
+        F.max("core_degree").cast("bigint").alias("max_core_degree"),
+    )
+    return summary.crossJoin(F.broadcast(core_edges)).select(
+        "k",
+        "n_core_nodes",
+        "n_core_edges",
+        "node_id_sum",
+        "degree_sum",
+        "max_core_degree",
+        F.round(
+            F.col("degree_sum").cast("double") / F.col("n_core_nodes"), 4
+        ).alias("avg_core_degree"),
+    )
+
+
+def _gr09_oracle_sql() -> str:
+    k, rounds = GR09_K, GR09_ORACLE_ROUNDS
+    # und is referenced 2x per unrolled round: force one materialization
+    # so DuckDB does not re-open the parquet scan per reference (an
+    # unmaterialized CTE inlines; ~35 inlined scans exhausts the fd
+    # limit before it exhausts the optimizer)
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+        " l_partkey AS pk FROM lineitem)",
+        "good AS MATERIALIZED (SELECT a.pk AS id_a, b.pk AS id_b"
+        " FROM li a JOIN li b"
+        " ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2"
+        f" HAVING COUNT(*) >= {GR05_MIN_CO_ORDERS})",
+        "und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM good"
+        " UNION ALL SELECT id_b AS u, id_a AS v FROM good)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u FROM und)",
+    ]
+    # every per-round CTE is MATERIALIZED: d{r} references a{r-1}
+    # twice, so unmaterialized inlining would expand the chain 2^rounds
+    # times before the optimizer ever runs
+    for r in range(1, rounds + 1):
+        prev = f"a{r - 1}"
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT n.u, COUNT(*) AS c FROM und n"
+            f" JOIN {prev} xa ON xa.u = n.u"
+            f" JOIN {prev} xb ON xb.u = n.v GROUP BY n.u)"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE c >= {k})"
+        )
+    last_d = f"d{rounds}"
+    ctes.append(
+        f"core AS MATERIALIZED (SELECT u, CAST(c AS BIGINT) AS core_degree"
+        f" FROM {last_d} WHERE c >= {k})"
+    )
+    ctes.append(
+        "ce AS MATERIALIZED (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_core_edges"
+        " FROM und n JOIN core xa ON xa.u = n.u"
+        " JOIN core xb ON xb.u = n.v)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST({k} AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+       CAST(MAX(ce.n_core_edges) AS BIGINT) AS n_core_edges,
+       CAST(SUM(u) AS BIGINT) AS node_id_sum,
+       CAST(SUM(core_degree) AS BIGINT) AS degree_sum,
+       CAST(MAX(core_degree) AS BIGINT) AS max_core_degree,
+       ROUND(CAST(SUM(core_degree) AS DOUBLE) / COUNT(*), 4)
+         AS avg_core_degree
+FROM core CROSS JOIN ce"""
+    )
+
+
+ROUND7_STAGED_QUERIES["gr09_kcore_summary"] = gr09_kcore_summary
+ROUND7_STAGED_ORACLE["gr09_kcore_summary"] = _gr09_oracle_sql()

@@ -230,3 +230,56 @@ def connected_components_star(
         f"connected_components_star did not converge in {max_iter} "
         "alternations"
     )
+
+
+def kcore(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """k-core of an undirected simple graph by iterative peeling: drop
+    every node with fewer than ``k`` neighbors among the survivors
+    until a fixpoint — the standard density filter that separates a
+    graph's cohesive kernel from its tree-like fringe (community
+    seeding, spam-farm detection, visualization layers). Returns
+    (core nodes with their IN-CORE degree, rounds to fixpoint).
+
+    Scale: each round is one double semi-join of the edge list against
+    the survivor set plus one degree aggregate — all keyed on the
+    vertex id (AQE-coalescible), with per-round lineage truncation via
+    the same knob as connected_components. Rounds needed are bounded
+    by the degeneracy ordering's depth; production systems at extreme
+    scale batch the peeling (delta-stepping on degree buckets), which
+    composes from these same primitives. The fixpoint is unique (the
+    k-core is the maximal subgraph with min degree >= k), so the
+    result is iteration-order-independent — which is what lets a
+    bounded unrolled SQL twin oracle-match it exactly."""
+    trunc = _lineage_truncator(spark)
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    und = trunc(und)
+    alive = trunc(und.select("u").distinct())
+    n_alive = alive.count()
+    rounds = 0
+    while rounds < max_rounds:
+        live = und.join(alive, "u").join(
+            alive.select(F.col("u").alias("v")), "v"
+        )
+        deg = live.groupBy("u").agg(
+            F.count(F.lit(1)).cast("bigint").alias("core_degree")
+        )
+        keep = deg.filter(F.col("core_degree") >= k)
+        keep = trunc(keep)
+        n_keep = keep.count()
+        rounds += 1
+        if n_keep == n_alive:
+            return keep, rounds
+        alive = keep.select("u")
+        n_alive = n_keep
+    raise RuntimeError(
+        f"k-core did not reach a fixpoint within {max_rounds} rounds"
+    )

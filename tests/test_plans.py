@@ -118,6 +118,7 @@ BNLJ_ALLOWED = {
     "ts05_changepoint_scan",  # 1-row broadcast (total, count) scalars
     "es20_power_iteration_step",  # 1-row mu-dot / step-norm scalars on
     # the d-row bounded tail
+    "gr09_kcore_summary",  # 1-row summary x 1-row core-edge count
 }
 
 
@@ -319,6 +320,7 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "eff",         # per-alpha effective-source-count table (mix01)
     "m0",          # 1-row mu-dot-v0 scalar (es20)
     "nrm",         # 1-row step-norm scalar (es20)
+    "core_edges",  # 1-row core-edge-count scalar (gr09)
 }
 
 

@@ -452,3 +452,47 @@ def test_es20_numpy_replay_and_rayleigh(spark):
     def rayleigh(v):
         return float(v @ C @ v) / float(v @ v)
     assert rayleigh(ref) >= rayleigh(v0) - 1e-9
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_gr09_python_peel_replay(spark):
+    """Exact Python peeling replay on the sf0.001 co-purchase graph:
+    identical core membership AND in-core degrees, the defining k-core
+    properties (every member has >= k core neighbors; every peeled
+    node has < k core neighbors — maximality), and the Spark fixpoint
+    arrives comfortably inside the oracle's unroll depth."""
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        GR09_K,
+        GR09_ORACLE_ROUNDS,
+        _gr05_copurchase_edges,
+    )
+    from local_etl_csv_to_postgresql_spark.operators.graph import kcore
+
+    edges_df = _gr05_copurchase_edges(spark, SF).localCheckpoint()
+    core_df, rounds = kcore(spark, edges_df, GR09_K)
+    assert rounds <= GR09_ORACLE_ROUNDS, (
+        f"fixpoint took {rounds} rounds — raise GR09_ORACLE_ROUNDS"
+    )
+    got = {r["u"]: r["core_degree"] for r in core_df.collect()}
+    edges = {(r["id_a"], r["id_b"]) for r in edges_df.collect()}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive if len(adj[u] & alive) < GR09_K}
+        if not drop:
+            break
+        alive -= drop
+    want = {u: len(adj[u] & alive) for u in alive}
+    assert got == want
+    for u in alive:
+        assert len(adj[u] & alive) >= GR09_K
+    for u in set(adj) - alive:
+        assert len(adj[u] & alive) < GR09_K  # maximality
+    row = QUERIES["gr09_kcore_summary"](spark, SF).collect()[0]
+    assert row["n_core_nodes"] == len(alive)
+    assert row["degree_sum"] == sum(want.values())
+    assert row["n_core_edges"] == sum(want.values()) // 2
