@@ -22293,3 +22293,138 @@ FROM core CROSS JOIN ce"""
 
 ROUND7_STAGED_QUERIES["gr09_kcore_summary"] = gr09_kcore_summary
 ROUND7_STAGED_ORACLE["gr09_kcore_summary"] = _gr09_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staging, wave 74: ss09 greedy k-center coreset seeding.
+# ---------------------------------------------------------------------------
+
+#: ss09's coreset size (Gonzalez greedy rounds). 8 keeps the unrolled
+#: oracle readable; the 2-approximation guarantee holds for any k.
+SS09_CENTERS = 8
+
+
+def _ss09_d2(a, b) -> "F.Column":
+    """Squared L2 distance as the same sequential double fold the
+    es-family's dot/norm use (similarity.dot parity with DuckDB's
+    list_sum(list_transform(...))), rounded once to 4 dp so the
+    running-min and argmax comparisons are on identical values in both
+    engines."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+
+
+def ss09_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center (Gonzalez 1985) coreset seeding over the
+    embedding table: start from the lowest id, repeatedly add the point
+    FARTHEST from the chosen set, and report each round's center plus
+    the coverage radius after adding it — the classic 2-approximation
+    to the k-center objective, and the selection kernel under coreset
+    construction, active-learning seeding (Sener & Savarese 2018), and
+    diverse eval-set carve-outs (ss07/ss08 sample by hash/weight; this
+    selects for GEOMETRIC COVERAGE). The monotone radius column IS the
+    data's coverage curve: where it flattens is the intrinsic diversity
+    budget.
+
+    Scale: each of the k rounds is one row-local distance column
+    against the newest center (a 64-float literal — driver metadata,
+    the quantile-operator discipline), one running elementwise min, and
+    one bounded argmax; k is a constant, so the whole selection is k
+    linear passes — never a pairwise matrix. Determinism: distances are
+    the es-family's sequential double fold rounded once to 4 dp before
+    ANY comparison; argmax ties break by vec_id; the per-round state
+    frame is checkpointed so round r's plan does not replay rounds
+    0..r-1."""
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(0, first["vec_id"])]
+    center_vec = F.array(*[F.lit(float(x)) for x in first["embedding"]])
+    state = emb.select(
+        "vec_id",
+        "embedding",
+        _ss09_d2(F.col("embedding"), center_vec).alias("__md"),
+    ).localCheckpoint()
+    radii = [state.agg(F.max("__md")).collect()[0][0]]
+    for rnd in range(1, SS09_CENTERS):
+        far = (
+            state.orderBy(F.desc("__md"), "vec_id").limit(1).collect()[0]
+        )
+        centers.append((rnd, far["vec_id"]))
+        cvec = F.array(*[F.lit(float(x)) for x in far["embedding"]])
+        state = state.select(
+            "vec_id",
+            "embedding",
+            F.least(
+                F.col("__md"), _ss09_d2(F.col("embedding"), cvec)
+            ).alias("__md"),
+        ).localCheckpoint()
+        radii.append(state.agg(F.max("__md")).collect()[0][0])
+    return spark.createDataFrame(
+        [
+            (rnd, int(cid), float(radius))
+            for (rnd, cid), radius in zip(centers, radii)
+        ],
+        "round int, center_id bigint, coverage_radius double",
+    ).orderBy("round")
+
+
+_SS09_D2_SQL = (
+    "ROUND(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 4)"
+)
+
+
+def _ss09_oracle_sql() -> str:
+    # unrolled greedy rounds; every CTE MATERIALIZED (the gr09 lesson:
+    # m{r} references m{r-1} and the chain would otherwise inline
+    # exponentially)
+    d2 = _SS09_D2_SQL
+    ctes = [
+        "p AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        "c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce"
+        " FROM p ORDER BY vec_id LIMIT 1)",
+        "m0 AS MATERIALIZED (SELECT p.vec_id, p.embedding, "
+        + d2.format(a="p.embedding", b="c0.ce")
+        + " AS md FROM p CROSS JOIN c0)",
+    ]
+    for r in range(1, SS09_CENTERS):
+        prev = f"m{r - 1}"
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce"
+            f" FROM {prev} ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT m.vec_id, m.embedding,"
+            f" LEAST(m.md, "
+            + d2.format(a="m.embedding", b=f"c{r}.ce")
+            + f") AS md FROM {prev} m CROSS JOIN c{r})"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS round, (SELECT cid FROM c{r}) AS center_id,"
+        f" (SELECT MAX(md) FROM m{r}) AS coverage_radius"
+        for r in range(SS09_CENTERS)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(round AS INT) AS round,"
+        f" CAST(center_id AS BIGINT) AS center_id,"
+        f" CAST(coverage_radius AS DOUBLE) AS coverage_radius"
+        f" FROM ({rows}) ORDER BY round"
+    )
+
+
+ROUND7_STAGED_QUERIES["ss09_kcenter_coreset"] = ss09_kcenter_coreset
+ROUND7_STAGED_ORACLE["ss09_kcenter_coreset"] = _ss09_oracle_sql()

@@ -496,3 +496,50 @@ def test_gr09_python_peel_replay(spark):
     assert row["n_core_nodes"] == len(alive)
     assert row["degree_sum"] == sum(want.values())
     assert row["n_core_edges"] == sum(want.values()) // 2
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ss09_numpy_replay_and_radius_monotone(spark):
+    """Replay the greedy selection in numpy (same 4 dp rounding before
+    every comparison): identical center sequence and radii; the
+    coverage radius must be non-increasing (adding a center never hurts
+    coverage); and every later center must be farther from the chosen
+    prefix than any covered point was — the greedy invariant."""
+    import numpy as np
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        SS09_CENTERS,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["ss09_kcenter_coreset"](spark, SF).collect()
+    assert len(rows) == SS09_CENTERS
+    radii = [r["coverage_radius"] for r in rows]
+    assert radii == sorted(radii, reverse=True) or all(
+        a >= b - 1e-9 for a, b in zip(radii, radii[1:])
+    )
+    data = (
+        load(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in data])
+    X = np.array([r["embedding"] for r in data], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    ci = 0  # lowest vec_id
+    md = np.round(((X - X[ci]) ** 2).sum(axis=1), 4)
+    want = [(0, int(ids[ci]))]
+    want_radii = [float(md.max())]
+    for rnd in range(1, SS09_CENTERS):
+        # argmax with vec_id tie-break (ids sorted ascending, so the
+        # first argmax IS the lowest id)
+        j = int(np.argmax(md))
+        want.append((rnd, int(ids[j])))
+        md = np.minimum(md, np.round(((X - X[j]) ** 2).sum(axis=1), 4))
+        want_radii.append(float(md.max()))
+    got = [(r["round"], r["center_id"]) for r in rows]
+    assert got == want
+    for g, w in zip(radii, want_radii):
+        assert g == pytest.approx(w, abs=1e-6)
