@@ -22428,3 +22428,141 @@ def _ss09_oracle_sql() -> str:
 
 ROUND7_STAGED_QUERIES["ss09_kcenter_coreset"] = ss09_kcenter_coreset
 ROUND7_STAGED_ORACLE["ss09_kcenter_coreset"] = _ss09_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staging, wave 75: ij01 interval-overlap attribution join.
+# ---------------------------------------------------------------------------
+
+#: ij01's promo calendar: six fixed two-week windows spread across the
+#: TPC-H date range. A literal bounded dimension — the standard shape
+#: for interval×interval joins where one side is a calendar (promo
+#: attribution, SLA windows, maintenance blackouts).
+IJ01_PROMO_WINDOWS = (
+    ("promo_1993_spring", "1993-03-01", "1993-03-14"),
+    ("promo_1994_summer", "1994-07-04", "1994-07-17"),
+    ("promo_1995_fall", "1995-10-01", "1995-10-14"),
+    ("promo_1996_winter", "1996-12-15", "1996-12-28"),
+    ("promo_1997_spring", "1997-04-01", "1997-04-14"),
+    ("promo_1998_summer", "1998-06-15", "1998-06-28"),
+)
+
+
+def ij01_interval_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval×interval overlap join with PRORATED attribution: each
+    order's fulfillment interval (order date → last line shipment)
+    overlap-joined against a bounded promo calendar, crediting each
+    window with revenue × overlapDays / intervalDays — the marketing-
+    attribution / SLA-accounting kernel that point-in-time joins
+    (aj01–aj03, scd02) and point-in-interval joins (rj01) don't cover:
+    BOTH sides are genuine intervals and the measure is split by the
+    overlap, so an order straddling a window boundary contributes
+    exactly its covered fraction.
+
+    Scale: the order interval is one co-keyed fact rollup (max ship
+    date per order); the join side is a literal |windows|-row broadcast
+    (when neither side is bounded, the same semantics decompose into
+    the bin-bucketed equi-join rj01's range_join_count uses — this
+    certifies the overlap/proration arithmetic on the calendar shape).
+    Overlap lengths are exact integer day arithmetic
+    (max(0, min(e1,e2) − max(s1,s2) + 1)); each order's prorated credit
+    is rounded once to 6 dp, DECIMAL-summed (the en01 rule), and the
+    window totals round once more."""
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    span = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("__ship_end")
+    )
+    ointv = orders.join(
+        span, orders.o_orderkey == span.l_orderkey
+    ).select(
+        "o_orderkey",
+        dec("o_totalprice").alias("__price"),
+        F.col("o_orderdate").cast("date").alias("__s"),
+        F.col("__ship_end").cast("date").alias("__e"),
+    )
+    promos = spark.createDataFrame(
+        list(IJ01_PROMO_WINDOWS), "promo_id string, ps string, pe string"
+    ).select(
+        "promo_id",
+        F.col("ps").cast("date").alias("__ps"),
+        F.col("pe").cast("date").alias("__pe"),
+    )
+    j = ointv.crossJoin(F.broadcast(promos))
+    overlap = F.greatest(
+        F.lit(0),
+        F.datediff(
+            F.least(F.col("__e"), F.col("__pe")),
+            F.greatest(F.col("__s"), F.col("__ps")),
+        )
+        + F.lit(1),
+    )
+    dur = F.datediff(F.col("__e"), F.col("__s")) + F.lit(1)
+    credited = (
+        j.withColumn("__ov", overlap)
+        .filter(F.col("__ov") > 0)
+        .withColumn(
+            "__credit",
+            F.round(
+                F.col("__price").cast("double")
+                * F.col("__ov")
+                / (F.datediff(F.col("__e"), F.col("__s")) + F.lit(1)),
+                6,
+            ).cast("decimal(20,6)"),
+        )
+        .withColumn("__full", (F.col("__ov") == dur).cast("bigint"))
+    )
+    return (
+        credited.groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlapping_orders"),
+            F.sum("__full").cast("bigint").alias("n_fully_inside"),
+            F.round(F.sum("__credit").cast("double"), 2).alias(
+                "prorated_revenue"
+            ),
+        )
+        .orderBy("promo_id")
+    )
+
+
+def _ij01_oracle_sql() -> str:
+    promo_rows = " UNION ALL ".join(
+        f"SELECT '{pid}' AS promo_id, DATE '{ps}' AS ps, DATE '{pe}' AS pe"
+        for pid, ps, pe in IJ01_PROMO_WINDOWS
+    )
+    return f"""
+WITH span AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS ship_end
+  FROM lineitem GROUP BY l_orderkey
+), ointv AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+         CAST(o.o_orderdate AS DATE) AS s,
+         CAST(sp.ship_end AS DATE) AS e
+  FROM orders o JOIN span sp ON o.o_orderkey = sp.l_orderkey
+), promos AS ({promo_rows}), j AS (
+  SELECT promo_id,
+         GREATEST(0, DATEDIFF('day', GREATEST(s, ps), LEAST(e, pe)) + 1)
+           AS ov,
+         DATEDIFF('day', s, e) + 1 AS dur,
+         price
+  FROM ointv CROSS JOIN promos
+), credited AS (
+  SELECT promo_id, ov, dur,
+         CAST(ROUND(CAST(price AS DOUBLE) * ov
+                    / (dur), 6) AS DECIMAL(20,6)) AS credit
+  FROM j WHERE ov > 0
+)
+SELECT promo_id,
+       CAST(COUNT(*) AS BIGINT) AS n_overlapping_orders,
+       CAST(SUM(CASE WHEN ov = dur THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fully_inside,
+       ROUND(CAST(SUM(credit) AS DOUBLE), 2) AS prorated_revenue
+FROM credited GROUP BY promo_id ORDER BY promo_id
+"""
+
+
+ROUND7_STAGED_QUERIES["ij01_interval_attribution"] = (
+    ij01_interval_attribution
+)
+ROUND7_STAGED_ORACLE["ij01_interval_attribution"] = _ij01_oracle_sql()

@@ -119,6 +119,7 @@ BNLJ_ALLOWED = {
     "es20_power_iteration_step",  # 1-row mu-dot / step-norm scalars on
     # the d-row bounded tail
     "gr09_kcore_summary",  # 1-row summary x 1-row core-edge count
+    "ij01_interval_attribution",  # literal |windows|-row promo calendar
 }
 
 
@@ -321,6 +322,7 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "m0",          # 1-row mu-dot-v0 scalar (es20)
     "nrm",         # 1-row step-norm scalar (es20)
     "core_edges",  # 1-row core-edge-count scalar (gr09)
+    "promos",      # literal |IJ01_PROMO_WINDOWS|-row calendar (ij01)
 }
 
 

@@ -543,3 +543,71 @@ def test_ss09_numpy_replay_and_radius_monotone(spark):
     assert got == want
     for g, w in zip(radii, want_radii):
         assert g == pytest.approx(w, abs=1e-6)
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_ij01_proration_replay(spark):
+    """Replay one promo window's attribution in pure Python from the
+    raw order intervals (same day arithmetic and 6 dp rounding), plus
+    the structural invariants: fully-inside orders never exceed
+    overlapping orders, and a window's prorated revenue can never
+    exceed the plain revenue sum of its overlapping orders."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        IJ01_PROMO_WINDOWS,
+    )
+    from local_etl_csv_to_postgresql_spark.plans.analytics import load
+
+    rows = QUERIES["ij01_interval_attribution"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_fully_inside"] <= r["n_overlapping_orders"]
+        assert r["prorated_revenue"] >= 0
+    pid, ps, pe = IJ01_PROMO_WINDOWS[0]
+    got = next((r for r in rows if r["promo_id"] == pid), None)
+    li = load(spark, SF, "lineitem")
+    span = {
+        r["l_orderkey"]: r["ship_end"]
+        for r in li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .collect()
+    }
+    import datetime as dt
+
+    psd = dt.date.fromisoformat(ps)
+    ped = dt.date.fromisoformat(pe)
+    n_over, n_full = 0, 0
+    credit = Decimal(0)
+    plain = Decimal(0)
+    for o in load(spark, SF, "orders").collect():
+        if o["o_orderkey"] not in span:
+            continue
+        s = o["o_orderdate"]
+        if hasattr(s, "date"):
+            s = s.date()
+        e = span[o["o_orderkey"]]
+        if hasattr(e, "date"):
+            e = e.date()
+        ov = (min(e, ped) - max(s, psd)).days + 1
+        if ov <= 0:
+            continue
+        dur = (e - s).days + 1
+        n_over += 1
+        if ov == dur:
+            n_full += 1
+        price = Decimal(str(round(o["o_totalprice"], 2)))
+        credit += Decimal(str(round(float(price) * ov / dur, 6)))
+        plain += price
+    if got is None:
+        assert n_over == 0
+    else:
+        assert got["n_overlapping_orders"] == n_over
+        assert got["n_fully_inside"] == n_full
+        assert got["prorated_revenue"] == pytest.approx(
+            float(credit), abs=0.02
+        )
+        assert got["prorated_revenue"] <= float(plain) + 0.01
