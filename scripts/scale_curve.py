@@ -40,6 +40,10 @@ PROBES = [
     ("dd03_minhash_lsh_pairs", "MinHash-LSH candidate join"),
     ("gr03_cc_star_contraction", "iterative connected components"),
     ("dq04_order_total_reconciliation", "co-keyed fact-fact reconcile"),
+    # round-10 promoted shapes
+    ("ses01_gap_sessionization", "single-shuffle sessionization (LAG+sum+rollup)"),
+    ("rfm01_rfm_segmentation", "three-pass two-phase ranking census"),
+    ("st17_streaming_countmin", "streaming sketch maintenance (availableNow)"),
 ]
 
 
