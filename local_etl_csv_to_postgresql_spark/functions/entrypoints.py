@@ -22566,3 +22566,240 @@ ROUND7_STAGED_QUERIES["ij01_interval_attribution"] = (
     ij01_interval_attribution
 )
 ROUND7_STAGED_ORACLE["ij01_interval_attribution"] = _ij01_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-11 staging, wave 76: hll04 cross-source overlap by sketch
+# inclusion-exclusion.
+# ---------------------------------------------------------------------------
+
+
+def _hll_estimate_cols(occupied, occ_sum):
+    """HLL estimate from (occupied, integer register digest) — the
+    hll02 formula verbatim (alpha_m bias constant, exact-integer
+    harmonic denominator, linear-counting small-range correction),
+    shared so hll04's three estimates per pair cannot drift from the
+    certified single-set form."""
+    rest_zero_rho = HLL_REST_BITS + 1
+    two53 = float(1 << rest_zero_rho)
+    alpha = F.lit(0.7213) / (
+        F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M))
+    )
+    digest = occ_sum + (F.lit(HLL_M) - occupied) * F.lit(
+        1 << rest_zero_rho
+    )
+    raw = (
+        alpha
+        * F.lit(float(HLL_M) * float(HLL_M))
+        * F.lit(two53)
+        / digest.cast("double")
+    )
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / (F.lit(HLL_M) - occupied).cast("double")
+    )
+    return F.round(
+        F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (occupied < F.lit(HLL_M)), lc
+        ).otherwise(raw),
+        2,
+    )
+
+
+def hll04_cross_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus overlap planning by SKETCH ALGEBRA: per source pair,
+    estimate the shared distinct-document count as |A| + |B| − |A∪B|
+    where all three cardinalities come from HLL registers and the union
+    sketch is the pairwise register MAX — the inclusion-exclusion
+    estimator every large-scale dedup/contamination plan runs BEFORE
+    paying for an exact cross-corpus join (hll02 certified the single-
+    set sketch; hll03 certified merge = union; this is the algebra the
+    merge exists for). The exact overlap rides along as the
+    calibration column, so the output is simultaneously the planning
+    table and the estimator's error report.
+
+    Scale: registers are one (source, bucket)-keyed MAX aggregate —
+    map-side-combinable, at most |sources|·m shuffle rows regardless of
+    corpus size; every pairwise union lives on that bounded register
+    table (a 10-pair broadcast roster join). The exact twin costs one
+    distinct + self-join on the 60-bit text hash — the expensive thing
+    the estimator replaces at 100 TB, kept here as ground truth.
+    Determinism: the hll02 discipline end-to-end (exact-integer
+    harmonic digests, one rounded estimate per set, the overlap
+    computed from the ROUNDED estimates in both engines)."""
+    rest_zero_rho = HLL_REST_BITS + 1
+    docs = load(spark, sf, "documents").select(
+        "source", dd.hash60(F.col("text")).alias("__h")
+    )
+    hashed = docs.select(
+        "source",
+        (F.col("__h") % HLL_M).alias("__b"),
+        F.expr(f"__h div {HLL_M}").alias("__rest"),
+    ).select(
+        "source",
+        "__b",
+        F.expr(
+            f"CASE WHEN __rest = 0 THEN {rest_zero_rho} "
+            f"ELSE {HLL_REST_BITS} - length(bin(__rest)) + 1 END"
+        ).alias("__rho"),
+    )
+    regs = hashed.groupBy("source", "__b").agg(
+        F.max("__rho").alias("__mx")
+    )
+    occ_term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {rest_zero_rho} - __mx)"
+    )
+    per = regs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__occ"),
+        F.sum(occ_term).cast("bigint").alias("__osum"),
+    )
+    srcs = per.select("source")
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    # union registers per pair: both sides' registers keyed to the pair,
+    # pairwise MAX per bucket — all on the bounded register table
+    ra = pairs.join(
+        regs, pairs.source_a == regs.source
+    ).select("source_a", "source_b", "__b", "__mx")
+    rb = pairs.join(
+        regs, pairs.source_b == regs.source
+    ).select("source_a", "source_b", "__b", "__mx")
+    union_regs = (
+        ra.unionAll(rb)
+        .groupBy("source_a", "source_b", "__b")
+        .agg(F.max("__mx").alias("__mx"))
+    )
+    per_union = union_regs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__occ_u"),
+        F.sum(occ_term).cast("bigint").alias("__osum_u"),
+    )
+    dh = docs.distinct()
+    ex = (
+        dh.select(F.col("source").alias("source_a"), "__h")
+        .join(
+            dh.select(F.col("source").alias("source_b"), "__h"), "__h"
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"),
+        F.col("__occ").alias("__occ_a"),
+        F.col("__osum").alias("__osum_a"),
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"),
+        F.col("__occ").alias("__occ_b"),
+        F.col("__osum").alias("__osum_b"),
+    )
+    est_a = _hll_estimate_cols(F.col("__occ_a"), F.col("__osum_a"))
+    est_b = _hll_estimate_cols(F.col("__occ_b"), F.col("__osum_b"))
+    est_u = _hll_estimate_cols(F.col("__occ_u"), F.col("__osum_u"))
+    return (
+        per_union.join(pa, "source_a")
+        .join(pb, "source_b")
+        .join(ex, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("exact_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_overlap"),
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_u.alias("est_union"),
+        )
+        .withColumn(
+            "est_overlap",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                ),
+                2,
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _hll04_oracle_sql() -> str:
+    rest_zero_rho = HLL_REST_BITS + 1
+    h = _H60.format(x="text")
+    two53 = 1 << rest_zero_rho
+    est = (
+        "ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0"
+        " * {t}.0 / CAST({{d}} AS DOUBLE) <= 2.5 * {m}"
+        " AND {{o}} < {m}"
+        " THEN {m}.0 * ln({m}.0 / CAST({m} - {{o}} AS DOUBLE))"
+        " ELSE (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * {t}.0"
+        " / CAST({{d}} AS DOUBLE) END, 2)"
+    ).format(m=HLL_M, t=two53)
+
+    def digest(osum, occ):
+        return (
+            f"({osum} + ({HLL_M} - {occ}) * CAST({two53} AS BIGINT))"
+        )
+
+    return f"""
+WITH hashed AS (
+  SELECT source, ({h}) % {HLL_M} AS b, ({h}) // {HLL_M} AS rest
+  FROM documents
+), ranked AS (
+  SELECT source, b,
+         MAX(CASE WHEN rest = 0 THEN {rest_zero_rho}
+                  ELSE {HLL_REST_BITS} - length(bin(rest)) + 1 END) AS mx
+  FROM hashed GROUP BY source, b
+), per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS occ,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rest_zero_rho} - mx)) AS BIGINT)
+           AS osum
+  FROM ranked GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM per a CROSS JOIN per b WHERE a.source < b.source
+), union_regs AS (
+  SELECT p.source_a, p.source_b, r.b, MAX(r.mx) AS mx
+  FROM pairs p JOIN ranked r
+    ON r.source = p.source_a OR r.source = p.source_b
+  GROUP BY p.source_a, p.source_b, r.b
+), per_union AS (
+  SELECT source_a, source_b,
+         CAST(COUNT(*) AS BIGINT) AS occ_u,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rest_zero_rho} - mx)) AS BIGINT)
+           AS osum_u
+  FROM union_regs GROUP BY source_a, source_b
+), dh AS (
+  SELECT DISTINCT source, ({h}) AS hh FROM documents
+), ex AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_overlap
+  FROM dh a JOIN dh b ON a.hh = b.hh AND a.source < b.source
+  GROUP BY 1, 2
+), scored AS (
+  SELECT u.source_a, u.source_b,
+         COALESCE(e.exact_overlap, 0) AS exact_overlap,
+         {est.format(d=digest('pa.osum', 'pa.occ'), o='pa.occ')} AS est_a,
+         {est.format(d=digest('pb.osum', 'pb.occ'), o='pb.occ')} AS est_b,
+         {est.format(d=digest('u.osum_u', 'u.occ_u'), o='u.occ_u')}
+           AS est_union
+  FROM per_union u
+  JOIN per pa ON pa.source = u.source_a
+  JOIN per pb ON pb.source = u.source_b
+  LEFT JOIN ex e
+    ON e.source_a = u.source_a AND e.source_b = u.source_b
+)
+SELECT source_a, source_b, CAST(exact_overlap AS BIGINT) AS exact_overlap,
+       est_a, est_b, est_union,
+       ROUND(GREATEST(0.0, est_a + est_b - est_union), 2) AS est_overlap
+FROM scored ORDER BY source_a, source_b
+"""
+
+
+ROUND7_STAGED_QUERIES["hll04_cross_source_overlap"] = (
+    hll04_cross_source_overlap
+)
+ROUND7_STAGED_ORACLE["hll04_cross_source_overlap"] = _hll04_oracle_sql()

@@ -120,6 +120,8 @@ BNLJ_ALLOWED = {
     # the d-row bounded tail
     "gr09_kcore_summary",  # 1-row summary x 1-row core-edge count
     "ij01_interval_attribution",  # literal |windows|-row promo calendar
+    "hll04_cross_source_overlap",  # |sources|-roster pair grid over the
+    # bounded register table
 }
 
 

@@ -611,3 +611,28 @@ def test_ij01_proration_replay(spark):
             float(credit), abs=0.02
         )
         assert got["prorated_revenue"] <= float(plain) + 0.01
+
+
+@needs_testdata
+@pytest.mark.integration
+def test_hll04_algebra_and_calibration(spark):
+    """Sketch-algebra identities on every pair: the union estimate is
+    at least as large as each side's (max-merge can only grow
+    registers), the inclusion-exclusion overlap is non-negative by
+    construction, and — calibration — the estimated overlap tracks the
+    exact overlap within the sketch's error budget scaled to the pair
+    size (inclusion-exclusion compounds three ±6.5% estimates)."""
+    rows = QUERIES["hll04_cross_source_overlap"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["est_union"] >= r["est_a"] - 1e-9
+        assert r["est_union"] >= r["est_b"] - 1e-9
+        assert r["est_overlap"] >= 0.0
+        # three compounded 6.5%-std-err estimates: allow 5 sigma of the
+        # LARGEST set involved plus a small absolute floor
+        budget = 5 * 0.065 * max(r["est_a"], r["est_b"]) + 50
+        assert abs(r["est_overlap"] - r["exact_overlap"]) <= budget, (
+            f"{r['source_a']}x{r['source_b']}: overlap estimate "
+            f"{r['est_overlap']} vs exact {r['exact_overlap']} — "
+            "outside the compounded sketch error budget"
+        )
