@@ -90,14 +90,18 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _promotion_order() -> list[str]:
-    """Bucket-2 judgment order: the current round's promotion list.
+    """Bucket-2 judgment order: the promotion lists, newest round last
+    (earlier rounds' promotions are already driver-certified, so only
+    the newest round's names are ever actually in bucket 2 — keeping
+    the older lists here makes the order stable if a record is lost).
     Never-certified names absent from it fall back to name order."""
     try:
         from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
             ROUND10_PROMOTED,
+            ROUND11_PROMOTED,
         )
 
-        return list(ROUND10_PROMOTED)
+        return list(ROUND10_PROMOTED) + list(ROUND11_PROMOTED)
     except ImportError:
         return []
 
@@ -113,7 +117,19 @@ def _driver_history() -> tuple[dict[str, int], dict[str, int]]:
         try:
             with open(path) as fh:
                 rows = json.load(fh)
-        except (OSError, ValueError):
+        except (OSError, ValueError) as exc:
+            # A truncated/corrupt record must not silently reshuffle the
+            # certification window (previously-certified queries would be
+            # treated as never-certified and displace refresh slots), so
+            # make the skip loud (r10 ADVICE item 1).
+            import warnings
+
+            warnings.warn(
+                f"skipping unreadable driver record {path!r}: {exc} — "
+                "the certification window is computed WITHOUT it",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             continue
         for name, row in rows.items():
             ok = (

@@ -30,7 +30,12 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_BENCH_QUERY_CHUNKS (non-stream chunk count, default 3),
      SPARK_GRAFT_BENCH_ETL_ROWS (comma list of EXTRA ETL row counts,
        default "1000000" — the 1M-row leg that pins SCALE.md's linear-
-       scaling claim with a driver-measured number; set "" to skip).
+       scaling claim with a driver-measured number; set "" to skip),
+     SPARK_GRAFT_BENCH_OUT (long-form record path, default
+       BENCH_LOCAL.json next to this file — the builder's quiet-window
+       headline runs set e.g. BENCH_QUIET_r11.json so the per-round
+       driver run, which always writes the default path, cannot
+       overwrite the quiet evidence; r10 verdict task 4).
 """
 
 from __future__ import annotations
@@ -503,13 +508,11 @@ def main() -> int:
         chunk_loadavg=chunk_loads,
         loadavg_full=[list(load_before), list(load_after)],
     )
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
     try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-            ),
-            "w",
-        ) as f:
+        with open(out_path, "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass

@@ -244,6 +244,10 @@ def _lsh_base(spark: SparkSession, sf: str):
         import tempfile
 
         root = tempfile.mkdtemp(prefix="sparkgraft_lshbase_")
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         docs = _docs_words(spark, sf).select(
             "doc_id", dd.shingles(F.col("__words")).alias("__sh")
         ).persist()
@@ -412,9 +416,14 @@ def _neardup_components(spark: SparkSession, sf: str) -> DataFrame:
         comp = connected_components(
             verts, verified, id_col="doc_id", src="id_a", dst="id_b"
         ).select(F.col("id").alias("doc_id"), "component")
+        import atexit
+        import shutil
         import tempfile
 
         path = tempfile.mkdtemp(prefix="sparkgraft_neardup_") + "/components"
+        atexit.register(
+            shutil.rmtree, _os.path.dirname(path), ignore_errors=True
+        )
         comp.write.mode("overwrite").parquet(path)
         _NEARDUP_COMPONENTS_CACHE[sf] = path
     return spark.read.parquet(path)
@@ -20359,8 +20368,17 @@ def se01_schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
     # handler each; reset_shared_intermediates rmtree's and clears it
     out_dir = _SE01_DIR_CACHE.get(sf)
     if out_dir is None:
+        import atexit
+        import shutil
+
         orders = load(spark, sf, "orders")
         out_dir = tempfile.mkdtemp(prefix="se01_evolve_")
+        # one idempotent handler per cached dir (ignore_errors makes a
+        # double-delete after reset_shared_intermediates a no-op): a
+        # process that runs se01 but exits without the bench's reset —
+        # e.g. a targeted pytest run — must not leak the mkdtemp
+        # (r10 ADVICE item 3)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
         old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", dec("o_totalprice").alias("o_totalprice")
         )
@@ -22208,7 +22226,17 @@ def gr09_kcore_summary(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.graph import kcore
 
     edges = _gr05_copurchase_edges(spark, sf).localCheckpoint()
-    core, _rounds = kcore(spark, edges, GR09_K)
+    core, rounds = kcore(spark, edges, GR09_K)
+    # The oracle unrolls exactly GR09_ORACLE_ROUNDS peeling rounds while
+    # the engine iterates to the true fixpoint: a graph that converges
+    # slower than the unroll would silently diverge as a generic hash
+    # mismatch, so fail loudly here instead (r10 ADVICE item 2).
+    if rounds > GR09_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"gr09: k-core peeling took {rounds} rounds but the DuckDB "
+            f"oracle only unrolls GR09_ORACLE_ROUNDS={GR09_ORACLE_ROUNDS}; "
+            "raise the unroll depth before certifying this graph"
+        )
     und = edges.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
@@ -22803,3 +22831,43 @@ ROUND7_STAGED_QUERIES["hll04_cross_source_overlap"] = (
     hll04_cross_source_overlap
 )
 ROUND7_STAGED_ORACLE["hll04_cross_source_overlap"] = _hll04_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-11 promotion: the 14 wave-69–76 queries staged during round 10
+# graduate into the live registry (r10 verdict task 1). Order = staging
+# wave order (69 -> 76); __spark_entry__._window_order consumes this as
+# the bucket-2 (never-certified) judgment order, so the driver's next
+# 50-slot window certifies these 14 first and fills the remaining 36
+# slots from the r5-era refresh-queue head.
+# ---------------------------------------------------------------------------
+
+ROUND11_PROMOTED: list[str] = [
+    # wave 69
+    "mix01_temperature_sweep",
+    "tx25_lexical_diversity",
+    "gr08_triangle_census",
+    "ss08_weighted_sample",
+    "st20_streaming_bottomk_sample",
+    # wave 70
+    "qf06_gopher_repetition",
+    "ts05_changepoint_scan",
+    # wave 71
+    "pv02_status_unpivot",
+    "dq05_functional_dependencies",
+    # wave 72
+    "es20_power_iteration_step",
+    # wave 73
+    "gr09_kcore_summary",
+    # wave 74
+    "ss09_kcenter_coreset",
+    # wave 75
+    "ij01_interval_attribution",
+    # wave 76
+    "hll04_cross_source_overlap",
+]
+
+for _name in ROUND11_PROMOTED:
+    EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
+    EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
+del _name

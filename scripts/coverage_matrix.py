@@ -4,9 +4,14 @@ the coverage story must be emitted from the registries plus the driver's
 CORRECTNESS_r*.json records, not hand-maintained in prose).
 
 Deterministic by construction: no timestamps, no environment probes —
-the output is a pure function of the registries and the checked-in
-correctness records, so `tests/test_entry.py::test_coverage_matrix_fresh`
-can assert the committed file regenerates byte-identical.
+the output is a pure function of the registries and a PINNED list of
+correctness records. The record list the matrix was generated from is
+stamped into the file itself (the ``Records:`` line), and `--check`
+regenerates against THAT stamped list, so a driver CORRECTNESS file
+that lands after the builder's last commit can never make the committed
+matrix "stale" (r10 verdict task 2 — the suite must not start a round
+red). Newly-landed records that the stamp does not cover are reported
+separately as a non-blocking staleness note on stdout.
 
 Run:  python scripts/coverage_matrix.py          # rewrite COVERAGE_MATRIX.md
       python scripts/coverage_matrix.py --check  # exit 1 if stale
@@ -115,19 +120,47 @@ def _family(name: str) -> str:
     return fam or head
 
 
-def collect() -> str:
+def records_on_disk() -> list[str]:
+    """Basenames of every driver correctness record present, sorted."""
+    return sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+
+
+def stamped_records(matrix_text: str) -> list[str] | None:
+    """Parse the ``Records:`` stamp out of a generated matrix. Returns
+    None when the committed file predates the stamp (pre-r11 format)."""
+    for line in matrix_text.splitlines():
+        if line.startswith("Records: "):
+            body = line[len("Records: "):].strip()
+            return [t.strip() for t in body.split(",") if t.strip()]
+    return None
+
+
+def collect(record_files: list[str] | None = None) -> str:
+    """Render the matrix from the registries plus exactly
+    ``record_files`` (basenames; default = every record on disk). The
+    certification window shown is recomputed from the SAME pinned list
+    via the executable policy, so the output is a pure function of
+    (registries, record_files) — byte-reproducible regardless of what
+    the driver has landed since."""
     import __spark_entry__ as ep
     from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
         ROUND7_STAGED_QUERIES,
     )
 
+    if record_files is None:
+        record_files = records_on_disk()
+
     live = ep.queries()
     oracles = ep.oracle_sql()
-    window = set(ep._CERTIFICATION_PRIORITY)
 
     last_green: dict[str, int] = {}
     ever_failed: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    policy_failed: dict[str, int] = {}
+    for base in sorted(record_files):
+        path = os.path.join(REPO, base)
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         with open(path) as fh:
             recs = json.load(fh)
@@ -141,6 +174,13 @@ def collect() -> str:
                 last_green[name] = rnd
             else:
                 ever_failed[name] = rnd
+                policy_failed[name] = max(policy_failed.get(name, 0), rnd)
+
+    window = set(
+        ep._window_order(
+            list(live), set(oracles), history=(last_green, policy_failed)
+        )[:50]
+    )
 
     walls_path = os.path.join(REPO, "scripts", "staged_sf01_walls.json")
     walls = {}
@@ -153,9 +193,14 @@ def collect() -> str:
         "",
         "Generated by `scripts/coverage_matrix.py` from the live registry",
         "(`__spark_entry__.queries()`/`oracle_sql()`), the staged registry,",
-        "and the driver's `CORRECTNESS_r*.json` records. Do not edit by",
-        "hand — `tests/test_entry.py::test_coverage_matrix_fresh` asserts",
-        "this file regenerates byte-identical.",
+        "and the driver `CORRECTNESS_r*.json` records named on the",
+        "`Records:` line below. Do not edit by hand —",
+        "`tests/test_entry.py::test_coverage_matrix_fresh` asserts this",
+        "file regenerates byte-identical AGAINST THAT PINNED RECORD LIST",
+        "(a driver record landing after the last regeneration is reported",
+        "by `--check` as a non-blocking note, never a failure).",
+        "",
+        "Records: " + ", ".join(sorted(record_files)),
         "",
         f"- **Live queries:** {len(live)}"
         f" ({sum(1 for n in live if n in oracles)} with a DuckDB oracle"
@@ -222,20 +267,37 @@ def collect() -> str:
 
 
 def main() -> int:
-    content = collect()
     if "--check" in sys.argv[1:]:
         try:
             with open(OUT_PATH) as fh:
                 current = fh.read()
         except OSError:
             current = ""
-        if current != content:
+        pinned = stamped_records(current)
+        if pinned is None:
+            sys.stderr.write(
+                "COVERAGE_MATRIX.md has no Records: stamp — rerun "
+                "python scripts/coverage_matrix.py\n"
+            )
+            return 1
+        if current != collect(pinned):
             sys.stderr.write(
                 "COVERAGE_MATRIX.md is stale — rerun "
                 "python scripts/coverage_matrix.py\n"
             )
             return 1
+        unseen = sorted(set(records_on_disk()) - set(pinned))
+        if unseen:
+            # non-blocking by design: a freshly-landed driver record is
+            # the driver's business, not a committed-state defect
+            print(
+                "note: driver records newer than the stamped matrix: "
+                + ", ".join(unseen)
+                + " — rerun python scripts/coverage_matrix.py to fold"
+                " them in"
+            )
         return 0
+    content = collect()
     with open(OUT_PATH, "w") as fh:
         fh.write(content)
     print(f"wrote {OUT_PATH}")

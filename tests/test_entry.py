@@ -109,16 +109,29 @@ def test_readme_counts():
 def test_coverage_matrix_fresh():
     """COVERAGE_MATRIX.md is a generated artifact (r8 verdict task 6):
     it must regenerate byte-identical from the registries plus the
-    checked-in CORRECTNESS records, so any staging wave, promotion, or
-    new driver record that forgets to rerun scripts/coverage_matrix.py
-    fails the suite instead of shipping a stale matrix."""
+    record list STAMPED INTO THE FILE (r10 verdict task 2), so any
+    staging wave or promotion that forgets to rerun
+    scripts/coverage_matrix.py fails the suite — while a driver
+    CORRECTNESS record landing AFTER the builder's last regeneration
+    does not (that is `--check`'s non-blocking staleness note, not a
+    committed-state defect; the r9/r10 rounds both started red on
+    exactly that race)."""
     import scripts.coverage_matrix as cm
 
     with open(cm.OUT_PATH) as fh:
         committed = fh.read()
-    assert committed == cm.collect(), (
+    pinned = cm.stamped_records(committed)
+    assert pinned is not None, (
+        "COVERAGE_MATRIX.md predates the Records: stamp — rerun "
+        "python scripts/coverage_matrix.py"
+    )
+    assert committed == cm.collect(pinned), (
         "COVERAGE_MATRIX.md is stale — rerun python scripts/coverage_matrix.py"
     )
+    # every stamped record must still exist (a deleted record silently
+    # weakens the pinned history)
+    missing = set(pinned) - set(cm.records_on_disk())
+    assert missing == set(), f"stamped records missing from disk: {missing}"
 
 
 def test_window_refresh_slots_are_oldest_first():
@@ -145,3 +158,28 @@ def test_window_refresh_slots_are_oldest_first():
     # live queries (the stranded test's invariant, restated here against
     # the computed buckets)
     assert set(never) <= set(window)
+
+
+def test_coverage_matrix_stamp_pins_record_list():
+    """The matrix's Records: stamp is the freshness contract (r10
+    verdict task 2): collect() must be a pure function of the record
+    list it is given, so (a) the stamp round-trips through the parser,
+    (b) regenerating with a strict subset of records yields a DIFFERENT
+    stamp (a silently-dropped record cannot produce a byte-identical
+    matrix), and (c) the driver landing a new record changes NOTHING
+    about the committed file's check — that race is a note, not a
+    failure (the r9 and r10 rounds both started red on it)."""
+    import scripts.coverage_matrix as cm
+
+    on_disk = cm.records_on_disk()
+    assert on_disk, "no driver records — driver contract violated"
+    full = cm.collect(on_disk)
+    assert cm.stamped_records(full) == sorted(on_disk)
+    if len(on_disk) > 1:
+        subset = on_disk[:-1]
+        sub = cm.collect(subset)
+        assert cm.stamped_records(sub) == sorted(subset)
+        assert sub != full
+    # a matrix with no stamp (pre-r11 format) parses to None, which
+    # --check treats as stale
+    assert cm.stamped_records("# Coverage matrix\n\nno stamp here\n") is None

@@ -80,6 +80,7 @@ def test_promoted_queries_were_sf01_swept():
         ROUND8_PROMOTED,
         ROUND9_PROMOTED,
         ROUND10_PROMOTED,
+        ROUND11_PROMOTED,
     )
 
     path = os.path.join(
@@ -92,6 +93,7 @@ def test_promoted_queries_were_sf01_swept():
         | set(ROUND8_PROMOTED)
         | set(ROUND9_PROMOTED)
         | set(ROUND10_PROMOTED)
+        | set(ROUND11_PROMOTED)
     )
     missing = required - set(walls)
     assert missing == set(), (
