@@ -22871,3 +22871,310 @@ for _name in ROUND11_PROMOTED:
     EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
     EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Round-12 staging, wave 77: gr10 k-truss summary, rs02 Theil-Sen trend.
+# ---------------------------------------------------------------------------
+
+#: gr10's truss order: k = 3 keeps exactly the edges that close at
+#: least one triangle among survivors — the weakest truss that still
+#: separates clique-like structure from trees/chains/stars.
+GR10_K = 3
+
+#: Unroll depth of the oracle's edge peeling. The Spark side iterates
+#: to the exact fixpoint (up to 50 rounds) and ASSERTS the measured
+#: round count fits inside this bound (the gr09 lesson, r10 ADVICE
+#: item 2, applied from birth): slow convergence fails loudly instead
+#: of surfacing as a generic oracle hash mismatch. Measured fixpoints:
+#: 2 rounds at sf0.001/sf0.01/sf0.1.
+GR10_ORACLE_ROUNDS = 6
+
+
+def gr10_ktruss_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """k-truss census of the part co-purchase graph: peel to the
+    maximal subgraph where every EDGE closes >= k-2 triangles among
+    survivors and report its size, node count, support profile, and
+    exact membership digests. The edge-level complement of gr09's
+    vertex-level k-core: a hub's spoke edges survive any k-core (the
+    hub has degree) but close no triangles, so the truss is the
+    stricter cohesion filter — in a co-purchase graph it isolates the
+    bundle cliques from the popular-product stars; in a near-dup graph
+    it separates template farms from chance collisions. Third
+    iterative fixpoint kernel after connected components and k-core.
+
+    Scale: see operators/graph.ktruss — per round one degree-ordered
+    triangle enumeration (O(|E|^1.5) total, hub-skew-proof) + one
+    edge-keyed support aggregate, lineage-truncated; exact integers
+    end to end (the one ratio rounds once). The unique-fixpoint
+    property makes the bounded unrolled SQL twin an exact oracle."""
+    from ..operators.graph import ktruss
+
+    edges = _gr05_copurchase_edges(spark, sf).localCheckpoint()
+    truss, rounds = ktruss(spark, edges, GR10_K)
+    if rounds > GR10_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"gr10: k-truss peeling took {rounds} rounds but the DuckDB "
+            f"oracle only unrolls GR10_ORACLE_ROUNDS={GR10_ORACLE_ROUNDS}; "
+            "raise the unroll depth before certifying this graph"
+        )
+    nodes = (
+        truss.select(F.col("a").alias("n"))
+        .union(truss.select(F.col("b").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_truss_nodes"))
+    )
+    summary = truss.agg(
+        F.lit(GR10_K).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_truss_edges"),
+        F.sum("support").cast("bigint").alias("support_sum"),
+        F.max("support").cast("bigint").alias("max_support"),
+        F.sum(F.col("a") + F.col("b")).cast("bigint").alias("edge_id_sum"),
+    )
+    return summary.crossJoin(F.broadcast(nodes)).select(
+        "k",
+        "n_truss_edges",
+        "n_truss_nodes",
+        "support_sum",
+        "max_support",
+        "edge_id_sum",
+        F.round(
+            F.col("support_sum").cast("double") / F.col("n_truss_edges"), 4
+        ).alias("avg_support"),
+    )
+
+
+def _gr10_oracle_sql() -> str:
+    k, rounds = GR10_K, GR10_ORACLE_ROUNDS
+    # every per-round CTE is MATERIALIZED: u{r} references e{r} twice
+    # and s{r} references u{r-1} twice, so unmaterialized inlining
+    # would expand the chain exponentially before the optimizer runs
+    # (the gr09 lesson)
+    ctes = [
+        "li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,"
+        " l_partkey AS pk FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT a.pk AS a, b.pk AS b"
+        " FROM li a JOIN li b"
+        " ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2"
+        f" HAVING COUNT(*) >= {GR05_MIN_CO_ORDERS})",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"u{r - 1} AS MATERIALIZED (SELECT a AS u, b AS v FROM {prev}"
+            f" UNION ALL SELECT b AS u, a AS v FROM {prev})"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT e.a, e.b, COUNT(*) AS c"
+            f" FROM {prev} e JOIN u{r - 1} x ON x.u = e.a"
+            f" JOIN u{r - 1} y ON y.u = e.b AND y.v = x.v"
+            " GROUP BY e.a, e.b)"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b FROM s{r}"
+            f" WHERE c >= {k - 2})"
+        )
+    ctes.append(
+        f"truss AS MATERIALIZED (SELECT a, b, CAST(c AS BIGINT) AS support"
+        f" FROM s{rounds} WHERE c >= {k - 2})"
+    )
+    ctes.append(
+        "tn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT)"
+        " AS n_truss_nodes FROM"
+        " (SELECT a AS n FROM truss UNION SELECT b FROM truss))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST({k} AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_truss_edges,
+       CAST(MAX(tn.n_truss_nodes) AS BIGINT) AS n_truss_nodes,
+       CAST(SUM(support) AS BIGINT) AS support_sum,
+       CAST(MAX(support) AS BIGINT) AS max_support,
+       CAST(SUM(a + b) AS BIGINT) AS edge_id_sum,
+       ROUND(CAST(SUM(support) AS DOUBLE) / COUNT(*), 4) AS avg_support
+FROM truss CROSS JOIN tn"""
+    )
+
+
+ROUND7_STAGED_QUERIES["gr10_ktruss_summary"] = gr10_ktruss_summary
+ROUND7_STAGED_ORACLE["gr10_ktruss_summary"] = _gr10_oracle_sql()
+
+
+#: rs02's slope rounding (10 dp before ranking, the en01 rule: round
+#: transcendental-free but division-bearing doubles ONCE at a fixed
+#: grain so both engines rank the identical multiset).
+RS02_SLOPE_ND = 10
+
+#: Day-index epoch for rs02 — any fixed date before the data works;
+#: the generator's order dates start 1995-01-01.
+RS02_EPOCH = "1994-12-31"
+
+
+def rs02_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue — the median of
+    all pairwise day-to-day slopes — next to the closed-form OLS slope
+    on the same series (lr01's moment method): the robust/classical
+    slope gap is the standard outlier-contamination diagnostic for a
+    revenue series (a handful of mega-order days drag OLS but leave
+    the pairwise-slope median untouched; breakdown point 29%).
+
+    Scale: the fact table feeds ONE partial-aggregable daily rollup;
+    everything pairwise lives on the CALENDAR-bounded day table
+    (|days| ~ 2.4k regardless of row count, so the slope grid is
+    ~2.9M rows at ANY scale factor — it grows with the date range,
+    never the data). The median is selected by the two-phase global
+    ranker (operators/ranking.attach_global_row_number — range
+    partition + per-partition window + broadcast offsets), never a
+    single-task ORDER BY window. Slopes are exact-DECIMAL revenue
+    differences divided by integer day gaps, rounded once to 10 dp
+    before ranking; OLS moments are exact DECIMAL/bigint sums cast to
+    double at the end (the lr01 rule)."""
+    from ..operators.ranking import attach_global_row_number
+
+    orders = load(spark, sf, "orders").select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit(RS02_EPOCH).cast("date")
+        )
+        .cast("bigint")
+        .alias("x"),
+        dec("o_totalprice").alias("p"),
+    )
+    daily = orders.groupBy("x").agg(
+        F.sum("p").alias("revd"),
+        F.sum("p").cast("double").alias("rev"),
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("revd").alias("ra"))
+    b = daily.select(F.col("x").alias("xb"), F.col("revd").alias("rb"))
+    slopes = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            F.round(
+                (F.col("rb") - F.col("ra")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double"),
+                RS02_SLOPE_ND,
+            ).alias("slope")
+        )
+    )
+    ranked = attach_global_row_number(
+        slopes, order_by=["slope"], rn_col="rn", total_col="n"
+    )
+    # discrete median ranks: lo = (n+1) div 2, hi = (n+2) div 2 — one
+    # row when n is odd, the two middle rows when even; AVG of their
+    # (identically-rounded) values is engine-portable, unlike
+    # percentile interpolation whose lo + (hi-lo)·f vs (lo+hi)/2
+    # formulations differ in the last ulp
+    median = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    ts = median.agg(
+        F.round(F.avg("slope"), 8).alias("theil_sen_slope"),
+        F.max("n").cast("bigint").alias("n_pairs"),
+    )
+    # OLS moments: exact at the order grain (Σ x·price in DECIMAL —
+    # x fits decimal(6,0), price decimal(18,2), product decimal(25,2),
+    # sum decimal(35,2): no precision loss), day moments exact bigint
+    sxy = orders.agg(
+        F.sum(F.col("p") * F.col("x").cast("decimal(6,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum("p").cast("double").alias("sy"),
+    )
+    day_m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    # WRONG GRAIN GUARD: OLS here regresses DAILY revenue on the day
+    # index, so Σxy must be Σ_d x_d·rev_d — which equals the order-
+    # grain Σ x·price exactly (x is constant within a day). sy = Σrev.
+    ols = day_m.crossJoin(F.broadcast(sxy)).select(
+        "n_days",
+        "sx",
+        F.round(
+            (
+                F.col("n_days").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (
+                F.col("n_days").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("ols_slope"),
+    )
+    return ols.crossJoin(F.broadcast(ts)).select(
+        "n_days",
+        "n_pairs",
+        "theil_sen_slope",
+        "ols_slope",
+    )
+
+
+_RS02_ORACLE = f"""
+WITH orders_x AS (
+  SELECT date_diff('day', DATE '{RS02_EPOCH}',
+                   CAST(o_orderdate AS DATE)) AS x,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+), daily AS MATERIALIZED (
+  SELECT CAST(x AS BIGINT) AS x,
+         SUM(p) AS revd,
+         CAST(SUM(p) AS DOUBLE) AS rev
+  FROM orders_x GROUP BY 1
+), slopes AS (
+  SELECT ROUND(CAST(b.revd - a.revd AS DOUBLE)
+               / CAST(b.x - a.x AS DOUBLE), {RS02_SLOPE_ND}) AS slope
+  FROM daily a JOIN daily b ON a.x < b.x
+), ranked AS (
+  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+         COUNT(*) OVER () AS n
+  FROM slopes
+), ts AS (
+  SELECT ROUND(AVG(slope), 8) AS theil_sen_slope,
+         CAST(MAX(n) AS BIGINT) AS n_pairs
+  FROM ranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+), mo AS (
+  SELECT CAST(SUM(p * CAST(x AS DECIMAL(6,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(p) AS DOUBLE) AS sy
+  FROM orders_x
+), dm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily
+)
+SELECT dm.n_days, ts.n_pairs, ts.theil_sen_slope,
+       ROUND((CAST(dm.n_days AS DOUBLE) * mo.sxy
+              - CAST(dm.sx AS DOUBLE) * mo.sy)
+             / (CAST(dm.n_days AS DOUBLE) * CAST(dm.sxx AS DOUBLE)
+                - CAST(dm.sx AS DOUBLE) * CAST(dm.sx AS DOUBLE)), 6)
+         AS ols_slope
+FROM dm CROSS JOIN mo CROSS JOIN ts
+"""
+
+
+ROUND7_STAGED_QUERIES["rs02_theil_sen_trend"] = rs02_theil_sen_trend
+ROUND7_STAGED_ORACLE["rs02_theil_sen_trend"] = _RS02_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round-12 staging, wave 78: st21 streaming MinHash resemblance.
+# ---------------------------------------------------------------------------
+
+
+def _register_staged_streaming_wave78() -> None:
+    from ..streaming.queries import (
+        ST21_STAGED_ORACLE,
+        st21_streaming_minhash_resemblance,
+    )
+
+    ROUND7_STAGED_QUERIES["st21_streaming_minhash_resemblance"] = (
+        st21_streaming_minhash_resemblance
+    )
+    ROUND7_STAGED_ORACLE["st21_streaming_minhash_resemblance"] = (
+        ST21_STAGED_ORACLE
+    )
+
+
+_register_staged_streaming_wave78()

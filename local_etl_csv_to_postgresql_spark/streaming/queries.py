@@ -1090,3 +1090,167 @@ SELECT p.event_type, p.n_events, s.occupied, s.kmv_threshold,
 FROM per p JOIN samp s ON p.event_type = s.event_type
 ORDER BY p.event_type
 """
+
+
+# --- round-12 staged: st21 streaming MinHash resemblance -------------------
+
+#: st21's signature width (the MinHash k). 16 mirrors the batch dedup
+#: family's MINHASH_K so the streamed sketch is the same artifact the
+#: LSH pipeline consumes; |sources| × 16 bounds the streaming state.
+ST21_K = 16
+
+
+def st21_streaming_minhash_resemblance(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Cross-source resemblance estimated from per-source MinHash
+    signatures MAINTAINED BY A REAL multi-batch Structured Streaming
+    run (documents staged into 4 files, maxFilesPerTrigger=1):
+    micro-batches MIN their documents' permuted fingerprint hashes
+    into the (source, permutation) signature matrix — element-wise min
+    is the MinHash merge operator, so the streamed final signatures
+    must equal the one-shot batch signatures the DuckDB oracle
+    computes from the same affine family (functions/dedup's
+    minhash_a/b over the 60-bit md5 base). Completes the streamed-
+    sketch merge algebra's FIFTH state shape: sums (st16/st17), maxes
+    (st18), ORs (st19), order statistics (st20), element-wise mins
+    (this) — together every bounded-state lattice a streaming corpus
+    monitor folds. The batch-side consumer estimates pairwise source
+    resemblance as the matching-component fraction and certifies it
+    next to the EXACT fingerprint-set Jaccard, the ground truth the
+    estimate converges to in k — the streaming twin of hll04's
+    overlap-planning question (which sources duplicate each other)
+    answered without ever joining documents."""
+    from ..functions import text as tx
+    from .stateful import replay_minhash_signature
+
+    sig = replay_minhash_signature(
+        spark, f"{sf}/documents.parquet", k=ST21_K
+    )
+    # self-join of the one memory-sink table: rename BOTH sides' join
+    # key (a bare "__j" stays ambiguous because the two branches share
+    # the same source attributes)
+    a = sig.select(
+        F.col("__g").alias("source_a"),
+        F.col("__j").alias("__ja"),
+        F.col("sig").alias("__sa"),
+    )
+    b = sig.select(
+        F.col("__g").alias("source_b"),
+        F.col("__j").alias("__jb"),
+        F.col("sig").alias("__sb"),
+    )
+    est = (
+        a.join(b, F.col("__ja") == F.col("__jb"))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.when(F.col("__sa") == F.col("__sb"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("sig_matches")
+        )
+    )
+    # exact ground truth on the same element sets: distinct document
+    # fingerprints per source (one distinct reduce; the pair grid and
+    # everything after lives on the bounded |sources| roster)
+    dfp = (
+        load(spark, sf, "documents")
+        .select("source", tx.fingerprint("text").alias("__fp"))
+        .distinct()
+    )
+    cnt = dfp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    inter = (
+        dfp.select(F.col("source").alias("source_a"), "__fp")
+        .join(
+            dfp.select(F.col("source").alias("source_b"), "__fp"), "__fp"
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    pairs = (
+        cnt.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+        .join(
+            cnt.select(
+                F.col("source").alias("source_b"), F.col("n").alias("nb")
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    return (
+        pairs.join(est, ["source_a", "source_b"], "left")
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("sig_matches", F.lit(0)).cast("int").alias(
+                "sig_matches"
+            ),
+            F.round(
+                F.coalesce("sig_matches", F.lit(0)).cast("double")
+                / F.lit(float(ST21_K)),
+                4,
+            ).alias("est_resemblance"),
+            F.coalesce("exact_overlap", F.lit(0))
+            .cast("bigint")
+            .alias("exact_overlap"),
+            F.round(
+                F.coalesce("exact_overlap", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(
+                    "exact_overlap", F.lit(0)
+                )).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_ST21_FP = "md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))"
+_ST21_H0 = f"({_H60_SQL.format(x='f')}) % 2147483648"
+
+ST21_STAGED_ORACLE = f"""
+WITH dfp AS (
+  SELECT DISTINCT source, {_ST21_FP} AS f FROM documents
+), h AS (
+  SELECT source, {_ST21_H0} AS h0 FROM dfp
+), perm AS (
+  SELECT source, j,
+         CAST(MIN(((2 * j + 3) * h0 + (5 * j + 7)) % 2147483647)
+              AS BIGINT) AS sig
+  FROM h CROSS JOIN (SELECT unnest(range({ST21_K})) AS j)
+  GROUP BY source, j
+), est AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS INT)
+           AS sig_matches
+  FROM perm a JOIN perm b ON a.j = b.j AND a.source < b.source
+  GROUP BY 1, 2
+), cnt AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dfp GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_overlap
+  FROM dfp a JOIN dfp b ON a.f = b.f AND a.source < b.source
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT x.source AS source_a, y.source AS source_b, x.n AS na, y.n AS nb
+  FROM cnt x JOIN cnt y ON x.source < y.source
+)
+SELECT p.source_a, p.source_b,
+       CAST(COALESCE(e.sig_matches, 0) AS INT) AS sig_matches,
+       ROUND(CAST(COALESCE(e.sig_matches, 0) AS DOUBLE) / {float(ST21_K)!r},
+             4) AS est_resemblance,
+       CAST(COALESCE(i.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+       ROUND(CAST(COALESCE(i.exact_overlap, 0) AS DOUBLE)
+             / CAST(p.na + p.nb - COALESCE(i.exact_overlap, 0) AS DOUBLE),
+             6) AS exact_jaccard
+FROM pairs p
+LEFT JOIN est e ON e.source_a = p.source_a AND e.source_b = p.source_b
+LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+ORDER BY p.source_a, p.source_b
+"""

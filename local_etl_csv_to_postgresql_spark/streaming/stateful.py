@@ -1726,3 +1726,104 @@ def replay_bottomk_sample(
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(table_name)
+
+
+#: st21's micro-batch count: the document stream is staged into this
+#: many parquet files read with maxFilesPerTrigger=1, so the signature
+#: merge genuinely crosses batch boundaries (the st20 pattern).
+MINHASH_SPLIT_FILES = 4
+
+_MINHASH_STAGE_CACHE: dict = {}
+
+
+def replay_minhash_signature(
+    spark,
+    parquet_path: str,
+    k: int,
+    group_col: str = "source",
+    table_name: str | None = None,
+    shuffle_partitions: int | None = 8,
+) -> "DataFrame":
+    """Streaming per-group MinHash signature maintenance: each
+    micro-batch MINs its documents' k permuted fingerprint hashes into
+    the (group, permutation) signature matrix — element-wise min IS
+    the MinHash merge operator (resemblance sketches union by
+    component-wise minimum), so the multi-batch availableNow replay's
+    final signatures must equal the one-shot batch signatures, which
+    is exactly what the DuckDB oracle computes from the same affine
+    hash family (functions/dedup's minhash_a/minhash_b over the 60-bit
+    md5 base — engine-neutral end to end). Completes the streamed-
+    sketch merge algebra: st16/st17 fold SUMS, st18 MAXES, st19 ORs,
+    st20 bottom-k order statistics — this adds the element-wise-MIN
+    lattice, the one a streaming dedup/overlap monitor maintains to
+    estimate cross-source resemblance without ever joining documents.
+    State bounded by |groups| × k BY CONSTRUCTION. The source is
+    staged into MINHASH_SPLIT_FILES parquet files read with
+    maxFilesPerTrigger=1, so the merge genuinely crosses micro-batch
+    boundaries."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..functions import dedup as dd
+    from ..functions import text as tx
+    from ..functions.dedup import (
+        MINHASH_P,
+        MINHASH_REDUCE,
+        minhash_a,
+        minhash_b,
+    )
+
+    table_name = table_name or f"stream_minhash_{uuid.uuid4().hex[:8]}"
+    stage = _MINHASH_STAGE_CACHE.get((parquet_path, group_col))
+    if stage is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src = spark.read.parquet(parquet_path).select(
+            F.col(group_col).alias("__g"),
+            tx.fingerprint("text").alias("__fp"),
+        )
+        stage = tempfile.mkdtemp(prefix="stateful_mh_stage_")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        src.repartition(MINHASH_SPLIT_FILES).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        _MINHASH_STAGE_CACHE[(parquet_path, group_col)] = stage
+    schema = spark.read.parquet(stage).schema
+    h0 = dd.hash60(F.col("__fp")) % F.lit(MINHASH_REDUCE)
+    perms = F.array(
+        *[
+            (F.lit(minhash_a(j)) * h0 + F.lit(minhash_b(j)))
+            % F.lit(MINHASH_P)
+            for j in range(k)
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select("__g", F.posexplode(perms).alias("__j", "__v"))
+    )
+    sig = stream.groupBy("__g", "__j").agg(
+        F.min("__v").cast("bigint").alias("sig")
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        q = (
+            sig.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(table_name)

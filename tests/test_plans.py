@@ -122,6 +122,13 @@ BNLJ_ALLOWED = {
     "ij01_interval_attribution",  # literal |windows|-row promo calendar
     "hll04_cross_source_overlap",  # |sources|-roster pair grid over the
     # bounded register table
+    # staged round-12 surface
+    "gr10_ktruss_summary",  # 1-row summary x 1-row truss-node count
+    "rs02_theil_sen_trend",  # calendar-bounded day-pair grid (~2.4k
+    # days at ANY sf — grows with the date range, never the data) +
+    # 1-row moment/median scalars
+    "st21_streaming_minhash_resemblance",  # |sources| roster pair grid
+    # over the bounded signature table
 }
 
 
@@ -325,6 +332,10 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "nrm",         # 1-row step-norm scalar (es20)
     "core_edges",  # 1-row core-edge-count scalar (gr09)
     "promos",      # literal |IJ01_PROMO_WINDOWS|-row calendar (ij01)
+    # staged round-12 surface
+    "nodes",       # 1-row truss-node-count scalar (gr10)
+    "sxy",         # 1-row OLS moment scalars (rs02)
+    "ts",          # 1-row Theil-Sen median scalar (rs02)
 }
 
 

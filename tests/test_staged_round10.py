@@ -1803,6 +1803,7 @@ def test_every_staged_query_has_an_invariant_test():
         "test_staged_round9.py",
         "test_staged_round10.py",
         "test_staged_round11.py",
+        "test_staged_round12.py",
     ):
         with open(os.path.join(here, f)) as fh:
             src += fh.read()
