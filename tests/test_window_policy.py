@@ -100,3 +100,27 @@ def test_live_window_matches_policy_end_to_end():
     want = ep._window_order(list(q), oracles)
     got = [n for n in q if n in oracles]
     assert got == want
+
+
+def test_corrupt_record_warns_instead_of_silent_skip(tmp_path, monkeypatch):
+    """A truncated/unreadable CORRECTNESS file must not silently
+    reshuffle the certification window (r10 ADVICE item 1): the
+    history loader emits a RuntimeWarning naming the file and still
+    folds in every readable record."""
+    import json
+    import warnings
+
+    good = {"qx": {"rows_match": True, "schema_match": True,
+                   "hash_match": True}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(good))
+    (tmp_path / "CORRECTNESS_r02.json").write_text('{"trunca')  # corrupt
+    monkeypatch.setattr(ep, "_REPO", str(tmp_path))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        green, failed = ep._driver_history()
+    assert green == {"qx": 1} and failed == {}
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("CORRECTNESS_r02.json" in m for m in msgs), (
+        "corrupt record skipped with no warning"
+    )
