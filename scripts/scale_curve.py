@@ -44,6 +44,11 @@ PROBES = [
     ("ses01_gap_sessionization", "single-shuffle sessionization (LAG+sum+rollup)"),
     ("rfm01_rfm_segmentation", "three-pass two-phase ranking census"),
     ("st17_streaming_countmin", "streaming sketch maintenance (availableNow)"),
+    # round-11 promoted / round-12 staged shapes
+    ("gr09_kcore_summary", "iterative vertex peeling (k-core fixpoint)"),
+    ("gr10_ktruss_summary", "iterative edge peeling (per-round triangle enumeration)"),
+    ("rs02_theil_sen_trend", "calendar-bounded pair grid + rank selection"),
+    ("st21_streaming_minhash_resemblance", "multi-batch streamed sketch (MIN lattice)"),
 ]
 
 
