@@ -94,3 +94,91 @@ def test_star_contraction_matches_label_propagation(spark):
 
 def test_star_contraction_no_edges(spark):
     assert _cc_star(spark, [3, 9], []) == {3: 3, 9: 9}
+
+
+# --- ktruss semantics -------------------------------------------------------
+
+
+def _truss(spark, edge_pairs, k):
+    from local_etl_csv_to_postgresql_spark.operators.graph import ktruss
+
+    e = spark.createDataFrame(edge_pairs, ["id_a", "id_b"])
+    out, rounds = ktruss(spark, e, k)
+    return {
+        (r["a"], r["b"]): r["support"] for r in out.collect()
+    }, rounds
+
+
+def test_ktruss_triangle_with_pendant(spark):
+    # triangle {1,2,3} + pendant edge (3,4): the pendant closes no
+    # triangle and peels; each triangle edge keeps support 1
+    got, rounds = _truss(spark, [(1, 2), (2, 3), (1, 3), (3, 4)], 3)
+    assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
+    assert rounds == 2  # peel the pendant, then confirm the fixpoint
+
+
+def test_ktruss_chain_and_star_empty(spark):
+    # trees have no triangles: every edge peels in round 1 and the
+    # empty set confirms in round 2
+    got, _ = _truss(spark, [(1, 2), (2, 3), (3, 4)], 3)
+    assert got == {}
+    got, _ = _truss(spark, [(0, i) for i in range(1, 6)], 3)
+    assert got == {}
+
+
+def test_ktruss_k4_clique_survives_4truss(spark):
+    # K4: every edge closes exactly 2 triangles — the whole clique is
+    # its own 4-truss (support >= 2), one confirming round
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got, rounds = _truss(spark, k4, 4)
+    assert got == {(a, b): 2 for a, b in k4}
+    assert rounds == 1
+
+
+def test_ktruss_cascade_peel(spark):
+    # two triangles sharing edge (1,2), plus a third triangle hanging
+    # off vertex 3 by a bridge: 4-truss (support >= 2) keeps ONLY the
+    # shared edge's... nothing — peeling (1,2)'s neighbors' supports
+    # cascades: edges of each triangle have support 1 except the
+    # shared (1,2) with 2; k=4 drops the support-1 edges in round 1,
+    # which strands (1,2) in round 2 — the cascade the iterative
+    # definition exists for (a one-shot support filter would KEEP it)
+    edges = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]
+    got, _ = _truss(spark, edges, 4)
+    assert got == {}
+    # same graph at k=3 survives whole (every edge closes a triangle)
+    got3, _ = _truss(spark, edges, 3)
+    assert set(got3) == set(edges)
+    assert got3[(1, 2)] == 2
+
+
+def test_ktruss_matches_python_peel_on_seeded_random_graph(spark):
+    # G(n, m) with a fixed seed: the Spark fixpoint must equal the
+    # reference Python peel edge-for-edge and support-for-support
+    import random
+
+    rng = random.Random(7)
+    n, m = 24, 60
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    k = 4
+
+    def peel(es):
+        cur = set(es)
+        while True:
+            adj = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {(a, b): len(adj[a] & adj[b]) for a, b in cur}
+            nxt = {e for e, c in sup.items() if c >= k - 2}
+            if nxt == cur:
+                return sup
+            cur = nxt
+
+    want = peel(edges)
+    got, _ = _truss(spark, sorted(edges), k)
+    assert got == want
