@@ -360,6 +360,16 @@ def plan_chunks(
     return chunks
 
 
+def record_path() -> str:
+    """Where the long-form record lands: SPARK_GRAFT_BENCH_OUT if set
+    (quiet-window headline runs commit under e.g. BENCH_QUIET_r11.json
+    so the driver's default-path run cannot overwrite the evidence —
+    r10 verdict task 4), else BENCH_LOCAL.json next to this file."""
+    return os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+
+
 def main() -> int:
     chunk_spec = os.environ.get(_CHUNK_ENV)
     if chunk_spec is not None:
@@ -508,11 +518,8 @@ def main() -> int:
         chunk_loadavg=chunk_loads,
         loadavg_full=[list(load_before), list(load_after)],
     )
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
     try:
-        with open(out_path, "w") as f:
+        with open(record_path(), "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass

@@ -112,3 +112,17 @@ def test_contract_line_fits_driver_tail_capture():
     )
     # the line parses standalone (what the driver does with the tail)
     assert json.loads(line)["metric"] == "query_library_total_wall_seconds"
+
+
+def test_record_path_honors_bench_out_env(monkeypatch):
+    """The quiet-headline convention (r10 verdict task 4): with
+    SPARK_GRAFT_BENCH_OUT set the long-form record lands there; unset,
+    it falls back to BENCH_LOCAL.json next to bench.py — so a driver
+    run (which never sets the var) can no longer overwrite a committed
+    quiet-run artifact."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", "/tmp/q.json")
+    assert bench.record_path() == "/tmp/q.json"
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_OUT")
+    assert bench.record_path().endswith("BENCH_LOCAL.json")
