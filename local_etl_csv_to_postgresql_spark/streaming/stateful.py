@@ -112,6 +112,22 @@ def _schema_and_stage(spark, parquet_path: str):
     return schema, stage
 
 
+def _staging_dir(prefix: str) -> str:
+    """mkdtemp with an atexit rmtree (ignore_errors — idempotent with
+    any explicit cleanup): replay staging/sink/checkpoint dirs are
+    created once per process (or per run for sinks) and must not
+    outlive it — a targeted pytest run never calls the bench's reset
+    hook, which is exactly how the se01 cache leaked (r10 ADVICE
+    item 3); this closes the same class for every streaming replay."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _sessionize_fn(gap_seconds: float):
     gap_us = int(gap_seconds * 1_000_000)
 
@@ -420,7 +436,7 @@ def replay_dedup(
     if hit is not None:
         stage = hit[1]
     else:
-        stage = tempfile.mkdtemp(prefix="dedup_stream_")
+        stage = _staging_dir("dedup_stream_")
         src = os.path.abspath(parquet_path)
         for name in ("first.parquet", "second.parquet"):
             os.symlink(src, os.path.join(stage, name))
@@ -531,7 +547,7 @@ def replay_late_data(
         old = F.col("ts") < F.lit(LATE_CUTOFF).cast("timestamp")
         c_set = ((F.col("event_id") % LATE_MOD == 0) & old) | is_max
         b_set = (F.col("event_id") % LATE_MOD == 1) & old & ~is_max
-        stage = tempfile.mkdtemp(prefix="late_stream_")
+        stage = _staging_dir("late_stream_")
 
         import time as _t
 
@@ -656,7 +672,7 @@ def replay_dedup_within_watermark(
         s_set = F.col("event_id") % LATE_MOD == 0
         b_set = (F.col("event_id") % LATE_MOD == 1) & old
         r_set = F.col("event_id") % LATE_MOD == 2
-        stage = tempfile.mkdtemp(prefix="wmdedup_stream_")
+        stage = _staging_dir("wmdedup_stream_")
 
         import time as _t
 
@@ -761,7 +777,7 @@ def replay_foreachbatch_upsert(
         ev = load(spark, sf_dir, "events")
         a_set = F.col("event_id") % 10 != 9
         redeliver = F.col("event_id") % 10 == 3
-        stage = tempfile.mkdtemp(prefix="fbupsert_stream_")
+        stage = _staging_dir("fbupsert_stream_")
 
         import time as _t
 
@@ -779,7 +795,7 @@ def replay_foreachbatch_upsert(
         _REPLAY_STAGE_CACHE[cache_key] = (batch_schema, stage)
 
     target = os.path.join(
-        tempfile.mkdtemp(prefix="fbupsert_sink_"),
+        _staging_dir("fbupsert_sink_"),
         f"fact_events_{uuid.uuid4().hex[:8]}",
     )
 
@@ -804,7 +820,7 @@ def replay_foreachbatch_upsert(
             stream.writeStream.foreachBatch(_upsert)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="fbupsert_ckpt_"),
+                _staging_dir("fbupsert_ckpt_"),
             )
             .trigger(availableNow=True)
             .start()
@@ -1023,7 +1039,7 @@ def replay_tws_totals(
         ev = load(spark, sf_dir, "events").select(
             "event_id", "user_id", "value"
         )
-        stage = tempfile.mkdtemp(prefix="tws_stream_")
+        stage = _staging_dir("tws_stream_")
 
         import time as _t
 
@@ -1189,7 +1205,7 @@ def replay_left_outer_join(
             [(-1, -1, "view", adv), (-2, -2, "click", adv)],
             schema=ev.schema,
         )
-        stage = tempfile.mkdtemp(prefix="loj_stream_")
+        stage = _staging_dir("loj_stream_")
         t0 = _t.time() - 300
         _stage_single_parquet(stage, ev, "a_events.parquet", t0)
         _stage_single_parquet(stage, sentinels, "b_advancers.parquet", t0 + 60)
