@@ -313,7 +313,19 @@ def ktruss(
     maximal subgraph where every edge has support >= k-2), so the
     result is iteration-order-independent — which is what lets a
     bounded unrolled SQL twin oracle-match it exactly, same as kcore.
+
+    Requires ``k >= 3``: the support rows that drive the peeling only
+    exist for edges that appear in a triangle, so for k <= 2 (where
+    ``support >= k - 2`` is vacuously true and the truss is the whole
+    graph) the loop would silently return only triangle edges —
+    contradicting the contract above. Rejected loudly instead.
     """
+    if k <= 2:
+        raise ValueError(
+            f"ktruss requires k >= 3, got k={k}: for k <= 2 the truss is "
+            "the entire graph by definition (every edge closes >= k-2 == 0 "
+            "triangles vacuously) — no peeling is needed"
+        )
     trunc = _lineage_truncator(spark)
     e = (
         edges.select(

@@ -280,6 +280,18 @@ def main() -> int:
                 "python scripts/coverage_matrix.py\n"
             )
             return 1
+        missing = sorted(set(pinned) - set(records_on_disk()))
+        if missing:
+            # a stamped record deleted from disk must surface as the
+            # clean stale diagnostic, not an uncaught FileNotFoundError
+            # from collect(pinned) (r11 ADVICE item 3)
+            sys.stderr.write(
+                "COVERAGE_MATRIX.md is stale — its Records: stamp names "
+                "driver records no longer on disk ("
+                + ", ".join(missing)
+                + "); rerun python scripts/coverage_matrix.py\n"
+            )
+            return 1
         if current != collect(pinned):
             sys.stderr.write(
                 "COVERAGE_MATRIX.md is stale — rerun "

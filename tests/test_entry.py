@@ -183,3 +183,29 @@ def test_coverage_matrix_stamp_pins_record_list():
     # a matrix with no stamp (pre-r11 format) parses to None, which
     # --check treats as stale
     assert cm.stamped_records("# Coverage matrix\n\nno stamp here\n") is None
+
+
+def test_coverage_matrix_check_reports_deleted_pinned_record(
+    monkeypatch, capsys
+):
+    """r11 ADVICE item 3 pinned: `--check` with a Records:-stamped
+    record deleted from disk must emit the clean stale diagnostic and
+    exit 1, not crash with an uncaught FileNotFoundError from
+    collect(pinned)."""
+    import sys as _sys
+
+    import scripts.coverage_matrix as cm
+
+    with open(cm.OUT_PATH) as fh:
+        pinned = cm.stamped_records(fh.read())
+    assert pinned, "matrix has no stamp — regenerate it first"
+    on_disk = cm.records_on_disk()
+    monkeypatch.setattr(
+        cm, "records_on_disk", lambda: [r for r in on_disk if r != pinned[0]]
+    )
+    monkeypatch.setattr(_sys, "argv", ["coverage_matrix.py", "--check"])
+    rc = cm.main()
+    err = capsys.readouterr().err
+    assert rc == 1
+    assert "no longer on disk" in err
+    assert pinned[0] in err

@@ -182,3 +182,16 @@ def test_ktruss_matches_python_peel_on_seeded_random_graph(spark):
     want = peel(edges)
     got, _ = _truss(spark, sorted(edges), k)
     assert got == want
+
+
+def test_ktruss_rejects_k_leq_2(spark):
+    """r11 ADVICE item 1 pinned: for k <= 2 the truss is the whole
+    graph by definition, but the peeling loop's support rows only
+    exist for triangle edges — it would silently return triangle
+    edges only. The operator must reject the vacuous k loudly."""
+    from local_etl_csv_to_postgresql_spark.operators.graph import ktruss
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    for k in (0, 1, 2):
+        with pytest.raises(ValueError, match="k >= 3"):
+            ktruss(spark, e, k)
