@@ -99,9 +99,14 @@ def _promotion_order() -> list[str]:
         from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
             ROUND10_PROMOTED,
             ROUND11_PROMOTED,
+            ROUND12_PROMOTED,
         )
 
-        return list(ROUND10_PROMOTED) + list(ROUND11_PROMOTED)
+        return (
+            list(ROUND10_PROMOTED)
+            + list(ROUND11_PROMOTED)
+            + list(ROUND12_PROMOTED)
+        )
     except ImportError:
         return []
 

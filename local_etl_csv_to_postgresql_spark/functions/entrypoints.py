@@ -22983,16 +22983,22 @@ def _gr10_oracle_sql() -> str:
         " AS n_truss_nodes FROM"
         " (SELECT a AS n FROM truss UNION SELECT b FROM truss))"
     )
+    # n_truss_nodes comes from a scalar subquery, NOT a CROSS JOIN with
+    # truss: when the truss is empty the join would have zero rows and
+    # MAX(tn.n_truss_nodes) would aggregate to NULL, while the Spark
+    # side's crossJoin of two 1-row aggregates yields 0 (r11 ADVICE
+    # item 2). The scalar subquery is evaluated independently of the
+    # truss row count, so both engines report 0 on an empty truss.
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT CAST({k} AS INT) AS k,
        CAST(COUNT(*) AS BIGINT) AS n_truss_edges,
-       CAST(MAX(tn.n_truss_nodes) AS BIGINT) AS n_truss_nodes,
+       (SELECT CAST(n_truss_nodes AS BIGINT) FROM tn) AS n_truss_nodes,
        CAST(SUM(support) AS BIGINT) AS support_sum,
        CAST(MAX(support) AS BIGINT) AS max_support,
        CAST(SUM(a + b) AS BIGINT) AS edge_id_sum,
        ROUND(CAST(SUM(support) AS DOUBLE) / COUNT(*), 4) AS avg_support
-FROM truss CROSS JOIN tn"""
+FROM truss"""
     )
 
 
@@ -23178,3 +23184,27 @@ def _register_staged_streaming_wave78() -> None:
 
 
 _register_staged_streaming_wave78()
+
+
+# ---------------------------------------------------------------------------
+# Round-12 promotion: the 3 queries staged during round 11 graduate
+# into the live registry (r11 verdict task 1). Order = staging wave
+# order (77 -> 78); __spark_entry__._window_order consumes this as the
+# bucket-2 (never-certified) judgment order, so the driver's next
+# 50-slot window certifies these 3 first and fills the remaining 47
+# slots from the refresh-queue head (the 11 r5-era rows, then 36 of
+# the 50 r6-era rows).
+# ---------------------------------------------------------------------------
+
+ROUND12_PROMOTED: list[str] = [
+    # wave 77
+    "gr10_ktruss_summary",
+    "rs02_theil_sen_trend",
+    # wave 78
+    "st21_streaming_minhash_resemblance",
+]
+
+for _name in ROUND12_PROMOTED:
+    EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
+    EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
+del _name

@@ -81,6 +81,7 @@ def test_promoted_queries_were_sf01_swept():
         ROUND9_PROMOTED,
         ROUND10_PROMOTED,
         ROUND11_PROMOTED,
+        ROUND12_PROMOTED,
     )
 
     path = os.path.join(
@@ -94,6 +95,7 @@ def test_promoted_queries_were_sf01_swept():
         | set(ROUND9_PROMOTED)
         | set(ROUND10_PROMOTED)
         | set(ROUND11_PROMOTED)
+        | set(ROUND12_PROMOTED)
     )
     missing = required - set(walls)
     assert missing == set(), (
