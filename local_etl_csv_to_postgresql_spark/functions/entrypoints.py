@@ -23208,3 +23208,486 @@ for _name in ROUND12_PROMOTED:
     EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
     EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Round-13 staging, wave 79: gr11 local clustering profile, tx26 Zipf
+# rank-frequency slope.
+# ---------------------------------------------------------------------------
+
+
+def gr11_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree-bucketed LOCAL clustering profile of the part co-purchase
+    graph: per-VERTEX triangle counts from one degree-ordered triangle
+    enumeration (the gr08 kernel), pooled per power-of-two degree
+    bucket as sum(T_v) / sum(C(d_v, 2)) — the transitivity-by-degree
+    curve that says WHERE the graph is clique-like (low-degree bundle
+    cliques keep high clustering; hub neighborhoods decay as ~1/d in
+    real co-occurrence graphs). gr08 reports the single global ratio;
+    this is its distributional refinement, and the pooled-ratio form
+    keeps every aggregate an exact integer (the float-sum-of-ratios
+    alternative is order-dependent and was rejected by the en01 rule).
+
+    Scale: one triangle enumeration (O(|E|^1.5) total via the degree
+    orientation, hub-skew-proof), one explode to the 3 member vertices,
+    one vertex-keyed count, one bounded (<= 64 power-of-two buckets)
+    rollup. Exact BIGINT triangle/wedge sums; the only division is the
+    final per-bucket ratio, rounded once to 6 dp."""
+    edges = _gr05_copurchase_edges(spark, sf).localCheckpoint()
+    und = edges.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    dv = deg.select(F.col("u").alias("v"), F.col("dg").alias("__dgv"))
+    oriented = (
+        und.join(deg, "u")
+        .join(dv, "v")
+        .filter(
+            (F.col("dg") < F.col("__dgv"))
+            | ((F.col("dg") == F.col("__dgv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "__dgv")
+    )
+    lo = oriented.select("u", F.col("v").alias("x"), F.col("__dgv").alias("__dx"))
+    hi = oriented.select("u", F.col("v").alias("y"), F.col("__dgv").alias("__dy"))
+    wedges = (
+        lo.join(hi, "u")
+        .filter(
+            (F.col("__dx") < F.col("__dy"))
+            | ((F.col("__dx") == F.col("__dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("u", "x", "y")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+    ).select("u", "x", "y")
+    tv = (
+        tri.select(
+            F.explode(F.array("u", "x", "y")).alias("u")
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    )
+    per_vertex = deg.join(tv, "u", "left").select(
+        "dg", F.coalesce(F.col("__t"), F.lit(0)).cast("bigint").alias("__t")
+    )
+    return (
+        per_vertex.groupBy(
+            F.expr("CAST(length(bin(dg)) AS INT)").alias("deg_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.max("dg").cast("bigint").alias("max_degree"),
+            F.sum("__t").cast("bigint").alias("tri_sum"),
+            F.sum(F.expr("dg * (dg - 1) div 2")).cast("bigint").alias(
+                "wedge_sum"
+            ),
+        )
+        .select(
+            "deg_bucket",
+            "n_nodes",
+            "max_degree",
+            "tri_sum",
+            "wedge_sum",
+            # the all-degree-1 bucket has zero wedges: its clustering is
+            # undefined (NULL), made explicit so ANSI mode can't raise
+            F.when(
+                F.col("wedge_sum") > 0,
+                F.round(
+                    F.col("tri_sum").cast("double")
+                    / F.col("wedge_sum").cast("double"),
+                    6,
+                ),
+            ).alias("bucket_clustering"),
+        )
+        .orderBy("deg_bucket")
+    )
+
+
+def _gr11_oracle_sql() -> str:
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), good AS (
+  SELECT a.pk AS id_a, b.pk AS id_b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {GR05_MIN_CO_ORDERS}
+), und AS (
+  SELECT id_a AS u, id_b AS v FROM good
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM good
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM und GROUP BY u
+), oriented AS (
+  SELECT n.u, n.v, du.dg AS dgu, dv.dg AS dgv
+  FROM und n JOIN deg du ON du.u = n.u JOIN deg dv ON dv.u = n.v
+  WHERE (du.dg < dv.dg) OR (du.dg = dv.dg AND n.u < n.v)
+), wedges AS (
+  SELECT a.u AS c, a.v AS x, b.v AS y
+  FROM oriented a JOIN oriented b ON a.u = b.u
+  WHERE (a.dgv < b.dgv) OR (a.dgv = b.dgv AND a.v < b.v)
+), tri AS (
+  SELECT w.c AS u, w.x, w.y
+  FROM wedges w JOIN oriented o ON o.u = w.x AND o.v = w.y
+), tv AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT u FROM tri UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri)
+  GROUP BY u
+), pv AS (
+  SELECT d.dg, COALESCE(tv.t, 0) AS t
+  FROM deg d LEFT JOIN tv ON tv.u = d.u
+)
+SELECT CAST(length(bin(dg)) AS INT) AS deg_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(dg) AS BIGINT) AS max_degree,
+       CAST(SUM(t) AS BIGINT) AS tri_sum,
+       CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS wedge_sum,
+       CASE WHEN SUM(dg * (dg - 1) // 2) > 0
+            THEN ROUND(CAST(SUM(t) AS DOUBLE)
+                       / CAST(SUM(dg * (dg - 1) // 2) AS DOUBLE), 6)
+       END AS bucket_clustering
+FROM pv
+GROUP BY 1
+ORDER BY deg_bucket
+"""
+
+
+#: tx26's rank cutoff: the OLS fit runs on the top-1024 vocabulary
+#: ranks — a BOUNDED table (the en01 transcendental rule), and the
+#: regime where the power law actually holds (the unbounded tail is
+#: dominated by hapax plateaus that flatten any fit).
+TX26_TOP = 1024
+
+#: ln values are scaled by 1e8 and rounded to exact BIGINTs before any
+#: summation, so every OLS moment is an order-independent integer sum
+#: (a float Σln over the corpus vocabulary would be partition-order
+#: dependent); 8 dp absorbs last-ulp libm divergence between engines.
+TX26_LN_SCALE = 100_000_000
+
+
+def tx26_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope and R^2 of ln(count) against
+    ln(rank) over the top-TX26_TOP vocabulary ranks — THE one-number
+    corpus-health fingerprint (natural text sits near slope -1;
+    template spam flattens the head, dedup failures steepen it), and
+    the regression twin of tx24's coverage-curve view of the same
+    ranked vocabulary.
+
+    Scale: one token-keyed count (map-side combinable), the two-phase
+    distributed ranker for the global rank, a rank-cut to a BOUNDED
+    1024-row table, and one 1-row moment reduce. Determinism: both
+    ln() terms are rounded-and-integer-scaled per row (TX26_LN_SCALE);
+    Σx, Σy, Σxy, Σx², Σy² are exact integer/decimal sums; slope and
+    R² are single double divisions of exactly-equal integers, rounded
+    once to 6 dp."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+    )
+
+    counts = (
+        _docs_words(spark, sf)
+        .select(F.explode("__words").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ranked = attach_global_row_number(
+        counts,
+        order_by=[F.desc("__c"), F.asc("__t")],
+        rn_col="__r",
+        total_col="__vocab",
+    )
+    top = ranked.filter(F.col("__r") <= TX26_TOP).select(
+        "__r",
+        "__c",
+        "__vocab",
+        F.expr(f"CAST(round(ln(__r) * {TX26_LN_SCALE}) AS BIGINT)").alias(
+            "__x8"
+        ),
+        F.expr(f"CAST(round(ln(__c) * {TX26_LN_SCALE}) AS BIGINT)").alias(
+            "__y8"
+        ),
+    )
+    mass = counts.agg(
+        F.sum("__c").cast("bigint").alias("token_mass"),
+    )
+    m = top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.max("__vocab").cast("bigint").alias("vocab_total"),
+        F.max(F.when(F.col("__r") == 1, F.col("__c")))
+        .cast("bigint")
+        .alias("top1_count"),
+        F.sum("__x8").cast("bigint").alias("__sx"),
+        F.sum("__y8").cast("bigint").alias("__sy"),
+        F.sum((F.col("__x8") * F.col("__y8")).cast("decimal(25,0)"))
+        .alias("__sxy"),
+        F.sum((F.col("__x8") * F.col("__x8")).cast("decimal(25,0)"))
+        .alias("__sxx"),
+        F.sum((F.col("__y8") * F.col("__y8")).cast("decimal(25,0)"))
+        .alias("__syy"),
+    )
+    n = F.col("n_ranks").cast("decimal(10,0)")
+    sx = F.col("__sx").cast("decimal(19,0)")
+    sy = F.col("__sy").cast("decimal(19,0)")
+    num = (n * F.col("__sxy") - sx * sy).cast("double")
+    denx = (n * F.col("__sxx") - sx * sx).cast("double")
+    deny = (n * F.col("__syy") - sy * sy).cast("double")
+    return m.crossJoin(F.broadcast(mass)).select(
+        "n_ranks",
+        "vocab_total",
+        "token_mass",
+        "top1_count",
+        F.round(
+            F.col("top1_count").cast("double")
+            / F.col("token_mass").cast("double"),
+            6,
+        ).alias("top1_share"),
+        F.round(num / denx, 6).alias("zipf_slope"),
+        F.round(num * num / (denx * deny), 6).alias("zipf_r2"),
+    )
+
+
+def _tx26_oracle_sql() -> str:
+    s = TX26_LN_SCALE
+    return f"""
+WITH d AS (
+  SELECT {_WORDS} AS w FROM documents
+), c AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(w) AS t FROM d) GROUP BY t
+), r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn,
+         COUNT(*) OVER () AS vocab
+  FROM c
+), top AS (
+  SELECT rn, c, vocab,
+         CAST(round(ln(rn) * {s}) AS BIGINT) AS x8,
+         CAST(round(ln(c) * {s}) AS BIGINT) AS y8
+  FROM r WHERE rn <= {TX26_TOP}
+), mass AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS token_mass FROM c
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+         CAST(MAX(vocab) AS BIGINT) AS vocab_total,
+         CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top1_count,
+         CAST(SUM(x8) AS HUGEINT) AS sx,
+         CAST(SUM(y8) AS HUGEINT) AS sy,
+         SUM(CAST(x8 AS HUGEINT) * y8) AS sxy,
+         SUM(CAST(x8 AS HUGEINT) * x8) AS sxx,
+         SUM(CAST(y8 AS HUGEINT) * y8) AS syy
+  FROM top
+)
+SELECT n_ranks, vocab_total, token_mass, top1_count,
+       ROUND(CAST(top1_count AS DOUBLE) / token_mass, 6) AS top1_share,
+       ROUND(CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+             / CAST(n_ranks * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       ROUND(CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+             * CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+             / (CAST(n_ranks * sxx - sx * sx AS DOUBLE)
+                * CAST(n_ranks * syy - sy * sy AS DOUBLE)), 6) AS zipf_r2
+FROM m CROSS JOIN mass
+"""
+
+
+ROUND7_STAGED_QUERIES.update(
+    {
+        "gr11_local_clustering": gr11_local_clustering,
+        "tx26_zipf_slope": tx26_zipf_slope,
+    }
+)
+ROUND7_STAGED_ORACLE.update(
+    {
+        "gr11_local_clustering": _gr11_oracle_sql(),
+        "tx26_zipf_slope": _tx26_oracle_sql(),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 staging, wave 80: ss10 Neyman-allocation stratified sample.
+# ---------------------------------------------------------------------------
+
+#: ss10's total sample budget across all strata. Fixed like ss08's
+#: per-source K — the downstream consumer (an eval carve-out, an
+#: annotation batch) buys a fixed number of documents.
+SS10_BUDGET = 128
+
+#: Per-stratum char-length standard deviations are rounded to 6 dp
+#: before integer-scaling into allocation weights, so a last-ulp sqrt
+#: divergence between engines cannot flip an allocation count.
+SS10_SD_SCALE = 1_000_000
+
+
+def ss10_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-allocation stratified sampling over (source, lang)
+    strata: each stratum's share of the SS10_BUDGET-doc budget is
+    proportional to N_h * sd_h (stratum size times char-length
+    standard deviation) — the variance-minimizing allocation for
+    estimating the corpus mean (Neyman 1934), i.e. how a curation
+    pipeline SHOULD size per-slice eval carve-outs (uniform-per-slice
+    oversamples homogeneous strata; proportional ignores spread). The
+    sampled members are picked by deterministic hash rank, so the
+    draw is reproducible across runs and engines — the variable-k
+    sibling of ss08's fixed-K weighted sampler.
+
+    Scale: the strata table is |sources|x|langs|-bounded (broadcast);
+    per-stratum moments are exact integer sums (map-side combinable);
+    the member pick rides the two-phase ranker partitioned by stratum
+    (never one window task), then a rank-vs-allocation filter against
+    the broadcast allocation. Determinism: sd is computed from exact
+    DECIMAL moments, rounded once (SS10_SD_SCALE grain), allocations
+    are pure integer arithmetic (floor division; the <= BUDGET
+    remainder is deliberately unallocated rather than redistributed —
+    largest-remainder would need a second ranking for a cosmetic
+    gain), and ties in the draw break by doc_id."""
+    from local_etl_csv_to_postgresql_spark.operators.ranking import (
+        attach_global_row_number,
+    )
+
+    docs = load(spark, sf, "documents").select(
+        "source", "lang", "doc_id", F.col("n_chars").cast("bigint").alias("__x")
+    )
+    strata = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__x").cast("decimal(38,0)").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("decimal(38,0)").alias("__sxx"),
+    )
+    n = F.col("n_docs").cast("decimal(19,0)")
+    var_num = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    sd = F.when(
+        F.col("n_docs") >= 2,
+        F.round(
+            F.sqrt(
+                var_num
+                / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    weighted = strata.withColumn("sd_chars", sd).withColumn(
+        "__w",
+        F.col("n_docs")
+        * F.expr(f"CAST(round(sd_chars * {SS10_SD_SCALE}) AS BIGINT)"),
+    )
+    tot = weighted.agg(F.sum("__w").cast("bigint").alias("__tot"))
+    alloc = (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "alloc_n",
+            F.when(
+                F.col("__tot") > 0,
+                F.least(
+                    F.col("n_docs"),
+                    F.expr(f"(CAST({SS10_BUDGET} AS BIGINT) * __w) div __tot"),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .select("source", "lang", "n_docs", "sd_chars", "alloc_n")
+    )
+    ranked = attach_global_row_number(
+        docs.withColumn(
+            "__h", dd.hash60(F.col("doc_id").cast("string"))
+        ),
+        order_by=[F.asc("__h"), F.asc("doc_id")],
+        partition_by=["source", "lang"],
+        rn_col="__rn",
+    )
+    samp = (
+        ranked.join(F.broadcast(alloc.select("source", "lang", "alloc_n")),
+                    ["source", "lang"])
+        .filter(F.col("__rn") <= F.col("alloc_n"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sampled_n"),
+            F.sum("doc_id").cast("bigint").alias("sample_docid_sum"),
+            F.sum("__x").cast("bigint").alias("sample_char_sum"),
+        )
+    )
+    return (
+        alloc.join(samp, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "sd_chars",
+            "alloc_n",
+            F.coalesce(F.col("sampled_n"), F.lit(0))
+            .cast("bigint")
+            .alias("sampled_n"),
+            F.coalesce(F.col("sample_docid_sum"), F.lit(0))
+            .cast("bigint")
+            .alias("sample_docid_sum"),
+            F.coalesce(F.col("sample_char_sum"), F.lit(0))
+            .cast("bigint")
+            .alias("sample_char_sum"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def _ss10_oracle_sql() -> str:
+    h = _H60.format(x="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH docs AS (
+  SELECT source, lang, doc_id, CAST(n_chars AS BIGINT) AS x,
+         ({h}) AS h
+  FROM documents
+), strata AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx
+  FROM docs GROUP BY source, lang
+), sdd AS (
+  SELECT source, lang, n_docs,
+         CASE WHEN n_docs >= 2
+              THEN ROUND(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                              / CAST(n_docs * (n_docs - 1) AS DOUBLE)), 6)
+              ELSE 0.0 END AS sd_chars
+  FROM strata
+), weighted AS (
+  SELECT *,
+         n_docs * CAST(round(sd_chars * {SS10_SD_SCALE}) AS BIGINT) AS w
+  FROM sdd
+), tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS tot FROM weighted
+), alloc AS (
+  SELECT source, lang, n_docs, sd_chars,
+         CASE WHEN tot > 0
+              THEN LEAST(n_docs,
+                         (CAST({SS10_BUDGET} AS BIGINT) * w) // tot)
+              ELSE 0 END AS alloc_n
+  FROM weighted CROSS JOIN tot
+), ranked AS (
+  SELECT source, lang, doc_id, x,
+         ROW_NUMBER() OVER (PARTITION BY source, lang
+                            ORDER BY h, doc_id) AS rn
+  FROM docs
+), samp AS (
+  SELECT r.source, r.lang,
+         CAST(COUNT(*) AS BIGINT) AS sampled_n,
+         CAST(SUM(r.doc_id) AS BIGINT) AS sample_docid_sum,
+         CAST(SUM(r.x) AS BIGINT) AS sample_char_sum
+  FROM ranked r JOIN alloc a
+    ON a.source = r.source AND a.lang = r.lang AND r.rn <= a.alloc_n
+  GROUP BY r.source, r.lang
+)
+SELECT a.source, a.lang, a.n_docs, a.sd_chars,
+       CAST(a.alloc_n AS BIGINT) AS alloc_n,
+       COALESCE(s.sampled_n, 0) AS sampled_n,
+       COALESCE(s.sample_docid_sum, 0) AS sample_docid_sum,
+       COALESCE(s.sample_char_sum, 0) AS sample_char_sum
+FROM alloc a LEFT JOIN samp s
+  ON s.source = a.source AND s.lang = a.lang
+ORDER BY a.source, a.lang
+"""
+
+
+ROUND7_STAGED_QUERIES["ss10_neyman_allocation"] = ss10_neyman_allocation
+ROUND7_STAGED_ORACLE["ss10_neyman_allocation"] = _ss10_oracle_sql()

@@ -49,6 +49,10 @@ PROBES = [
     ("gr10_ktruss_summary", "iterative edge peeling (per-round triangle enumeration)"),
     ("rs02_theil_sen_trend", "calendar-bounded pair grid + rank selection"),
     ("st21_streaming_minhash_resemblance", "multi-batch streamed sketch (MIN lattice)"),
+    # round-13 staged shapes
+    ("gr11_local_clustering", "one-shot triangle enumeration + vertex explode rollup"),
+    ("tx26_zipf_slope", "rank-cut to bounded table + integer-scaled OLS moments"),
+    ("ss10_neyman_allocation", "bounded-strata allocation + per-stratum variable-k pick"),
 ]
 
 

@@ -129,6 +129,10 @@ BNLJ_ALLOWED = {
     # 1-row moment/median scalars
     "st21_streaming_minhash_resemblance",  # |sources| roster pair grid
     # over the bounded signature table
+    # staged round-13 surface
+    "tx26_zipf_slope",  # 1-row OLS-moment frame x 1-row token-mass scalar
+    "ss10_neyman_allocation",  # 1-row weight-total scalar over the
+    # |sources|x|langs|-bounded strata table
 }
 
 
@@ -336,6 +340,8 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "nodes",       # 1-row truss-node-count scalar (gr10)
     "sxy",         # 1-row OLS moment scalars (rs02)
     "ts",          # 1-row Theil-Sen median scalar (rs02)
+    # staged round-13 surface
+    "alloc",       # |sources|x|langs|-bounded allocation table (ss10)
 }
 
 
