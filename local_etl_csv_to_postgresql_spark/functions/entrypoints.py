@@ -23028,14 +23028,15 @@ def rs02_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
     everything pairwise lives on the CALENDAR-bounded day table
     (|days| ~ 2.4k regardless of row count, so the slope grid is
     ~2.9M rows at ANY scale factor — it grows with the date range,
-    never the data). The median is selected by the two-phase global
-    ranker (operators/ranking.attach_global_row_number — range
-    partition + per-partition window + broadcast offsets), never a
-    single-task ORDER BY window. Slopes are exact-DECIMAL revenue
+    never the data). The median is selected by distributed EXACT rank
+    selection (operators/quantile.exact_discrete_rank_values — range
+    partition + O(P) bucket counts + sort only the buckets holding
+    the two middle ranks), never a global sort of the grid and never
+    a single-task ORDER BY window. Slopes are exact-DECIMAL revenue
     differences divided by integer day gaps, rounded once to 10 dp
     before ranking; OLS moments are exact DECIMAL/bigint sums cast to
     double at the end (the lr01 rule)."""
-    from ..operators.ranking import attach_global_row_number
+    from ..operators.quantile import exact_discrete_rank_values
 
     orders = load(spark, sf, "orders").select(
         F.datediff(
@@ -23051,31 +23052,49 @@ def rs02_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
     )
     a = daily.select(F.col("x").alias("xa"), F.col("revd").alias("ra"))
     b = daily.select(F.col("x").alias("xb"), F.col("revd").alias("rb"))
+    # try_divide, not /: the xa < xb join condition excludes every
+    # zero-gap pair, but the selection operator's isNotNull filter is
+    # a conjunct the optimizer may evaluate BEFORE the join condition
+    # on a BNLJ pair — ANSI mode then raises DIVIDE_BY_ZERO on the
+    # xa == xb diagonal. try_divide makes the expression total; the
+    # NULL rows it would produce never survive the join anyway.
     slopes = (
         a.join(b, F.col("xa") < F.col("xb"))
         .select(
             F.round(
-                (F.col("rb") - F.col("ra")).cast("double")
-                / (F.col("xb") - F.col("xa")).cast("double"),
+                F.try_divide(
+                    (F.col("rb") - F.col("ra")).cast("double"),
+                    (F.col("xb") - F.col("xa")).cast("double"),
+                ),
                 RS02_SLOPE_ND,
             ).alias("slope")
         )
     )
-    ranked = attach_global_row_number(
-        slopes, order_by=["slope"], rn_col="rn", total_col="n"
-    )
     # discrete median ranks: lo = (n+1) div 2, hi = (n+2) div 2 — one
-    # row when n is odd, the two middle rows when even; AVG of their
-    # (identically-rounded) values is engine-portable, unlike
+    # value when n is odd, the two middle values when even; AVG of
+    # their (identically-rounded) values is engine-portable, unlike
     # percentile interpolation whose lo + (hi-lo)·f vs (lo+hi)/2
-    # formulations differ in the last ulp
-    median = ranked.filter(
-        (F.col("rn") == F.expr("(n + 1) div 2"))
-        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    # formulations differ in the last ulp. Selected by the
+    # range-partition + bucket-count + sort-only-the-target-buckets
+    # operator (operators/quantile.exact_discrete_rank_values): the
+    # full two-phase ranker sorted ALL ~2.9M grid rows to read two of
+    # them — measured 6.9 s of rs02's 7.0 s sf0.1 wall; selection
+    # sorts only the two target buckets (~n/P rows each).
+    # materialize the grid ONCE: selection's sketch + shuffle + count
+    # jobs would otherwise each re-run the BNLJ pair join (measured
+    # 9.6 s sf0.1 un-materialized vs ~4.5 s with the checkpoint)
+    slopes = slopes.localCheckpoint()
+    n_pairs, mids = exact_discrete_rank_values(
+        slopes,
+        "slope",
+        lambda n: sorted({(n + 1) // 2 - 1, (n + 2) // 2 - 1}),
     )
-    ts = median.agg(
+    median_rows = spark.createDataFrame(
+        [(v,) for v in mids], "slope double"
+    )
+    ts = median_rows.agg(
         F.round(F.avg("slope"), 8).alias("theil_sen_slope"),
-        F.max("n").cast("bigint").alias("n_pairs"),
+        F.lit(n_pairs if n_pairs else None).cast("bigint").alias("n_pairs"),
     )
     # OLS moments: exact at the order grain (Σ x·price in DECIMAL —
     # x fits decimal(6,0), price decimal(18,2), product decimal(25,2),

@@ -145,3 +145,81 @@ def exact_percentiles_cont(
         return out
     finally:
         vals.unpersist()
+
+
+def exact_discrete_rank_values(
+    df: DataFrame,
+    value_col: str,
+    ranks_for_n,
+    partitions: int | None = None,
+) -> tuple[int, list[float]]:
+    """Exact values at caller-chosen DISCRETE 0-based global ranks of
+    ``df[value_col]`` ascending (nulls ignored), selected WITHOUT a
+    full global sort: the same range-partition + O(P) bucket-count +
+    sort-only-the-target-buckets mechanism as
+    :func:`exact_percentiles_cont`, but returning the order statistics
+    themselves instead of interpolating — for consumers whose
+    determinism contract is "AVG of the two middle values" (the rs02
+    discrete-median rule: interpolation's ``lo + f·(hi-lo)`` vs
+    ``(lo+hi)/2`` formulations differ in the last ulp across engines,
+    exact rank values do not).
+
+    ``ranks_for_n`` maps the (exact) total count n to the list of
+    0-based ranks wanted — a callable because the interesting ranks
+    (median pair, tertiles) depend on n. Returns ``(n, values)`` with
+    values in the order requested. Cost: one single-column range
+    shuffle persisted across two passes; no task ever holds more than
+    ~n/P values, so the selection scales out where a global
+    row_number would funnel the sort.
+    """
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vals = (
+        df.select(F.col(value_col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .repartitionByRange(partitions, F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        bucket_counts = sorted(
+            (r["__pid"], r["n"])
+            for r in vals.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        n = sum(c for _, c in bucket_counts)
+        ranks = list(ranks_for_n(n))
+        if n == 0:
+            return 0, [None for _ in ranks]
+        for r in ranks:
+            if not 0 <= r < n:
+                raise ValueError(f"rank {r} outside [0, {n})")
+
+        def locate(global_rank: int) -> tuple[int, int]:
+            offset = 0
+            for pid, cnt in bucket_counts:
+                if global_rank < offset + cnt:
+                    return pid, global_rank - offset
+                offset += cnt
+            raise AssertionError("rank beyond total count")
+
+        coords = [locate(r) for r in ranks]
+        needed = dict.fromkeys(coords)
+        pids = sorted({pid for pid, _ in needed})
+        w = Window.partitionBy("__pid").orderBy("__v")
+        cond = None
+        for pid, local in needed:
+            c = (F.col("__pid") == pid) & (F.col("__rn") == local)
+            cond = c if cond is None else cond | c
+        picked = {
+            (r["__pid"], r["__rn"]): r["__v"]
+            for r in vals.filter(F.col("__pid").isin(pids))
+            .withColumn("__rn", F.row_number().over(w) - 1)
+            .filter(cond)
+            .collect()
+        }
+        return n, [picked[c] for c in coords]
+    finally:
+        vals.unpersist()

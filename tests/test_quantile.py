@@ -113,3 +113,55 @@ def test_multi_percentiles_empty_and_dupes(spark):
     df = spark.createDataFrame([(5.0,)] * 40, ["amount"])
     for _, v in exact_percentiles_cont(df, "amount", [0.1, 0.5, 0.9]):
         assert v == 5.0
+
+
+def test_discrete_rank_values_matches_sorted(spark):
+    """exact_discrete_rank_values returns the exact order statistics a
+    full sort would: swept over odd/even n, duplicates, negatives, and
+    a seeded random multiset, for several rank patterns including the
+    rs02 median pair."""
+    import random
+
+    from local_etl_csv_to_postgresql_spark.operators.quantile import (
+        exact_discrete_rank_values,
+    )
+
+    rng = random.Random(13)
+    datasets = [
+        [3.0],
+        [2.0, 1.0],
+        [5.0, 5.0, 5.0, 5.0],
+        [-2.5, 0.0, 7.5, 7.5, -2.5, 3.25, 9.0],
+        [round(rng.uniform(-100, 100), 3) for _ in range(501)],
+        [round(rng.uniform(-1, 1), 1) for _ in range(500)],  # heavy ties
+    ]
+    for vals in datasets:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        want = sorted(vals)
+        n = len(vals)
+        median_pair = sorted({(n + 1) // 2 - 1, (n + 2) // 2 - 1})
+        for ranks in ([0], [n - 1], median_pair, [0, n // 2, n - 1]):
+            got_n, got = exact_discrete_rank_values(
+                df, "v", lambda _n, r=ranks: r
+            )
+            assert got_n == n
+            assert got == [want[r] for r in ranks]
+
+
+def test_discrete_rank_values_empty_nulls_and_bounds(spark):
+    from local_etl_csv_to_postgresql_spark.operators.quantile import (
+        exact_discrete_rank_values,
+    )
+
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "v double")
+    n, vals = exact_discrete_rank_values(empty, "v", lambda n: [0, 1])
+    assert n == 0 and vals == [None, None]
+    # nulls are ignored, not counted
+    df = spark.createDataFrame([(None,), (4.0,), (None,), (1.0,)], "v double")
+    n, vals = exact_discrete_rank_values(df, "v", lambda n: [0, n - 1])
+    assert n == 2 and vals == [1.0, 4.0]
+    # out-of-range rank is a loud error, not a silent wrong pick
+    with _pytest.raises(ValueError, match="outside"):
+        exact_discrete_rank_values(df, "v", lambda n: [n])
