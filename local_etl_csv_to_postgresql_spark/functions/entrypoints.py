@@ -23453,18 +23453,28 @@ def tx26_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     num = (n * F.col("__sxy") - sx * sy).cast("double")
     denx = (n * F.col("__sxx") - sx * sx).cast("double")
     deny = (n * F.col("__syy") - sy * sy).cast("double")
+    # a degenerate corpus (n_ranks <= 1: zero or one vocabulary type)
+    # has denx == 0 — the fit is undefined, made an explicit NULL on
+    # both engines (Spark ANSI raises on the naive /0; DuckDB's double
+    # division yields NULL — the gr11 zero-wedge class)
     return m.crossJoin(F.broadcast(mass)).select(
         "n_ranks",
         "vocab_total",
         "token_mass",
         "top1_count",
-        F.round(
-            F.col("top1_count").cast("double")
-            / F.col("token_mass").cast("double"),
-            6,
+        F.when(
+            F.col("token_mass") > 0,
+            F.round(
+                F.col("top1_count").cast("double")
+                / F.col("token_mass").cast("double"),
+                6,
+            ),
         ).alias("top1_share"),
-        F.round(num / denx, 6).alias("zipf_slope"),
-        F.round(num * num / (denx * deny), 6).alias("zipf_r2"),
+        F.when(denx != 0, F.round(num / denx, 6)).alias("zipf_slope"),
+        F.when(
+            (denx != 0) & (deny != 0),
+            F.round(num * num / (denx * deny), 6),
+        ).alias("zipf_r2"),
     )
 
 
@@ -23499,13 +23509,20 @@ WITH d AS (
   FROM top
 )
 SELECT n_ranks, vocab_total, token_mass, top1_count,
-       ROUND(CAST(top1_count AS DOUBLE) / token_mass, 6) AS top1_share,
-       ROUND(CAST(n_ranks * sxy - sx * sy AS DOUBLE)
-             / CAST(n_ranks * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
-       ROUND(CAST(n_ranks * sxy - sx * sy AS DOUBLE)
-             * CAST(n_ranks * sxy - sx * sy AS DOUBLE)
-             / (CAST(n_ranks * sxx - sx * sx AS DOUBLE)
-                * CAST(n_ranks * syy - sy * sy AS DOUBLE)), 6) AS zipf_r2
+       CASE WHEN token_mass > 0
+            THEN ROUND(CAST(top1_count AS DOUBLE) / token_mass, 6)
+       END AS top1_share,
+       CASE WHEN n_ranks * sxx - sx * sx <> 0
+            THEN ROUND(CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+                       / CAST(n_ranks * sxx - sx * sx AS DOUBLE), 6)
+       END AS zipf_slope,
+       CASE WHEN n_ranks * sxx - sx * sx <> 0
+             AND n_ranks * syy - sy * sy <> 0
+            THEN ROUND(CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+                       * CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+                       / (CAST(n_ranks * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_ranks * syy - sy * sy AS DOUBLE)), 6)
+       END AS zipf_r2
 FROM m CROSS JOIN mass
 """
 

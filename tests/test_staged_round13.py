@@ -210,3 +210,51 @@ def test_ss10_python_allocation_replay(spark):
         assert r["alloc_n"] <= r["n_docs"]
         total_alloc += r["alloc_n"]
     assert 0 < total_alloc <= SS10_BUDGET
+
+
+@pytest.mark.integration
+def test_tx26_degenerate_single_type_corpus(spark, tmp_path):
+    """A corpus with exactly ONE vocabulary type has a 0 OLS
+    denominator — the fit is undefined and must be an explicit NULL on
+    BOTH engines (Spark ANSI raises on the naive /0; DuckDB's double
+    division yields NULL), the same class as gr11's zero-wedge bucket
+    and gr10's empty truss."""
+    import pandas as pd
+
+    duckdb = pytest.importorskip("duckdb")
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        EXTENSION_ORACLE,
+        ROUND7_STAGED_ORACLE,
+    )
+    from scripts.check_oracle import compare
+
+    oracle = {**EXTENSION_ORACLE, **ROUND7_STAGED_ORACLE}["tx26_zipf_slope"]
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["spark spark spark", "spark"],
+            "lang": ["en", "en"],
+            "source": ["s0", "s0"],
+            "n_chars": [17, 5],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    sdf = QUERIES["tx26_zipf_slope"](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'"
+        )
+        odf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+    row = sdf.iloc[0]
+    assert row["n_ranks"] == 1 and row["vocab_total"] == 1
+    assert row["token_mass"] == 4 and row["top1_count"] == 4
+    assert row["top1_share"] == 1.0
+    assert pd.isna(row["zipf_slope"]) and pd.isna(row["zipf_r2"])
+    problems = [
+        p for p in compare("tx26_degenerate", sdf, odf)
+        if not p.startswith("dtype ")
+    ]
+    assert not problems, "; ".join(problems)
