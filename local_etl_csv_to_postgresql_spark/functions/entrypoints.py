@@ -23113,19 +23113,27 @@ def rs02_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
     # WRONG GRAIN GUARD: OLS here regresses DAILY revenue on the day
     # index, so Σxy must be Σ_d x_d·rev_d — which equals the order-
     # grain Σ x·price exactly (x is constant within a day). sy = Σrev.
+    # a single-day series has a 0 OLS denominator: the slope is
+    # undefined — explicit NULL on both engines (Spark ANSI raises on
+    # the naive /0; DuckDB's double division yields NULL — the
+    # gr11/tx26 degenerate class)
+    ols_den = (
+        F.col("n_days").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
     ols = day_m.crossJoin(F.broadcast(sxy)).select(
         "n_days",
         "sx",
-        F.round(
-            (
-                F.col("n_days").cast("double") * F.col("sxy")
-                - F.col("sx").cast("double") * F.col("sy")
-            )
-            / (
-                F.col("n_days").cast("double") * F.col("sxx").cast("double")
-                - F.col("sx").cast("double") * F.col("sx").cast("double")
+        F.when(
+            ols_den != 0,
+            F.round(
+                (
+                    F.col("n_days").cast("double") * F.col("sxy")
+                    - F.col("sx").cast("double") * F.col("sy")
+                )
+                / ols_den,
+                6,
             ),
-            6,
         ).alias("ols_slope"),
     )
     return ols.crossJoin(F.broadcast(ts)).select(

@@ -294,3 +294,49 @@ def test_gr10_empty_truss_oracle_agreement(spark, tmp_path):
     # occurs at driver SFs — the value agreement is what this pins
     problems = [p for p in problems if not p.startswith("dtype ")]
     assert not problems, "; ".join(problems)
+
+
+@pytest.mark.integration
+def test_rs02_degenerate_single_day_series(spark, tmp_path):
+    """A one-day order series has an empty pairwise-slope grid AND a 0
+    OLS denominator: both slopes are undefined and must be explicit
+    NULLs on BOTH engines (Spark ANSI raises on the naive /0; DuckDB's
+    double division yields NULL — the gr11/tx26 degenerate class)."""
+    import pandas as pd
+
+    duckdb = pytest.importorskip("duckdb")
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        EXTENSION_ORACLE,
+        ROUND7_STAGED_ORACLE,
+    )
+    from scripts.check_oracle import compare
+
+    oracle = {**EXTENSION_ORACLE, **ROUND7_STAGED_ORACLE}[
+        "rs02_theil_sen_trend"
+    ]
+    pd.DataFrame(
+        {
+            "o_orderdate": ["1995-03-01", "1995-03-01", "1995-03-01"],
+            "o_totalprice": [100.25, 7.50, 42.00],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    sdf = QUERIES["rs02_theil_sen_trend"](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW orders AS SELECT * FROM "
+            f"'{tmp_path}/orders.parquet'"
+        )
+        odf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+    row = sdf.iloc[0]
+    assert row["n_days"] == 1
+    assert pd.isna(row["n_pairs"])
+    assert pd.isna(row["theil_sen_slope"])
+    assert pd.isna(row["ols_slope"])
+    problems = [
+        p for p in compare("rs02_degenerate", sdf, odf)
+        if not p.startswith("dtype ")
+    ]
+    assert not problems, "; ".join(problems)
