@@ -21460,13 +21460,20 @@ def gr08_triangle_census(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_wedges"),
     )
+    # an all-degree-1 graph (isolated edges) has ZERO wedges: the
+    # clustering ratio is undefined — explicit NULL on both engines
+    # (Spark ANSI raises on the naive 0/0; DuckDB yields NULL — the
+    # gr11/tx26/rs02 degenerate class)
     return stats.crossJoin(F.broadcast(tri)).select(
         "n_nodes",
         "n_edges",
         "n_wedges",
         "n_triangles",
-        F.round(
-            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ),
         ).alias("global_clustering"),
     )
 
@@ -21504,7 +21511,9 @@ WITH li AS (
   FROM deg
 )
 SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
-       ROUND(3.0 * t.n_triangles / s.n_wedges, 6) AS global_clustering
+       CASE WHEN s.n_wedges > 0
+            THEN ROUND(3.0 * t.n_triangles / s.n_wedges, 6)
+       END AS global_clustering
 FROM stats s CROSS JOIN tri t
 """
 
@@ -22305,17 +22314,22 @@ def _gr09_oracle_sql() -> str:
         " FROM und n JOIN core xa ON xa.u = n.u"
         " JOIN core xb ON xb.u = n.v)"
     )
+    # n_core_edges comes from a scalar subquery, NOT a CROSS JOIN with
+    # core: when the core is empty the join has zero rows and
+    # MAX(ce.n_core_edges) aggregates to NULL while the Spark side's
+    # crossJoin of two 1-row aggregates yields 0 — the gr10 r11-ADVICE
+    # empty-truss class, found by tests/test_degenerate_inputs.py
     return (
         "WITH " + ",\n".join(ctes) + f"""
 SELECT CAST({k} AS INT) AS k,
        CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
-       CAST(MAX(ce.n_core_edges) AS BIGINT) AS n_core_edges,
+       (SELECT CAST(n_core_edges AS BIGINT) FROM ce) AS n_core_edges,
        CAST(SUM(u) AS BIGINT) AS node_id_sum,
        CAST(SUM(core_degree) AS BIGINT) AS degree_sum,
        CAST(MAX(core_degree) AS BIGINT) AS max_core_degree,
        ROUND(CAST(SUM(core_degree) AS DOUBLE) / COUNT(*), 4)
          AS avg_core_degree
-FROM core CROSS JOIN ce"""
+FROM core"""
     )
 
 
