@@ -23607,10 +23607,15 @@ def ss10_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select(
         "source", "lang", "doc_id", F.col("n_chars").cast("bigint").alias("__x")
     )
+    # Per-row products and sums run in DECIMAL, not BIGINT: x*x on a
+    # bigint pair (or the sum of many of them) can overflow long at
+    # large SF, where ANSI raises while the DuckDB oracle's HUGEINT
+    # succeeds — the tx26 cast-before-SUM rule (r12 ADVICE).
+    xd = F.col("__x").cast("decimal(25,0)")
     strata = docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("__x").cast("decimal(38,0)").alias("__sx"),
-        F.sum(F.col("__x") * F.col("__x")).cast("decimal(38,0)").alias("__sxx"),
+        F.sum(xd).cast("decimal(38,0)").alias("__sx"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("__sxx"),
     )
     n = F.col("n_docs").cast("decimal(19,0)")
     var_num = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
@@ -23628,10 +23633,14 @@ def ss10_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
     weighted = strata.withColumn("sd_chars", sd).withColumn(
         "__w",
-        F.col("n_docs")
-        * F.expr(f"CAST(round(sd_chars * {SS10_SD_SCALE}) AS BIGINT)"),
+        (
+            F.col("n_docs").cast("decimal(19,0)")
+            * F.expr(
+                f"CAST(round(sd_chars * {SS10_SD_SCALE}) AS DECIMAL(19,0))"
+            )
+        ).cast("decimal(38,0)"),
     )
-    tot = weighted.agg(F.sum("__w").cast("bigint").alias("__tot"))
+    tot = weighted.agg(F.sum("__w").cast("decimal(38,0)").alias("__tot"))
     alloc = (
         weighted.crossJoin(F.broadcast(tot))
         .withColumn(
@@ -23640,7 +23649,10 @@ def ss10_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("__tot") > 0,
                 F.least(
                     F.col("n_docs"),
-                    F.expr(f"(CAST({SS10_BUDGET} AS BIGINT) * __w) div __tot"),
+                    F.expr(
+                        f"(CAST({SS10_BUDGET} AS DECIMAL(13,0)) * __w)"
+                        " div __tot"
+                    ),
                 ),
             )
             .otherwise(F.lit(0))
@@ -23699,8 +23711,8 @@ WITH docs AS (
 ), strata AS (
   SELECT source, lang,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(x) AS HUGEINT) AS sx,
-         CAST(SUM(x * x) AS HUGEINT) AS sxx
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx
   FROM docs GROUP BY source, lang
 ), sdd AS (
   SELECT source, lang, n_docs,
@@ -23711,15 +23723,16 @@ WITH docs AS (
   FROM strata
 ), weighted AS (
   SELECT *,
-         n_docs * CAST(round(sd_chars * {SS10_SD_SCALE}) AS BIGINT) AS w
+         CAST(n_docs AS HUGEINT)
+           * CAST(round(sd_chars * {SS10_SD_SCALE}) AS HUGEINT) AS w
   FROM sdd
 ), tot AS (
-  SELECT CAST(SUM(w) AS BIGINT) AS tot FROM weighted
+  SELECT CAST(SUM(w) AS HUGEINT) AS tot FROM weighted
 ), alloc AS (
   SELECT source, lang, n_docs, sd_chars,
          CASE WHEN tot > 0
-              THEN LEAST(n_docs,
-                         (CAST({SS10_BUDGET} AS BIGINT) * w) // tot)
+              THEN LEAST(CAST(n_docs AS HUGEINT),
+                         (CAST({SS10_BUDGET} AS HUGEINT) * w) // tot)
               ELSE 0 END AS alloc_n
   FROM weighted CROSS JOIN tot
 ), ranked AS (

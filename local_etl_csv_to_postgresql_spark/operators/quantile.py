@@ -193,6 +193,10 @@ def exact_discrete_rank_values(
         ranks = list(ranks_for_n(n))
         if n == 0:
             return 0, [None for _ in ranks]
+        if not ranks:
+            # Mirror the n == 0 short-circuit: with no ranks requested the
+            # OR-chain below would stay None and vals.filter(None) raises.
+            return n, []
         for r in ranks:
             if not 0 <= r < n:
                 raise ValueError(f"rank {r} outside [0, {n})")

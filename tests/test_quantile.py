@@ -165,3 +165,6 @@ def test_discrete_rank_values_empty_nulls_and_bounds(spark):
     # out-of-range rank is a loud error, not a silent wrong pick
     with _pytest.raises(ValueError, match="outside"):
         exact_discrete_rank_values(df, "v", lambda n: [n])
+    # empty rank list on non-empty data: (n, []), not a filter(None) crash
+    n, vals = exact_discrete_rank_values(df, "v", lambda n: [])
+    assert n == 2 and vals == []

@@ -258,3 +258,56 @@ def test_tx26_degenerate_single_type_corpus(spark, tmp_path):
         if not p.startswith("dtype ")
     ]
     assert not problems, "; ".join(problems)
+
+
+@pytest.mark.integration
+def test_ss10_huge_chars_no_bigint_overflow(spark, tmp_path):
+    """ss10's moments/weights run in DECIMAL (Spark) and HUGEINT
+    (DuckDB): an n_chars around 4e9 makes the per-row x*x exceed
+    Long.MAX, which BIGINT arithmetic would raise on under ANSI while
+    the oracle succeeded — the r12 ADVICE error-vs-value parity
+    ceiling. Pins that both engines now compute it, and agree."""
+    import pandas as pd
+
+    duckdb = pytest.importorskip("duckdb")
+    from local_etl_csv_to_postgresql_spark.functions.entrypoints import (
+        EXTENSION_ORACLE,
+        ROUND7_STAGED_ORACLE,
+    )
+    from scripts.check_oracle import compare
+
+    oracle = {**EXTENSION_ORACLE, **ROUND7_STAGED_ORACLE}[
+        "ss10_neyman_allocation"
+    ]
+    xs = [4_000_000_000, 5_000_000_000, 6_000_000_000]  # x*x > Long.MAX
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a", "b", "c"],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": xs,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    sdf = QUERIES["ss10_neyman_allocation"](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet'"
+        )
+        odf = con.execute(oracle).fetchdf()
+    finally:
+        con.close()
+    n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    want_sd = round(math.sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6)
+    row = sdf.iloc[0]
+    assert row["n_docs"] == n
+    assert row["sd_chars"] == pytest.approx(want_sd, abs=1e-9)
+    assert row["alloc_n"] == n  # sole stratum takes min(n, BUDGET)
+    assert row["sample_char_sum"] == sx
+    problems = [
+        p for p in compare("ss10_overflow", sdf, odf)
+        if not p.startswith("dtype ")
+    ]
+    assert not problems, "; ".join(problems)
