@@ -101,3 +101,62 @@ def test_copurchase_family_degenerate_parity(
         if not p.startswith("dtype ")
     ]
     assert not problems, f"{name} on {shape}: " + "; ".join(problems)
+
+
+#: ss10 degenerate corpora: (shape, (doc_id, lang, source, n_chars))
+#: — every path where the allocation denominator Σw can be 0 (all-sd-0
+#: via n==1 strata and via tied lengths) plus the empty corpus
+SS10_SHAPES = [
+    # one doc per stratum: every sd 0 (n<2 branch), Σw == 0 → alloc 0
+    ("singleton_strata", [(0, "en", "s0", 100), (1, "de", "s1", 250)]),
+    # one stratum, spread lengths: the whole budget path, alloc=min(n,B)
+    ("single_stratum", [(0, "en", "s0", 10), (1, "en", "s0", 90),
+                        (2, "en", "s0", 40)]),
+    # all docs identical length: sd 0 with n>=2, Σw == 0 → alloc 0
+    ("tied_lengths", [(0, "en", "s0", 77), (1, "en", "s0", 77),
+                      (2, "de", "s0", 77), (3, "de", "s0", 77)]),
+    # empty corpus: zero strata rows out of both engines
+    ("empty", []),
+]
+
+
+@pytest.mark.integration
+@pytest.mark.parametrize(
+    "shape,rows", SS10_SHAPES, ids=[s for s, _ in SS10_SHAPES]
+)
+def test_ss10_degenerate_parity(spark, tmp_path_factory, shape, rows):
+    """ss10's allocation divides by Σ(N_h·sd_h), which is legally 0
+    whenever every stratum is a singleton or has tied lengths — the
+    same structural-denominator class as the graph family above. Pins
+    the tot > 0 guard (alloc 0, not DIVIDE_BY_ZERO/NULL drift) and the
+    empty-corpus no-rows case on both engines."""
+    import pandas as pd
+
+    duckdb = pytest.importorskip("duckdb")
+    from scripts.check_oracle import compare
+
+    name = "ss10_neyman_allocation"
+    tmp = tmp_path_factory.mktemp(f"degen_ss10_{shape}")
+    pd.DataFrame(
+        rows, columns=["doc_id", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    sdf = QUERIES[name](spark, str(tmp)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet'"
+        )
+        odf = con.execute(ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    if shape in ("singleton_strata", "tied_lengths"):
+        assert (sdf["alloc_n"] == 0).all() and (sdf["sampled_n"] == 0).all()
+    if shape == "empty":
+        assert len(sdf) == 0
+    problems = [
+        p for p in compare(f"{name}:{shape}", sdf, odf)
+        if not p.startswith("dtype ")
+    ]
+    assert not problems, f"ss10 on {shape}: " + "; ".join(problems)
