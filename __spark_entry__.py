@@ -100,12 +100,14 @@ def _promotion_order() -> list[str]:
             ROUND10_PROMOTED,
             ROUND11_PROMOTED,
             ROUND12_PROMOTED,
+            ROUND13_PROMOTED,
         )
 
         return (
             list(ROUND10_PROMOTED)
             + list(ROUND11_PROMOTED)
             + list(ROUND12_PROMOTED)
+            + list(ROUND13_PROMOTED)
         )
     except ImportError:
         return []

@@ -23762,3 +23762,27 @@ ORDER BY a.source, a.lang
 
 ROUND7_STAGED_QUERIES["ss10_neyman_allocation"] = ss10_neyman_allocation
 ROUND7_STAGED_ORACLE["ss10_neyman_allocation"] = _ss10_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-13 promotions: the wave-79/80 queries graduate into the live
+# registry after sf0.001+sf0.01 oracle certification, sf0.1 sweep walls
+# (3.50/1.36/1.54 s), scale-curve probes, plan audit, degenerate-shape
+# parity, and full-pipeline Python replay tests. The driver's round-13
+# 50-slot window certifies these 3 first and fills the remaining 47
+# slots from the refresh-queue head (the 14 r6-era rows, then 33 of
+# the 50 r7-era rows).
+# ---------------------------------------------------------------------------
+
+ROUND13_PROMOTED: list[str] = [
+    # wave 79
+    "gr11_local_clustering",
+    "tx26_zipf_slope",
+    # wave 80
+    "ss10_neyman_allocation",
+]
+
+for _name in ROUND13_PROMOTED:
+    EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
+    EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
+del _name

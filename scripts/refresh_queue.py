@@ -9,7 +9,7 @@ records at call time —
 1. any live query whose most recent driver row FAILED;
 2. queries that have NEVER been driver-certified (promotions — a stale
    green row beats no row at all), in the promotion order declared next
-   to the promotions (``functions/entrypoints.ROUND12_PROMOTED``,
+   to the promotions (``functions/entrypoints.ROUND13_PROMOTED``,
    concatenated after the earlier rounds' lists);
 3. the remaining slots by OLDEST last-green round, name-ascending
    within a round.

@@ -82,6 +82,7 @@ def test_promoted_queries_were_sf01_swept():
         ROUND10_PROMOTED,
         ROUND11_PROMOTED,
         ROUND12_PROMOTED,
+        ROUND13_PROMOTED,
     )
 
     path = os.path.join(
@@ -96,6 +97,7 @@ def test_promoted_queries_were_sf01_swept():
         | set(ROUND10_PROMOTED)
         | set(ROUND11_PROMOTED)
         | set(ROUND12_PROMOTED)
+        | set(ROUND13_PROMOTED)
     )
     missing = required - set(walls)
     assert missing == set(), (
