@@ -23786,3 +23786,174 @@ for _name in ROUND13_PROMOTED:
     EXTENSION_QUERIES[_name] = ROUND7_STAGED_QUERIES.pop(_name)
     EXTENSION_ORACLE[_name] = ROUND7_STAGED_ORACLE.pop(_name)
 del _name
+
+
+# ---------------------------------------------------------------------------
+# Round-14 staging, wave 81: pv03 dynamic-values pivot, fi01 mergeable
+# Misra-Gries heavy hitters.
+# ---------------------------------------------------------------------------
+
+#: pv03's declared language roster: the corpus contract (TESTDATA.md's
+#: 5-language documents table). The pivot itself is DYNAMIC — Spark
+#: discovers the values — and the final select projects onto this
+#: contract so the output schema cannot drift with the data.
+PV03_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def pv03_dynamic_lang_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc count + char mass pivoted by language per source, with the
+    pivot values DISCOVERED from the data: ``pivot("lang")`` with no
+    explicit list — the one Spark pivot shape pv01 deliberately
+    avoids, certified here on the column where it is the right call.
+    The reference reaches this surface with CASE-based conditional
+    aggregation over a known roster (sql/queries.sql pivot-style
+    reports); a curation dashboard over a new corpus does not know
+    the roster up front.
+
+    Scale: the implicit pivot first runs a separate distinct job over
+    the pivot column — driver-collected and capped by
+    spark.sql.pivotMaxValues (default 10k). On the lang column that
+    scan is column-pruned to a dictionary-encoded parquet column and
+    the result is a ≤|langs| value list, which is exactly when the
+    dynamic form is affordable at 100 TB; pivoting a high-cardinality
+    column this way is the anti-pattern pv01's docstring warns about.
+    After value discovery the plan is pv01's: ONE partial-aggregable
+    groupBy on the bounded source roster. Char sums run in DECIMAL
+    (the tx26/ss10 cast-before-SUM rule), cast to the bigint contract
+    once. Languages absent from a degenerate corpus materialize as
+    all-zero contract columns (a driver-side schema fix-up on the
+    pivoted schema — bounded metadata, no extra job)."""
+    docs = load(spark, sf, "documents")
+    piv = (
+        docs.groupBy("source")
+        .pivot("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("decimal(25,0)")).alias("chars"),
+        )
+    )
+    have = set(piv.columns)
+    zero = F.lit(0).cast("bigint")
+    cols = [F.col("source")]
+    for lg in PV03_LANGS:
+        n = F.col(f"{lg}_n") if f"{lg}_n" in have else F.lit(None)
+        ch = F.col(f"{lg}_chars") if f"{lg}_chars" in have else F.lit(None)
+        cols.append(F.coalesce(n, zero).cast("bigint").alias(f"n_{lg}"))
+        cols.append(
+            F.coalesce(ch, F.lit(0)).cast("bigint").alias(f"chars_{lg}")
+        )
+    return piv.select(*cols).orderBy("source")
+
+
+def _pv03_oracle_sql() -> str:
+    parts = []
+    for lg in PV03_LANGS:
+        parts.append(
+            f"       CAST(COUNT(CASE WHEN lang = '{lg}' THEN 1 END)"
+            f" AS BIGINT) AS n_{lg},\n"
+            f"       CAST(COALESCE(SUM(CASE WHEN lang = '{lg}'"
+            f" THEN CAST(n_chars AS HUGEINT) END), 0) AS BIGINT)"
+            f" AS chars_{lg}"
+        )
+    body = ",\n".join(parts)
+    return (
+        "SELECT source,\n" + body + "\nFROM documents GROUP BY source"
+        "\nORDER BY source"
+    )
+
+
+ROUND7_STAGED_QUERIES["pv03_dynamic_lang_pivot"] = pv03_dynamic_lang_pivot
+ROUND7_STAGED_ORACLE["pv03_dynamic_lang_pivot"] = _pv03_oracle_sql()
+
+
+#: fi01's Misra-Gries counter budget: any token with corpus frequency
+#: above 1/(K+1) (~0.5%) of the token mass is GUARANTEED to survive
+#: the sketch, so the exact second pass below recovers the complete
+#: heavy-hitter set. 199 keeps the per-partition summary and the
+#: candidate broadcast tiny while the synthetic corpus's ~30
+#: template tokens (1-4% mass each) all clear the threshold.
+FI01_K = 199
+
+
+def fi01_heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with > 1/(K+1) of the token
+    mass) recovered through a MERGEABLE Misra-Gries sketch — the
+    approx-top-k shape every training-data pipeline runs to find
+    boilerplate/template tokens before filtering. Two passes:
+
+    1. SKETCH (no shuffle): one Misra-Gries summary of width K per
+       partition, built incrementally over the Arrow batches inside
+       ``mapInPandas`` with the summary MERGE of Agarwal et al. 2013
+       (Mergeable Summaries, §3.1): add batch counts, subtract the
+       (K+1)-st largest, drop non-positives — each step vectorized
+       pandas, never a per-token Python loop. Only the ≤K surviving
+       candidate tokens per partition leave the executor (O(K·P)
+       rows), where the exact groupBy(token) alternative shuffles the
+       full per-partition vocabulary — the entire point at 100 TB.
+       Pigeonhole guarantee: a token with global count > n/(K+1)
+       exceeds n_i/(K+1) in at least one partition i, and MG never
+       evicts a token above its partition's threshold.
+    2. VERIFY (exact): recount ONLY the broadcast candidate roster
+       and keep counts clearing the global threshold — so the output
+       is the exact deterministic heavy-hitter set, independent of
+       partitioning/batching (any candidate superset yields the same
+       final rows), which is what makes a sketch query
+       hash-certifiable at all (the cm01 rule; contrast hll01).
+
+    The reference has no sketch surface (its pandas value_counts
+    reports are exact, src/transform.py); fi01 is the scale path for
+    that report family. The share divide is one double op written
+    operand-for-operand as in the oracle."""
+    import pandas as _pd
+
+    toks = _docs_words(spark, sf).select(F.explode("__words").alias("token"))
+
+    def mg(batches):
+        state = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf["token"].value_counts()
+            state = vc if state is None else state.add(vc, fill_value=0)
+            if len(state) > FI01_K:
+                kth = state.nlargest(FI01_K + 1).iloc[-1]
+                state = (state[state > kth] - kth).astype("int64")
+        if state is not None and len(state):
+            yield _pd.DataFrame({"token": state.index.astype(str)})
+
+    cand = toks.mapInPandas(mg, "token string").distinct()
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * F.lit(FI01_K + 1) > F.col("__n"))
+        .select(
+            "token",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("__n").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "token")
+    )
+
+
+FI01_ORACLE = f"""
+WITH w AS (
+  SELECT unnest({_WORDS}) AS token FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w
+), c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY token
+)
+SELECT token, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+FROM c CROSS JOIN tot
+WHERE cnt * {FI01_K + 1} > n
+ORDER BY cnt DESC, token
+"""
+
+ROUND7_STAGED_QUERIES["fi01_heavy_hitter_tokens"] = fi01_heavy_hitter_tokens
+ROUND7_STAGED_ORACLE["fi01_heavy_hitter_tokens"] = FI01_ORACLE

@@ -53,6 +53,9 @@ PROBES = [
     ("gr11_local_clustering", "one-shot triangle enumeration + vertex explode rollup"),
     ("tx26_zipf_slope", "rank-cut to bounded table + integer-scaled OLS moments"),
     ("ss10_neyman_allocation", "bounded-strata allocation + per-stratum variable-k pick"),
+    # round-14 staged shapes
+    ("pv03_dynamic_lang_pivot", "dynamic-values pivot (distinct scan + bounded groupBy)"),
+    ("fi01_heavy_hitter_tokens", "mergeable per-partition sketch + exact candidate recount"),
 ]
 
 

@@ -133,6 +133,9 @@ BNLJ_ALLOWED = {
     "tx26_zipf_slope",  # 1-row OLS-moment frame x 1-row token-mass scalar
     "ss10_neyman_allocation",  # 1-row weight-total scalar over the
     # |sources|x|langs|-bounded strata table
+    # staged round-14 surface
+    "fi01_heavy_hitter_tokens",  # 1-row token-mass scalar against the
+    # O(K·P)-bounded candidate recount
 }
 
 
@@ -342,6 +345,8 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "ts",          # 1-row Theil-Sen median scalar (rs02)
     # staged round-13 surface
     "alloc",       # |sources|x|langs|-bounded allocation table (ss10)
+    # staged round-14 surface
+    "cand",        # O(K·P)-bounded Misra-Gries candidate roster (fi01)
 }
 
 

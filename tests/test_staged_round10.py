@@ -1805,6 +1805,7 @@ def test_every_staged_query_has_an_invariant_test():
         "test_staged_round11.py",
         "test_staged_round12.py",
         "test_staged_round13.py",
+        "test_staged_round14.py",
     ):
         with open(os.path.join(here, f)) as fh:
             src += fh.read()
