@@ -1057,6 +1057,52 @@ def _contaminated_doc_ids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _span_gram_doc_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(doc_id, source, 60-bit span-gram hash) POSITION COUNTS at
+    the CONTAM_NGRAM order — the shared reduced form of the span-gram
+    position stream (r13; ct05's exposure rollup and cur03's
+    decontamination stage both build on it). Aggregating occurrences
+    to counts first (guide §2.3) means every downstream consumer
+    shuffles doc-distinct grams instead of raw positions, and because
+    each consumer's plan contains the IDENTICAL (doc_id, source, __u)
+    Exchange subtree, Spark plans it once and reuses it
+    (ReusedExchange) — the corpus-side explode runs exactly once per
+    query instead of once per consumer."""
+    docs = load(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", "source", tx.words("text").alias("__words")
+    )
+    return (
+        words.select(
+            "doc_id",
+            "source",
+            F.explode(
+                dd.span_grams(F.col("__words"), CONTAM_NGRAM)
+            ).alias("__g"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.substring(F.md5("__g"), 1, 15).alias("__u"),
+        )
+        .groupBy("doc_id", "source", "__u")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+
+
+def _cross_source_shared_grams(pu: DataFrame) -> DataFrame:
+    """ct01's sharing rule over the reduced count frame: hashes whose
+    distinct-per-source unit appears in >= 2 sources."""
+    return (
+        pu.select("source", "__u")
+        .distinct()
+        .groupBy("__u")
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .filter(F.col("__ns") >= 2)
+        .select("__u")
+    )
+
+
 def ct02_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Eval-set decontamination REMOVAL (ct01 measures, this enforces):
     treating source 'src0' as the held-out eval set, a training doc from
@@ -3508,9 +3554,11 @@ def zipf01_rank_decades(spark: SparkSession, sf: str) -> DataFrame:
     toks = _docs_words(spark, sf).select(
         "lang", F.explode("__words").alias("__w")
     )
+    # r13: three consumers (ranker sampling + shuffle, per-lang totals);
+    # checkpoint so the corpus explode + vocab count runs once
     vocab = toks.groupBy("lang", "__w").agg(
         F.count(F.lit(1)).alias("__c")
-    )
+    ).localCheckpoint(eager=False)
     ranked = attach_global_row_number(
         vocab,
         order_by=[F.desc("__c"), F.asc("__w")],
@@ -4198,6 +4246,8 @@ def es08_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
         order_by=[F.desc("__d2"), F.asc("vec_id")],
         partition_by=["label"],
         rn_col="__rk",
+        # the sqdist kernel is the expensive lineage; run it once (r13)
+        materialize_input=True,
     )
     return (
         ranked.filter(F.col("__rk") <= 3)
@@ -5647,7 +5697,6 @@ def _pq_assigned(
     (M·K rows — bounded driver metadata). Extracted from es12 as pure
     code motion so es13 searches the IDENTICAL codebooks es12
     certifies (both queries' hashes pin the same training)."""
-    from pyspark.sql import Window
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -5707,19 +5756,61 @@ def _pq_assigned(
     }
 
     def assign(cents, extra_err: bool):
-        sim_expr = sim.dot(F.col("__sv"), F.col("__cvec")) / F.nullif(
-            sim.norm(F.col("__sv")) * sim.norm(F.col("__cvec")),
-            F.lit(0.0),
+        # Same argmax-fold shape as similarity.assign_to_centroids
+        # (see its docstring for the comparator-equivalence argument):
+        # per subspace, the K-row codebook packs into ONE cid-sorted
+        # candidate array; the M-row packed frame broadcast-joins on
+        # __m and each subvector folds map-side — no K-way fan-out, no
+        # per-(vec_id, __m) window Exchange + sort.
+        packed = cents.groupBy("__m").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__cid"),
+                        F.col("__cvec"),
+                        sim.norm(F.col("__cvec")).alias("__cn"),
+                    )
+                )
+            ).alias("__cands")
         )
-        cols = ["vec_id", "label", "__m", "__sv", "__cid",
-                sim_expr.alias("__sim")]
+        scored_arr = F.transform(
+            F.col("__cands"),
+            lambda c: F.struct(
+                c["__cid"].alias("__cid"),
+                c["__cvec"].alias("__cvec"),
+                (
+                    sim.dot(F.col("__sv"), c["__cvec"])
+                    / F.nullif(F.col("__svn") * c["__cn"], F.lit(0.0))
+                ).alias("__sim"),
+            ),
+        )
+        best = F.aggregate(
+            F.slice(
+                scored_arr,
+                F.lit(2),
+                F.greatest(F.size(scored_arr) - 1, F.lit(0)),
+            ),
+            F.get(scored_arr, 0),
+            lambda acc, c: F.when(
+                c["__sim"].isNotNull()
+                & (acc["__sim"].isNull() | (c["__sim"] > acc["__sim"])),
+                c,
+            ).otherwise(acc),
+        )
+        cols = [
+            "vec_id",
+            "label",
+            "__m",
+            "__sv",
+            F.col("__best.__cid").alias("__cid"),
+        ]
         if extra_err:
             cols.append(
                 F.round(
                     F.aggregate(
                         F.zip_with(
                             F.col("__sv"),
-                            F.col("__cvec"),
+                            F.col("__best.__cvec"),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0.0),
@@ -5728,15 +5819,12 @@ def _pq_assigned(
                     6,
                 ).alias("__err")
             )
-        w = Window.partitionBy("vec_id", "__m").orderBy(
-            F.desc_nulls_last("__sim"), F.asc("__cid")
-        )
         return (
-            sliced.join(F.broadcast(cents), "__m")
+            sliced.join(F.broadcast(packed), "__m")
+            .withColumn("__svn", sim.norm(F.col("__sv")))
+            .withColumn("__best", best)
+            .filter(F.col("__best").isNotNull())
             .select(*cols)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .drop("__rn", "__sim")
         )
 
     # one Lloyd refinement, both subspaces in one pass
@@ -5810,7 +5898,8 @@ def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:
     errors round to 6 dp and aggregate as DECIMAL(18,6) sums
     (shuffle-order independent). Training lives in ``_pq_assigned``
     (shared with es13's ADC search — pure code motion, identical
-    arithmetic)."""
+    arithmetic; r13: window argmax → broadcast-array fold, see
+    similarity.assign_to_centroids)."""
     M = PQ_M
     assigned, _ = _pq_assigned(spark, sf, extra_err=True)
     per = assigned.groupBy("vec_id").agg(
@@ -8713,9 +8802,24 @@ def _bigram_xent_per_doc(spark: SparkSession, sf: str) -> DataFrame:
         docs.select(F.explode("__w").alias("__t"))
         .agg(F.countDistinct("__t").alias("__v"))
     )
+    # r13 (guide §2.3 — aggregate before you shuffle): reduce the
+    # occurrence stream to per-(doc, bigram) counts k ONCE; the model
+    # stats are a re-aggregation of those counts (SUM k ≡ COUNT(*)
+    # over occurrences) and the scorer multiplies instead of
+    # re-summing — k·cost in exact DECIMAL equals k repeated
+    # additions of the same cast, so the certified 6-dp value cannot
+    # move. Costs are 8-dp values < 64 (−log2 of a probability
+    # ≥ 1/(ctx+V), ctx+V < 2^63), so DECIMAL(14,12) holds them
+    # exactly and the k·cost product fits DECIMAL(28,12) with no
+    # precision-loss adjustment. Both (w1, w2)-keyed consumers of the
+    # count frame share one Exchange (ReusedExchange), so the corpus
+    # explode runs once.
+    dbc = big.groupBy("doc_id", "lang", "source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
     stats = (
-        big.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("__c12"))
+        dbc.groupBy("w1", "w2")
+        .agg(F.sum("__k").alias("__c12"))
         .withColumn("__ctx", F.sum("__c12").over(Window.partitionBy("w1")))
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -8731,13 +8835,16 @@ def _bigram_xent_per_doc(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        big.join(stats, ["w1", "w2"])
+        dbc.join(stats, ["w1", "w2"])
         .groupBy("doc_id", "lang", "source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("__k").cast("bigint").alias("n_bigrams"),
             F.round(
-                F.sum(F.col("__cost").cast("decimal(25,12)")).cast("double")
-                / F.count(F.lit(1)),
+                F.sum(
+                    F.col("__k").cast("decimal(13,0)")
+                    * F.col("__cost").cast("decimal(14,12)")
+                ).cast("double")
+                / F.sum("__k"),
                 6,
             ).alias("cross_entropy"),
         )
@@ -10202,17 +10309,59 @@ def tx16_trigram_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("__def"),
         )
     )
-    scored = (
-        tri.crossJoin(F.broadcast(langs))
-        .join(model, ["cand", "__t"], "left")
-        .join(F.broadcast(default), "cand")
+    # Seen-mass rewrite (r13, guide §2.3 — aggregate before you
+    # shuffle): the naive scorer fans every trigram OCCURRENCE out |L|
+    # ways through the model join. Instead, reduce to per-(doc,
+    # trigram) counts k once, inner-join the model (only (cand, t)
+    # pairs seen in training exist there), and recover the unseen mass
+    # arithmetically: Σ_t k_t·cost-or-default
+    #   = Σ_seen k_t·cost + (n_doc − seen_k)·default.
+    # Decimal arithmetic is exact, so k·cost as DECIMAL equals k
+    # repeated additions of the DECIMAL(25,12) cast bit-for-bit and
+    # the argmin (and therefore the confusion matrix) cannot move.
+    # Types: every cost/default is an 8-dp value < 100 (−log2 of a
+    # probability ≥ 1/(ctx+V), ctx+V < 2^63 → < 63.0), so
+    # DECIMAL(14,12) holds it exactly and k·cost fits DECIMAL(28,12)
+    # with NO precision-loss adjustment anywhere on the path.
+    dtc = tri.groupBy("doc_id", "lang_true", "__t").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    ndoc = dtc.groupBy("doc_id", "lang_true").agg(
+        F.sum("__k").alias("__n")
+    )
+    seen = (
+        dtc.join(model, "__t")
         .groupBy("doc_id", "lang_true", "cand")
         .agg(
             F.sum(
-                F.coalesce(F.col("__cost"), F.col("__def")).cast(
-                    "decimal(25,12)"
+                F.col("__k").cast("decimal(13,0)")
+                * F.col("__cost").cast("decimal(14,12)")
+            )
+            # re-narrow the sum (≤ Σk·63 < 10^16) so the final
+            # seen+unseen addition stays under precision 38 with no
+            # precision-loss adjustment
+            .cast("decimal(28,12)")
+            .alias("__seen_cost"),
+            F.sum("__k").alias("__seen_k"),
+        )
+    )
+    scored = (
+        ndoc.crossJoin(F.broadcast(langs))
+        .join(seen, ["doc_id", "lang_true", "cand"], "left")
+        .join(F.broadcast(default), "cand")
+        .select(
+            "doc_id",
+            "lang_true",
+            "cand",
+            (
+                F.coalesce(
+                    F.col("__seen_cost"),
+                    F.lit(0).cast("decimal(28,12)"),
                 )
-            ).alias("__total")
+                + (F.col("__n") - F.coalesce(F.col("__seen_k"), F.lit(0)))
+                .cast("decimal(13,0)")
+                * F.col("__def").cast("decimal(14,12)")
+            ).alias("__total"),
         )
     )
     pred = scored.groupBy("doc_id", "lang_true").agg(
@@ -10447,9 +10596,15 @@ def cur02_embedding_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
         order_by=[F.desc("__d2"), F.asc("vec_id")],
         partition_by=["label"],
         rn_col="__rk",
+        # the sqdist kernel (64-way posexplode + centroid join) is the
+        # expensive lineage here; run it once (r13)
+        materialize_input=True,
     )
     out3 = ranked.filter(F.col("__rk") <= 3).select("vec_id")
-    s1 = emb.join(out3, "vec_id", "left_anti")
+    # four consumers (both legs of the pair-endpoint join, r1, s2) —
+    # a tiny (label, vec_id) frame; checkpoint so the outlier screen
+    # is not re-run per consumer (r13)
+    s1 = emb.join(out3, "vec_id", "left_anti").localCheckpoint(eager=False)
     pairs = sim.neardup_pairs(
         load(spark, sf, "embeddings"),
         threshold=0.35,
@@ -16004,20 +16159,34 @@ def dd18_minhash_k_sweep(spark: SparkSession, sf: str) -> DataFrame:
             dd.jaccard(F.col("__sa"), F.col("__sb")).alias("__exact"),
         )
     )
-    legs = []
-    for k in (8, 16, 32):
-        est = (
-            F.expr(f"aggregate(slice(__eq, 1, {k}), 0, (a, x) -> a + x)")
-            / F.lit(float(k))
-        )
-        legs.append(
-            scored.select(
-                F.lit(k).alias("sketch_k"),
-                est.alias("__est"),
-                F.col("__exact"),
+    # r13: the three sweep legs used to be a unionAll that re-derived
+    # the 4-way pair join per k; one exploded (k, est) array computes
+    # all three estimators in a single pass over `scored` (same
+    # per-k expressions over the same rows — identical values).
+    un = scored.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("sketch_k"),
+                        (
+                            F.expr(
+                                f"aggregate(slice(__eq, 1, {k}), 0, "
+                                "(a, x) -> a + x)"
+                            )
+                            / F.lit(float(k))
+                        ).alias("__est"),
+                    )
+                    for k in (8, 16, 32)
+                ]
             )
-        )
-    un = legs[0].unionAll(legs[1]).unionAll(legs[2])
+        ).alias("__leg"),
+        "__exact",
+    ).select(
+        F.col("__leg.sketch_k").alias("sketch_k"),
+        F.col("__leg.__est").alias("__est"),
+        "__exact",
+    )
     return (
         un.groupBy("sketch_k")
         .agg(
@@ -16267,29 +16436,100 @@ def ct04_contamination_ngram_sensitivity(
     between the rows is exactly the stock-phrase noise a too-small n
     lets in.
 
-    Scale: three runs of ct01's certified one-distinct-shuffle +
-    one-equi-join kernel (cost ∝ number of orders swept, never
-    quadratic); each leg reduces to one row before the union."""
-    legs = []
-    for n in (5, 7, 13):
-        col = f"n_shared_{n}grams"
-        legs.append(
-            _contamination(spark, sf, n=n)
-            .agg(
-                F.sum(F.when(F.col(col) > 0, 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_pairs_affected"),
-                F.sum(col).cast("bigint").alias("total_shared_grams"),
-                F.max(col).cast("bigint").alias("max_pair_shared"),
-            )
-            .select(
-                F.lit(n).alias("ngram_order"),
-                "n_pairs_affected",
-                "total_shared_grams",
-                "max_pair_shared",
+    Scale: ONE tagged run of ct01's one-distinct-shuffle +
+    one-equi-join kernel covering all three orders (r13 — the three
+    legs used to re-scan and re-join the corpus per order): units
+    carry their order as part of the join key, the pair rollup keeps
+    one conditional count per order, and a 1-row aggregate explodes
+    into the three output rows. Per-leg semantics (including the
+    NULL aggregates of an empty leg) are preserved by the
+    leg-membership condition: a pair belongs to order n's leg iff it
+    shares a fingerprint or an n-gram of THAT order — exactly the
+    pair set _contamination(n) emits."""
+    orders = (5, 7, 13)
+    docs = load(spark, sf, "documents")
+    fp = docs.select(
+        "source",
+        F.lit("fp").alias("__k"),
+        tx.fingerprint("text").alias("__u"),
+    )
+    words = docs.select("source", tx.words("text").alias("__words"))
+    unit_legs = [fp]
+    for n in orders:
+        unit_legs.append(
+            words.select(
+                "source",
+                F.lit(str(n)).alias("__k"),
+                F.explode(dd.shingles(F.col("__words"), n=n)).alias("__g"),
+            ).select(
+                "source",
+                "__k",
+                F.substring(F.md5(F.col("__g")), 1, 15).alias("__u"),
             )
         )
-    return legs[0].unionAll(legs[1]).unionAll(legs[2]).orderBy("ngram_order")
+    units = unit_legs[0]
+    for leg in unit_legs[1:]:
+        units = units.unionByName(leg)
+    units = units.distinct()
+    a = units.select(F.col("source").alias("source_a"), "__k", "__u")
+    b = units.select(F.col("source").alias("source_b"), "__k", "__u")
+    pairs = (
+        a.join(b, ["__k", "__u"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.when(F.col("__k") == "fp", 1).otherwise(0)).alias(
+                "__fp"
+            ),
+            *[
+                F.sum(
+                    F.when(F.col("__k") == str(n), 1).otherwise(0)
+                ).alias(f"__g{n}")
+                for n in orders
+            ],
+        )
+    )
+    aggs = []
+    for n in orders:
+        member = (F.col("__fp") > 0) | (F.col(f"__g{n}") > 0)
+        aggs.extend(
+            [
+                F.sum(
+                    F.when(
+                        member,
+                        F.when(F.col(f"__g{n}") > 0, 1).otherwise(0),
+                    )
+                )
+                .cast("bigint")
+                .alias(f"__pa{n}"),
+                F.sum(F.when(member, F.col(f"__g{n}")))
+                .cast("bigint")
+                .alias(f"__tot{n}"),
+                F.max(F.when(member, F.col(f"__g{n}")))
+                .cast("bigint")
+                .alias(f"__mx{n}"),
+            ]
+        )
+    return (
+        pairs.agg(*aggs)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("ngram_order"),
+                            F.col(f"__pa{n}").alias("n_pairs_affected"),
+                            F.col(f"__tot{n}").alias("total_shared_grams"),
+                            F.col(f"__mx{n}").alias("max_pair_shared"),
+                        )
+                        for n in orders
+                    ]
+                )
+            ).alias("__r")
+        )
+        .select("__r.*")
+        .orderBy("ngram_order")
+    )
 
 
 def _ct04_leg_sql(n: int) -> str:
@@ -16401,6 +16641,8 @@ def qf05_ccnet_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
         order_by=[F.asc("cross_entropy"), F.asc("doc_id")],
         rn_col="__rn",
         total_col="__n",
+        # the LM-scorer lineage is expensive; run it once (r13)
+        materialize_input=True,
     )
     return (
         ranked.withColumn(
@@ -16471,6 +16713,9 @@ def tx24_vocab_mass_coverage(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.explode("__words").alias("__t"))
         .groupBy("__t")
         .agg(F.count(F.lit(1)).alias("__c"))
+        # r13: three consumers (ranker sampling + shuffle, mass agg);
+        # checkpoint so the corpus explode + vocab count runs once
+        .localCheckpoint(eager=False)
     )
     ranked = attach_global_row_number(
         counts,
@@ -17932,33 +18177,20 @@ def ct05_span_decontamination_exposure(
     gram-hash) table by one keyed count (HAVING >= 2); positions flow
     through a LEFT SEMI join on the 60-bit hash — never full text —
     then one source-keyed rollup. Same shuffle discipline as ct01:
-    one distinct reduce, one equi-join, nothing quadratic."""
-    docs = load(spark, sf, "documents")
-    words = docs.select(
-        "doc_id", "source", tx.words("text").alias("__words")
-    )
-    pos = words.select(
-        "doc_id",
-        "source",
-        F.explode(dd.span_grams(F.col("__words"), CONTAM_NGRAM)).alias("__g"),
-    ).select(
-        "doc_id", "source", F.substring(F.md5("__g"), 1, 15).alias("__u")
-    )
-    shared = (
-        pos.select("source", "__u")
-        .distinct()
-        .groupBy("__u")
-        .agg(F.count(F.lit(1)).alias("__ns"))
-        .filter(F.col("__ns") >= 2)
-        .select("__u")
-    )
+    one distinct reduce, one equi-join, nothing quadratic. r13: the
+    position stream pre-reduces to per-(doc, gram) counts shared via
+    _span_gram_doc_counts (one explode + one reused Exchange instead
+    of three evaluations of the exploded stream); per-doc position
+    counts are recovered as SUM(k) — identical values."""
+    pu = _span_gram_doc_counts(spark, sf)
+    shared = _cross_source_shared_grams(pu)
     per_doc = (
-        pos.join(shared, "__u", "left_semi")
+        pu.join(shared, "__u", "left_semi")
         .groupBy("doc_id", "source")
-        .agg(F.count(F.lit(1)).alias("__bad"))
+        .agg(F.sum("__k").alias("__bad"))
     )
-    base = pos.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("__tot")
+    base = pu.groupBy("doc_id", "source").agg(
+        F.sum("__k").alias("__tot")
     )
     joined = base.join(per_doc.select("doc_id", "__bad"), "doc_id", "left")
     return (
@@ -18928,7 +19160,13 @@ def cur03_perplexity_curation_funnel(
     )
 
     docs = load(spark, sf, "documents").select("doc_id", "source")
-    scored = _bigram_xent_per_doc(spark, sf)
+    # r13: the funnel's stage frames each feed TWO+ consumers (the
+    # next stage and its own stage() count), and without a
+    # materialization barrier every consumer re-runs the whole
+    # upstream lineage. localCheckpoint the expensive per-doc frames
+    # (LM scores; decontaminated survivors) — tiny vs the corpus, and
+    # a pure execution barrier that cannot change any value.
+    scored = _bigram_xent_per_doc(spark, sf).localCheckpoint(eager=False)
     ranked = attach_global_row_number(
         scored,
         order_by=[F.asc("cross_entropy"), F.asc("doc_id")],
@@ -18943,26 +19181,16 @@ def cur03_perplexity_curation_funnel(
         "doc_id", "source"
     )
     # ct05's sharing rule: docs with >= 1 cross-source-shared 7-gram
-    words = load(spark, sf, "documents").select(
-        "doc_id", "source", tx.words("text").alias("__words")
-    )
-    pos = words.select(
-        "doc_id",
-        "source",
-        F.explode(dd.span_grams(F.col("__words"), CONTAM_NGRAM)).alias("__g"),
-    ).select("doc_id", "source", F.substring(F.md5("__g"), 1, 15).alias("__u"))
-    shared = (
-        pos.select("source", "__u")
-        .distinct()
-        .groupBy("__u")
-        .agg(F.count(F.lit(1)).alias("__ns"))
-        .filter(F.col("__ns") >= 2)
-        .select("__u")
-    )
+    # (via the shared reduced count frame — one explode, reused
+    # Exchange; see _span_gram_doc_counts)
+    pu = _span_gram_doc_counts(spark, sf)
+    shared = _cross_source_shared_grams(pu)
     contaminated = (
-        pos.join(shared, "__u", "left_semi").select("doc_id").distinct()
+        pu.join(shared, "__u", "left_semi").select("doc_id").distinct()
     )
-    decontam = good_ppl.join(contaminated, "doc_id", "left_anti")
+    decontam = good_ppl.join(
+        contaminated, "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
     # near-dup keep-one: the component label IS the min reachable
     # doc_id, so the representative is the doc whose id equals it
     comp = _neardup_components(spark, sf)
@@ -20994,11 +21222,14 @@ def rfm01_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     orders = load(spark, sf, "orders")
+    # r13: seven consumers read this entity-sized frame (each ranker's
+    # boundary-sampling + shuffle passes, plus the cube join);
+    # checkpoint so the orders scan + rollup runs once
     per = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("__last"),
         F.count(F.lit(1)).cast("bigint").alias("__freq"),
         F.sum(dec("o_totalprice")).cast("double").alias("__rev"),
-    )
+    ).localCheckpoint(eager=False)
 
     def quintile(order_cols, out):
         ranked = attach_global_row_number(
@@ -23433,6 +23664,9 @@ def tx26_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.explode("__words").alias("__t"))
         .groupBy("__t")
         .agg(F.count(F.lit(1)).alias("__c"))
+        # r13: three consumers (ranker sampling + shuffle, mass agg);
+        # checkpoint so the corpus explode + vocab count runs once
+        .localCheckpoint(eager=False)
     )
     ranked = attach_global_row_number(
         counts,

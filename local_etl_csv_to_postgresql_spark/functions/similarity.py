@@ -316,31 +316,62 @@ def assign_to_centroids(
     ``extra`` maps output column name → fn(vec, cvec) Column computed
     per candidate pair and kept on the winning row (es12 uses it for
     the reconstruction error against the winning codeword).
-    """
-    from pyspark.sql import Window
 
-    cols = [
-        id_col,
-        vec_col,
-        "__cid",
-        (
-            dot(F.col(vec_col), F.col("__cvec"))
-            / F.nullif(
-                norm(F.col(vec_col)) * norm(F.col("__cvec")), F.lit(0.0)
+    Plan shape: the centroid frame collapses to ONE broadcast row
+    carrying a cid-sorted array of (cid, cvec, norm) structs; every
+    vector picks its winner with a map-side fold over that array.
+    This replaces the former k-way crossJoin fan-out + per-vector
+    window (k×n rows through an Exchange + sort) with ZERO shuffles —
+    the argmax is a codegen'd expression on the scan. The comparator
+    is the identical total order: the array ascends by cid and only a
+    STRICTLY better sim replaces the incumbent, so ties keep the
+    lowest cid, null sims lose to any non-null, and an all-null row
+    keeps the lowest cid — exactly (sim DESC NULLS LAST, cid ASC).
+    (Spark's `>` on doubles, like its sort order, treats NaN as the
+    largest value, so NaN sims also rank identically.)
+    """
+    packed = cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__cid"),
+                    F.col("__cvec"),
+                    norm(F.col("__cvec")).alias("__cn"),
+                )
             )
-        ).alias("__sim"),
-    ]
-    for name, fn in (extra or {}).items():
-        cols.append(fn(F.col(vec_col), F.col("__cvec")).alias(name))
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc_nulls_last("__sim"), F.asc("__cid")
+        ).alias("__cands")
     )
+    scored = F.transform(
+        F.col("__cands"),
+        lambda c: F.struct(
+            c["__cid"].alias("__cid"),
+            c["__cvec"].alias("__cvec"),
+            (
+                dot(F.col(vec_col), c["__cvec"])
+                / F.nullif(F.col("__vn") * c["__cn"], F.lit(0.0))
+            ).alias("__sim"),
+        ),
+    )
+    best = F.aggregate(
+        F.slice(scored, F.lit(2), F.greatest(F.size(scored) - 1, F.lit(0))),
+        F.get(scored, 0),  # 0-based, NULL (not an ANSI error) when empty
+        lambda acc, c: F.when(
+            c["__sim"].isNotNull()
+            & (acc["__sim"].isNull() | (c["__sim"] > acc["__sim"])),
+            c,
+        ).otherwise(acc),
+    )
+    cols = [id_col, vec_col, F.col("__best.__cid").alias("__cid")]
+    for name, fn in (extra or {}).items():
+        cols.append(fn(F.col(vec_col), F.col("__best.__cvec")).alias(name))
     return (
-        df.crossJoin(F.broadcast(cents))
+        df.crossJoin(F.broadcast(packed))
+        .withColumn("__vn", norm(F.col(vec_col)))
+        .withColumn("__best", best)
+        # empty centroid frame -> empty result (the crossJoin-fanout
+        # behavior); the fold seed is NULL only when __cands is empty
+        .filter(F.col("__best").isNotNull())
         .select(*cols)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1")
-        .drop("__rn", "__sim")
     )
 
 

@@ -50,7 +50,11 @@ def _lineage_truncator(
     if ckpt_dir:
         spark.sparkContext.setCheckpointDir(ckpt_dir)
         return lambda df: df.checkpoint(eager=True)
-    return lambda df: df.localCheckpoint()
+    # lazy: every loop immediately runs a counting/probe action on the
+    # truncated frame, which materializes the blocks in that same job —
+    # an eager checkpoint would run a separate materialization job per
+    # round, doubling the loop's job count (r13, guide §1.2)
+    return lambda df: df.localCheckpoint(eager=False)
 
 
 def connected_components(

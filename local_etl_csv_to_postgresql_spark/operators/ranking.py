@@ -61,6 +61,7 @@ def attach_global_row_number(
     partitions: int | None = None,
     running_sum_of: str | Sequence[str] | None = None,
     running_sum_col: str | Sequence[str] = "running_sum",
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Attach a global (or per-``partition_by``-group) 1-based row
     number ordered by ``order_by``, computed with range partitioning +
@@ -90,8 +91,18 @@ def attach_global_row_number(
     among equal keys are arbitrary but equal keys always share a range
     partition, so ``min/max(rn) over (partition_by + order key)``
     in-partition windows recover exact ``rank``/``cume_dist``.
+
+    ``materialize_input``: ``repartitionByRange`` evaluates its input
+    TWICE (the range partitioner's boundary-sampling job computes the
+    full lineage, then the shuffle map stage computes it again).
+    Setting this localCheckpoints the input first so an expensive
+    lineage (a trained-model scorer, a multi-join) runs once; leave it
+    off when the input is a cheap scan — re-scanning beats
+    materializing.
     """
     spark = df.sparkSession
+    if materialize_input:
+        df = df.localCheckpoint(eager=False)
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     partition_by = list(partition_by)

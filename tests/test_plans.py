@@ -287,6 +287,8 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "qb",          # query LSH buckets — panel-sized (es11)
     "qsub",        # query subspace slices — 1 vector (es13)
     "lut",         # M·K ADC lookup table — codebook-sized (es13)
+    "packed",      # M-row packed codebook arrays — M·K·d bounded
+    #                (_pq_assigned argmax fold, r13)
     "cents",       # k·d centroid panel (es05/es08/es10)
     "allc",        # label-centroid panel — labels × dims (es09)
     "emb",         # .limit(K) init rows (es12 codebook init)
