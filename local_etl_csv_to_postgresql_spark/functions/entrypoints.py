@@ -5757,11 +5757,14 @@ def _pq_assigned(
 
     def assign(cents, extra_err: bool):
         # Same argmax-fold shape as similarity.assign_to_centroids
-        # (see its docstring for the comparator-equivalence argument):
-        # per subspace, the K-row codebook packs into ONE cid-sorted
+        # (see its docstring for the comparator-equivalence argument
+        # and the single-reference expression discipline): per
+        # subspace, the K-row codebook packs into ONE cid-sorted
         # candidate array; the M-row packed frame broadcast-joins on
         # __m and each subvector folds map-side — no K-way fan-out, no
-        # per-(vec_id, __m) window Exchange + sort.
+        # per-(vec_id, __m) window Exchange + sort. Scoring happens
+        # inside the merge lambda so the candidate array is read once;
+        # the empty-codebook guard tests size(), not the fold.
         packed = cents.groupBy("__m").agg(
             F.array_sort(
                 F.collect_list(
@@ -5773,30 +5776,29 @@ def _pq_assigned(
                 )
             ).alias("__cands")
         )
-        scored_arr = F.transform(
-            F.col("__cands"),
-            lambda c: F.struct(
+
+        def _merge(acc, c):
+            s = (
+                sim.dot(F.col("__sv"), c["__cvec"])
+                / F.nullif(F.col("__svn") * c["__cn"], F.lit(0.0))
+            )
+            cand = F.struct(
                 c["__cid"].alias("__cid"),
                 c["__cvec"].alias("__cvec"),
-                (
-                    sim.dot(F.col("__sv"), c["__cvec"])
-                    / F.nullif(F.col("__svn") * c["__cn"], F.lit(0.0))
-                ).alias("__sim"),
-            ),
+                s.alias("__sim"),
+            )
+            take = acc["__cid"].isNull() | (
+                cand["__sim"].isNotNull()
+                & (acc["__sim"].isNull() | (cand["__sim"] > acc["__sim"]))
+            )
+            return F.when(take, cand).otherwise(acc)
+
+        seed = F.struct(
+            F.lit(None).cast("bigint").alias("__cid"),
+            F.lit(None).cast("array<double>").alias("__cvec"),
+            F.lit(None).cast("double").alias("__sim"),
         )
-        best = F.aggregate(
-            F.slice(
-                scored_arr,
-                F.lit(2),
-                F.greatest(F.size(scored_arr) - 1, F.lit(0)),
-            ),
-            F.get(scored_arr, 0),
-            lambda acc, c: F.when(
-                c["__sim"].isNotNull()
-                & (acc["__sim"].isNull() | (c["__sim"] > acc["__sim"])),
-                c,
-            ).otherwise(acc),
-        )
+        best = F.aggregate(F.col("__cands"), seed, _merge)
         cols = [
             "vec_id",
             "label",
@@ -5821,9 +5823,9 @@ def _pq_assigned(
             )
         return (
             sliced.join(F.broadcast(packed), "__m")
+            .filter(F.size("__cands") > 0)
             .withColumn("__svn", sim.norm(F.col("__sv")))
             .withColumn("__best", best)
-            .filter(F.col("__best").isNotNull())
             .select(*cols)
         )
 
@@ -6703,7 +6705,12 @@ def dd13_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     cents = sim.lloyd_centroids(
         emb, n_centroids=SEMDEDUP_K, n_iter=2
     )
-    assigned = sim.assign_to_centroids(ed, cents, "vec_id", "__v")
+    # three consumers (both pair-join legs + the member rollup): the
+    # zero-shuffle assignment fold has no Exchange to reuse, so
+    # materialize the pass once (lazy barrier, r13)
+    assigned = sim.assign_to_centroids(
+        ed, cents, "vec_id", "__v"
+    ).localCheckpoint(eager=False)
     # Per-vector norms computed ONCE before the pair join — bit-identical
     # to sim.cosine (same sqrt-of-sum over the same elements in the same
     # order, then the same dot/NULLIF(na*nb) division), but the O(n²/k)
@@ -16285,6 +16292,10 @@ def es17_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
     by vec_id; recall is an exact integer count over 10."""
     emb = load(spark, sf, "embeddings")
     assigned, cents = sim.ivf_assign(emb, 16)
+    # six consumers (3 probe legs × candidate-count + top-k): the
+    # zero-shuffle assignment fold has no Exchange to reuse, so
+    # materialize the pass once (lazy barrier, r13)
+    assigned = assigned.localCheckpoint(eager=False)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("__q")
     )
