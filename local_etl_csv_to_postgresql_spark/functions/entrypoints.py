@@ -5777,27 +5777,31 @@ def _pq_assigned(
             ).alias("__cands")
         )
 
+        # winner codeword rides the accumulator only when the
+        # reconstruction error needs it (see assign_to_centroids)
         def _merge(acc, c):
             s = (
                 sim.dot(F.col("__sv"), c["__cvec"])
                 / F.nullif(F.col("__svn") * c["__cn"], F.lit(0.0))
             )
-            cand = F.struct(
-                c["__cid"].alias("__cid"),
-                c["__cvec"].alias("__cvec"),
-                s.alias("__sim"),
-            )
+            fields = [c["__cid"].alias("__cid")]
+            if extra_err:
+                fields.append(c["__cvec"].alias("__cvec"))
+            fields.append(s.alias("__sim"))
+            cand = F.struct(*fields)
             take = acc["__cid"].isNull() | (
                 cand["__sim"].isNotNull()
                 & (acc["__sim"].isNull() | (cand["__sim"] > acc["__sim"]))
             )
             return F.when(take, cand).otherwise(acc)
 
-        seed = F.struct(
-            F.lit(None).cast("bigint").alias("__cid"),
-            F.lit(None).cast("array<double>").alias("__cvec"),
-            F.lit(None).cast("double").alias("__sim"),
-        )
+        seed_fields = [F.lit(None).cast("bigint").alias("__cid")]
+        if extra_err:
+            seed_fields.append(
+                F.lit(None).cast("array<double>").alias("__cvec")
+            )
+        seed_fields.append(F.lit(None).cast("double").alias("__sim"))
+        seed = F.struct(*seed_fields)
         best = F.aggregate(F.col("__cands"), seed, _merge)
         cols = [
             "vec_id",
@@ -6062,10 +6066,20 @@ def es13_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("__part"),
     )
-    return (
+    # Materialize the (vec_id, m, code) frame — the PQ CODES a real
+    # index persists — before the LUT join: joining on the computed
+    # __cid would inline the whole assignment fold into the join's
+    # inferred isnotnull(__cid) condition and re-evaluate it per row
+    # (r13, seen in the es13 physical plan); the barrier makes __cid a
+    # concrete attribute, and the search side then touches only 3
+    # small ints per vector exactly as the 100 TB design intends.
+    codes = (
         assigned.filter(F.col("vec_id") != 0)
         .select("vec_id", "__m", "__cid")
-        .join(F.broadcast(lut), ["__m", "__cid"])
+        .localCheckpoint(eager=False)
+    )
+    return (
+        codes.join(F.broadcast(lut), ["__m", "__cid"])
         .groupBy("vec_id")
         .agg(
             F.max(F.when(F.col("__m") == 0, F.col("__cid")))
@@ -21944,33 +21958,62 @@ def qf06_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     DECIMAL-summed into the per-source means (the en01 rule); flags
     compare the same rounded decimals in both engines."""
     docs = _docs_words(spark, sf)
-    bic = (
+    # r13 (guide §2.2/§2.3, the ct04 tagged-pass pattern): the bigram
+    # and trigram streams used to be two separate corpus explodes with
+    # two (doc, gram) shuffles; one order-tagged explode covers both,
+    # and the two per-order rollups re-aggregate the SAME tagged count
+    # frame (identical Exchange subtree → planned once, ReusedExchange)
+    # — so the corpus is tokenized and exploded once. The per-(doc,
+    # order, gram) counts are unchanged (orders cannot collide: the
+    # tag is part of the key), so every certified value is identical.
+    tagged = (
         docs.select(
             "doc_id",
             "source",
-            F.explode(dd.span_grams(F.col("__words"), 2)).alias("__g"),
+            F.explode(
+                F.concat(
+                    F.transform(
+                        dd.span_grams(F.col("__words"), 2),
+                        lambda g: F.struct(
+                            F.lit(2).alias("__k"), g.alias("__g")
+                        ),
+                    ),
+                    F.transform(
+                        dd.span_grams(F.col("__words"), 3),
+                        lambda g: F.struct(
+                            F.lit(3).alias("__k"), g.alias("__g")
+                        ),
+                    ),
+                )
+            ).alias("__t"),
         )
-        .groupBy("doc_id", "source", "__g")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    bdoc = bic.groupBy("doc_id", "source").agg(
-        F.sum("__c").alias("__n_bi"), F.max("__c").alias("__max_bi")
-    )
-    tric = (
-        docs.select(
+        .select(
             "doc_id",
-            F.explode(dd.span_grams(F.col("__words"), 3)).alias("__g"),
+            "source",
+            F.col("__t.__k").alias("__k"),
+            F.col("__t.__g").alias("__g"),
         )
-        .groupBy("doc_id", "__g")
+        .groupBy("doc_id", "source", "__k", "__g")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    tdoc = tric.groupBy("doc_id").agg(
-        F.sum("__c").alias("__n_tri"),
-        F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0)).alias(
-            "__dup_tri"
-        ),
+    # One conditional rollup replaces bdoc ⟕ tdoc: doc_id determines
+    # source, so grouping the trigram metrics by (doc_id, source)
+    # equals grouping by doc_id; a doc with trigrams but no bigrams is
+    # impossible (3 words ⊃ 2 words), so the row set equals the old
+    # bigram-side left join, and a bigram-only doc's trigram SUMs are
+    # NULL exactly as the old left join produced (coalesce handles it).
+    per_doc = tagged.groupBy("doc_id", "source").agg(
+        F.sum(F.when(F.col("__k") == 2, F.col("__c"))).alias("__n_bi"),
+        F.max(F.when(F.col("__k") == 2, F.col("__c"))).alias("__max_bi"),
+        F.sum(F.when(F.col("__k") == 3, F.col("__c"))).alias("__n_tri"),
+        F.sum(
+            F.when(
+                F.col("__k") == 3,
+                F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0),
+            )
+        ).alias("__dup_tri"),
     )
-    per = bdoc.join(tdoc, "doc_id", "left").select(
+    per = per_doc.select(
         "source",
         F.round(
             F.col("__max_bi").cast("double") / F.col("__n_bi"), 8

@@ -339,16 +339,23 @@ def assign_to_centroids(
     per output reference; duplicate winner references in the final
     select are unified by Spark's subexpression elimination.
     """
+    # the winner's centroid VECTOR rides the fold accumulator only
+    # when an `extra` column needs it — without extras the fold
+    # carries (cid, sim) scalars and never copies the d-dim array
+    # through the per-candidate struct updates (measured ~30% of the
+    # fold's cost on 64-dim centroids)
+    carry_vec = bool(extra)
+
     def _merge(acc, c):
         s = (
             dot(F.col(vec_col), c["__cvec"])
             / F.nullif(F.col("__vn") * c["__cn"], F.lit(0.0))
         )
-        cand = F.struct(
-            c["__cid"].alias("__cid"),
-            c["__cvec"].alias("__cvec"),
-            s.alias("__sim"),
-        )
+        fields = [c["__cid"].alias("__cid")]
+        if carry_vec:
+            fields.append(c["__cvec"].alias("__cvec"))
+        fields.append(s.alias("__sim"))
+        cand = F.struct(*fields)
         take = acc["__cid"].isNull() | (
             cand["__sim"].isNotNull()
             & (acc["__sim"].isNull() | (cand["__sim"] > acc["__sim"]))
@@ -366,11 +373,15 @@ def assign_to_centroids(
             )
         ).alias("__cands")
     )
-    seed = F.struct(
-        F.lit(None).cast(cents.schema["__cid"].dataType).alias("__cid"),
-        F.lit(None).cast(cents.schema["__cvec"].dataType).alias("__cvec"),
-        F.lit(None).cast("double").alias("__sim"),
-    )
+    seed_fields = [
+        F.lit(None).cast(cents.schema["__cid"].dataType).alias("__cid")
+    ]
+    if carry_vec:
+        seed_fields.append(
+            F.lit(None).cast(cents.schema["__cvec"].dataType).alias("__cvec")
+        )
+    seed_fields.append(F.lit(None).cast("double").alias("__sim"))
+    seed = F.struct(*seed_fields)
     best = F.aggregate(F.col("__cands"), seed, _merge)
     cols = [id_col, vec_col, F.col("__best.__cid").alias("__cid")]
     for name, fn in (extra or {}).items():
