@@ -3558,7 +3558,7 @@ def zipf01_rank_decades(spark: SparkSession, sf: str) -> DataFrame:
     # checkpoint so the corpus explode + vocab count runs once
     vocab = toks.groupBy("lang", "__w").agg(
         F.count(F.lit(1)).alias("__c")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     ranked = attach_global_row_number(
         vocab,
         order_by=[F.desc("__c"), F.asc("__w")],
@@ -6076,7 +6076,7 @@ def es13_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
     codes = (
         assigned.filter(F.col("vec_id") != 0)
         .select("vec_id", "__m", "__cid")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     return (
         codes.join(F.broadcast(lut), ["__m", "__cid"])
@@ -6724,7 +6724,7 @@ def dd13_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # materialize the pass once (lazy barrier, r13)
     assigned = sim.assign_to_centroids(
         ed, cents, "vec_id", "__v"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     # Per-vector norms computed ONCE before the pair join — bit-identical
     # to sim.cosine (same sqrt-of-sum over the same elements in the same
     # order, then the same dot/NULLIF(na*nb) division), but the O(n²/k)
@@ -10625,7 +10625,7 @@ def cur02_embedding_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     # four consumers (both legs of the pair-endpoint join, r1, s2) —
     # a tiny (label, vec_id) frame; checkpoint so the outlier screen
     # is not re-run per consumer (r13)
-    s1 = emb.join(out3, "vec_id", "left_anti").localCheckpoint(eager=False)
+    s1 = emb.join(out3, "vec_id", "left_anti").localCheckpoint()
     pairs = sim.neardup_pairs(
         load(spark, sf, "embeddings"),
         threshold=0.35,
@@ -16309,7 +16309,7 @@ def es17_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
     # six consumers (3 probe legs × candidate-count + top-k): the
     # zero-shuffle assignment fold has no Exchange to reuse, so
     # materialize the pass once (lazy barrier, r13)
-    assigned = assigned.localCheckpoint(eager=False)
+    assigned = assigned.localCheckpoint()
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("__q")
     )
@@ -16740,7 +16740,7 @@ def tx24_vocab_mass_coverage(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__c"))
         # r13: three consumers (ranker sampling + shuffle, mass agg);
         # checkpoint so the corpus explode + vocab count runs once
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     ranked = attach_global_row_number(
         counts,
@@ -19191,7 +19191,7 @@ def cur03_perplexity_curation_funnel(
     # upstream lineage. localCheckpoint the expensive per-doc frames
     # (LM scores; decontaminated survivors) — tiny vs the corpus, and
     # a pure execution barrier that cannot change any value.
-    scored = _bigram_xent_per_doc(spark, sf).localCheckpoint(eager=False)
+    scored = _bigram_xent_per_doc(spark, sf).localCheckpoint()
     ranked = attach_global_row_number(
         scored,
         order_by=[F.asc("cross_entropy"), F.asc("doc_id")],
@@ -19215,7 +19215,7 @@ def cur03_perplexity_curation_funnel(
     )
     decontam = good_ppl.join(
         contaminated, "doc_id", "left_anti"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     # near-dup keep-one: the component label IS the min reachable
     # doc_id, so the representative is the doc whose id equals it
     comp = _neardup_components(spark, sf)
@@ -21254,7 +21254,7 @@ def rfm01_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
         F.max("o_orderdate").alias("__last"),
         F.count(F.lit(1)).cast("bigint").alias("__freq"),
         F.sum(dec("o_totalprice")).cast("double").alias("__rev"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
 
     def quintile(order_cols, out):
         ranked = attach_global_row_number(
@@ -23720,7 +23720,7 @@ def tx26_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__c"))
         # r13: three consumers (ranker sampling + shuffle, mass agg);
         # checkpoint so the corpus explode + vocab count runs once
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     ranked = attach_global_row_number(
         counts,

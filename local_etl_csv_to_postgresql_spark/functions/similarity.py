@@ -507,7 +507,7 @@ def lloyd_ivf_topk(
     # so materialize the pass once (lazy barrier, r13)
     assigned = assign_to_centroids(embeddings, cents, id_col, vec_col).select(
         id_col, vec_col, F.col("__cid").alias("__centroid")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     q = assigned.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__q"), "__centroid"
     )
@@ -540,7 +540,7 @@ def ivf_topk(
     assigned, _ = ivf_assign(embeddings, n_centroids, id_col, vec_col)
     # two consumers of the zero-shuffle assignment pass (see
     # lloyd_ivf_topk): materialize once
-    assigned = assigned.localCheckpoint(eager=False)
+    assigned = assigned.localCheckpoint()
     q = assigned.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__q"), "__centroid"
     )

@@ -50,11 +50,13 @@ def _lineage_truncator(
     if ckpt_dir:
         spark.sparkContext.setCheckpointDir(ckpt_dir)
         return lambda df: df.checkpoint(eager=True)
-    # lazy: every loop immediately runs a counting/probe action on the
-    # truncated frame, which materializes the blocks in that same job —
-    # an eager checkpoint would run a separate materialization job per
-    # round, doubling the loop's job count (r13, guide §1.2)
-    return lambda df: df.localCheckpoint(eager=False)
+    # eager, deliberately (r13 A/B): folding the materialization into
+    # the next probe action (eager=False) measured ~25% SLOWER on the
+    # loop queries (gr09 3.74 -> 2.91 s, gr10 3.86 -> 2.95 s isolated
+    # best-of-3) — the separate materialization job runs fully
+    # parallel while the fused probe job serializes persist+filter
+    # work on the reduce side.
+    return lambda df: df.localCheckpoint()
 
 
 def connected_components(

@@ -102,7 +102,7 @@ def attach_global_row_number(
     """
     spark = df.sparkSession
     if materialize_input:
-        df = df.localCheckpoint(eager=False)
+        df = df.localCheckpoint()
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     partition_by = list(partition_by)
