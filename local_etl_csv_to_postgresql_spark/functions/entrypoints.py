@@ -4514,9 +4514,14 @@ def es09_dimension_stats(spark: SparkSession, sf: str) -> DataFrame:
     Pearson correlation with the NEXT dimension (dead or collapsed
     dims show variance ~0; a strongly off-diagonal band betrays an
     un-rotated projection). One posexplode (n·d rows — linear, same
-    cost class as any per-dimension statistic), a per-vector lead()
-    window (keyed by vec_id: high-cardinality partitions of d rows —
-    never single-partition), then ONE map-side-combinable aggregate.
+    cost class as any per-dimension statistic), then ONE
+    map-side-combinable aggregate. r13: the next-dim value is read
+    straight off the still-in-scope array (F.get(embedding, pos+1) —
+    the element a per-vector lead() window returned, since posexplode
+    emits exactly one row per position: NULL past the end, the
+    element itself otherwise, NULL elements included), which deletes
+    the window's Exchange hashpartitioning(vec_id) + per-partition
+    Sort from the plan; the explode never shuffles.
 
     Determinism: every sum runs on DECIMAL(25,12) casts of the double
     values (float→double is exact, float·float products fit a double
@@ -4525,19 +4530,20 @@ def es09_dimension_stats(spark: SparkSession, sf: str) -> DataFrame:
     result; moments combine in double only at the very end, in the
     same textual expression the DuckDB twin uses.
     """
-    from pyspark.sql import Window
-
     d12 = "CAST({} AS DECIMAL(25,12))"
     ex = (
         load(spark, sf, "embeddings")
         .select(
-            "vec_id", F.posexplode("embedding").alias("dim", "__xf")
+            "embedding", F.posexplode("embedding").alias("dim", "__xf")
         )
-        .withColumn("__x", F.col("__xf").cast("double"))
-        .drop("__xf")
+        .select(
+            "dim",
+            F.col("__xf").cast("double").alias("__x"),
+            F.get("embedding", F.col("dim") + 1)
+            .cast("double")
+            .alias("__xn"),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy("dim")
-    ex = ex.withColumn("__xn", F.lead("__x").over(w))
     agg = ex.groupBy("dim").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.sum(F.expr(d12.format("__x"))).alias("__sx"),
@@ -5150,10 +5156,16 @@ def es10_label_silhouette(spark: SparkSession, sf: str) -> DataFrame:
 
     Exact-distance discipline (es08's): per-term squared diffs cast
     DECIMAL(30,15) and sum exactly, so a/b are bit-identical
-    cross-engine; the n·L·d explode (L = label count) is the same cost
-    class as exact IVF assignment and shuffles once into the
-    per-(vec, centroid) aggregate. Centroid table broadcasts.
-    Per-vector silhouettes round to 6 dp and average as decimals."""
+    cross-engine. Centroid table broadcasts. Per-vector silhouettes
+    round to 6 dp and average as decimals.
+
+    Kept in this exploded own/oth shape after two r13 A/Bs: the
+    broadcast-centroid-array + per-row decimal distance FOLD rewrite
+    measured slower (interpreted HOF decimal arithmetic — see
+    _label_centroid_sqdist), and fusing the own/oth legs into one
+    (label, vec_id) aggregate swapped the own⋈oth join for a second
+    Exchange with no measurable win (2.05 vs 1.86 s isolated, inside
+    the ±15% session noise) — so the certified shape stays."""
     emb = load(spark, sf, "embeddings")
     ex = emb.select(
         "label", "vec_id", F.posexplode("embedding").alias("dim", "val")
@@ -5837,6 +5849,12 @@ def _pq_assigned(
     cents = spark.createDataFrame(
         [(m, cid, v) for (m, cid), v in sorted(state.items())], schema
     )
+    # means stay the posexplode -> (m, cid, dim) keyed aggregate: an
+    # r13 A/B of the per-dimension COLUMN aggregate (sub_w decimal sum
+    # buffers in one hash aggregate) measured 1.6-3.7x SLOWER — Spark's
+    # high-precision decimal aggregation buffers are variable-length,
+    # so wide many-buffer rows pay per-update copying the one-buffer
+    # exploded shape never does
     means = (
         assign(cents, extra_err=False)
         .select("__m", "__cid", F.posexplode("__sv").alias("__dim", "__x"))
@@ -10567,7 +10585,17 @@ def _label_centroid_sqdist(spark: SparkSession, sf: str) -> DataFrame:
     partition-order-free), so the key is bit-identical cross-engine.
     SHARED kernel: es08 ranks it for the outlier screen; cur02's
     funnel consumes it as stage 1 — one implementation, two certified
-    consumers (the cur01 composition rule)."""
+    consumers (the cur01 composition rule).
+
+    Kept in the exploded (label, dim)-keyed shape after an r13 A/B:
+    the broadcast-centroid-array + per-row decimal distance FOLD
+    rewrite (zero n·d shuffles on paper) measured ~18% slower at
+    sf0.1 — higher-order-function decimal arithmetic runs interpreted
+    per element, while this exploded stream's decimal sums ride
+    codegen'd hash aggregates; and the per-dimension COLUMN aggregate
+    variant was 1.6-3.7x slower still (variable-length decimal
+    aggregation buffers pay per-update row copying when a group
+    carries d of them)."""
     emb = load(spark, sf, "embeddings")
     ex = emb.select(
         "label", "vec_id", F.posexplode("embedding").alias("dim", "val")
