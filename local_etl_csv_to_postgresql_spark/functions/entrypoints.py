@@ -10312,6 +10312,13 @@ def tx16_trigram_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("__t"),
     )
     langs = docs.select(F.col("lang").alias("cand")).distinct()
+    # vocab/stats/dtc each re-aggregate the trigram stream directly —
+    # deliberately: an r13 A/B that derived stats and V from dtc's
+    # reduced counts (one explode pass instead of three) measured
+    # SLOWER (3.90 -> 4.08 s isolated), because trigrams rarely repeat
+    # within a doc, so dtc is nearly occurrence-sized and the extra
+    # Exchange above it costs more than the two map-side explode
+    # passes it saves.
     # corpus-wide distinct trigram vocabulary (the shared V in the
     # add-one denominator) — 1 row, bounded by construction
     vocab = tri.agg(F.countDistinct("__t").alias("__v"))
