@@ -8841,24 +8841,20 @@ def _bigram_xent_per_doc(spark: SparkSession, sf: str) -> DataFrame:
         docs.select(F.explode("__w").alias("__t"))
         .agg(F.countDistinct("__t").alias("__v"))
     )
-    # r13 (guide §2.3 — aggregate before you shuffle): reduce the
-    # occurrence stream to per-(doc, bigram) counts k ONCE; the model
-    # stats are a re-aggregation of those counts (SUM k ≡ COUNT(*)
-    # over occurrences) and the scorer multiplies instead of
-    # re-summing — k·cost in exact DECIMAL equals k repeated
-    # additions of the same cast, so the certified 6-dp value cannot
-    # move. Costs are 8-dp values < 64 (−log2 of a probability
-    # ≥ 1/(ctx+V), ctx+V < 2^63), so DECIMAL(14,12) holds them
-    # exactly and the k·cost product fits DECIMAL(28,12) with no
-    # precision-loss adjustment. Both (w1, w2)-keyed consumers of the
-    # count frame share one Exchange (ReusedExchange), so the corpus
-    # explode runs once.
-    dbc = big.groupBy("doc_id", "lang", "source", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("__k")
-    )
+    # r14 REVERT of the r13 per-(doc, bigram) count-frame reduction
+    # (counts k + seen-mass k·cost arithmetic): the in-bench A/B
+    # (chunked bench contract, plans/r14/ab_runs.jsonl) measures the
+    # plain occurrence-stream shape faster on both small consumers
+    # (r13 quiet bench had tx14 +56%, qf05 +27% on the count frame).
+    # Mechanism — the tx16 batch-4 finding again: bigrams rarely
+    # repeat within a doc, so the (doc, bigram)-keyed count frame is
+    # nearly occurrence-sized and its extra wide Exchange (doc_id,
+    # lang, source, w1, w2) costs more than the map-side re-explode it
+    # saves; the stats aggregate reads the occurrence stream through a
+    # narrow (w1, w2) shuffle with map-side partial aggregation.
     stats = (
-        dbc.groupBy("w1", "w2")
-        .agg(F.sum("__k").alias("__c12"))
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c12"))
         .withColumn("__ctx", F.sum("__c12").over(Window.partitionBy("w1")))
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -8874,16 +8870,13 @@ def _bigram_xent_per_doc(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        dbc.join(stats, ["w1", "w2"])
+        big.join(stats, ["w1", "w2"])
         .groupBy("doc_id", "lang", "source")
         .agg(
-            F.sum("__k").cast("bigint").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.round(
-                F.sum(
-                    F.col("__k").cast("decimal(13,0)")
-                    * F.col("__cost").cast("decimal(14,12)")
-                ).cast("double")
-                / F.sum("__k"),
+                F.sum(F.col("__cost").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
                 6,
             ).alias("cross_entropy"),
         )
@@ -16496,100 +16489,39 @@ def ct04_contamination_ngram_sensitivity(
     between the rows is exactly the stock-phrase noise a too-small n
     lets in.
 
-    Scale: ONE tagged run of ct01's one-distinct-shuffle +
-    one-equi-join kernel covering all three orders (r13 — the three
-    legs used to re-scan and re-join the corpus per order): units
-    carry their order as part of the join key, the pair rollup keeps
-    one conditional count per order, and a 1-row aggregate explodes
-    into the three output rows. Per-leg semantics (including the
-    NULL aggregates of an empty leg) are preserved by the
-    leg-membership condition: a pair belongs to order n's leg iff it
-    shares a fingerprint or an n-gram of THAT order — exactly the
-    pair set _contamination(n) emits."""
-    orders = (5, 7, 13)
-    docs = load(spark, sf, "documents")
-    fp = docs.select(
-        "source",
-        F.lit("fp").alias("__k"),
-        tx.fingerprint("text").alias("__u"),
-    )
-    words = docs.select("source", tx.words("text").alias("__words"))
-    unit_legs = [fp]
-    for n in orders:
-        unit_legs.append(
-            words.select(
-                "source",
-                F.lit(str(n)).alias("__k"),
-                F.explode(dd.shingles(F.col("__words"), n=n)).alias("__g"),
-            ).select(
-                "source",
-                "__k",
-                F.substring(F.md5(F.col("__g")), 1, 15).alias("__u"),
+    Scale: three runs of ct01's certified one-distinct-shuffle +
+    one-equi-join kernel (cost ∝ number of orders swept, never
+    quadratic); each leg reduces to one row before the union.
+
+    r14 REVERT of the r13 single order-tagged pass (units carrying
+    their order in the join key + one conditional pair rollup): the
+    in-bench A/B (chunked bench contract, plans/r14/ab_runs.jsonl)
+    measures the three-leg shape faster in bench context (r13 quiet
+    bench had the tagged pass at +23%) — the tagged union triples the
+    rows through ONE distinct shuffle + self-join whose wide
+    conditional rollup defeats map-side partial aggregation, while
+    the three independent legs each distinct+join a third of the
+    volume and overlap their stages."""
+    legs = []
+    for n in (5, 7, 13):
+        col = f"n_shared_{n}grams"
+        legs.append(
+            _contamination(spark, sf, n=n)
+            .agg(
+                F.sum(F.when(F.col(col) > 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pairs_affected"),
+                F.sum(col).cast("bigint").alias("total_shared_grams"),
+                F.max(col).cast("bigint").alias("max_pair_shared"),
+            )
+            .select(
+                F.lit(n).alias("ngram_order"),
+                "n_pairs_affected",
+                "total_shared_grams",
+                "max_pair_shared",
             )
         )
-    units = unit_legs[0]
-    for leg in unit_legs[1:]:
-        units = units.unionByName(leg)
-    units = units.distinct()
-    a = units.select(F.col("source").alias("source_a"), "__k", "__u")
-    b = units.select(F.col("source").alias("source_b"), "__k", "__u")
-    pairs = (
-        a.join(b, ["__k", "__u"])
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.sum(F.when(F.col("__k") == "fp", 1).otherwise(0)).alias(
-                "__fp"
-            ),
-            *[
-                F.sum(
-                    F.when(F.col("__k") == str(n), 1).otherwise(0)
-                ).alias(f"__g{n}")
-                for n in orders
-            ],
-        )
-    )
-    aggs = []
-    for n in orders:
-        member = (F.col("__fp") > 0) | (F.col(f"__g{n}") > 0)
-        aggs.extend(
-            [
-                F.sum(
-                    F.when(
-                        member,
-                        F.when(F.col(f"__g{n}") > 0, 1).otherwise(0),
-                    )
-                )
-                .cast("bigint")
-                .alias(f"__pa{n}"),
-                F.sum(F.when(member, F.col(f"__g{n}")))
-                .cast("bigint")
-                .alias(f"__tot{n}"),
-                F.max(F.when(member, F.col(f"__g{n}")))
-                .cast("bigint")
-                .alias(f"__mx{n}"),
-            ]
-        )
-    return (
-        pairs.agg(*aggs)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(n).alias("ngram_order"),
-                            F.col(f"__pa{n}").alias("n_pairs_affected"),
-                            F.col(f"__tot{n}").alias("total_shared_grams"),
-                            F.col(f"__mx{n}").alias("max_pair_shared"),
-                        )
-                        for n in orders
-                    ]
-                )
-            ).alias("__r")
-        )
-        .select("__r.*")
-        .orderBy("ngram_order")
-    )
+    return legs[0].unionAll(legs[1]).unionAll(legs[2]).orderBy("ngram_order")
 
 
 def _ct04_leg_sql(n: int) -> str:
@@ -21993,62 +21925,44 @@ def qf06_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     DECIMAL-summed into the per-source means (the en01 rule); flags
     compare the same rounded decimals in both engines."""
     docs = _docs_words(spark, sf)
-    # r13 (guide §2.2/§2.3, the ct04 tagged-pass pattern): the bigram
-    # and trigram streams used to be two separate corpus explodes with
-    # two (doc, gram) shuffles; one order-tagged explode covers both,
-    # and the two per-order rollups re-aggregate the SAME tagged count
-    # frame (identical Exchange subtree → planned once, ReusedExchange)
-    # — so the corpus is tokenized and exploded once. The per-(doc,
-    # order, gram) counts are unchanged (orders cannot collide: the
-    # tag is part of the key), so every certified value is identical.
-    tagged = (
+    # r14 REVERT of the r13 fused order-tagged single pass: the fusion
+    # was committed without a before/after measurement and the in-bench
+    # A/B (chunked fresh-JVM bench contract, plans/r14/ab_runs.jsonl)
+    # measures the two-explode shape ~40% faster (r13 quiet bench had
+    # it at +79%). Mechanism — the tx16 batch-4 finding: n-grams rarely
+    # repeat within a doc, so the tagged per-(doc, order, gram) count
+    # frame is nearly occurrence-sized and its Exchange carries the
+    # bigram AND trigram streams (~2x rows) through ONE wide shuffle +
+    # conditional rollup, costing more than the second map-side explode
+    # it saves; the separate shapes also aggregate bigrams without the
+    # trigram stream's rows in flight.
+    bic = (
         docs.select(
             "doc_id",
             "source",
-            F.explode(
-                F.concat(
-                    F.transform(
-                        dd.span_grams(F.col("__words"), 2),
-                        lambda g: F.struct(
-                            F.lit(2).alias("__k"), g.alias("__g")
-                        ),
-                    ),
-                    F.transform(
-                        dd.span_grams(F.col("__words"), 3),
-                        lambda g: F.struct(
-                            F.lit(3).alias("__k"), g.alias("__g")
-                        ),
-                    ),
-                )
-            ).alias("__t"),
+            F.explode(dd.span_grams(F.col("__words"), 2)).alias("__g"),
         )
-        .select(
-            "doc_id",
-            "source",
-            F.col("__t.__k").alias("__k"),
-            F.col("__t.__g").alias("__g"),
-        )
-        .groupBy("doc_id", "source", "__k", "__g")
+        .groupBy("doc_id", "source", "__g")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    # One conditional rollup replaces bdoc ⟕ tdoc: doc_id determines
-    # source, so grouping the trigram metrics by (doc_id, source)
-    # equals grouping by doc_id; a doc with trigrams but no bigrams is
-    # impossible (3 words ⊃ 2 words), so the row set equals the old
-    # bigram-side left join, and a bigram-only doc's trigram SUMs are
-    # NULL exactly as the old left join produced (coalesce handles it).
-    per_doc = tagged.groupBy("doc_id", "source").agg(
-        F.sum(F.when(F.col("__k") == 2, F.col("__c"))).alias("__n_bi"),
-        F.max(F.when(F.col("__k") == 2, F.col("__c"))).alias("__max_bi"),
-        F.sum(F.when(F.col("__k") == 3, F.col("__c"))).alias("__n_tri"),
-        F.sum(
-            F.when(
-                F.col("__k") == 3,
-                F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0),
-            )
-        ).alias("__dup_tri"),
+    bdoc = bic.groupBy("doc_id", "source").agg(
+        F.sum("__c").alias("__n_bi"), F.max("__c").alias("__max_bi")
     )
-    per = per_doc.select(
+    tric = (
+        docs.select(
+            "doc_id",
+            F.explode(dd.span_grams(F.col("__words"), 3)).alias("__g"),
+        )
+        .groupBy("doc_id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tdoc = tric.groupBy("doc_id").agg(
+        F.sum("__c").alias("__n_tri"),
+        F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0)).alias(
+            "__dup_tri"
+        ),
+    )
+    per = bdoc.join(tdoc, "doc_id", "left").select(
         "source",
         F.round(
             F.col("__max_bi").cast("double") / F.col("__n_bi"), 8
