@@ -6084,29 +6084,40 @@ def es13_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("__part"),
     )
-    # Materialize the (vec_id, m, code) frame — the PQ CODES a real
-    # index persists — before the LUT join: joining on the computed
-    # __cid would inline the whole assignment fold into the join's
-    # inferred isnotnull(__cid) condition and re-evaluate it per row
-    # (r13, seen in the es13 physical plan); the barrier makes __cid a
-    # concrete attribute, and the search side then touches only 3
-    # small ints per vector exactly as the 100 TB design intends.
-    codes = (
-        assigned.filter(F.col("vec_id") != 0)
-        .select("vec_id", "__m", "__cid")
-        .localCheckpoint()
+    # r14: pivot codes per vector FIRST, join the LUT after. The r13
+    # shape localCheckpointed the (vec_id, m, code) frame so the LUT
+    # join's inferred isnotnull(__cid) could not inline the whole
+    # assignment fold for a second per-row evaluation; the aggregate is
+    # the same barrier for free — join conditions reference the
+    # aggregate's OUTPUT attributes (code0/code1), which Catalyst
+    # cannot inline past the Aggregate, so the fold still evaluates
+    # once per row and the checkpoint job + block write disappear
+    # (the r13 quiet bench charged it +34% vs the r12 window shape).
+    # Per-vector both subspace rows always exist (static 2-element
+    # explode) and every (m, cid) has a LUT row, so the inner joins
+    # keep exactly the same row set; part0 + part1 is the same 2-term
+    # sum the old SUM computed (2-double addition is order-exact).
+    codes = assigned.filter(F.col("vec_id") != 0).select(
+        "vec_id", "__m", "__cid"
+    )
+    pivot = codes.groupBy("vec_id").agg(
+        F.max(F.when(F.col("__m") == 0, F.col("__cid"))).alias("__k0"),
+        F.max(F.when(F.col("__m") == 1, F.col("__cid"))).alias("__k1"),
+    )
+    lut0 = lut.filter(F.col("__m") == 0).select(
+        F.col("__cid").alias("__k0"), F.col("__part").alias("__p0")
+    )
+    lut1 = lut.filter(F.col("__m") == 1).select(
+        F.col("__cid").alias("__k1"), F.col("__part").alias("__p1")
     )
     return (
-        codes.join(F.broadcast(lut), ["__m", "__cid"])
-        .groupBy("vec_id")
-        .agg(
-            F.max(F.when(F.col("__m") == 0, F.col("__cid")))
-            .cast("int")
-            .alias("code0"),
-            F.max(F.when(F.col("__m") == 1, F.col("__cid")))
-            .cast("int")
-            .alias("code1"),
-            F.round(F.sum("__part"), 6).alias("adc_dist"),
+        pivot.join(F.broadcast(lut0), "__k0")
+        .join(F.broadcast(lut1), "__k1")
+        .select(
+            "vec_id",
+            F.col("__k0").cast("int").alias("code0"),
+            F.col("__k1").cast("int").alias("code1"),
+            F.round(F.col("__p0") + F.col("__p1"), 6).alias("adc_dist"),
         )
         .orderBy("adc_dist", "vec_id")
         .limit(PQ_ADC_TOPK)
@@ -6702,6 +6713,64 @@ FROM c GROUP BY source ORDER BY source
 # SEMDEDUP_K with corpus size so the per-cluster member count — and
 # with it the quadratic in-cluster pair work — stays bounded.
 SEMDEDUP_K = int(_os.environ.get("SPARK_GRAFT_SEMDEDUP_K", "8"))
+
+#: The embeddings table's fixed vector width (generator contract; PQ_D
+#: slices the same 64 dims).
+EMB_DIM = 64
+
+
+def _dd13_cluster_pair_dots(pdf):
+    """Vectorized in-cluster pair scoring for dd13 (guide §4.2): one
+    pandas group per cluster in, the (idb, raw dot, raw norm-product)
+    of every ida < idb pair out. BIT-IDENTICAL float discipline — the
+    certified fold computes dot = ((0.0 + p_0) + p_1) + ... and
+    norm² = ((0.0 + a_0²) + a_1²) + ...; this kernel accumulates the
+    Gram matrix per DIMENSION (G += outer(V[:,i], V[:,i]) from a 0.0
+    start), so G[a,b] adds the exact same products in the exact same
+    order, norms are sqrt(G[i,i]) (the identical sequence), and the
+    denominator is the same na*nb IEEE multiply. The NULLIF division,
+    rounding, and threshold happen JVM-side on these raw doubles.
+    NaN inputs would not survive the Arrow return path bit-for-bit
+    (pandas->Arrow maps NaN to null), so they fail loudly instead —
+    the embedding generator contract is finite floats."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) < 2:
+        return pd.DataFrame(
+            {
+                "__cid": pd.Series(dtype="int64"),
+                "__idb": pd.Series(dtype="int64"),
+                "__dot": pd.Series(dtype="float64"),
+                "__den": pd.Series(dtype="float64"),
+            }
+        )
+    pdf = pdf.sort_values("vec_id", ignore_index=True)
+    v = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
+    if np.isnan(v).any():
+        raise ValueError(
+            "dd13 pair kernel: NaN embedding component — the Arrow "
+            "return path cannot preserve NaN vs NULL bit semantics"
+        )
+    n, d = v.shape
+    g = np.zeros((n, n), dtype=np.float64)
+    for i in range(d):
+        col = v[:, i]
+        # dim-i product added to every pair's partial sum: the same
+        # left-to-right per-dimension order as the certified fold
+        g += np.multiply.outer(col, col)
+    norms = np.sqrt(np.diagonal(g))
+    den = np.multiply.outer(norms, norms)
+    ia, ib = np.triu_indices(n, k=1)
+    ids = pdf["vec_id"].to_numpy()
+    return pd.DataFrame(
+        {
+            "__cid": np.repeat(np.int64(pdf["__cid"].iloc[0]), len(ia)),
+            "__idb": ids[ib],
+            "__dot": g[ia, ib],
+            "__den": den[ia, ib],
+        }
+    )
 SEMDEDUP_THRESHOLD = float(_os.environ.get("SPARK_GRAFT_SEMDEDUP_T", "0.30"))
 
 
@@ -6743,37 +6812,37 @@ def dd13_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     assigned = sim.assign_to_centroids(
         ed, cents, "vec_id", "__v"
     ).localCheckpoint()
-    # Per-vector norms computed ONCE before the pair join — bit-identical
-    # to sim.cosine (same sqrt-of-sum over the same elements in the same
-    # order, then the same dot/NULLIF(na*nb) division), but the O(n²/k)
-    # pair stage now does one 64-element dot per pair instead of a dot
-    # plus two full norms (measured 3x less per-pair array work; dd13
-    # 8.7 -> ~4 s at sf0.1).
-    normed = assigned.select(
-        "__cid", "vec_id", "__v", sim.norm(F.col("__v")).alias("__n")
-    )
-    a = normed.select(
-        "__cid",
-        F.col("vec_id").alias("__ida"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    b = normed.select(
-        "__cid",
-        F.col("vec_id").alias("__idb"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
+    # r14: the in-cluster pair scoring is the wall (~250k pairs × one
+    # 64-dim dot each; the r12 self-join ran every dot through the
+    # interpreted higher-order fold, ~2.6 s of dd13's 6.5 s — and the
+    # unrolled 64-term codegen expression measured 2.4x SLOWER than
+    # the fold in a kernel A/B, so JVM expressions are out of road).
+    # Guide §4.2: hand whole clusters to a vectorized numpy kernel
+    # (_dd13_cluster_pair_dots) that accumulates the Gram matrix
+    # PER DIMENSION — G starts at 0.0 and adds the dim-i product
+    # outer-product-wise, so every pair's dot is the identical
+    # ((0.0 + p0) + p1) + ... left-to-right double sequence the
+    # certified fold computes, and norm = sqrt(G[i,i]) is the same
+    # sequence the norm fold computes (verified bit-equal in
+    # tests/test_round14_opts.py). The kernel emits RAW dot/denom
+    # doubles; the NULLIF division, 4-dp rounding, and threshold stay
+    # in the JVM, so null semantics and round ties are byte-identical.
+    # Scale: ships each cluster's vectors once (n rows, not n²/k pair
+    # rows) into Arrow and returns only the scored pairs; cluster
+    # sizes are the quantity k-means itself equalizes, the same bound
+    # the self-join fan-out relied on.
     dups = (
-        a.join(b, "__cid")
-        .filter(F.col("__ida") < F.col("__idb"))
+        assigned.select("__cid", "vec_id", "__v")
+        .groupBy("__cid")
+        .applyInPandas(
+            _dd13_cluster_pair_dots,
+            "__cid long, __idb long, __dot double, __den double",
+        )
         .select(
             "__cid",
             "__idb",
             F.round(
-                sim.dot(F.col("__va"), F.col("__vb"))
-                / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
-                4,
+                F.col("__dot") / F.nullif(F.col("__den"), F.lit(0.0)), 4
             ).alias("__c"),
         )
         .filter(F.col("__c") >= F.lit(SEMDEDUP_THRESHOLD))
