@@ -6806,9 +6806,10 @@ def dd13_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     cents = sim.lloyd_centroids(
         emb, n_centroids=SEMDEDUP_K, n_iter=2
     )
-    # three consumers (both pair-join legs + the member rollup): the
+    # two consumers (the pair-scoring kernel + the member rollup): the
     # zero-shuffle assignment fold has no Exchange to reuse, so
-    # materialize the pass once (lazy barrier, r13)
+    # materialize the pass once (EAGER checkpoint, per the r13 batch-3
+    # lazy-vs-eager A/B)
     assigned = sim.assign_to_centroids(
         ed, cents, "vec_id", "__v"
     ).localCheckpoint()
@@ -15539,22 +15540,38 @@ def _gr05_copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     """The part co-purchase edge set (pa < pb): parts that appear
     together in >= GR05_MIN_CO_ORDERS distinct orders. The per-order
     pair fan-out is bounded by construction (TPC-H orders carry <= 7
-    lines, so <= 21 pairs per order), making the self-join keyed by
-    l_orderkey linear in lineitem at any scale."""
-    li = (
+    lines, so <= 21 pairs per order), keeping the build linear in
+    lineitem at any scale.
+
+    r14 (guide §2.4 — remove shuffles outright): the former
+    distinct(ok, pk) + self-join-on-ok shape paid THREE shuffles
+    (distinct, join, pair rollup). One groupBy(ok).collect_set(pk)
+    replaces both the distinct AND the join — the set dedups pks
+    within the order exactly like distinct did, the sorted array
+    emits each unordered pair once map-side (id_a < id_b by the
+    sort), and the <= 7-lines-per-order bound that made the join
+    linear bounds the collected set the same way. In-bench A/B across
+    all six gr* consumers in plans/r14/ab_runs.jsonl; pair counts are
+    unchanged, so every certified value is identical."""
+    per_order = (
         load(spark, sf, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .groupBy("ok")
+        .agg(F.array_sort(F.collect_set("pk")).alias("__pks"))
     )
-    co = (
-        li.select("ok", F.col("pk").alias("id_a"))
-        .join(li.select("ok", F.col("pk").alias("id_b")), "ok")
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    # (ok, id_a, id_b) is unique after the distinct above, so the plain
-    # count IS the distinct-order count — no countDistinct shuffle
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__pks, (x, i) -> "
+                "transform(slice(__pks, i + 2, size(__pks)), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("__p")
+    ).select(F.col("__p.id_a"), F.col("__p.id_b"))
+    # each order contributes a pair at most once (set semantics), so
+    # the plain count IS the distinct-order count
     return (
-        co.groupBy("id_a", "id_b")
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__n_orders"))
         .filter(F.col("__n_orders") >= GR05_MIN_CO_ORDERS)
         .select("id_a", "id_b")
@@ -16405,7 +16422,8 @@ def es17_ivf_nprobe_sweep(spark: SparkSession, sf: str) -> DataFrame:
     assigned, cents = sim.ivf_assign(emb, 16)
     # six consumers (3 probe legs × candidate-count + top-k): the
     # zero-shuffle assignment fold has no Exchange to reuse, so
-    # materialize the pass once (lazy barrier, r13)
+    # materialize the pass once (EAGER checkpoint, per the r13 batch-3
+    # lazy-vs-eager A/B)
     assigned = assigned.localCheckpoint()
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("__q")

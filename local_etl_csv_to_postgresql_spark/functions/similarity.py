@@ -535,7 +535,8 @@ def lloyd_ivf_topk(
     cents = lloyd_centroids(embeddings, n_centroids, n_iter, id_col, vec_col)
     # two consumers (query-row probe + cell join): the zero-shuffle
     # assignment fold has no Exchange for Spark to reuse across them,
-    # so materialize the pass once (lazy barrier, r13)
+    # so materialize the pass once (EAGER checkpoint — the r13 batch-3
+    # A/B measured the lazy variant ~25% slower on the loop queries)
     assigned = assign_to_centroids(embeddings, cents, id_col, vec_col).select(
         id_col, vec_col, F.col("__cid").alias("__centroid")
     ).localCheckpoint()

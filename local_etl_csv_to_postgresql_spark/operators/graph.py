@@ -215,13 +215,23 @@ def connected_components_star(
             .distinct()
         )
 
+    n_e = e.count()
     for _ in range(max_iter):
         new = trunc(_small_star(_large_star(e)))
+        # exact convergence in ONE anti-join instead of two (r14,
+        # VERDICT item 4): both frames are distinct by construction,
+        # so |new| == |e| plus new ⊆ e implies new == e; the counts
+        # are near-free scans of the truncated (materialized) frames,
+        # replacing the second exceptAll's full shuffle + sort-based
+        # set difference every alternation paid.
+        n_new = new.count()
         changed = (
-            new.exceptAll(e).limit(1).count()
-            + e.exceptAll(new).limit(1).count()
+            1
+            if n_new != n_e
+            else new.exceptAll(e).limit(1).count()
         )
         e = new
+        n_e = n_new
         if changed == 0:
             # star forest: __u = leaf, __v = component min
             labels = e.groupBy(F.col("__u").alias("id")).agg(

@@ -287,6 +287,8 @@ BROADCAST_HINT_ALLOWED_EXT = {
     "qb",          # query LSH buckets — panel-sized (es11)
     "qsub",        # query subspace slices — 1 vector (es13)
     "lut",         # M·K ADC lookup table — codebook-sized (es13)
+    "lut0",        # per-subspace slice of lut (K rows) — es13 r14 pivot
+    "lut1",        # per-subspace slice of lut (K rows) — es13 r14 pivot
     "packed",      # M-row packed codebook arrays — M·K·d bounded
     #                (_pq_assigned argmax fold, r13)
     "cents",       # k·d centroid panel (es05/es08/es10)
