@@ -5767,83 +5767,215 @@ def _pq_assigned(
         ).collect()
     }
 
-    def assign(cents, extra_err: bool):
-        # Same argmax-fold shape as similarity.assign_to_centroids
-        # (see its docstring for the comparator-equivalence argument
-        # and the single-reference expression discipline): per
-        # subspace, the K-row codebook packs into ONE cid-sorted
-        # candidate array; the M-row packed frame broadcast-joins on
-        # __m and each subvector folds map-side — no K-way fan-out, no
-        # per-(vec_id, __m) window Exchange + sort. Scoring happens
-        # inside the merge lambda so the candidate array is read once;
-        # the empty-codebook guard tests size(), not the fold.
-        packed = cents.groupBy("__m").agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("__cid"),
-                        F.col("__cvec"),
-                        sim.norm(F.col("__cvec")).alias("__cn"),
+    def assign(codebooks, extra_err: bool):
+        # r14: same certified argmax rule (argmax cosine, strict > over
+        # cid-ascending candidates, NULL sims lose, ties keep the low
+        # cid) as the r13 broadcast-array fold, executed as a mapInArrow
+        # kernel — the similarity._assign_via_arrow strategy applied
+        # per subspace. The codebooks are ALREADY driver-side (`state`,
+        # the bounded M·K·d metadata this trainer round-trips every
+        # refinement), so no collect is added; dot, norm², and the
+        # reconstruction error all accumulate PER DIMENSION from 0.0,
+        # reproducing the folds' ((0.0 + p0) + p1) + ... IEEE sequence
+        # bit-for-bit (the raw error is emitted and rounded JVM-side,
+        # so the 6-dp certified value is byte-identical). Subvectors
+        # are rectangular finite slices by construction; irregular
+        # rows would make every candidate sim NULL in the fold, so
+        # they take the lowest cid with a NULL-poisoned error — the
+        # kernel reproduces that exactly.
+        import numpy as np
+
+        per_m: dict[int, list] = {}
+        for (m, cid), vec in sorted(codebooks.items()):
+            per_m.setdefault(int(m), []).append(
+                (int(cid), [float(x) for x in vec])
+            )
+        mats = {}
+        for m, lst in per_m.items():
+            cids_m = np.array([c for c, _ in lst], dtype=np.int64)
+            cmat = np.array([v for _, v in lst], dtype=np.float64)
+            if not np.isfinite(cmat).all():
+                raise ValueError("PQ codebook contains non-finite values")
+            cn = np.zeros(len(lst), dtype=np.float64)
+            for i in range(cmat.shape[1]):
+                x = cmat[:, i]
+                cn += x * x
+            mats[m] = (cids_m, cmat, np.sqrt(cn))
+
+        out_type = (
+            "vec_id long, label int, __m int, __sv array<double>, "
+            "__cid long"
+        ) + (", __err double" if extra_err else "")
+
+        def _kernel(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                ms = batch.column(2).to_numpy(zero_copy_only=False)
+                sv = batch.column(3)
+                lengths = pc.list_value_length(sv)
+                flat = sv.flatten()
+                vmat = None
+                uniq_lens = set(lengths.to_pylist())
+                if (
+                    sv.null_count == 0
+                    and flat.null_count == 0
+                    and len(uniq_lens) == 1
+                    and next(iter(uniq_lens)) > 0
+                ):
+                    vmat = (
+                        flat.to_numpy(zero_copy_only=False)
+                        .astype(np.float64, copy=False)
+                        .reshape(n, -1)
                     )
-                )
-            ).alias("__cands")
-        )
+                    if not np.isfinite(vmat).all():
+                        raise ValueError(
+                            "PQ subvector contains non-finite values"
+                        )
+                sv_rows = None if vmat is not None else sv.to_pylist()
+                out_cid = np.zeros(n, dtype=np.int64)
+                keep = np.zeros(n, dtype=bool)
+                out_err = np.full(n, np.nan) if extra_err else None
+                for m, (cids_m, cmat, cn) in mats.items():
+                    rows = np.nonzero(ms == m)[0]
+                    if len(rows) == 0:
+                        continue
+                    keep[rows] = True
+                    k, d = cmat.shape
+                    if vmat is not None and vmat.shape[1] == d:
+                        vsub = vmat[rows]
+                        vn = np.zeros(len(rows), dtype=np.float64)
+                        for i in range(d):
+                            x = vsub[:, i]
+                            vn += x * x
+                        vn = np.sqrt(vn)
+                        dots = np.zeros((len(rows), k), dtype=np.float64)
+                        for i in range(d):
+                            dots += np.multiply.outer(
+                                vsub[:, i], cmat[:, i]
+                            )
+                        den = np.multiply.outer(vn, cn)
+                        valid = den != 0.0
+                        with np.errstate(
+                            divide="ignore", invalid="ignore", over="ignore"
+                        ):
+                            sims = np.where(
+                                valid, dots / np.where(valid, den, 1.0), 0.0
+                            )
+                        if not np.isfinite(sims[valid]).all():
+                            raise ValueError(
+                                "PQ sims overflowed to non-finite"
+                            )
+                        best_j = np.zeros(len(rows), dtype=np.int64)
+                        best_s = np.full(len(rows), -np.inf)
+                        has = np.zeros(len(rows), dtype=bool)
+                        for j in range(k):
+                            s = sims[:, j]
+                            v = valid[:, j]
+                            take = v & (~has | (s > best_s))
+                            best_j[take] = j
+                            best_s[take] = s[take]
+                            has |= v
+                        out_cid[rows] = cids_m[best_j]
+                        if extra_err:
+                            errs = np.zeros(
+                                (len(rows), k), dtype=np.float64
+                            )
+                            for i in range(d):
+                                dlt = np.subtract.outer(
+                                    vsub[:, i], cmat[:, i]
+                                )
+                                errs += dlt * dlt
+                            out_err[rows] = errs[
+                                np.arange(len(rows)), best_j
+                            ]
+                    else:
+                        # irregular batch (NULL/ragged/empty slices):
+                        # exact per-row replica of the fold — a row
+                        # whose slice length != d (zip_with null
+                        # padding) or with NULL elements has every
+                        # candidate sim NULL, so the lowest cid wins
+                        # with a NULL-poisoned error; a regular row
+                        # scores normally.
+                        import math
 
-        # winner codeword rides the accumulator only when the
-        # reconstruction error needs it (see assign_to_centroids)
-        def _merge(acc, c):
-            s = (
-                sim.dot(F.col("__sv"), c["__cvec"])
-                / F.nullif(F.col("__svn") * c["__cn"], F.lit(0.0))
-            )
-            fields = [c["__cid"].alias("__cid")]
-            if extra_err:
-                fields.append(c["__cvec"].alias("__cvec"))
-            fields.append(s.alias("__sim"))
-            cand = F.struct(*fields)
-            take = acc["__cid"].isNull() | (
-                cand["__sim"].isNotNull()
-                & (acc["__sim"].isNull() | (cand["__sim"] > acc["__sim"]))
-            )
-            return F.when(take, cand).otherwise(acc)
-
-        seed_fields = [F.lit(None).cast("bigint").alias("__cid")]
-        if extra_err:
-            seed_fields.append(
-                F.lit(None).cast("array<double>").alias("__cvec")
-            )
-        seed_fields.append(F.lit(None).cast("double").alias("__sim"))
-        seed = F.struct(*seed_fields)
-        best = F.aggregate(F.col("__cands"), seed, _merge)
-        cols = [
-            "vec_id",
-            "label",
-            "__m",
-            "__sv",
-            F.col("__best.__cid").alias("__cid"),
-        ]
-        if extra_err:
-            cols.append(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("__sv"),
-                            F.col("__best.__cvec"),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
+                        for r in rows:
+                            v = sv_rows[r]
+                            if (
+                                v is None
+                                or len(v) != d
+                                or any(e is None for e in v)
+                            ):
+                                out_cid[r] = cids_m[0]
+                                continue
+                            vn = 0.0
+                            for e in v:
+                                e = float(e)
+                                vn += e * e
+                            vn = math.sqrt(vn)
+                            bj, bs = None, None
+                            for j in range(k):
+                                dt = 0.0
+                                for i in range(d):
+                                    dt += float(v[i]) * cmat[j, i]
+                                dn = vn * cn[j]
+                                if dn == 0.0:
+                                    continue
+                                s = dt / dn
+                                if bs is None:
+                                    bj, bs = j, s
+                                elif math.isnan(s):
+                                    if not math.isnan(bs):
+                                        bj, bs = j, s
+                                elif (not math.isnan(bs)) and s > bs:
+                                    bj, bs = j, s
+                            bj = 0 if bj is None else bj
+                            out_cid[r] = cids_m[bj]
+                            if extra_err:
+                                er = 0.0
+                                for i in range(d):
+                                    dlt = float(v[i]) - cmat[bj, i]
+                                    er += dlt * dlt
+                                out_err[r] = er
+                arrays = [
+                    batch.column(0),
+                    batch.column(1),
+                    batch.column(2),
+                    sv,
+                    pa.array(
+                        [
+                            int(c) if k_ else None
+                            for c, k_ in zip(out_cid, keep)
+                        ],
+                        type=pa.int64(),
                     ),
-                    6,
-                ).alias("__err")
-            )
-        return (
-            sliced.join(F.broadcast(packed), "__m")
-            .filter(F.size("__cands") > 0)
-            .withColumn("__svn", sim.norm(F.col("__sv")))
-            .withColumn("__best", best)
-            .select(*cols)
-        )
+                ]
+                names = ["vec_id", "label", "__m", "__sv", "__cid"]
+                if extra_err:
+                    arrays.append(
+                        pa.array(
+                            [
+                                float(e) if (k_ and not np.isnan(e)) else None
+                                for e, k_ in zip(out_err, keep)
+                            ],
+                            type=pa.float64(),
+                        )
+                    )
+                    names.append("__err")
+                keep_idx = np.nonzero(keep)[0]
+                rb = pa.record_batch(arrays, names=names)
+                if len(keep_idx) != n:
+                    rb = rb.take(pa.array(keep_idx))
+                yield rb
+
+        out = sliced.mapInArrow(_kernel, out_type)
+        if extra_err:
+            out = out.withColumn("__err", F.round("__err", 6))
+        return out
 
     # one Lloyd refinement, both subspaces in one pass
     cents = spark.createDataFrame(
@@ -5856,7 +5988,7 @@ def _pq_assigned(
     # so wide many-buffer rows pay per-update copying the one-buffer
     # exploded shape never does
     means = (
-        assign(cents, extra_err=False)
+        assign(state, extra_err=False)
         .select("__m", "__cid", F.posexplode("__sv").alias("__dim", "__x"))
         .groupBy("__m", "__cid", "__dim")
         .agg(
@@ -5888,7 +6020,7 @@ def _pq_assigned(
     cents = spark.createDataFrame(
         [(m, cid, v) for (m, cid), v in sorted(state.items())], schema
     )
-    return assign(cents, extra_err=extra_err), cents
+    return assign(state, extra_err=extra_err), cents
 
 
 def es12_pq_reconstruction_qc(spark: SparkSession, sf: str) -> DataFrame:

@@ -337,16 +337,51 @@ def assign_to_centroids(
 ) -> DataFrame:
     """THE centroid-assignment rule, shared by every trainer/consumer
     (lloyd_centroids, lloyd_ivf_topk, ivf_assign, es12's PQ codebooks):
-    broadcast the (``__cid``, ``__cvec``) centroid frame, score every
-    (vector, centroid) pair by cosine, keep the argmax with ties broken
-    on centroid id (``desc_nulls_last`` sim, asc cid — a zero-norm
-    vector lands on the lowest cid). This rule is
+    score every (vector, centroid) pair by cosine, keep the argmax
+    with ties broken on centroid id (``desc_nulls_last`` sim, asc cid
+    — a zero-norm vector lands on the lowest cid). This rule is
     certification-load-bearing — the DuckDB oracles mirror it verbatim
     (entrypoints._lloyd_assign_cte) — so it lives in exactly one place.
 
     ``extra`` maps output column name → fn(vec, cvec) Column computed
     per candidate pair and kept on the winning row (es12 uses it for
     the reconstruction error against the winning codeword).
+
+    Two execution strategies for the SAME rule (r14):
+
+    - ``extra`` or degenerate centroids (non-long cid, NULL/non-finite
+      components) → the r13 broadcast-array FOLD: one packed row,
+      map-side ``aggregate()`` argmax, zero shuffles (see
+      _assign_via_fold for the comparator-equivalence argument).
+    - otherwise → a ``mapInArrow`` kernel (guide §4.2): the k·d
+      centroid panel collects to the driver (the same bounded-metadata
+      class the Lloyd trainer already round-trips every iteration) and
+      each Arrow batch scores vectorized in numpy with PER-DIMENSION
+      accumulation — dot and norm² accumulate from 0.0 one dimension
+      at a time, reproducing the fold's ((0.0 + p0) + p1) + ... IEEE
+      sequence bit-for-bit — followed by the identical strict->
+      cid-ascending argmax (null sims lose, all-null keeps the lowest
+      cid, NaN ranks largest like Spark's `>`). Still zero shuffles,
+      still one corpus pass, but the 64·k multiply-adds per vector run
+      in vectorized native code instead of one interpreted lambda
+      frame per element (the r13-measured fold wall). Bit-equality vs
+      the fold is pinned by tests/test_round14_opts.py and every
+      consumer's oracle hash.
+    """
+    if extra:
+        return _assign_via_fold(df, cents, id_col, vec_col, extra)
+    return _assign_via_arrow(df, cents, id_col, vec_col)
+
+
+def _assign_via_fold(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    extra: dict | None,
+) -> DataFrame:
+    """The r13 broadcast-array fold strategy (kept for ``extra``
+    consumers and degenerate centroid panels).
 
     Plan shape: the centroid frame collapses to ONE broadcast row
     carrying a cid-sorted array of (cid, cvec, norm) structs; every
@@ -426,6 +461,171 @@ def assign_to_centroids(
         .withColumn("__best", best)
         .select(*cols)
     )
+
+
+def _assign_via_arrow(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Vectorized strategy for assign_to_centroids — see its docstring
+    for the bit-exactness argument. Falls back to the fold when the
+    centroid panel is degenerate (non-long cid, NULL / non-finite
+    components) so the kernel only ever sees shapes whose IEEE
+    arithmetic it replicates exactly."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if not isinstance(cents.schema["__cid"].dataType, LongType):
+        return _assign_via_fold(df, cents, id_col, vec_col, None)
+
+    # k·d bounded driver metadata — the same class the Lloyd trainer
+    # collects every iteration (and ivf_assign's panel is k rows).
+    rows = cents.select("__cid", "__cvec").collect()
+    src = df.select(id_col, vec_col)
+    if not rows:
+        # empty centroid frame -> empty result (the fold's
+        # size(__cands) > 0 behavior)
+        return src.filter(F.lit(False)).withColumn(
+            "__cid", F.lit(None).cast("long")
+        )
+    cand_list = []
+    for r in rows:
+        cv = r["__cvec"]
+        if (
+            r["__cid"] is None
+            or cv is None
+            or any(x is None or not math.isfinite(x) for x in cv)
+        ):
+            return _assign_via_fold(df, cents, id_col, vec_col, None)
+        cand_list.append((int(r["__cid"]), [float(x) for x in cv]))
+    cand_list.sort()
+    if len({len(v) for _, v in cand_list}) != 1:
+        return _assign_via_fold(df, cents, id_col, vec_col, None)
+
+    cids = np.array([c for c, _ in cand_list], dtype=np.int64)
+    cmat = np.array([v for _, v in cand_list], dtype=np.float64)
+    k, d = cmat.shape
+    cnorm = np.zeros(k, dtype=np.float64)
+    for i in range(d):
+        x = cmat[:, i]
+        cnorm += x * x  # the norm fold's per-dim order
+    cnorm = np.sqrt(cnorm)
+
+    out_schema = StructType(
+        [
+            src.schema[id_col],
+            src.schema[vec_col],
+            StructField("__cid", LongType(), True),
+        ]
+    )
+
+    def _slow_row(v) -> int:
+        """Rule replica for irregular rows (NULL list, ragged length,
+        NULL elements — all of which make every candidate sim NULL in
+        the fold via zip_with's null padding, so the lowest cid wins)
+        and for NaN/inf components (full Spark comparator semantics:
+        NaN sims rank largest, ties keep the lower cid)."""
+        if v is None or len(v) != d or any(e is None for e in v):
+            return int(cids[0])
+        vn = 0.0
+        for e in v:
+            e = float(e)
+            vn += e * e
+        vn = math.sqrt(vn)
+        best_cid = None
+        best_sim = None
+        for j in range(k):
+            dot_ = 0.0
+            for i in range(d):
+                dot_ += float(v[i]) * cmat[j, i]
+            den = vn * cnorm[j]
+            if den == 0.0:
+                continue  # NULL sim loses to anything
+            s = dot_ / den
+            if best_sim is None:
+                best_cid, best_sim = int(cids[j]), s
+            elif math.isnan(s):
+                if not math.isnan(best_sim):  # NaN > any non-NaN
+                    best_cid, best_sim = int(cids[j]), s
+            elif (not math.isnan(best_sim)) and s > best_sim:
+                best_cid, best_sim = int(cids[j]), s
+        return best_cid if best_cid is not None else int(cids[0])
+
+    def _assign(batches):
+        import pyarrow as pa
+        import pyarrow.compute  # noqa: F401 — pa.compute below
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            va = batch.column(1)
+            if isinstance(va, pa.ChunkedArray):  # pragma: no cover
+                va = va.combine_chunks()
+            lengths = pa.compute.list_value_length(va)
+            flat = va.flatten()
+            regular = (
+                va.null_count == 0
+                and flat.null_count == 0
+                and pa.compute.min_max(lengths)["min"].as_py() == d
+                and pa.compute.min_max(lengths)["max"].as_py() == d
+            )
+            vmat = None
+            if regular:
+                vmat = (
+                    flat.to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False)
+                    .reshape(n, d)
+                )
+                if not np.isfinite(vmat).all():
+                    regular = False
+            if regular:
+                vnorm = np.zeros(n, dtype=np.float64)
+                for i in range(d):
+                    x = vmat[:, i]
+                    vnorm += x * x
+                vnorm = np.sqrt(vnorm)
+                dots = np.zeros((n, k), dtype=np.float64)
+                for i in range(d):
+                    # dim-i product joins every (vector, centroid)
+                    # partial sum — the fold's left-to-right order
+                    dots += np.multiply.outer(vmat[:, i], cmat[:, i])
+                den = np.multiply.outer(vnorm, cnorm)
+                valid = den != 0.0
+                with np.errstate(
+                    divide="ignore", invalid="ignore", over="ignore"
+                ):
+                    sims = np.where(valid, dots / np.where(valid, den, 1.0), 0.0)
+                if not np.isfinite(sims[valid]).all():
+                    # ±inf/±inf -> NaN needs Spark's NaN-largest
+                    # comparator — route through the exact row replica
+                    regular = False
+            if regular:
+                best_cid = np.full(n, cids[0], dtype=np.int64)
+                best_sim = np.full(n, -np.inf, dtype=np.float64)
+                has = np.zeros(n, dtype=bool)
+                for j in range(k):  # ascending cid; strict > keeps ties low
+                    s = sims[:, j]
+                    v = valid[:, j]
+                    take = v & (~has | (s > best_sim))
+                    best_cid[take] = cids[j]
+                    best_sim[take] = s[take]
+                    has |= v
+                out_cid = pa.array(best_cid, type=pa.int64())
+            else:
+                out_cid = pa.array(
+                    [_slow_row(v) for v in va.to_pylist()], type=pa.int64()
+                )
+            yield pa.record_batch(
+                [batch.column(0), batch.column(1), out_cid],
+                names=[id_col, vec_col, "__cid"],
+            )
+
+    return src.mapInArrow(_assign, out_schema)
 
 
 def lloyd_centroids(

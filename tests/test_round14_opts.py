@@ -105,6 +105,74 @@ def test_dd13_pair_kernel_bit_identical_to_fold(spark):
         assert _bits(den_got) == _bits(den_ref), key
 
 
+def test_assignment_arrow_kernel_matches_fold(spark):
+    """The r14 mapInArrow assignment strategy must reproduce the fold's
+    winner on every row — including ties, zero-norm vectors, NULL
+    elements, ragged lengths, NULL vectors, and negative components."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rows = [
+        (1, [1.0, 2.0, -3.0, 0.5]),
+        (2, [1.0, 2.0, -3.0, 0.5]),          # exact duplicate (ties)
+        (3, [0.0, 0.0, 0.0, 0.0]),           # zero norm -> lowest cid
+        (4, [2.0, 4.0, -6.0, 1.0]),          # colinear with row 1 (tie by sim)
+        (5, [1.0, None, 2.0, 3.0]),          # NULL element -> lowest cid
+        (6, [1.0, 2.0]),                     # ragged length -> lowest cid
+        (7, None),                           # NULL vector -> lowest cid
+        (8, [-1.0, -2.0, 3.0, -0.5]),        # antipode
+        (9, [1e-300, 2e-300, -3e-300, 5e-301]),
+    ]
+    cents_rows = [
+        (10, [1.0, 2.0, -3.0, 0.5]),
+        (11, [2.0, 4.0, -6.0, 1.0]),         # colinear with cid 10
+        (12, [-1.0, 1.0, 0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    cents = spark.createDataFrame(
+        cents_rows,
+        StructType(
+            [
+                StructField("__cid", LongType()),
+                StructField("__cvec", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    from local_etl_csv_to_postgresql_spark.functions.similarity import (
+        _assign_via_arrow,
+        _assign_via_fold,
+    )
+
+    got = {
+        r["vec_id"]: r["__cid"]
+        for r in _assign_via_arrow(df, cents, "vec_id", "embedding").collect()
+    }
+    ref = {
+        r["vec_id"]: r["__cid"]
+        for r in _assign_via_fold(
+            df, cents, "vec_id", "embedding", None
+        ).collect()
+    }
+    assert got == ref
+    # empty centroid panel -> empty result on both strategies
+    empty = cents.filter("__cid < 0")
+    assert _assign_via_arrow(df, empty, "vec_id", "embedding").count() == 0
+    assert (
+        _assign_via_fold(df, empty, "vec_id", "embedding", None).count() == 0
+    )
+
+
 def test_unrolled_dot_norm_bit_identical_to_fold(spark):
     df = spark.range(2_000).select(
         "id",
