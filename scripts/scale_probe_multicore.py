@@ -32,8 +32,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sfx1"
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_REPLICAS", "10"))
+DST = f"/tmp/sfx_{REPLICAS}"
 PROBES = [
     ("q00_pricing_summary", "scan + partial-agg rollup"),
     ("tx14_bigram_cross_entropy", "corpus explode + gram-keyed model join"),
@@ -129,6 +129,14 @@ def worker(name: str) -> int:
 def main() -> int:
     if os.environ.get(_WORKER_ENV):
         return worker(os.environ[_WORKER_ENV])
+    only = [
+        n
+        for n in os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",")
+        if n
+    ]
+    global PROBES
+    if only:
+        PROBES = [(n, s) for n, s in PROBES if n in only]
     build_dataset()
     out = {
         "dataset": f"{SRC} x{REPLICAS} deterministic replicas (see module doc)",
@@ -166,8 +174,12 @@ def main() -> int:
         out["probes"][name] = rec
         print(name, rec, flush=True)
     out["loadavg_end"] = round(os.getloadavg()[0], 2)
+    suffix = "" if REPLICAS == 10 else f"_x{REPLICAS}"
     with open(
-        os.path.join(REPO, "scripts", "scale_curve_multicore.json"), "w"
+        os.path.join(
+            REPO, "scripts", f"scale_curve_multicore{suffix}.json"
+        ),
+        "w",
     ) as f:
         json.dump(out, f, indent=1)
     return 0
