@@ -1009,16 +1009,32 @@ def _contamination(spark: SparkSession, sf: str, n: int) -> DataFrame:
         F.lit("g").alias("__k"),
         F.substring(F.md5(F.col("__g")), 1, 15).alias("__u"),
     )
-    units = fp.unionByName(grams).distinct()
-    a = units.select(F.col("source").alias("source_a"), "__k", "__u")
-    b = units.select(F.col("source").alias("source_b"), "__k", "__u")
-    # inputs are distinct per (source, kind, unit), so each matching
-    # unit contributes exactly one row per pair — conditional SUM is
-    # COUNT(DISTINCT) without the extra dedup pass
+    units = fp.unionByName(grams)
+    # r14 (the _gr05_copurchase_edges pattern, guide §2.4): the former
+    # distinct + self-join-on-(kind, unit) + pair rollup paid three
+    # shuffles and re-shuffled the unit stream twice for the join. ONE
+    # groupBy(kind, unit).collect_set(source) dedups exactly like the
+    # distinct did (set semantics per unit) and the sorted source set
+    # emits each unordered (source_a < source_b) pair once MAP-SIDE —
+    # per-unit fan-out bounded by |sources|² (sources are a handful by
+    # schema), so the pair rollup sees the identical row multiset and
+    # every certified count is unchanged (oracle keeps the textbook
+    # self-join twin).
+    per_unit = units.groupBy("__k", "__u").agg(
+        F.array_sort(F.collect_set("source")).alias("__ss")
+    )
+    pairs = per_unit.select(
+        "__k",
+        F.explode(
+            F.expr(
+                "flatten(transform(__ss, (x, i) -> "
+                "transform(slice(__ss, i + 2, size(__ss)), "
+                "y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("__p"),
+    ).select("__k", F.col("__p.source_a"), F.col("__p.source_b"))
     return (
-        a.join(b, ["__k", "__u"])
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        pairs.groupBy("source_a", "source_b")
         .agg(
             F.sum(F.when(F.col("__k") == "fp", 1).otherwise(0))
             .cast("bigint")
